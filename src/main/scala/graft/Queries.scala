@@ -1,0 +1,392 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** One registered, oracle-checked query. `oracle` is ANSI SQL that DuckDB
+  * runs over the same parquet tables; None → driver does a rows-only check.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The operator-coverage query registry (SURVEY.md §2 + north-star ops).
+  *
+  * Exactness rules (so the DuckDB hash-compare is bit-stable):
+  *  - money/quantity aggregates go through DECIMAL casts (exact, order-
+  *    independent), then CAST AS DOUBLE at the end (same IEEE value on
+  *    both engines);
+  *  - raw double columns are passed through untouched (bit-identical);
+  *  - `events.ts` is epoch-nanos LongType on the Spark side (see
+  *    [[Tables]]); oracles use epoch_ns()/epoch_us() to match;
+  *  - every query ends in a deterministic total ORDER BY (unique key in
+  *    the sort), with NULLS FIRST to match Spark's asc default.
+  */
+object Queries {
+  private val D18_2 = DecimalType(18, 2)
+  private val D18_6 = DecimalType(18, 6)
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec2(c: Column): Column = c.cast(D18_2)
+  private def dec6(c: Column): Column = c.cast(D18_6)
+
+  val defs: Seq[QueryDef] = Seq(
+    // ── §2.2 scans: point get / prefix scan / range scan / reverse limit ──
+    QueryDef(
+      "q_point_get",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") === 1L && col("l_linenumber") === 3)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_returnflag"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+              l_returnflag
+              FROM lineitem WHERE l_orderkey = 1 AND l_linenumber = 3""")),
+
+    QueryDef(
+      "q_prefix_scan",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") === 1L)
+          .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+            "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+              l_quantity
+              FROM lineitem WHERE l_orderkey = 1
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    QueryDef(
+      "q_range_scan",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1995-02-01").cast(TimestampType))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            to_date(col("l_shipdate")).as("ship_date"), col("l_quantity"))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+              CAST(l_shipdate AS DATE) AS ship_date, l_quantity
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                AND l_shipdate <  TIMESTAMP '1995-02-01 00:00:00'
+              ORDER BY l_orderkey, l_linenumber""")),
+
+    // opentick `limit -N`: reverse PK scan, descending presentation order.
+    QueryDef(
+      "q_reverse_limit",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy(col("l_orderkey").desc, col("l_linenumber").desc)
+          .limit(5),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity
+              FROM lineitem
+              ORDER BY l_orderkey DESC, l_linenumber DESC LIMIT 5""")),
+
+    QueryDef(
+      "q_topk",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+          .limit(10),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice
+              FROM orders
+              ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // ── §2.5 aggregation (TPC-H Q1 shape) ──
+    QueryDef(
+      "q1_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+            sum(dec2(col("l_extendedprice"))).cast(DoubleType)
+              .as("sum_base_price"),
+            sum(dec2(col("l_extendedprice")) *
+              (lit(1).cast(D18_2) - dec2(col("l_discount"))))
+              .cast(DoubleType).as("sum_disc_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS sum_disc_price,
+              count(*) AS count_order
+              FROM lineitem
+              GROUP BY l_returnflag, l_linestatus
+              ORDER BY l_returnflag, l_linestatus""")),
+
+    QueryDef(
+      "q_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+              CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+              FROM lineitem
+              GROUP BY ROLLUP(l_returnflag, l_linestatus)
+              ORDER BY l_returnflag ASC NULLS FIRST,
+                       l_linestatus ASC NULLS FIRST""")),
+
+    QueryDef(
+      "q_agg_having",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(dec2(col("o_totalprice"))).cast(DoubleType).as("sum_price"))
+          .filter(col("n_orders") >= 3)
+          .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+              CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+              ORDER BY o_custkey""")),
+
+    QueryDef(
+      "q_distinct",
+      (s, dir) =>
+        t(s, dir, "customer").select("c_mktsegment").distinct()
+          .orderBy("c_mktsegment"),
+      Some("SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment")),
+
+    // ── §2.4 joins (absent in the reference; native here) ──
+    QueryDef(
+      "q_join_broadcast",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val r = t(s, dir, "region")
+        c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(count(lit(1)).as("n_cust"),
+            sum(dec2(col("c_acctbal"))).cast(DoubleType).as("sum_bal"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name, count(*) AS n_cust,
+              CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+              FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    QueryDef(
+      "q_join_agg",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val l = t(s, dir, "lineitem")
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+            sum(dec2(col("l_extendedprice")) *
+              (lit(1).cast(D18_2) - dec2(col("l_discount"))))
+              .cast(DoubleType).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(DISTINCT o_orderkey) AS n_orders,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                       (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                AS revenue
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    QueryDef(
+      "q_semi_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 100000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_totalprice > 100000)
+              ORDER BY c_custkey""")),
+
+    QueryDef(
+      "q_anti_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name", "c_nationkey")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
+              WHERE NOT EXISTS (SELECT 1 FROM orders
+                                WHERE o_custkey = c_custkey
+                                  AND o_totalprice > 400000)
+              ORDER BY c_custkey""")),
+
+    QueryDef(
+      "q_outer_join",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+              FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+              GROUP BY c_custkey ORDER BY c_custkey""")),
+
+    // ── §2.5 windows ──
+    QueryDef(
+      "q_window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+          .orderBy("o_custkey", "rk")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders) sub
+              WHERE rk <= 3 ORDER BY o_custkey, rk""")),
+
+    QueryDef(
+      "q_window_running",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .filter(col("user_id") < 10)
+          .withColumn("running_value",
+            sum(dec6(col("value"))).over(w).cast(DoubleType))
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("running_value"))
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      Some("""SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+              CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                AS running_value
+              FROM events WHERE user_id < 10
+              ORDER BY user_id, ts_us, event_id""")),
+
+    // ── §2.5 set ops ──
+    QueryDef(
+      "q_union",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .filter(col("c_acctbal") > 5000.0).select(col("c_custkey").as("k"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 200000.0)
+          .select(col("o_custkey").as("k"))
+        c.union(o).distinct().orderBy("k")
+      },
+      Some("""SELECT * FROM (
+                SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000
+                UNION
+                SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000)
+              ORDER BY k""")),
+
+    QueryDef(
+      "q_intersect",
+      (s, dir) => {
+        val a = t(s, dir, "customer")
+          .filter(col("c_acctbal") > 0.0).select(col("c_custkey").as("k"))
+        val b = t(s, dir, "orders").select(col("o_custkey").as("k"))
+        a.intersect(b).orderBy("k")
+      },
+      Some("""SELECT * FROM (
+                SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0
+                INTERSECT
+                SELECT o_custkey AS k FROM orders)
+              ORDER BY k""")),
+
+    QueryDef(
+      "q_except",
+      (s, dir) => {
+        val a = t(s, dir, "customer").select(col("c_custkey").as("k"))
+        val b = t(s, dir, "orders").filter(col("o_totalprice") < 50000.0)
+          .select(col("o_custkey").as("k"))
+        a.except(b).orderBy("k")
+      },
+      Some("""SELECT * FROM (
+                SELECT c_custkey AS k FROM customer
+                EXCEPT
+                SELECT o_custkey AS k FROM orders WHERE o_totalprice < 50000)
+              ORDER BY k""")),
+
+    // ── §1.3 upsert semantics: last-write-wins by PK ──
+    QueryDef(
+      "q_lww_upsert",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"),
+            col("event_id").as("last_event_id"), col("value").as("last_value"))
+          .orderBy("user_id", "event_type")
+      },
+      Some("""SELECT user_id, event_type, event_id AS last_event_id,
+                     value AS last_value FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events) sub
+              WHERE rn = 1 ORDER BY user_id, event_type""")),
+
+    // ── north star: exact dedup on documents ──
+    QueryDef(
+      "q_dedup_exact",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), md5(col("text")).as("text_hash"))
+          .groupBy("text_hash")
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+          .orderBy("text_hash"),
+      Some("""SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                     count(*) AS n_copies
+              FROM documents GROUP BY md5(text) ORDER BY text_hash""")),
+
+    // ── north star: text analysis (exact integer metrics) ──
+    QueryDef(
+      "q_token_count",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).as("n_chars"),
+            size(split(trim(col("text")), "\\s+")).as("n_tokens"),
+            length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+              .as("n_alpha"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, length(text) AS n_chars,
+              len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+              length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+              FROM documents ORDER BY doc_id"""))
+  )
+
+  val byName: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(d => d.name -> d.fn).toMap
+
+  val oracles: Map[String, String] =
+    defs.flatMap(d => d.oracle.map(sql => d.name ->
+      sql.stripMargin.linesIterator.map(_.trim).mkString(" ").trim)).toMap
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    Tables.configure(s)
+  }
+}
+
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every registered query runs non-empty on sf0.001") {
+    val empties = Queries.defs.filter { d =>
+      d.fn(spark, sf).limit(1).count() == 0
+    }.map(_.name)
+    assert(empties.isEmpty, s"empty results: $empties")
+  }
+
+  test("every oracle aliases match the Spark result columns") {
+    // The driver's compare sorts columns by name; a silent alias drift
+    // between queries() and oracleSql would hash-mismatch. Guard the
+    // Spark side: no default agg names like sum(x) may leak through.
+    for (d <- Queries.defs) {
+      val cols = d.fn(spark, sf).columns
+      val bad = cols.filter(c => c.contains("(") || c.contains(" "))
+      assert(bad.isEmpty, s"${d.name}: unaliased columns ${bad.toSeq}")
+    }
+  }
+
+  test("q1_agg values match the known sf0.001 aggregate") {
+    val r = Queries.byName("q1_agg")(spark, sf).collect()
+    assert(r.length > 0 && r.length <= 8) // few flag/status combos
+    val total = r.map(_.getAs[Long]("count_order")).sum
+    assert(total == 6000L, s"expected 6000 lineitem rows, got $total")
+  }
+
+  test("q_reverse_limit is descending by PK") {
+    val rows = Queries.byName("q_reverse_limit")(spark, sf).collect()
+    val keys = rows.map(r => (r.getAs[Long]("l_orderkey"),
+      r.getAs[Int]("l_linenumber")))
+    assert(keys.sameElements(keys.sortBy(k => (-k._1, -k._2))))
+  }
+}

@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate.
+
+Usage: python3 tools/check.py /tmp/verify_out /root/testdata/sf0.01
+
+For each <name> dir under outDir: load the Spark parquet result, run the
+matching oracle SQL from oracle_sql.json in DuckDB over the sf tables,
+sort columns by name + rows by all columns, and compare cell-by-cell
+(exact; floats must be bit-equal after float64 round-trip).
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def norm(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(str(v) for v in r))
+    out.sort()
+    return out
+
+def main(out_dir, sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_skip = 0
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        got_rel = con.sql(f"SELECT * FROM '{d}*.parquet'")
+        if name not in oracle:
+            print(f"SKIP  {name} (rows-only: {len(got_rel.fetchall())} rows)")
+            n_skip += 1
+            continue
+        exp_rel = con.sql(oracle[name])
+        g_cols = sorted(got_rel.columns)
+        e_cols = sorted(exp_rel.columns)
+        if [c.lower() for c in g_cols] != [c.lower() for c in e_cols]:
+            print(f"FAIL  {name}: columns {g_cols} vs {e_cols}")
+            n_fail += 1
+            continue
+        got = norm(got_rel.select(", ".join(f'"{c}"' for c in g_cols)).fetchall())
+        exp = norm(exp_rel.select(", ".join(f'"{c}"' for c in e_cols)).fetchall())
+        if got == exp:
+            print(f"PASS  {name} ({len(got)} rows)")
+            n_pass += 1
+        else:
+            n_fail += 1
+            print(f"FAIL  {name}: {len(got)} vs {len(exp)} rows")
+            diff = [(a, b) for a, b in zip(got, exp) if a != b][:3]
+            for a, b in diff:
+                print(f"      got {a}\n      exp {b}")
+            if len(got) != len(exp):
+                only_g = set(got) - set(exp)
+                only_e = set(exp) - set(got)
+                for r in list(only_g)[:3]: print(f"      extra   {r}")
+                for r in list(only_e)[:3]: print(f"      missing {r}")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_skip} rows-only ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

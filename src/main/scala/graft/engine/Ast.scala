@@ -1,0 +1,50 @@
+package graft.engine
+
+/** AST for the reference's closed SQL dialect (reference parser.go:49-183).
+  * Brand-new Scala model — same grammar, new types.
+  */
+object Ast {
+  final case class TableName(db: Option[String], table: String) {
+    def dbName: String = db.getOrElse("")
+  }
+
+  sealed trait Value
+  final case class IntV(v: Long) extends Value
+  final case class FloatV(v: Double) extends Value
+  final case class StringV(v: String) extends Value
+  final case class BoolV(v: Boolean) extends Value
+  case object Placeholder extends Value
+
+  object Value {
+    /** Raw literal value (reference parser.go:169-183); Placeholder → null. */
+    def raw(v: Value): Any = v match {
+      case IntV(x) => x
+      case FloatV(x) => x
+      case StringV(x) => x
+      case BoolV(x) => x
+      case Placeholder => null
+    }
+  }
+
+  final case class Condition(col: String, op: String, rhs: Value)
+
+  /** `col` or `func(col[, params])` in a select list (parser.go:141-150). */
+  final case class SelectCol(name: String, func: Option[String],
+      params: Seq[Value])
+
+  sealed trait Stmt
+  final case class Select(cols: Option[Seq[SelectCol]], table: TableName,
+      where: Seq[Condition], limit: Option[Long]) extends Stmt
+  final case class Insert(table: TableName, cols: Seq[String],
+      values: Seq[Value]) extends Stmt
+  final case class Delete(table: TableName, where: Seq[Condition]) extends Stmt
+  final case class CreateTable(ifNotExists: Boolean, table: TableName,
+      cols: Seq[(String, String)], keys: Seq[String]) extends Stmt
+  final case class CreateDatabase(ifNotExists: Boolean, name: String)
+      extends Stmt
+  final case class DropTable(table: TableName) extends Stmt
+  final case class DropDatabase(name: String) extends Stmt
+  final case class RenameTable(table: TableName, to: String) extends Stmt
+  final case class RenameColumn(table: TableName, from: String, to: String)
+      extends Stmt
+}

@@ -1,0 +1,249 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** Filesystem-backed catalog + table storage.
+  *
+  * Layout (one directory tree per warehouse — the Spark-native analog of
+  * the reference's FDB directory layer, reference schema.go:40-47):
+  *
+  *   warehouse/<db>/<table>/schema.json      column defs + PK
+  *   warehouse/<db>/<table>/data/            parquet, append-only, __seq col
+  *   warehouse/<db>/<table>/seq              monotonic write counter
+  *
+  * Write semantics: INSERT appends whole rows stamped with a monotonic
+  * `__seq`; the read path resolves last-write-wins per PK with a window
+  * (SURVEY.md §1.3). At 100 TB this is the standard log+compact layout:
+  * appends are cheap parallel parquet writes, and `compact()` folds the
+  * log back to one version per key. DELETE rewrites the data dir (small
+  * compat tables); the scale path would use deletion vectors.
+  */
+final class Catalog(val spark: SparkSession, val warehouse: String) {
+  val SeqCol = "__seq"
+  private val schemaCache = TrieMap.empty[String, TableDef]
+
+  private def dbPath(db: String): Path = Paths.get(warehouse, db)
+  private def tblPath(db: String, tbl: String): Path = Paths.get(warehouse, db, tbl)
+
+  // ── databases ──
+
+  def hasDatabase(db: String): Boolean = Files.isDirectory(dbPath(db))
+
+  def createDatabase(db: String): Unit = {
+    if (hasDatabase(db)) throw OtError(s"Database $db already exists")
+    Files.createDirectories(dbPath(db))
+    // every database gets its _adj_ table (reference schema.go:65,247-262)
+    createTable(TableDef.build(db, "_adj_",
+      Seq("sec" -> OtType.Int, "time" -> OtType.Timestamp,
+        "px" -> OtType.Double, "vol" -> OtType.Double),
+      Seq("sec", "time")))
+  }
+
+  def dropDatabase(db: String): Unit = {
+    if (!hasDatabase(db)) throw OtError(s"Database $db does not exist")
+    listTables(db).foreach(t => dropTable(db, t))
+    deleteRecursively(dbPath(db))
+  }
+
+  def listDatabases(): Seq[String] = listDirs(Paths.get(warehouse))
+
+  def listTables(db: String): Seq[String] = {
+    if (!hasDatabase(db)) throw OtError(s"Database $db does not exist")
+    listDirs(dbPath(db))
+  }
+
+  private def listDirs(p: Path): Seq[String] =
+    if (!Files.isDirectory(p)) Nil
+    else Files.list(p).iterator.asScala.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    }
+  }
+
+  // ── tables ──
+
+  def hasTable(db: String, tbl: String): Boolean =
+    Files.isDirectory(tblPath(db, tbl))
+
+  def createTable(td: TableDef): Unit = {
+    if (!hasDatabase(td.dbName))
+      throw OtError(s"Database ${td.dbName} does not exist")
+    if (hasTable(td.dbName, td.tblName))
+      throw OtError(s"Table ${td.dbName}.${td.tblName} already exists")
+    val dir = tblPath(td.dbName, td.tblName)
+    Files.createDirectories(dir)
+    writeSchema(dir, td)
+  }
+
+  def dropTable(db: String, tbl: String): Unit = {
+    // error string parity: "does not exists" [sic] (reference schema.go:356)
+    if (!hasTable(db, tbl)) throw OtError(s"Table $db.$tbl does not exists")
+    schemaCache.remove(s"$db.$tbl")
+    deleteRecursively(tblPath(db, tbl))
+  }
+
+  def getSchema(db: String, tbl: String): TableDef =
+    schemaCache.getOrElseUpdate(s"$db.$tbl", {
+      if (!hasTable(db, tbl)) throw OtError(s"Table $db.$tbl does not exists")
+      readSchema(tblPath(db, tbl), db, tbl)
+    })
+
+  def renameTable(db: String, tbl: String, to: String): Unit = {
+    val td = getSchema(db, tbl)
+    schemaCache.remove(s"$db.$tbl")
+    Files.move(tblPath(db, tbl), tblPath(db, to),
+      StandardCopyOption.ATOMIC_MOVE)
+    writeSchema(tblPath(db, to), td.copy(tblName = to))
+  }
+
+  def renameColumn(db: String, tbl: String, from: String, to: String): Unit = {
+    val td = getSchema(db, tbl)
+    if (!td.nameMap.contains(from)) throw OtError(s"Column $from does not exist")
+    if (td.nameMap.contains(to)) throw OtError(s"Column $to already exists")
+    schemaCache.remove(s"$db.$tbl")
+    val cols = td.cols.map(c => if (c.name == from) c.copy(name = to) else c)
+    val keys = td.keyNames.map(k => if (k == from) to else k)
+    val nd = TableDef(db, tbl, cols, keys)
+    writeSchema(tblPath(db, tbl), nd)
+    // data untouched: physical parquet columns are renamed lazily on read
+  }
+
+  // ── data ──
+
+  private def dataDir(td: TableDef): Path = tblPath(td.dbName, td.tblName).resolve("data")
+
+  private def hasData(td: TableDef): Boolean = {
+    val d = dataDir(td)
+    Files.isDirectory(d) && Files.list(d).iterator.asScala.exists { f =>
+      f.getFileName.toString.endsWith(".parquet")
+    }
+  }
+
+  /** Raw append-log rows incl. __seq, with lazy column rename applied. */
+  private def rawData(td: TableDef): DataFrame = {
+    if (!hasData(td)) {
+      val schema = td.sparkSchema.add(SeqCol, LongType, nullable = false)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    }
+    var df = spark.read.parquet(dataDir(td).toString)
+    // physical names may predate renames: align positionally
+    val phys = df.columns.filterNot(_ == SeqCol)
+    val logical = td.cols.map(_.name)
+    phys.zip(logical).foreach { case (p, l) =>
+      if (p != l) df = df.withColumnRenamed(p, l)
+    }
+    df
+  }
+
+  /** Last-write-wins view of a table (upsert semantics, whole-row
+    * replace — reference query.go:302 `tr.Set`).
+    */
+  def readTable(td: TableDef): DataFrame = {
+    val w = Window.partitionBy(td.keyNames.map(col): _*)
+      .orderBy(col(SeqCol).desc)
+    rawData(td)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", SeqCol)
+  }
+
+  private def nextSeq(td: TableDef): Long = {
+    val p = tblPath(td.dbName, td.tblName).resolve("seq")
+    val cur = if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+    Files.write(p, (cur + 1).toString.getBytes(StandardCharsets.UTF_8))
+    cur + 1
+  }
+
+  /** Append whole rows (order matches td.cols). One call = one batch =
+    * one `__seq` stamp (rows within a batch share it; later batch wins,
+    * within a batch the last row wins via row index tiebreak packed into
+    * the low bits).
+    */
+  def appendRows(td: TableDef, rows: Seq[Seq[Any]]): Unit = {
+    val seq = nextSeq(td)
+    val schema = td.sparkSchema.add(SeqCol, LongType, nullable = false)
+    val sparkRows = rows.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.map {
+        case t: java.time.Instant => t
+        case other => other
+      } :+ (seq * 1000000L + i))
+    }
+    val df = spark.createDataFrame(sparkRows.asJava, schema)
+    df.coalesce(1).write.mode("append").parquet(dataDir(td).toString)
+  }
+
+  /** Delete rows matching `pred` by rewriting the log (compat-scale path). */
+  def deleteWhere(td: TableDef, pred: Option[org.apache.spark.sql.Column]): Unit = {
+    if (!hasData(td)) return
+    val dir = tblPath(td.dbName, td.tblName)
+    pred match {
+      case None => deleteRecursively(dir.resolve("data"))
+      case Some(p) =>
+        val remaining = rawData(td).filter(!p)
+        val tmp = dir.resolve("data_tmp")
+        remaining.write.mode("overwrite").parquet(tmp.toString)
+        deleteRecursively(dir.resolve("data"))
+        Files.move(tmp, dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
+
+  /** Fold the append log to one version per PK (the scale-path
+    * maintenance op; optional for correctness).
+    */
+  def compact(td: TableDef): Unit = {
+    if (!hasData(td)) return
+    val dir = tblPath(td.dbName, td.tblName)
+    val w = Window.partitionBy(td.keyNames.map(col): _*)
+      .orderBy(col(SeqCol).desc)
+    val folded = rawData(td)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .repartitionByRange(col(td.keyNames.head))
+      .sortWithinPartitions(td.keyNames.map(col): _*)
+    val tmp = dir.resolve("data_tmp")
+    folded.write.mode("overwrite").parquet(tmp.toString)
+    deleteRecursively(dir.resolve("data"))
+    Files.move(tmp, dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  // ── schema persistence (tiny hand-rolled JSON; idents are [A-Za-z0-9_]) ──
+
+  private def writeSchema(dir: Path, td: TableDef): Unit = {
+    val cols = td.cols.map(c => s"""["${c.name}","${c.tpe.name}"]""")
+      .mkString("[", ",", "]")
+    val keys = td.keyNames.map(k => s""""$k"""").mkString("[", ",", "]")
+    val json = s"""{"cols":$cols,"keys":$keys}"""
+    Files.write(dir.resolve("schema.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  private def readSchema(dir: Path, db: String, tbl: String): TableDef = {
+    val json = new String(Files.readAllBytes(dir.resolve("schema.json")),
+      StandardCharsets.UTF_8)
+    // format is fully controlled (written above): extract quoted strings
+    val colsPart = json.substring(json.indexOf("\"cols\":") + 7,
+      json.indexOf(",\"keys\""))
+    val keysPart = json.substring(json.indexOf("\"keys\":") + 7,
+      json.lastIndexOf("}"))
+    def strings(s: String): Seq[String] =
+      "\"([^\"]*)\"".r.findAllMatchIn(s).map(_.group(1)).toSeq
+    val colStrs = strings(colsPart)
+    val cols = colStrs.grouped(2).map { case Seq(n, t) =>
+      n -> OtType.fromName(t)
+    }.toSeq
+    TableDef.build(db, tbl, cols, strings(keysPart))
+  }
+}

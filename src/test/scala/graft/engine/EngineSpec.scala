@@ -1,0 +1,180 @@
+package graft.engine
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Ported resolver/DDL/e2e goldens from reference query_test.go — exact
+  * error strings and result sets. Cited lines refer to /root/reference.
+  */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val engine = {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val e = new Engine(spark, wh)
+    e.execute("create database test")
+    e
+  }
+
+  private def err(sql: String, args: Seq[Any] = Nil): String =
+    intercept[OtError](engine.execute(sql, args)).msg
+
+  test("resolver error goldens (query_test.go:16-68)") {
+    engine.execute("create table test.test(a int, b int, b2 boolean, c int, d double, e bigint, primary key(a, b, b2, c))")
+    assert(err("select a, b, b from test.test where a=1") == "Duplicate column name b")
+    assert(err("insert into test.test(a) values(1)") == "Some primary keys are missing: b, b2, c")
+    assert(err("insert into test.test(a, a, c) values(1, 1, 1)") == "Duplicate column name a")
+    assert(err("insert into test.test(a, a, c) values(1, 1)") == "Unmatched column names/values")
+    // valid partial insert resolves (query_test.go:39-41)
+    engine.execute("insert into test.test(a, b, b2, c, d) values(1, 1, false, 1, 1)")
+    assert(err("delete from test.test where d=1") == "Invalid column d in where clause, only primary key can be used")
+    assert(err("delete from test.test where a<2.2") == "Invalid float64 value (2.2) for \"a\" of Int")
+    assert(err("delete from test.test where b2<true") == "Invalid operator (<) for \"b2\" of type Boolean")
+    assert(err("delete from test.test where a=1 and a<1") == "a cannot be restricted by more than one relation if it includes an Equal")
+    assert(err("delete from test.test where a<=1 and a<1") == "More than one restriction was found for the end bound on a")
+    assert(err("delete from test.test where a>=1 and a>1") == "More than one restriction was found for the start bound on a")
+    assert(err("delete from test.test where b=2") == "Cannot execute this query as it might involve data filtering and thus may have unpredictable performance")
+    assert(err("delete from test.test where a<2 and b=2") == "Cannot execute this query as it might involve data filtering and thus may have unpredictable performance")
+    // placeholders count (query_test.go:69-73)
+    engine.execute("delete from test.test where a=2 and b=2 and b2=?", Seq(true))
+  }
+
+  test("DDL goldens (query_test.go:74-89)") {
+    engine.execute("drop database test")
+    assert(err("drop database test") == "Database test does not exist")
+    assert(err("create table test.test(a int, primary key(a))") == "Database test does not exist")
+    engine.execute("create database test")
+    assert(err("drop table test.test") == "Table test.test does not exists")
+    engine.execute("create table test.test(a int, b int, b2 boolean, c int, d double, e bigint, primary key(a, b, b2, c))")
+    assert(err("create table test.test(a int, primary key(a))") == "Table test.test already exists")
+    assert(err("create database test") == "Database test already exists")
+    engine.execute("create database if not exists test")
+    engine.execute("create table if not exists test.test(x int)")
+    // schema DDL validation errors (schema_test.go:136-150 semantics)
+    assert(err("create table test.t2(a int, a int, primary key(a))") == "Multiple definition of identifier a")
+    assert(err("create table test.t2(a int, primary key(a, a))") == "Duplicate definition a referenced in PRIMARY KEY")
+    assert(err("create table test.t2(a int, primary key(b))") == "Unknown definition b referenced in PRIMARY KEY")
+    assert(err("create table test.t2(a int)") == "PRIMARY KEY not declared")
+    assert(err("create table t2(a int, primary key(a))") == "No database name has been specified. USE a database name, or explicitly specify databasename.tablename")
+  }
+
+  test("placeholder arity and coercion goldens (query_test.go:90-97)") {
+    engine.execute("drop table test.test")
+    engine.execute("create table test.test(a int, b int, b2 boolean, c int, d double, e bigint, primary key(a, b, b2, c))")
+    assert(err("insert into test.test(a, b, b2, c, d) values(1, 1, ?, ?, 1)", Seq(1)) == "Expected 2 arguments, got 1")
+    assert(err("insert into test.test(a, b, b2, c, d) values(1, 1, ?, ?, 1)", Seq(1, 1)) == "Invalid int value (1) for \"b2\" of Boolean")
+    assert(err("insert into test.test(a, b, b2, c, d) values(1, 1, ?, ?, 1)", Seq(true, true)) == "Invalid bool value (true) for \"c\" of Int")
+    assert(err("insert into test.test(a, b2) values(1, ?)", Seq(true)) == "Some primary keys are missing: b, c")
+    engine.execute("select * from test.test where a=1 and b=2 and b2=? and c<?", Seq(true, 1))
+    engine.execute("delete from test.test where a=1 and b=2 and b2=? and c<?", Seq(true, 1))
+  }
+
+  test("end-to-end point/range/reverse/delete (query_test.go:102-138)") {
+    engine.execute("drop table test.test")
+    engine.execute("create table test.test(a int, b int, b2 boolean, c int, d double, e bigint, primary key(a, b, b2, c))")
+    engine.execute("insert into test.test(a, b, b2, c, d, e) values(2, 1, true, 42, 2.2, 102)")
+    engine.execute("insert into test.test(a, b, b2, c, d, e) values(2, 1, true, 41, 2.2, 104)")
+    engine.execute("insert into test.test(a, b, b2, c, d, e) values(2, 1, true, 39, 2.2, 105)")
+    val r1 = engine.execute("select * from test.test where a=2 and b=1 and b2=? and c=?", Seq(true, 42)).collect()
+    assert(r1.toSeq == Seq(Row(2, 1, true, 42, 2.2, 102L)))
+    val r2 = engine.execute("select * from test.test where a=2 and b=1 and b2=true").collect()
+    assert(r2.length == 3)
+    assert(r2(0) == Row(2, 1, true, 39, 2.2, 105L))
+    assert(engine.execute("select * from test.test").collect().length == 3)
+    val r3 = engine.execute("select * from test.test where a=2 and b=1 and b2=true limit -2").collect()
+    assert(r3.length == 2)
+    assert(r3(0) == Row(2, 1, true, 42, 2.2, 102L))
+    // rename round-trip (query_test.go:121-128)
+    engine.execute("alter table test.test rename to test2")
+    assert(err("select * from test.test where a=2 and b=1 and b2=true and c>39 and c<42") == "Table test.test does not exists")
+    val r4 = engine.execute("select * from test.test2 where a=2 and b=1 and b2=true and c>39 and c<42").collect()
+    assert(r4.toSeq == Seq(Row(2, 1, true, 41, 2.2, 104L)))
+    engine.execute("alter table test.test2 rename to test")
+    val r5 = engine.execute("select * from test.test where a=2 and b=1 and b2=true and c>=39 and c<=42").collect()
+    assert(r5.length == 3)
+    assert(r5(0).getInt(3) == 39 && r5(2).getInt(3) == 42)
+    engine.execute("delete from test.test where a=2 and b=1 and b2=true and c>=39 and c<=42")
+    assert(engine.execute("select * from test.test where a=2 and b=1 and b2=true").collect().isEmpty)
+  }
+
+  test("upsert replaces whole row (server_test.go:96-99 semantics)") {
+    engine.execute("create table if not exists test.ups(a int, b double, c double, primary key(a))")
+    engine.execute("insert into test.ups values(1, 1.5, 2.5)")
+    engine.execute("insert into test.ups(a, b) values(1, 9.5)")
+    val r = engine.execute("select * from test.ups where a=1").collect()
+    // whole-row overwrite: c becomes NULL, not merged
+    assert(r.toSeq == Seq(Row(1, 9.5, null)))
+  }
+
+  test("saturating integer clamps (query.go:710-728)") {
+    engine.execute("create table if not exists test.clamp(a int, t tinyint, s smallint, primary key(a))")
+    engine.execute("insert into test.clamp values(1, 300, 70000)")
+    engine.execute("insert into test.clamp values(2, -300, -70000)")
+    val r = engine.execute("select * from test.clamp").collect()
+    assert(r(0) == Row(1, 127.toByte, 32767.toShort))
+    assert(r(1) == Row(2, (-128).toByte, (-32768).toShort))
+  }
+
+  test("rename column keeps data (schema_test.go:167-172 semantics)") {
+    engine.execute("create table if not exists test.rc(a int, b double, primary key(a))")
+    engine.execute("insert into test.rc values(7, 3.5)")
+    engine.execute("alter table test.rc rename column b to bb")
+    val df = engine.execute("select a, bb from test.rc where a=7")
+    assert(df.columns.toSeq == Seq("a", "bb"))
+    assert(df.collect().toSeq == Seq(Row(7, 3.5)))
+    assert(intercept[OtError](
+      engine.execute("alter table test.rc rename column zz to q")).msg ==
+      "Column zz does not exist")
+    assert(intercept[OtError](
+      engine.execute("alter table test.rc rename column a to bb")).msg ==
+      "Column bb already exists")
+  }
+
+  test("user perm parsing (user.go:29-61, query_test.go:139-151)") {
+    engine.loadUsers()
+    engine.execute("insert into _meta_.user values('__a', 'x', true, 'a=write;b.x=read')")
+    engine.execute("insert into _meta_.user values('__b', 'y', false, 'a=read;b.x=write')")
+    engine.loadUsers()
+    assert(intercept[OtError](engine.login("__a", "not-the-pw")).msg ==
+      "Invalid password")
+    assert(intercept[OtError](engine.login("nobody", "x")).msg ==
+      "Invalid user name")
+    val ua = User("__a", "", isAdmin = true, Map("a" -> Perm.Writable,
+      "b.x" -> Perm.Readable))
+    assert(engine.getPerm("anything", "t", Some(ua)) == Perm.Writable)
+    val ub = User("__b", "", isAdmin = false, Map("a" -> Perm.Readable,
+      "b.x" -> Perm.Writable))
+    assert(engine.getPerm("a", "", Some(ub)) == Perm.Readable)
+    assert(engine.getPerm("b", "x", Some(ub)) == Perm.Writable)
+    assert(engine.getPerm("b", "y", Some(ub)) == Perm.No)
+  }
+
+  test("permission map parsing and enforcement") {
+    engine.loadUsers()
+    engine.execute("insert into _meta_.user values('__c', ?, false, 'test=read')",
+      Seq(Engine.sha1("pw")))
+    engine.loadUsers()
+    val u = engine.login("__c", "pw")
+    assert(!u.isAdmin)
+    assert(engine.getPerm("test", "", Some(u)) == Perm.Readable)
+    // read allowed
+    engine.execute("select * from test.test", user = Some(u))
+    // write denied
+    assert(intercept[OtError](engine.execute(
+      "insert into test.test(a, b, b2, c) values(1, 1, true, 1)",
+      user = Some(u))).msg == "No permisssion")
+    assert(intercept[OtError](engine.execute(
+      "create database zz", user = Some(u))).msg == "No permisssion")
+  }
+
+  test("batch insert + select with limit") {
+    engine.execute("create table if not exists test.batch(sec int, tm timestamp, px double, primary key(sec, tm))")
+    val rows = (0 until 100).map(i => Seq[Any](1, i.toLong, i * 1.5))
+    engine.batchInsert("insert into test.batch values(?, ?, ?)", rows)
+    val r = engine.execute("select * from test.batch where sec=1 and tm>=10 and tm<20")
+    assert(r.count() == 10)
+    val top = engine.execute("select tm, px from test.batch where sec=1 limit -3").collect()
+    assert(top.map(_.getDouble(1)).toSeq == Seq(99 * 1.5, 98 * 1.5, 97 * 1.5))
+  }
+}

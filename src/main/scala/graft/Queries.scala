@@ -380,7 +380,98 @@ object Queries {
       Some("""SELECT doc_id, length(text) AS n_chars,
               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
               length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
-              FROM documents ORDER BY doc_id"""))
+              FROM documents ORDER BY doc_id""")),
+
+    // ── custom operator: distributed as-of join (SURVEY.md §2.4/§2.6) ──
+    QueryDef(
+      "q_asof_backward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("value").as("last_purchase"), col("event_id").as("p_eid"))
+        operators.AsOfJoin.backward(clicks, purchases, Seq("user_id"),
+            "ts", "ts", Seq("last_purchase"), rightTieBreak = Seq("p_eid"))
+          .select("user_id", "event_id", "last_purchase")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT b.user_id, b.event_id,
+                (SELECT a.value FROM events a
+                 WHERE a.user_id = b.user_id AND a.event_type = 'purchase'
+                   AND a.ts <= b.ts
+                 ORDER BY a.ts DESC, a.event_id DESC LIMIT 1) AS last_purchase
+              FROM events b WHERE b.event_type = 'click'
+              ORDER BY b.user_id, b.event_id""")),
+
+    // ── custom operator: adj factors via distributed suffix products +
+    //    forward-strict as-of join (the 100TB-shaped adj path) ──
+    QueryDef(
+      "q_adj_distributed",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        // synthetic corporate actions with exactly-representable factors
+        // (powers of two ⇒ product is order-independent, bit-exact)
+        val adjEv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id").as("sec"), col("ts").as("tm"),
+            when(pmod(col("event_id"), lit(3)) === 0, 0.5)
+              .when(pmod(col("event_id"), lit(3)) === 1, 2.0)
+              .otherwise(0.25).as("px"),
+            lit(2.0).as("vol"))
+        val factors = operators.Adj.factorsDF(s, adjEv)
+          .select(col("sec").cast(LongType).as("sec"), col("tm"),
+            col("idx"), col("px_f"))
+        val bars = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("sec"), col("ts"), col("event_id"),
+            col("value"))
+        operators.AsOfJoin.forward(bars, factors, Seq("sec"), "ts", "tm",
+            Seq("px_f"), rightTieBreak = Seq("idx"), strict = true)
+          .select(col("sec"), expr("ts div 1000").as("ts_us"),
+            col("event_id"),
+            (col("value") * coalesce(col("px_f"), lit(1.0))).as("adj_value"))
+          .orderBy("sec", "ts_us", "event_id")
+      },
+      Some("""WITH adj AS (
+                SELECT user_id AS sec, ts,
+                       CASE event_id % 3 WHEN 0 THEN 0.5 WHEN 1 THEN 2.0
+                            ELSE 0.25 END AS px
+                FROM events WHERE event_type = 'purchase'),
+              bar AS (
+                SELECT user_id AS sec, ts, event_id, value
+                FROM events WHERE event_type = 'view')
+              SELECT b.sec, epoch_us(b.ts) AS ts_us, b.event_id,
+                     b.value * coalesce(
+                       (SELECT product(a.px) FROM adj a
+                        WHERE a.sec = b.sec AND a.ts > b.ts), 1.0) AS adj_value
+              FROM bar b ORDER BY b.sec, ts_us, b.event_id""")),
+
+    // ── north star: OHLCV resampling (tumbling hourly bars) ──
+    QueryDef(
+      "q_ohlcv_bars",
+      (s, dir) =>
+        operators.Resample.ohlcv(
+            t(s, dir, "events").select("user_id", "ts", "event_id", "value"),
+            Seq("user_id"), "ts", "value", "event_id", 3600000000000L)
+          .orderBy("user_id", "bkt"),
+      Some("""WITH e AS (
+                SELECT user_id, epoch_ns(ts) AS tsn, event_id, value
+                FROM events),
+              b AS (SELECT user_id, tsn // 3600000000000 AS bkt, tsn,
+                           event_id, value FROM e),
+              r AS (SELECT *,
+                row_number() OVER (PARTITION BY user_id, bkt
+                  ORDER BY tsn, event_id) AS rf,
+                row_number() OVER (PARTITION BY user_id, bkt
+                  ORDER BY tsn DESC, event_id DESC) AS rl
+              FROM b)
+              SELECT user_id, bkt,
+                max(CASE WHEN rf = 1 THEN value END) AS open,
+                max(value) AS high, min(value) AS low,
+                max(CASE WHEN rl = 1 THEN value END) AS close,
+                count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              FROM r GROUP BY user_id, bkt ORDER BY user_id, bkt"""))
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

@@ -101,20 +101,23 @@ object Adj {
   }
 
   /** Fully-distributed factor table for large event sets: one row per
-    * (sec, event) with forward/backward factors — feeds
-    * [[AsOfJoin]] when the broadcast path is too big.
+    * (sec, event) with forward/backward factors — feeds [[AsOfJoin]]
+    * when the broadcast path is too big. Input columns:
+    * (sec INT-castable, tm LONG, px DOUBLE, vol DOUBLE); null/zero
+    * px/vol are treated as 1. Output adds `idx`, the per-sec sorted
+    * event position — use it as the as-of tiebreak so equal-tm events
+    * resolve to the same order the products were computed in.
     */
   def factorsDF(spark: SparkSession, adj: DataFrame): DataFrame = {
     import spark.implicits._
-    val prepped = adj.select(col("sec").cast("int"),
-      unix_micros(col("time")).as("tm"),
+    val prepped = adj.select(col("sec").cast("int"), col("tm").cast("long"),
       when(col("px").isNull || col("px") === 0.0, 1.0)
         .otherwise(col("px").cast("double")).as("px"),
       when(col("vol").isNull || col("vol") === 0.0, 1.0)
         .otherwise(col("vol").cast("double")).as("vol"))
       .as[(Int, Long, Double, Double)]
     prepped.groupByKey(_._1).flatMapGroups { (sec, it) =>
-      val evs = it.toArray.sortBy(_._2)
+      val evs = it.toArray.sortBy(e => (e._2, e._3, e._4))
       val n = evs.length
       val fPx = evs.map(_._3); val fVol = evs.map(_._4)
       var i = n - 2
@@ -123,7 +126,7 @@ object Adj {
       i = 1
       while (i < n) { bPx(i) *= bPx(i - 1); bVol(i) *= bVol(i - 1); i += 1 }
       Iterator.tabulate(n)(j =>
-        (sec, evs(j)._2, fPx(j), fVol(j), bPx(j), bVol(j)))
-    }.toDF("sec", "tm", "px_f", "vol_f", "px_b", "vol_b")
+        (sec, evs(j)._2, j, fPx(j), fVol(j), bPx(j), bVol(j)))
+    }.toDF("sec", "tm", "idx", "px_f", "vol_f", "px_b", "vol_b")
   }
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Distributed as-of join: for each left row, attach payload columns from
+  * the latest right row at-or-before (backward) / earliest at-or-after
+  * (forward) the left row's time, per join key.
+  *
+  * Implementation is the "merge as-of" pattern (SURVEY.md §2.6): tag and
+  * union both sides, sort within key partitions by (time, side, tiebreak),
+  * and propagate the nearest non-null payload with an unbounded window.
+  * ONE shuffle on the key columns, no broadcast requirement, no driver
+  * state — the shape that survives a 1000-executor cluster (both sides
+  * repartition by `by`; skew is handled by AQE).
+  *
+  * Tie semantics (non-strict): at equal times the right row is visible to
+  * the left row (<= / >=), matching the reference's bisectRight-based adj
+  * application (reference adj.go:49-68,183-199). `strict=true` gives
+  * (< / >).
+  *
+  * Column-name caveat: `left` must not already contain the payload output
+  * names; payload columns overwrite same-named left columns in the result.
+  */
+object AsOfJoin {
+  def backward(left: DataFrame, right: DataFrame, by: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      rightTieBreak: Seq[String] = Nil, strict: Boolean = false): DataFrame =
+    merge(left, right, by, leftTime, rightTime, payload.distinct,
+      rightTieBreak, strict, forwardDir = false)
+
+  def forward(left: DataFrame, right: DataFrame, by: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      rightTieBreak: Seq[String] = Nil, strict: Boolean = false): DataFrame =
+    merge(left, right, by, leftTime, rightTime, payload.distinct,
+      rightTieBreak, strict, forwardDir = true)
+
+  private def merge(left: DataFrame, right: DataFrame, by: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      tb: Seq[String], strict: Boolean, forwardDir: Boolean): DataFrame = {
+    // Side ordering so the window frame includes exactly the right rows
+    // the direction + strictness allow at equal times:
+    //   backward non-strict: right before left  (left sees equal-time right)
+    //   backward strict:     left before right
+    //   forward  non-strict: left before right  (following-frame sees it)
+    //   forward  strict:     right before left
+    val leftFirst = if (forwardDir) !strict else strict
+    val sideOfL = if (leftFirst) 0 else 1
+    val sideOfR = 1 - sideOfL
+    val carried = (payload ++ tb).distinct
+
+    val leftCols = left.columns.toSeq
+    val extraL = leftCols.filterNot(by.contains)
+
+    var l = left.withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(sideOfL))
+    for (c <- carried)
+      l = l.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType))
+
+    var r = right
+      .select((by ++ Seq(rightTime) ++ carried).distinct.map(col): _*)
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(sideOfR))
+    for (c <- carried) r = r.withColumn(s"__p_$c", col(c))
+    for (c <- extraL) r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
+
+    val unionCols = by ++ extraL ++ Seq("__t", "__side") ++
+      carried.map(c => s"__p_$c")
+    val merged = l.select(unionCols.map(col): _*)
+      .union(r.select(unionCols.map(col): _*))
+
+    // among equal-time right rows: backward keeps the greatest tiebreak
+    // (last in asc order), forward keeps the smallest (first in asc order)
+    val order = Seq(col("__t").asc, col("__side").asc) ++
+      tb.map(c => col(s"__p_$c").asc)
+    val w0 = Window.partitionBy(by.map(col): _*).orderBy(order: _*)
+    val w = if (forwardDir)
+      w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    var out = merged
+    for (c <- payload) {
+      val picked = if (forwardDir)
+        first(col(s"__p_$c"), ignoreNulls = true).over(w)
+      else last(col(s"__p_$c"), ignoreNulls = true).over(w)
+      out = out.withColumn(s"__asof_$c", picked)
+    }
+    out.filter(col("__side") === lit(sideOfL))
+      .select((leftCols.filterNot(payload.contains).map(col) ++
+        payload.map(c => col(s"__asof_$c").as(c))): _*)
+  }
+}

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** OHLCV bar-building (resampling) over tick/event streams — the
+  * north-star analytic the reference's README positions opentick for
+  * (reference README.md:90-93: bar tables keyed (sec, interval, tm)).
+  *
+  * One hash aggregation (map-side partial combine, no window, no sort):
+  * first/last are computed with min_by/max_by on a (time, tiebreak)
+  * struct, so the whole bar build is a single shuffle on the group keys
+  * and scales linearly with input.
+  */
+object Resample {
+  /** Tumbling-window OHLCV bars.
+    *
+    * @param df       input rows
+    * @param keys     series identity columns (e.g. symbol / user)
+    * @param timeCol  LONG event time (any unit)
+    * @param valueCol DOUBLE price/value column
+    * @param tieBreak unique-ish column ordering rows within equal times
+    * @param width    bucket width in `timeCol` units
+    */
+  def ohlcv(df: DataFrame, keys: Seq[String], timeCol: String,
+      valueCol: String, tieBreak: String, width: Long): DataFrame = {
+    val ord = struct(col(timeCol), col(tieBreak))
+    df.withColumn("bkt", expr(s"$timeCol div ${width}L"))
+      .groupBy((keys :+ "bkt").map(col): _*)
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+  }
+}

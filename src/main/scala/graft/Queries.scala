@@ -471,7 +471,177 @@ object Queries {
                 max(CASE WHEN rl = 1 THEN value END) AS close,
                 count(*) AS n_events,
                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-              FROM r GROUP BY user_id, bkt ORDER BY user_id, bkt"""))
+              FROM r GROUP BY user_id, bkt ORDER BY user_id, bkt""")),
+
+    // ── north star: exact n-gram Jaccard dedup (shingle inverted index;
+    //    near-dups synthesized by unioning a one-token-mutated copy) ──
+    QueryDef(
+      "q_ngram_jaccard",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val aug = docs.union(docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+        operators.Dedup.ngramJaccard(aug, "doc_id", "text", n = 5,
+            threshold = 0.5, maxDocFreq = 0)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents),
+              t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM docs),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS g
+                           FROM t)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+              SELECT id_a, id_b, shared,
+                     CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
+              FROM pairs JOIN sz x ON x.doc_id = id_a
+                         JOIN sz y ON y.doc_id = id_b
+              WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
+              ORDER BY id_a, id_b""")),
+
+    // ── north star: MinHash LSH near-dup (rows-only: xxhash64 internals
+    //    have no DuckDB equivalent; verified by NGramJaccard parity in
+    //    DedupSpec) ──
+    QueryDef(
+      "q_minhash_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val aug = docs.union(docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+        operators.Dedup.minhashLSH(aug, "doc_id", "text",
+            shingleSize = 5, numHashes = 64, bands = 16, threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // ── north star: SimHash near-dup pairs (rows-only) ──
+    QueryDef(
+      "q_simhash_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val aug = docs.union(docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" qq xy zz")).as("text")))
+        operators.Dedup.simhashPairs(aug, "doc_id", "text", maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
+    // ── north star: brute-force cosine top-k over embeddings ──
+    QueryDef(
+      "q_cosine_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        operators.Similarity.cosineTopK(emb, "vec_id", "embedding", q, 20)
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+      },
+      Some("""SELECT vec_id, round(list_cosine_similarity(
+                CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                 WHERE vec_id = 0)), 6) AS cos_sim
+              FROM embeddings
+              ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                 WHERE vec_id = 0)) DESC, vec_id ASC
+              LIMIT 20""")),
+
+    // ── north star: ANN top-k via random-hyperplane LSH (rows-only;
+    //    recall vs the exact result is asserted in SimilaritySpec) ──
+    QueryDef(
+      "q_ann_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        operators.Similarity.annTopK(emb, "vec_id", "embedding", q, 20,
+          nPlanes = 12, maxHammingProbe = 4)
+      },
+      None),
+
+    // ── north star: text quality scoring (deterministic ratios) ──
+    QueryDef(
+      "q_quality_score",
+      (s, dir) =>
+        operators.TextAnalysis.qualityScore(
+            t(s, dir, "documents").select("doc_id", "text"), "text")
+          .select("doc_id", "n_chars", "n_tokens", "alpha_ratio",
+            "digit_ratio", "avg_token_len", "quality_score")
+          .orderBy("doc_id"),
+      Some("""WITH m AS (SELECT doc_id,
+                length(text) AS n_chars,
+                len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+              FROM documents),
+              r AS (SELECT doc_id, n_chars, n_tokens,
+                CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+                CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
+                CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS avg_token_len
+              FROM m)
+              SELECT doc_id, n_chars, n_tokens, alpha_ratio, digit_ratio,
+                avg_token_len,
+                (alpha_ratio * 0.5 +
+                 (CASE WHEN n_chars BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.25 +
+                 (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25)
+                * (1.0 - digit_ratio) AS quality_score
+              FROM r ORDER BY doc_id""")),
+
+    // ── north star: BPE-ish regex token counting ──
+    QueryDef(
+      "q_token_regex",
+      (s, dir) =>
+        operators.TextAnalysis.tokenCounts(
+            t(s, dir, "documents").select("doc_id", "text"), "text")
+          .select("doc_id", "n_ws_tokens", "n_re_tokens")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
+                len(regexp_extract_all(text,
+                  '[a-zA-Z0-9_]+|[^a-zA-Z0-9_ \t\n]')) AS n_re_tokens
+              FROM documents ORDER BY doc_id""")),
+
+    // ── north star: document fingerprinting (md5 of normalized text;
+    //    the xxhash64 rolling fingerprint is engine-internal) ──
+    QueryDef(
+      "q_fingerprint",
+      (s, dir) =>
+        operators.TextAnalysis.fingerprint(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text")
+          .select("doc_id", "md5_fp")
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                  AS md5_fp
+              FROM documents ORDER BY doc_id""")),
+
+    // ── north star: language ID heuristic (rows-only; semantics pinned
+    //    by TextAnalysisSpec fixtures) ──
+    QueryDef(
+      "q_langid",
+      (s, dir) =>
+        operators.TextAnalysis.langId(
+            t(s, dir, "documents").select("doc_id", "text"), "text")
+          .select("doc_id", "lang_pred")
+          .orderBy("doc_id"),
+      None)
   )
 
   val byName: Map[String, (SparkSession, String) => DataFrame] =

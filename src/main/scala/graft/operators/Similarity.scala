@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float|double>`).
+  *
+  * - [[cosineTopK]]: brute-force exact top-k — expression-only dot
+  *   product (`aggregate(zip_with(...))`, whole-stage codegen), one scan
+  *   + a TakeOrdered; the correctness baseline.
+  * - [[lshBuckets]] / [[annTopK]]: random-hyperplane LSH — each vector
+  *   gets a `nPlanes`-bit signature; the query probes only vectors whose
+  *   signature is within `maxHammingProbe` bits, then reranks exactly.
+  *   At 100 TB the bucketed table is written partitioned by signature so
+  *   a probe prunes to a handful of partitions.
+  */
+object Similarity {
+  /** Exact cosine similarity between an array column and a literal
+    * query vector, computed in double, sequential fold order.
+    */
+  def cosine(vec: Column, q: Seq[Double]): Column = {
+    val qArr = array(q.map(lit): _*)
+    val v = transform(vec, x => x.cast("double"))
+    val dot = aggregate(zip_with(v, qArr, (a, b) => a * b),
+      lit(0.0), (acc, x) => acc + x)
+    val n1 = sqrt(aggregate(transform(v, x => x * x), lit(0.0),
+      (acc, x) => acc + x))
+    val n2 = math.sqrt(q.map(x => x * x).sum)
+    dot / (n1 * lit(n2))
+  }
+
+  /** Brute-force exact top-k by cosine similarity to `q`. */
+  def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
+      q: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Deterministic pseudo-random hyperplanes: plane p, dim d ∈ [-1, 1).
+    * Seeded by (p, d) through a 64-bit mix so every executor and every
+    * session derives the same planes with no broadcast needed.
+    */
+  def planes(nPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nPlanes, dim) { (p, d) =>
+      val h = scala.util.hashing.MurmurHash3.productHash((p, d)).toLong
+      val mixed = (h * 0x9E3779B97F4A7C15L) >>> 11
+      (mixed.toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+
+  /** Signature column: bit p set iff vec · plane(p) > 0. Expression-only
+    * (the plane constants are folded into the generated code).
+    */
+  def signature(vec: Column, pl: Array[Array[Double]]): Column = {
+    val v = transform(vec, x => x.cast("double"))
+    val bits = pl.zipWithIndex.map { case (plane, p) =>
+      val planeArr = array(plane.map(lit).toSeq: _*)
+      val dot = aggregate(zip_with(v, planeArr, (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0.0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Attach an LSH bucket signature to every row. */
+  def lshBuckets(df: DataFrame, vecCol: String, nPlanes: Int,
+      dim: Int): DataFrame =
+    df.withColumn("lsh_sig", signature(col(vecCol), planes(nPlanes, dim)))
+
+  /** ANN top-k: probe buckets within `maxHammingProbe` bits of the query
+    * signature, rerank candidates exactly. Recall rises with nPlanes and
+    * the probe radius; candidates shrink the scan by ~2^nPlanes/∑C(n,≤r).
+    */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+      q: Seq[Double], k: Int, nPlanes: Int = 12,
+      maxHammingProbe: Int = 2): DataFrame = {
+    val pl = planes(nPlanes, q.length)
+    val qSig = pl.zipWithIndex.map { case (plane, p) =>
+      val dot = plane.zip(q).map { case (a, b) => a * b }.sum
+      if (dot > 0.0) 1L << p else 0L
+    }.sum
+    val bucketed = lshBuckets(df, vecCol, nPlanes, q.length)
+    bucketed
+      .filter(expr(s"bit_count(lsh_sig ^ ${qSig}L) <= $maxHammingProbe"))
+      .select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket join (exact-match
+    * signature blocking) + exact cosine verification ≥ threshold.
+    */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, threshold: Double = 0.95, nPlanes: Int = 12): DataFrame = {
+    val b = lshBuckets(df, vecCol, nPlanes, dim)
+      .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_sig"))
+    val v1 = transform(col("va"), x => x.cast("double"))
+    val v2 = transform(col("vb"), x => x.cast("double"))
+    val dot = aggregate(zip_with(v1, v2, (a, c) => a * c), lit(0.0),
+      (acc, x) => acc + x)
+    val n1 = sqrt(aggregate(transform(v1, x => x * x), lit(0.0), (a, x) => a + x))
+    val n2 = sqrt(aggregate(transform(v2, x => x * x), lit(0.0), (a, x) => a + x))
+    b.as("a").join(b.as("b"),
+        col("a.lsh_sig") === col("b.lsh_sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .withColumn("cos_sim", dot / (n1 * n2))
+      .filter(col("cos_sim") >= threshold)
+      .select("id_a", "id_b", "cos_sim")
+  }
+}

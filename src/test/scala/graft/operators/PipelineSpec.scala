@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = graft.Tables.load(spark, sf, "documents")
+    .select("doc_id", "text")
+
+  test("minhash LSH finds the pairs exact jaccard finds (high thresholds)") {
+    val aug = docs.limit(100).union(docs.limit(100).selectExpr(
+      "doc_id + 100000 AS doc_id", "concat(text, ' zz') AS text"))
+    val exact = Dedup.ngramJaccard(aug, "doc_id", "text", n = 5,
+        threshold = 0.5, maxDocFreq = 0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLSH(aug, "doc_id", "text", shingleSize = 5,
+        numHashes = 64, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification stage makes LSH ⊆ exact; banding at 16 bands/4 rows
+    // catches j≥0.5 pairs with prob ≥ 1-(1-0.5^4)^16 ≈ 0.65 per pair —
+    // mutated twins have j≈0.9 (prob ≈ 1-(1-0.9^4)^16 ≈ 1-2e-8)
+    assert(lsh.subsetOf(exact))
+    val twins = exact.filter { case (a, b) => b == a + 100000 }
+    assert(twins.nonEmpty && twins.subsetOf(lsh),
+      "high-similarity twins must survive LSH banding")
+  }
+
+  test("simhash: identical docs distance 0, mutated docs close, hamming symmetric") {
+    val aug = docs.limit(50).union(docs.limit(50).selectExpr(
+      "doc_id + 100000 AS doc_id", "text"))
+    val pairs = Dedup.simhashPairs(aug, "doc_id", "text", maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twins = (0 until 50).map(i => docs.limit(50).collect()(i)).map(_.getLong(0))
+      .map(id => (id, id + 100000)).toSet
+    assert(twins.subsetOf(pairs), "identical texts must have distance 0")
+  }
+
+  test("ann LSH top-k has high recall vs exact top-k") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ann = Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
+      nPlanes = 12, maxHammingProbe = 4).collect().map(_.getLong(0)).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall too low: $recall (exact=$exact ann=$ann)")
+  }
+
+  test("ann LSH probes fewer vectors than the full scan") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val bucketed = Similarity.lshBuckets(emb, "embedding", 12, q.length)
+    val pl = Similarity.planes(12, q.length)
+    val qSig = pl.zipWithIndex.map { case (plane, p) =>
+      if (plane.zip(q).map { case (a, b) => a * b }.sum > 0.0) 1L << p else 0L
+    }.sum
+    val probed = bucketed
+      .filter(org.apache.spark.sql.functions.expr(
+        s"bit_count(lsh_sig ^ ${qSig}L) <= 4")).count()
+    val total = emb.count()
+    assert(probed < total, s"probe set $probed must prune vs $total")
+  }
+
+  test("langid picks the right language on real-language fixtures") {
+    val fixtures = Seq(
+      (1L, "the cat sat on the mat and it is a good day for the town"),
+      (2L, "der hund ist nicht zu hause und ich bin mit der katze"),
+      (3L, "le chat est dans la maison et les enfants sont pour une fete"),
+      (4L, "el perro es un animal y los gatos son una familia de la casa"),
+      (5L, "的 是 了 在 我 有 和 不 这 他"),
+      (6L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(fixtures, "text")
+      .select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es",
+      5L -> "zh", 6L -> "und"))
+  }
+
+  test("quality score ranks clean text above junk") {
+    val fixtures = Seq(
+      (1L, "A well formed paragraph of reasonable length that continues " +
+        "with meaningful words and proper structure throughout the text."),
+      (2L, "1234567890 9876543210 0000000 111111 22222 3333"),
+      (3L, "x")).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityScore(fixtures, "text")
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > got(2L) && got(1L) > got(3L))
+    assert(got(2L) < 0.2)
+  }
+
+  test("fingerprint is stable under whitespace/case noise") {
+    val fixtures = Seq(
+      (1L, "Hello   World  foo bar baz"),
+      (2L, "hello world foo bar baz"),
+      (3L, "something else entirely here now")).toDF("doc_id", "text")
+    val got = TextAnalysis.fingerprint(fixtures, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) != got(3L))
+  }
+
+  test("shingles of short docs are empty, not inverted sequences") {
+    val tiny = Seq((1L, "only three words"), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.shingles(tiny, "doc_id", "text", 5).count() == 0)
+  }
+}

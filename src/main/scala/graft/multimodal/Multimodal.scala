@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+
+/** Multimodal column handling: image/audio/video payloads ride as opaque
+  * `binary` columns with a typed metadata struct; decode / feature
+  * extraction runs as partition-batched transforms so a real codec
+  * (JNI/native or Arrow-batched) drops in without changing the plan
+  * shape.
+  *
+  * The actual byte→pixels/samples decode is STUBBED (no media libraries
+  * in this environment): `stubDecode*` derive deterministic fake
+  * features from the bytes. Every Spark-side concern — schema,
+  * nullability, partition batching, column pruning — is real and tested.
+  */
+object Multimodal {
+  /** media metadata: (kind, byte length, sha-ish content id) */
+  val metaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("n_bytes", LongType, nullable = true),
+    StructField("content_id", LongType, nullable = false)))
+
+  /** Attach the metadata struct for a binary column — pure expressions. */
+  def withMeta(df: DataFrame, binCol: String, kind: String): DataFrame =
+    df.withColumn("media_meta", struct(
+      lit(kind).as("kind"),
+      length(col(binCol)).cast(LongType).as("n_bytes"),
+      xxhash64(col(binCol)).as("content_id")))
+
+  // ─────────────────────────────────────────────────────────────────
+  // STUB decoders — deterministic fakes standing in for real codecs.
+  // A production build replaces the byte math with e.g. a JNI decode;
+  // the mapPartitions batch shape and output schema stay identical.
+  // ─────────────────────────────────────────────────────────────────
+
+  /** "Decode" an image binary into (width, height, channels) +
+    * `dim`-float feature vector. STUB: dimensions and features are
+    * hashed from the payload bytes.
+    */
+  def stubDecodeImage(df: DataFrame, binCol: String,
+      dim: Int = 16): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("channels", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType, containsNull = false),
+        nullable = false)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      // partition-batched: a real decoder would init its codec once here
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val h = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
+        val w = 64 + math.abs(h % 960)
+        val ht = 64 + math.abs((h / 7) % 960)
+        val feats = Array.tabulate(dim)(i =>
+          (scala.util.hashing.MurmurHash3.bytesHash(bytes, i) / 2.147483647e9).toFloat)
+        Row.fromSeq(row.toSeq ++ Seq(w, ht, 3, feats))
+      }
+    }
+  }
+
+  /** "Resize": STUB that rescales the fake dimensions and re-derives
+    * features — keeps the real pipeline contract (resize after decode,
+    * before feature extraction).
+    */
+  def stubResize(df: DataFrame, maxSide: Int): DataFrame = {
+    val scale = least(lit(1.0),
+      lit(maxSide).cast(DoubleType) /
+        greatest(col("width"), col("height")).cast(DoubleType))
+    df.withColumn("width", (col("width") * scale).cast(IntegerType))
+      .withColumn("height", (col("height") * scale).cast(IntegerType))
+  }
+
+  /** "Frame-sample" a video binary into `n` frames, one row per frame.
+    * STUB: each frame hashes a distinct byte slice. The explode shape
+    * (row → n rows, lineage keyed by content_id + frame_idx) is real.
+    */
+  def stubFrameSample(df: DataFrame, binCol: String, n: Int): DataFrame = {
+    val frames = (0 until n).map { i =>
+      struct(lit(i).as("frame_idx"),
+        xxhash64(col(binCol), lit(i)).as("frame_id"))
+    }
+    df.withColumn("frame", explode(array(frames: _*)))
+      .withColumn("frame_idx", col("frame.frame_idx"))
+      .withColumn("frame_id", col("frame.frame_id"))
+      .drop("frame")
+  }
+}

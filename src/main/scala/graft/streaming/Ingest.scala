@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+
+/** Structured-Streaming ingest — the Spark-native replacement for the
+  * reference's async/batch insert protocol (SURVEY.md §2.8): pipelined
+  * batches become micro-batches, blind FDB upserts become append-log
+  * writes resolved last-write-wins on read, and the response path is a
+  * streaming sink.
+  */
+object Ingest {
+  /** Upsert a micro-batch into an append-log table dir: rows are stamped
+    * with the micro-batch id (monotonic per query) so the read-side
+    * last-write-wins window resolves replays and PK overwrites. Within a
+    * batch the per-partition row position breaks ties, mirroring "last
+    * write in the batch wins" (reference query.go:294-307 one-txn-batch).
+    */
+  def upsertBatch(batch: DataFrame, batchId: Long, path: String,
+      keys: Seq[String]): Unit = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(monotonically_increasing_id().desc)
+    batch
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn("__seq", lit(batchId))
+      .write.mode("append").parquet(path)
+  }
+
+  /** Start a streaming upsert into `path`, keyed by `keys`; read back
+    * with [[readUpserted]].
+    */
+  def streamUpsert(stream: DataFrame, path: String, keys: Seq[String],
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: Dataset[Row], id: Long) =>
+        upsertBatch(batch.toDF(), id, path, keys))
+      .start()
+
+  /** Last-write-wins view of a streamed upsert log. */
+  def readUpserted(spark: SparkSession, path: String,
+      keys: Seq[String]): DataFrame = {
+    val raw = spark.read.parquet(path)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__seq").desc)
+    raw.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__seq")
+  }
+
+  /** Event-time deduplication on PK within the watermark horizon —
+    * exactly-once-per-key ingest for at-least-once sources.
+    */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Streaming OHLCV bars: tumbling event-time windows with a watermark;
+    * min_by/max_by keep open/close without a sort. Append-mode emits
+    * each bar once, when the watermark passes the window end.
+    */
+  def streamingOhlcv(stream: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String], valueCol: String, tieBreak: String,
+      windowDur: String): DataFrame = {
+    val ord = struct(col(tsCol), col(tieBreak))
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((keys.map(col) :+ window(col(tsCol), windowDur)): _*)
+      .agg(
+        min_by(col(valueCol), ord).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), ord).as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("sum_value"))
+  }
+}

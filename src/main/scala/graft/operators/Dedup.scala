@@ -29,24 +29,31 @@ object Dedup {
       .groupBy("text_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** SQL expression: array of word n-gram shingles of `textCol`
-    * (normalized), empty when the doc has fewer than n tokens. The
-    * emptiness guard matters: Spark's `sequence(1, 0)` yields a
-    * DESCENDING [1, 0], not an empty array.
+  /** Normalized token array of a text column. */
+  def tokens(textCol: Column): Column = split(normalized(textCol), " ")
+
+  /** Word n-gram shingle array over a TOKEN-ARRAY column; empty when the
+    * doc has fewer than n tokens (guard matters: Spark's `sequence(1, 0)`
+    * yields a DESCENDING [1, 0], not an empty array).
+    *
+    * `toks` must be a bound column (e.g. via `withColumn`), NOT the
+    * tokenizing expression itself: an inlined `split(regexp_replace(...))`
+    * is re-evaluated per lambda ELEMENT, turning the build quadratic.
+    * With ≥2 references to a non-cheap column, CollapseProject keeps the
+    * producing projection separate and the tokenize runs once per row.
     */
-  def shingleExpr(textCol: String, n: Int): String = {
-    val toks = s"split(regexp_replace(lower(trim($textCol)), '\\\\s+', ' '), ' ')"
-    s"""CASE WHEN size($toks) >= $n
-        THEN transform(sequence(1, size($toks) - ${n - 1}),
-             i -> concat_ws(' ', slice($toks, i, $n)))
-        ELSE array() END"""
-  }
+  def shingleArray(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
 
   /** Distinct word-n-gram shingles per doc: (id, shingle). */
   def shingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-      explode(array_distinct(expr(shingleExpr(textCol, n)))).as("shingle"))
+    df.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingleArray(col("__toks"), n))).as("shingle"))
 
   /** Exact pairwise n-gram Jaccard over a shingle inverted index.
     * Returns (id_a, id_b, shared, jaccard) for pairs ≥ threshold.
@@ -57,7 +64,11 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.6,
       maxDocFreq: Long = 1000): DataFrame = {
+    // materialize the tokenization once: the inverted index is read three
+    // times (sizes + both sides of the pair join); recomputing the regex
+    // tokenize + shingle explode per use dominates otherwise
     val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered = if (maxDocFreq <= 0) sh else {
       val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDocFreq)
@@ -100,23 +111,38 @@ object Dedup {
       threshold: Double = 0.6): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val shArr = array_distinct(expr(shingleExpr(textCol, shingleSize)))
-    val sigs = df
-      .select(col(idCol).as("id"), shArr.as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    // banded buckets: (band, hash(band slice)) per doc
-    val banded = sigs.select(col("id"), col("sh"),
+    // signature via explode + groupBy with numHashes `min` aggregates:
+    // map-side partial combine, zero per-hash array allocations — much
+    // faster than numHashes× transform/array_min over the shingle array
+    // and the same shape a 1000-executor run wants
+    val exploded = shingles(df, idCol, textCol, shingleSize)
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"__h$i"))
+    val aggd = exploded.groupBy("id")
+      .agg(minCols.head, minCols.tail :+
+        collect_set(col("shingle")).as("sh"): _*)
+    // persist: the banded self-join would otherwise recompute the
+    // signature subtree on both sides
+    val sigs = aggd
+      .withColumn("sig", array((0 until numHashes).map(i => col(s"__h$i")): _*))
+      .drop((0 until numHashes).map(i => s"__h$i"): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // banded buckets: (band, hash(band slice)) per doc — ids only, so the
+    // bucket shuffle doesn't carry the (wide) shingle arrays 16×
+    val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)
           .cast("array<string>")))): _*)).as(Seq("band", "bucket")))
-    val cand = banded.as("a")
+    val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // re-attach shingle sets from the persisted signatures for verification
+    val cand = candIds
+      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
     cand
       .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", col("shared").cast(DoubleType) /
@@ -149,7 +175,9 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    // persist: fingerprints feed both sides of the banded self-join
     val fp = simhash(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = fp.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         expr(s"(simhash >> ${b * 16}) & 65535")): _*))

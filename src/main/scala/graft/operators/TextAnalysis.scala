@@ -83,9 +83,10 @@ object TextAnalysis {
     */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val norm = Dedup.normalized(col(textCol))
-    val grams = expr(Dedup.shingleExpr(textCol, 4))
-    df.select(col(idCol), md5(norm).as("md5_fp"),
-      coalesce(array_min(transform(grams, g => xxhash64(g))),
-        xxhash64(norm)).as("rolling_fp"))
+    val grams = Dedup.shingleArray(col("__toks"), 4)
+    df.withColumn("__toks", Dedup.tokens(col(textCol)))
+      .select(col(idCol), md5(norm).as("md5_fp"),
+        coalesce(array_min(transform(grams, g => xxhash64(g))),
+          xxhash64(norm)).as("rolling_fp"))
   }
 }

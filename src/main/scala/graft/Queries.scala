@@ -644,10 +644,12 @@ object Queries {
       None)
   )
 
+  val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs
+
   val byName: Map[String, (SparkSession, String) => DataFrame] =
-    defs.map(d => d.name -> d.fn).toMap
+    allDefs.map(d => d.name -> d.fn).toMap
 
   val oracles: Map[String, String] =
-    defs.flatMap(d => d.oracle.map(sql => d.name ->
+    allDefs.flatMap(d => d.oracle.map(sql => d.name ->
       sql.stripMargin.linesIterator.map(_.trim).mkString(" ").trim)).toMap
 }

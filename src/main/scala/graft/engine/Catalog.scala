@@ -185,6 +185,21 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     df.coalesce(1).write.mode("append").parquet(dataDir(td).toString)
   }
 
+  /** Bulk import: distributed write of a whole DataFrame as seq-0 rows in
+    * the PK-sorted layout (`repartitionByRange` on the leading key +
+    * `sortWithinPartitions` on the full PK — SURVEY.md §1.3), so parquet
+    * min/max stats give range pruning on PK scans. Column order/types
+    * must already match the TableDef.
+    */
+  def importData(td: TableDef, df: DataFrame): Unit = {
+    val sorted = df
+      .withColumn(SeqCol, lit(0L))
+      .repartitionByRange(col(td.keyNames.head))
+      .sortWithinPartitions(td.keyNames.map(col): _*)
+    sorted.write.mode("append").parquet(dataDir(td).toString)
+    nextSeq(td) // reserve seq 0 for the import
+  }
+
   /** Delete rows matching `pred` by rewriting the log (compat-scale path). */
   def deleteWhere(td: TableDef, pred: Option[org.apache.spark.sql.Column]): Unit = {
     if (!hasData(td)) return

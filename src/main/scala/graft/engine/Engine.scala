@@ -115,6 +115,37 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Create a table from a DataFrame (schema derived from the Spark
+    * types) and bulk-load it through the distributed PK-sorted writer.
+    */
+  def importTable(db: String, tbl: String, df: DataFrame,
+      keys: Seq[String]): TableDef = {
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.toSeq.map { f =>
+      val t = f.dataType match {
+        case ByteType => OtType.TinyInt
+        case ShortType => OtType.SmallInt
+        case IntegerType => OtType.Int
+        case LongType => OtType.BigInt
+        case FloatType => OtType.Float
+        case DoubleType => OtType.Double
+        // tz-less parquet timestamps surface as NTZ; with a UTC session
+        // the cast to TimestampType is value-preserving
+        case TimestampType | TimestampNTZType => OtType.Timestamp
+        case BooleanType => OtType.Boolean
+        case StringType => OtType.Text
+        case other => throw OtError(s"Unsupported import type $other")
+      }
+      f.name -> t
+    }
+    createTableChecked(db, tbl, cols.map { case (n, t) => n -> t.name }, keys)
+    val td = catalog.getSchema(db, tbl)
+    val aligned = df.select(td.cols.map(c =>
+      col(c.name).cast(c.tpe.spark).as(c.name)): _*)
+    catalog.importData(td, aligned)
+    td
+  }
+
   /** Bulk ingest: many rows, one append batch (reference query.go:294-307). */
   def batchInsert(sql: String, argsArray: Seq[Seq[Any]],
       user: Option[User] = None): Unit = {

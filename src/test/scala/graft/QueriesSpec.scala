@@ -26,7 +26,7 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("every registered query runs non-empty on sf0.001") {
-    val empties = Queries.defs.filter { d =>
+    val empties = Queries.allDefs.filter { d =>
       d.fn(spark, sf).limit(1).count() == 0
     }.map(_.name)
     assert(empties.isEmpty, s"empty results: $empties")
@@ -36,7 +36,7 @@ class QueriesSpec extends AnyFunSuite {
     // The driver's compare sorts columns by name; a silent alias drift
     // between queries() and oracleSql would hash-mismatch. Guard the
     // Spark side: no default agg names like sum(x) may leak through.
-    for (d <- Queries.defs) {
+    for (d <- Queries.allDefs) {
       val cols = d.fn(spark, sf).columns
       val bad = cols.filter(c => c.contains("(") || c.contains(" "))
       assert(bad.isEmpty, s"${d.name}: unaliased columns ${bad.toSeq}")

@@ -115,6 +115,31 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  // TTL response cache for selects, keyed (sql, args) — reference
+  // server.go:37-40/342-350. Staleness within the TTL is accepted
+  // behavior (golden: server_test.go:161-183).
+  private val respCache =
+    TrieMap.empty[(String, Seq[Any]), (Long, Array[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType)]
+
+  /** Like [[execute]] but memoizing SELECT results for `ttlMs`. */
+  def executeCached(sql: String, args: Seq[Any] = Nil, ttlMs: Long = 1000,
+      user: Option[User] = None): DataFrame = {
+    val key = (sql, args)
+    val now = System.currentTimeMillis()
+    respCache.get(key).filter(now - _._1 <= ttlMs) match {
+      case Some((_, rows, schema)) =>
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      case None =>
+        val df = execute(sql, args, user)
+        if (sql.trim.toLowerCase.startsWith("select")) {
+          val rows = df.collect()
+          respCache.put(key, (now, rows, df.schema))
+          spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+        } else df
+    }
+  }
+
   /** Create a table from a DataFrame (schema derived from the Spark
     * types) and bulk-load it through the distributed PK-sorted writer.
     */

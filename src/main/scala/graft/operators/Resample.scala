@@ -8,10 +8,13 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * north-star analytic the reference's README positions opentick for
   * (reference README.md:90-93: bar tables keyed (sec, interval, tm)).
   *
-  * One hash aggregation (map-side partial combine, no window, no sort):
-  * first/last are computed with min_by/max_by on a (time, tiebreak)
-  * struct, so the whole bar build is a single shuffle on the group keys
-  * and scales linearly with input.
+  * One aggregation (map-side partial combine, no window): first/last are
+  * computed with min_by/max_by on a (time, tiebreak) struct, so the bar
+  * build is a single shuffle on the group keys and scales linearly with
+  * input. Note: the struct-ordered min_by buffer is not UnsafeRow-
+  * mutable, so Spark plans this as SortAggregate (per-partition sort on
+  * group keys) rather than HashAggregate — still one shuffle, and the
+  * sort key is (series, bucket), not event time.
   */
 object Resample {
   /** Tumbling-window OHLCV bars.

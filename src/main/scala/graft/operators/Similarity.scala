@@ -29,10 +29,14 @@ object Similarity {
     dot / (n1 * lit(n2))
   }
 
-  /** Brute-force exact top-k by cosine similarity to `q`. */
+  /** Brute-force exact top-k by cosine similarity to `q`, via the native
+    * codegen expression ([[graft.functions.CosineToQuery]]) — one scan,
+    * one TakeOrdered, no per-row array allocations.
+    */
   def cosineTopK(df: DataFrame, idCol: String, vecCol: String,
       q: Seq[Double], k: Int): DataFrame =
-    df.select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+    df.select(col(idCol),
+        graft.functions.CosineToQuery(col(vecCol), q).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
 
@@ -81,7 +85,8 @@ object Similarity {
     val bucketed = lshBuckets(df, vecCol, nPlanes, q.length)
     bucketed
       .filter(expr(s"bit_count(lsh_sig ^ ${qSig}L) <= $maxHammingProbe"))
-      .select(col(idCol), cosine(col(vecCol), q).as("cos_sim"))
+      .select(col(idCol),
+        graft.functions.CosineToQuery(col(vecCol), q).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }

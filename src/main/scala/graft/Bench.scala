@@ -34,7 +34,39 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val (ingestS, scanS) = baselineLoops(spark)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ingest_100k_ohlcv_s":$ingestS,"scan_100k_ohlcv_s":$scanS,""" +
+      s""""ingest_rows_per_s":${(100000 / ingestS).toLong},""" +
+      s""""scan_rows_per_s":${(100000 / scanS).toLong},"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** The reference's own benchmark shape (BASELINE.md; reference
+    * bindings/go/test.go:23-124): 100k OHLCV bars into
+    * test(sec,interval,tm, o,h,l,c,v,vwap) via 10 batch inserts of 10k,
+    * then one ranged retrieve of all 100k rows. Targets: ~1.14 s ingest,
+    * ~1.42 s single-stream retrieve.
+    */
+  private def baselineLoops(spark: SparkSession): (Double, Double) = {
+    val e = new graft.engine.Engine(spark,
+      java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
+    e.execute("create database bench")
+    e.execute("create table bench.t(sec int, interval int, tm timestamp, " +
+      "open double, high double, low double, close double, vol double, " +
+      "vwap double, primary key(sec, interval, tm))")
+    val t0 = System.nanoTime()
+    for (b <- 0 until 10) {
+      val rows = (0 until 10000).map { i =>
+        val k = b * 10000 + i
+        Seq[Any](1, k % 100, k.toLong, 2.2, 2.4, 2.1, 2.3, 1000000.0, 2.25)
+      }
+      e.batchInsert("insert into bench.t values(?, ?, ?, ?, ?, ?, ?, ?, ?)", rows)
+    }
+    val t1 = System.nanoTime()
+    val n = e.execute("select * from bench.t where sec=1").collect().length
+    val t2 = System.nanoTime()
+    require(n == 100000, s"expected 100k rows, got $n")
+    ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
   }
 }

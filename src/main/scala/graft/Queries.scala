@@ -641,7 +641,184 @@ object Queries {
             t(s, dir, "documents").select("doc_id", "text"), "text")
           .select("doc_id", "lang_pred")
           .orderBy("doc_id"),
-      None)
+      None),
+
+    // ── §2.5 window: lag/lead ──
+    QueryDef(
+      "q_window_lag",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            lag("o_totalprice", 1).over(w).as("prev_price"),
+            lead("o_totalprice", 1).over(w).as("next_price"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                lag(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderkey) AS prev_price,
+                lead(o_totalprice) OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderkey) AS next_price
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ── §2.5 window: sliding row frame ──
+    QueryDef(
+      "q_window_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+          .rowsBetween(-2, Window.currentRow)
+        t(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType)
+              .as("sum3"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                  PARTITION BY o_custkey ORDER BY o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum3
+              FROM orders ORDER BY o_custkey, o_orderkey""")),
+
+    // ── §2.5: IN-subquery ──
+    QueryDef(
+      "q_in_subquery",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val big = t(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+          .select(col("o_custkey"))
+        c.join(big.distinct(), col("c_custkey") === col("o_custkey"),
+            "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+              WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                  WHERE o_totalprice > 450000)
+              ORDER BY c_custkey""")),
+
+    // ── §2.5: CASE classification + aggregation ──
+    QueryDef(
+      "q_case_expr",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(when(col("o_totalprice") < 100000.0, "small")
+            .when(col("o_totalprice") < 300000.0, "medium")
+            .otherwise("large").as("band"))
+          .groupBy("band").agg(count(lit(1)).as("n"))
+          .orderBy("band"),
+      Some("""SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                          WHEN o_totalprice < 300000 THEN 'medium'
+                          ELSE 'large' END AS band, count(*) AS n
+              FROM orders GROUP BY 1 ORDER BY band""")),
+
+    // ── §2.5: CUBE grouping sets ──
+    QueryDef(
+      "q_cube",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n
+              FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+              ORDER BY l_returnflag ASC NULLS FIRST,
+                       l_linestatus ASC NULLS FIRST""")),
+
+    // ── §2.7: string functions (exact string outputs) ──
+    QueryDef(
+      "q_string_funcs",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+            upper(col("p_name")).as("uname"),
+            substring(col("p_name"), 1, 8).as("prefix8"),
+            expr("replace(p_name, ' ', '_')").as("snake"),
+            concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+            length(col("p_name")).as("name_len"))
+          .orderBy("p_partkey"),
+      Some("""SELECT p_partkey, upper(p_name) AS uname,
+                substr(p_name, 1, 8) AS prefix8,
+                replace(p_name, ' ', '_') AS snake,
+                p_brand || '/' || p_type AS brand_type,
+                length(p_name) AS name_len
+              FROM part ORDER BY p_partkey""")),
+
+    // ── §2.7: date functions ──
+    QueryDef(
+      "q_date_extract",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(year(col("o_orderdate")).as("y"),
+            month(col("o_orderdate")).as("m"))
+          .groupBy("y", "m").agg(count(lit(1)).as("n"))
+          .orderBy("y", "m"),
+      Some("""SELECT CAST(extract(year FROM o_orderdate) AS INT) AS y,
+                CAST(extract(month FROM o_orderdate) AS INT) AS m,
+                count(*) AS n
+              FROM orders GROUP BY 1, 2 ORDER BY y, m""")),
+
+    // ── §2.7: JSON extraction from the events props column ──
+    QueryDef(
+      "q_json_extract",
+      (s, dir) =>
+        t(s, dir, "events")
+          .select(col("event_type"),
+            get_json_object(col("props"), "$.k").cast("int").as("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS n,
+                sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+              FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ── §2.5: UNION ALL ──
+    QueryDef(
+      "q_union_all",
+      (s, dir) => {
+        val a = t(s, dir, "customer").filter(col("c_acctbal") > 9000.0)
+          .select(col("c_custkey").as("k"), lit("cust").as("src"))
+        val b = t(s, dir, "orders").filter(col("o_totalprice") > 490000.0)
+          .select(col("o_custkey").as("k"), lit("ord").as("src"))
+        a.unionAll(b).orderBy("k", "src")
+      },
+      Some("""SELECT * FROM (
+                SELECT c_custkey AS k, 'cust' AS src FROM customer
+                WHERE c_acctbal > 9000
+                UNION ALL
+                SELECT o_custkey AS k, 'ord' AS src FROM orders
+                WHERE o_totalprice > 490000)
+              ORDER BY k, src""")),
+
+    // ── §2.5: scalar subquery (above-average, multiplication form so
+    //    decimal arithmetic stays exact — no division) ──
+    QueryDef(
+      "q_scalar_subquery",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val agg = o.agg(sum(dec2(col("o_totalprice"))).as("s"),
+          count(lit(1)).as("n"))
+        o.crossJoin(broadcast(agg))
+          .filter(dec2(col("o_totalprice")) * col("n") > col("s"))
+          .select("o_orderkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+              WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+                    (SELECT count(*) FROM orders) >
+                    (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FROM orders)
+              ORDER BY o_orderkey""")),
+
+    // ── §2.4: cross join ──
+    QueryDef(
+      "q_cross_join",
+      (s, dir) => {
+        val r = t(s, dir, "region").select(col("r_name"))
+        val n = t(s, dir, "nation").select(col("n_name"))
+        r.crossJoin(n).orderBy("r_name", "n_name")
+      },
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+              ORDER BY r_name, n_name"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -115,6 +115,20 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Register every table of `db` as a temp view named `<db>_<table>`
+    * and return the view names — full Spark SQL (joins, aggregations,
+    * windows, set ops) over engine tables, the north-star §2.5 surface.
+    */
+  def registerViews(db: String): Seq[String] =
+    catalog.listTables(db).map { tbl =>
+      val name = s"${db}_$tbl"
+      catalog.readTable(catalog.getSchema(db, tbl)).createOrReplaceTempView(name)
+      name
+    }
+
+  /** Full Spark SQL over previously registered engine views. */
+  def sparkSql(sql: String): DataFrame = spark.sql(sql)
+
   // TTL response cache for selects, keyed (sql, args) — reference
   // server.go:37-40/342-350. Staleness within the TTL is accepted
   // behavior (golden: server_test.go:161-183).

@@ -643,6 +643,22 @@ object Queries {
           .orderBy("doc_id"),
       None),
 
+    // ── north star: IVF ANN (k-means cells + probe/rerank; rows-only —
+    //    recall vs exact asserted in PipelineSpec) ──
+    QueryDef(
+      "q_ivf_ann",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        val index = operators.Similarity.ivfBuild(emb, "vec_id",
+          "embedding", nCells = 16)
+        operators.Similarity.ivfTopK(index, "vec_id", "embedding", q, 20,
+          nProbe = 4)
+      },
+      None),
+
     // ── §2.5 window: lag/lead ──
     QueryDef(
       "q_window_lag",

@@ -91,6 +91,46 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) index: k-means centroids over the embedding
+    * space; every vector is assigned to its nearest centroid. A query
+    * probes only the `nProbe` nearest centroid lists then reranks
+    * exactly — at 100 TB the assigned table is written partitioned by
+    * `ivf_cell` so a probe reads a handful of partitions.
+    */
+  final case class IvfIndex(centroids: Array[Array[Double]],
+      assigned: DataFrame)
+
+  def ivfBuild(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = df.withColumn("__features",
+      array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("ivf_cell")
+      .fit(feats)
+    val assigned = model.transform(feats).drop("__features")
+    IvfIndex(model.clusterCenters.map(_.toArray), assigned)
+  }
+
+  /** ANN top-k over an IVF index: probe the nProbe centroid cells
+    * nearest to `q`, rerank candidates with the exact native cosine.
+    */
+  def ivfTopK(index: IvfIndex, idCol: String, vecCol: String,
+      q: Seq[Double], k: Int, nProbe: Int = 3): DataFrame = {
+    def dist2(c: Array[Double]): Double =
+      c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+    val probeCells = index.centroids.zipWithIndex
+      .sortBy { case (c, _) => dist2(c) }
+      .take(nProbe).map(_._2)
+    index.assigned
+      .filter(col("ivf_cell").isin(probeCells.toSeq: _*))
+      .select(col(idCol),
+        graft.functions.CosineToQuery(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket join (exact-match
     * signature blocking) + exact cosine verification ≥ threshold.
     */

@@ -110,4 +110,21 @@ class PipelineSpec extends AnyFunSuite {
     val tiny = Seq((1L, "only three words"), (2L, "")).toDF("doc_id", "text")
     assert(Dedup.shingles(tiny, "doc_id", "text", 5).count() == 0)
   }
+
+  test("ivf ANN: probes subset of cells, high recall vs exact") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val index = Similarity.ivfBuild(emb, "vec_id", "embedding", nCells = 8)
+    val probed = index.assigned.filter(
+      org.apache.spark.sql.functions.col("ivf_cell").isNotNull).count()
+    assert(probed == emb.count())
+    val ann = Similarity.ivfTopK(index, "vec_id", "embedding", q, 10,
+      nProbe = 3).collect().map(_.getLong(0)).toSet
+    val candidates = index.assigned.count()
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
 }

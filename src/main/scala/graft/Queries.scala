@@ -825,6 +825,51 @@ object Queries {
                      FROM orders)
               ORDER BY o_orderkey""")),
 
+    // ── §2.5: exact (lower) median via row selection — deterministic,
+    //    no interpolation-formula drift between engines ──
+    QueryDef(
+      "q_median",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1))
+            .over(Window.partitionBy("o_orderpriority")))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("o_orderpriority"),
+            col("o_totalprice").as("median_price"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, o_totalprice AS median_price FROM (
+                SELECT o_orderpriority, o_totalprice, o_orderkey,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+                FROM orders) sub
+              WHERE rn = (cnt + 1) // 2
+              ORDER BY o_orderpriority""")),
+
+    // ── §2.5: ntile quartiles ──
+    QueryDef(
+      "q_ntile",
+      (s, dir) => {
+        val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("quartile", ntile(4).over(w))
+          .groupBy("quartile")
+          .agg(count(lit(1)).as("n"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"))
+          .orderBy("quartile")
+      },
+      Some("""SELECT quartile, count(*) AS n, min(o_totalprice) AS min_price,
+                     max(o_totalprice) AS max_price FROM (
+                SELECT o_totalprice, ntile(4) OVER (
+                  ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+                FROM orders) sub
+              GROUP BY quartile ORDER BY quartile""")),
+
     // ── §2.4: cross join ──
     QueryDef(
       "q_cross_join",

@@ -659,6 +659,22 @@ object Queries {
       },
       None),
 
+    // ── north star: embedding-cosine near-dup pairs (rows-only; LSH
+    //    blocking is a candidate subset by construction — verification
+    //    exactness asserted in PipelineSpec). Colinear twins (x*1.01)
+    //    guarantee recallable pairs. ──
+    QueryDef(
+      "q_cosine_neardup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val aug = emb.union(emb.selectExpr("vec_id + 100000 AS vec_id",
+          "transform(embedding, x -> x * CAST(1.01 AS FLOAT)) AS embedding"))
+        operators.Similarity.cosineNearDupPairs(aug, "vec_id", "embedding",
+            dim = 64, threshold = 0.95, nPlanes = 12)
+          .orderBy("id_a", "id_b")
+      },
+      None),
+
     // ── §2.5 window: lag/lead ──
     QueryDef(
       "q_window_lag",

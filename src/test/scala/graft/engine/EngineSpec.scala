@@ -177,4 +177,22 @@ class EngineSpec extends AnyFunSuite {
     val top = engine.execute("select tm, px from test.batch where sec=1 limit -3").collect()
     assert(top.map(_.getDouble(1)).toSeq == Seq(99 * 1.5, 98 * 1.5, 97 * 1.5))
   }
+
+  test("meta commands: list databases/tables, schema, use (server.go:441-496)") {
+    engine.execute("create database if not exists metatest")
+    assert(engine.listDatabases().contains("metatest"))
+    assert(engine.listTables("metatest") == Seq("_adj_"))
+    engine.execute("create table metatest.mt(a int, b text, primary key(a))")
+    assert(engine.listTables("metatest") == Seq("_adj_", "mt"))
+    val td = engine.tableSchemaOf("metatest", "mt")
+    assert(td.keys.map(_.name) == Seq("a"))
+    assert(td.cols.map(c => (c.name, c.tpe.name)) ==
+      Seq(("a", "Int"), ("b", "Text")))
+    engine.use("metatest")
+    assert(engine.currentDatabase == "metatest")
+    engine.execute("insert into mt values(1, 'x')") // unqualified via use
+    assert(engine.execute("select * from mt where a=1").count() == 1)
+    assert(intercept[OtError](engine.use("nosuchdb")).msg ==
+      "Database nosuchdb does not exist")
+  }
 }

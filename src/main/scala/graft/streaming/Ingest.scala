@@ -3,7 +3,17 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** One event for the custom sessionizer ([[Ingest.sessionize]]). */
+final case class SessEvent(user: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Sessionizer state kept per user between micro-batches. */
+final case class SessState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+
+/** One closed session emitted by [[Ingest.sessionize]]. */
+final case class Session(user: Long, startMs: Long, endMs: Long, n: Long,
+    sumValue: Double)
 
 /** Structured-Streaming ingest — the Spark-native replacement for the
   * reference's async/batch insert protocol (SURVEY.md §2.8): pipelined
@@ -59,6 +69,62 @@ object Ingest {
       watermark: String, keys: Seq[String]): DataFrame =
     stream.withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
+
+  /** Session-window aggregation: events within `gap` of each other merge
+    * into one session per key; closed sessions emit when the watermark
+    * passes (append mode).
+    */
+  def sessionAgg(stream: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String], gap: String, valueCol: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((keys.map(col) :+ session_window(col(tsCol), gap)): _*)
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("sum_value"))
+
+  /** Custom stateful operator (flatMapGroupsWithState): per-user
+    * sessionization with explicit state and event-time timeout — the
+    * extension point for stateful logic session_window can't express
+    * (e.g. value-dependent session splits). Emits a [[Session]] when the
+    * gap timeout fires.
+    */
+  def sessionize(events: Dataset[SessEvent], gapMs: Long,
+      watermark: String): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.startMs, s.lastMs, s.n, s.sum))
+          } else {
+            val evs = it.toSeq.sortBy(_.ts.getTime)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[Session]
+            for (e <- evs) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(SessState(s.startMs, math.max(s.lastMs, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed += Session(user, s.startMs, s.lastMs, s.n, s.sum)
+                  cur = Some(SessState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Streaming OHLCV bars: tumbling event-time windows with a watermark;
     * min_by/max_by keep open/close without a sort. Append-mode emits

@@ -64,4 +64,48 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     assert(spark.sql("SELECT count(*) FROM dedup_out").head().getLong(0) == 2L)
   }
+
+  test("session window aggregation merges within gap, splits across it") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, java.sql.Timestamp, Double)]
+    val sessions = Ingest.sessionAgg(
+      mem.toDF.toDF("k", "ts", "v"), "ts", "5 seconds", Seq("k"),
+      "10 seconds", "v")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(s: Int) = new java.sql.Timestamp(base + s * 1000L)
+    // one session (0,5,9), gap, another at 60
+    mem.addData((1, t(0), 1.0), (1, t(5), 2.0), (1, t(9), 3.0), (1, t(60), 4.0))
+    q.processAllAvailable()
+    mem.addData((1, t(200), 0.0)) // advance watermark, close both
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT n_events, sum_value FROM sess_out ORDER BY n_events")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((1L, 4.0), (3L, 6.0)))
+  }
+
+  test("custom sessionizer (flatMapGroupsWithState) closes on gap timeout") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[SessEvent]
+    val sessions = Ingest.sessionize(mem.toDS(), gapMs = 10000L,
+      watermark = "5 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("szr_out").start()
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(s: Int) = new java.sql.Timestamp(base + s * 1000L)
+    mem.addData(SessEvent(7L, t(0), 1.0), SessEvent(7L, t(4), 2.0),
+      SessEvent(7L, t(8), 3.0))
+    q.processAllAvailable()
+    mem.addData(SessEvent(8L, t(300), 9.0)) // watermark far past user 7
+    q.processAllAvailable()
+    mem.addData(SessEvent(8L, t(600), 1.0)) // push watermark to close 8's first
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql(
+      "SELECT user, n, sumValue FROM szr_out ORDER BY user")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out.contains((7L, 3L, 6.0)))
+  }
 }

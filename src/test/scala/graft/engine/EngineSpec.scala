@@ -195,4 +195,29 @@ class EngineSpec extends AnyFunSuite {
     assert(intercept[OtError](engine.use("nosuchdb")).msg ==
       "Database nosuchdb does not exist")
   }
+
+  test("timestamp input forms: int seconds, [sec,nsec] pair, RFC-3339 (query.go:754-779)") {
+    engine.execute("create table if not exists test.tsf(a int, t timestamp, v float, primary key(a, t))")
+    engine.execute("insert into test.tsf values(1, 100, 1.5)")
+    engine.execute("insert into test.tsf values(2, ?, 2.5)",
+      Seq(Seq(200L, 123456789L))) // nsec truncated to micros
+    engine.execute("insert into test.tsf values(3, '2020-01-02T03:04:05Z', 3.5)")
+    engine.execute("insert into test.tsf values(4, ?, 4.5)",
+      Seq(java.time.Instant.ofEpochSecond(400L)))
+    val rows = engine.execute("select * from test.tsf").collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).toInstant, r.getFloat(2)))
+    assert(rows(0) == ((1, java.time.Instant.ofEpochSecond(100L), 1.5f)))
+    assert(rows(1)._2 == java.time.Instant.ofEpochSecond(200L, 123456000L))
+    assert(rows(2)._2 == java.time.Instant.parse("2020-01-02T03:04:05Z"))
+    assert(rows(3)._2 == java.time.Instant.ofEpochSecond(400L))
+    // float column stored as float32 (query.go:745-746)
+    assert(rows.map(_._3).toSeq == Seq(1.5f, 2.5f, 3.5f, 4.5f))
+    // bad timestamp input → reference error shape
+    val e1 = intercept[OtError](engine.execute(
+      "insert into test.tsf values(5, 'not-a-time', 1)"))
+    assert(e1.msg == "Invalid string value (not-a-time) for \"t\" of Timestamp")
+    val e2 = intercept[OtError](engine.execute(
+      "insert into test.tsf values(5, true, 1)"))
+    assert(e2.msg == "Invalid bool value (true) for \"t\" of Timestamp")
+  }
 }

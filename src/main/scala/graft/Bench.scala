@@ -25,7 +25,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // operators that self-join persist intermediates; drop them so one
+      // query's cache doesn't pressure the next query's memory
+      spark.catalog.clearCache()
+      dt
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
     // one warm-up pass over a cheap query to pay JVM/codegen startup once

@@ -46,4 +46,18 @@ class CosineToQuerySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
     assert(got(1L) == null && got(2L) == 1.0)
   }
+
+  test("registered SQL function works from spark.sql text") {
+    Functions.register(spark)
+    graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .createOrReplaceTempView("emb_v")
+    // non-constant second argument is rejected at analysis
+    assertThrows[Exception](spark.sql(
+      """SELECT cosine_to_query(embedding, embedding) FROM emb_v"""))
+    val lit64 = (1 to 64).map(i => (i % 7) * 0.25).mkString("array(", ", ", ")")
+    val r2 = spark.sql(
+      s"SELECT vec_id, cosine_to_query(embedding, $lit64) AS c FROM emb_v ORDER BY c DESC LIMIT 3")
+      .collect()
+    assert(r2.length == 3 && r2.forall(x => !x.isNullAt(1)))
+  }
 }

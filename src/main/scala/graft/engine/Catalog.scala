@@ -147,9 +147,13 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   }
 
   /** Last-write-wins view of a table (upsert semantics, whole-row
-    * replace — reference query.go:302 `tr.Set`).
+    * replace — reference query.go:302 `tr.Set`). When the log is known
+    * clean — nothing written since the last compaction/import — the
+    * dedup window (a full shuffle) is skipped entirely: reads of
+    * read-mostly tables are plain pruned parquet scans.
     */
   def readTable(td: TableDef): DataFrame = {
+    if (isClean(td)) return rawData(td).drop(SeqCol)
     val w = Window.partitionBy(td.keyNames.map(col): _*)
       .orderBy(col(SeqCol).desc)
     rawData(td)
@@ -157,6 +161,28 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       .filter(col("__rn") === 1)
       .drop("__rn", SeqCol)
   }
+
+  private def cleanMarker(td: TableDef): Path =
+    tblPath(td.dbName, td.tblName).resolve("clean_at_seq")
+
+  private def currentSeq(td: TableDef): Long = {
+    val p = tblPath(td.dbName, td.tblName).resolve("seq")
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+    else 0L
+  }
+
+  /** True when no write has landed since the last compact/import. */
+  private def isClean(td: TableDef): Boolean = {
+    val m = cleanMarker(td)
+    Files.exists(m) &&
+      new String(Files.readAllBytes(m), StandardCharsets.UTF_8).trim.toLong ==
+        currentSeq(td)
+  }
+
+  private def markClean(td: TableDef): Unit =
+    Files.write(cleanMarker(td),
+      currentSeq(td).toString.getBytes(StandardCharsets.UTF_8))
 
   private def nextSeq(td: TableDef): Long = {
     val p = tblPath(td.dbName, td.tblName).resolve("seq")
@@ -192,12 +218,16 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * must already match the TableDef.
     */
   def importData(td: TableDef, df: DataFrame): Unit = {
+    val wasEmpty = !hasData(td)
     val sorted = df
       .withColumn(SeqCol, lit(0L))
       .repartitionByRange(col(td.keyNames.head))
       .sortWithinPartitions(td.keyNames.map(col): _*)
     sorted.write.mode("append").parquet(dataDir(td).toString)
     nextSeq(td) // reserve seq 0 for the import
+    // a bulk import into an empty table IS its compacted form: reads can
+    // skip the LWW window until the next append lands
+    if (wasEmpty) markClean(td)
   }
 
   /** Delete rows matching `pred` by rewriting the log (compat-scale path). */
@@ -232,6 +262,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     folded.write.mode("overwrite").parquet(tmp.toString)
     deleteRecursively(dir.resolve("data"))
     Files.move(tmp, dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+    markClean(td)
   }
 
   // ── schema persistence (tiny hand-rolled JSON; idents are [A-Za-z0-9_]) ──

@@ -220,4 +220,24 @@ class EngineSpec extends AnyFunSuite {
       "insert into test.tsf values(5, true, 1)"))
     assert(e2.msg == "Invalid bool value (true) for \"t\" of Timestamp")
   }
+
+  test("compacted/imported tables read without the LWW window; appends dirty it again") {
+    engine.execute("create table if not exists test.cln(k int, v double, primary key(k))")
+    engine.batchInsert("insert into test.cln values(?, ?)",
+      (0 until 20).map(i => Seq[Any](i % 10, i * 1.0)))
+    val td = engine.tableSchemaOf("test", "cln")
+    val dirty = engine.catalog.readTable(td)
+    assert(dirty.queryExecution.optimizedPlan.toString.contains("row_number"))
+    assert(dirty.count() == 10)
+    engine.catalog.compact(td)
+    val clean = engine.catalog.readTable(td)
+    assert(!clean.queryExecution.optimizedPlan.toString.contains("row_number"),
+      "clean table must skip the LWW window")
+    assert(clean.orderBy("k").collect().map(_.getDouble(1)).toSeq ==
+      (10 until 20).map(_ * 1.0)) // later writes won
+    engine.execute("insert into test.cln values(3, 99.0)")
+    val redirty = engine.catalog.readTable(td)
+    assert(redirty.queryExecution.optimizedPlan.toString.contains("row_number"))
+    assert(redirty.filter("k = 3").head().getDouble(1) == 99.0)
+  }
 }

@@ -886,6 +886,40 @@ object Queries {
                 FROM orders) sub
               GROUP BY quartile ORDER BY quartile""")),
 
+    // ── §2.5 window: RANGE frame over event time (trailing 1h sum) ──
+    QueryDef(
+      "q_window_range_frame",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts")
+          .rangeBetween(-3600000000000L, 0L) // 1h in ns
+        t(s, dir, "events")
+          .filter(col("user_id") < 20)
+          .withColumn("trailing_1h",
+            sum(dec6(col("value"))).over(w).cast(DoubleType))
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+            col("event_id"), col("trailing_1h"))
+          .orderBy("user_id", "ts_us", "event_id")
+      },
+      Some("""SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_ns(ts)
+                  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) AS trailing_1h
+              FROM events WHERE user_id < 20
+              ORDER BY user_id, ts_us, event_id""")),
+
+    // ── §2.5: sketch aggregates (rows-only: HLL/quantile internals are
+    //    engine-specific; accuracy vs exact asserted in QueriesSpec) ──
+    QueryDef(
+      "q_approx_distinct",
+      (s, dir) =>
+        t(s, dir, "events")
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+            expr("approx_percentile(value, 0.5)").as("approx_median"))
+          .orderBy("event_type"),
+      None),
+
     // ── §2.4: cross join ──
     QueryDef(
       "q_cross_join",

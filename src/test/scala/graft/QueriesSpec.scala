@@ -56,4 +56,18 @@ class QueriesSpec extends AnyFunSuite {
       r.getAs[Int]("l_linenumber")))
     assert(keys.sameElements(keys.sortBy(k => (-k._1, -k._2))))
   }
+
+  test("approx sketches land within 10% of exact") {
+    val df = Queries.byName("q_approx_distinct")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.load(spark, sf, "events")
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, ex) <- exact) {
+      val ap = df(k)
+      assert(math.abs(ap - ex).toDouble / ex <= 0.1,
+        s"$k: approx $ap vs exact $ex")
+    }
+  }
 }

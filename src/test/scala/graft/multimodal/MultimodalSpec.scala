@@ -50,4 +50,16 @@ class MultimodalSpec extends AnyFunSuite {
       countDistinct("frame_id").as("ids")).collect()
     assert(perDoc.forall(r => r.getLong(1) == 4L && r.getLong(2) == 4L))
   }
+
+  test("decoded media features feed similarity search end-to-end") {
+    val feats = Multimodal.stubDecodeImage(media, "payload", dim = 16)
+      .select($"doc_id", $"features")
+    val q = feats.filter($"doc_id" === feats.select(min($"doc_id")).head().getLong(0))
+      .select($"features".cast("array<double>")).head().getSeq[Double](0)
+    val topk = graft.operators.Similarity.cosineTopK(
+      feats, "doc_id", "features", q, 5).collect()
+    assert(topk.length == 5)
+    // the query image itself ranks first with similarity 1.0
+    assert(math.abs(topk.head.getDouble(1) - 1.0) < 1e-12)
+  }
 }

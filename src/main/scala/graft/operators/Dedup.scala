@@ -123,8 +123,12 @@ object Dedup {
     // faster than numHashes× transform/array_min over the shingle array
     // and the same shape a 1000-executor run wants
     val exploded = shingles(df, idCol, textCol, shingleSize)
+      // one string hash per shingle; the numHashes functions re-hash the
+      // base LONG (fixed-width, far cheaper than re-hashing the string
+      // per i, and wrap-safe under ANSI mode)
+      .withColumn("__h", xxhash64(col("shingle")))
     val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"__h$i"))
+      min(xxhash64(col("__h"), lit(i))).as(s"__h$i"))
     val aggd = exploded.groupBy("id")
       .agg(minCols.head, minCols.tail :+
         collect_set(col("shingle")).as("sh"): _*)

@@ -162,6 +162,22 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       .drop("__rn", SeqCol)
   }
 
+  /** Time-travel: the LWW view as of write batch `seq` (inclusive) — a
+    * free capability of the append-log layout. `writeVersion` returns
+    * the current batch counter to capture before mutating.
+    */
+  def readTableAsOf(td: TableDef, seq: Long): DataFrame = {
+    val w = Window.partitionBy(td.keyNames.map(col): _*)
+      .orderBy(col(SeqCol).desc)
+    rawData(td)
+      .filter(col(SeqCol) < (seq + 1) * 1000000L) // batch seqs pack row idx
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", SeqCol)
+  }
+
+  def writeVersion(td: TableDef): Long = currentSeq(td)
+
   private def cleanMarker(td: TableDef): Path =
     tblPath(td.dbName, td.tblName).resolve("clean_at_seq")
 
@@ -219,12 +235,12 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     */
   def importData(td: TableDef, df: DataFrame): Unit = {
     val wasEmpty = !hasData(td)
+    val seq = nextSeq(td)
     val sorted = df
-      .withColumn(SeqCol, lit(0L))
+      .withColumn(SeqCol, lit(seq * 1000000L))
       .repartitionByRange(col(td.keyNames.head))
       .sortWithinPartitions(td.keyNames.map(col): _*)
     sorted.write.mode("append").parquet(dataDir(td).toString)
-    nextSeq(td) // reserve seq 0 for the import
     // a bulk import into an empty table IS its compacted form: reads can
     // skip the LWW window until the next append lands
     if (wasEmpty) markClean(td)

@@ -240,4 +240,20 @@ class EngineSpec extends AnyFunSuite {
     assert(redirty.queryExecution.optimizedPlan.toString.contains("row_number"))
     assert(redirty.filter("k = 3").head().getDouble(1) == 99.0)
   }
+
+  test("time travel: readTableAsOf reconstructs earlier versions") {
+    engine.execute("create table if not exists test.tt(k int, v double, primary key(k))")
+    val td = engine.tableSchemaOf("test", "tt")
+    engine.execute("insert into test.tt values(1, 1.0)")
+    val v1 = engine.catalog.writeVersion(td)
+    engine.execute("insert into test.tt values(1, 2.0)")
+    engine.execute("insert into test.tt values(2, 5.0)")
+    val now = engine.catalog.readTable(td).orderBy("k").collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(now == Seq((1, 2.0), (2, 5.0)))
+    val past = engine.catalog.readTableAsOf(td, v1).collect()
+      .map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(past == Seq((1, 1.0)))
+    assert(engine.catalog.readTableAsOf(td, 0).count() == 0)
+  }
 }

@@ -405,6 +405,31 @@ object Queries {
               FROM events b WHERE b.event_type = 'click'
               ORDER BY b.user_id, b.event_id""")),
 
+    // ── custom operator, Catalyst-native form: AsOfJoinNode/Exec
+    //    (LogicalPlan + SparkStrategy + sort-merge SparkPlan) — same
+    //    oracle as the composed q_asof_backward ──
+    QueryDef(
+      "q_asof_native",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"),
+            col("value").as("last_purchase"))
+        plans.NativeAsOf.backward(clicks, purchases, Seq("user_id"),
+            "ts", "pts", Seq("last_purchase"))
+          .select("user_id", "event_id", "last_purchase")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT b.user_id, b.event_id,
+                (SELECT a.value FROM events a
+                 WHERE a.user_id = b.user_id AND a.event_type = 'purchase'
+                   AND a.ts <= b.ts
+                 ORDER BY a.ts DESC, a.event_id DESC LIMIT 1) AS last_purchase
+              FROM events b WHERE b.event_type = 'click'
+              ORDER BY b.user_id, b.event_id""")),
+
     // ── custom operator: adj factors via distributed suffix products +
     //    forward-strict as-of join (the 100TB-shaped adj path) ──
     QueryDef(

@@ -23,7 +23,8 @@ import org.apache.spark.sql.types.StructType
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    payload: Seq[NamedExpression], strict: Boolean) extends BinaryNode {
+    payload: Seq[NamedExpression], strict: Boolean,
+    forward: Boolean) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.toAttribute.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan,
@@ -32,9 +33,9 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, payload, strict) =>
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, payload, strict, fwd) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload,
-        strict) :: Nil
+        strict, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -42,7 +43,8 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    payload: Seq[NamedExpression], strict: Boolean) extends BinaryExecNode {
+    payload: Seq[NamedExpression], strict: Boolean,
+    forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.toAttribute.withNullability(true))
@@ -52,10 +54,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  // sorted merge input: (keys..., time) ascending on both sides
+  // sorted merge input: keys ascending, time ascending (backward) or
+  // descending (forward — the merge then carries the earliest-visible
+  // right row symmetrically)
+  private def timeDir: SortDirection = if (forward) Descending else Ascending
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    (leftKeys :+ leftTime).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTime).map(SortOrder(_, Ascending)))
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, timeDir),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, timeDir))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -64,6 +69,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val lKeyTypes = leftKeys.map(_.dataType)
     val timeType = leftTime.dataType
     val strictLocal = strict
+    val forwardLocal = forward
     val numPayload = payload.length
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -105,7 +111,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
           while (continue) {
             val kc = keyOrd.compare(rHeadKey, lKey)
             val visible = kc < 0 || (kc == 0 && {
-              val tc = timeOrd.compare(rHeadTime, lTime)
+              val tc0 = timeOrd.compare(rHeadTime, lTime)
+              val tc = if (forwardLocal) -tc0 else tc0
               if (strictLocal) tc < 0 else tc <= 0
             })
             if (visible) {
@@ -142,7 +149,22 @@ object NativeAsOf {
     */
   def backward(left: DataFrame, right: DataFrame, by: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false): DataFrame =
+    join(left, right, by, leftTime, rightTime, payload, strict,
+      forward = false)
+
+  /** Forward as-of: the payload of the EARLIEST right row with the same
+    * key and rightTime >= leftTime (> when strict).
+    */
+  def forward(left: DataFrame, right: DataFrame, by: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      strict: Boolean = false): DataFrame =
+    join(left, right, by, leftTime, rightTime, payload, strict,
+      forward = true)
+
+  private def join(left: DataFrame, right: DataFrame, by: Seq[String],
+      leftTime: String, rightTime: String, payload: Seq[String],
+      strict: Boolean, forward: Boolean): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lPlan = GraftSql.logicalPlan(left)
@@ -157,7 +179,7 @@ object NativeAsOf {
     val node = AsOfJoinNode(lPlan, rPlan,
       by.map(attr(lPlan, _)), by.map(attr(rPlan, _)),
       attr(lPlan, leftTime), attr(rPlan, rightTime),
-      payload.map(attr(rPlan, _)), strict)
+      payload.map(attr(rPlan, _)), strict, forward)
     GraftSql.ofRows(spark, node)
   }
 }

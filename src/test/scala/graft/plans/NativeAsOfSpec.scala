@@ -70,4 +70,35 @@ class NativeAsOfSpec extends AnyFunSuite {
       .orderBy("k", "t").collect()
     assert(repart.length == 4 && repart.head == Row(1, 10L, "a", 100.0))
   }
+
+  test("forward direction: earliest at-or-after, parity with composed") {
+    val out = NativeAsOf.forward(left, right, Seq("k"), "t", "rt", Seq("v"))
+      .orderBy("k", "t").collect().toSeq
+    assert(out == Seq(
+      Row(1, 10L, "a", 100.0), // equal time visible
+      Row(1, 20L, "b", 200.0),
+      Row(1, 30L, "c", null),
+      Row(2, 15L, "d", null)))
+    val strictOut = NativeAsOf.forward(left, right, Seq("k"), "t", "rt",
+      Seq("v"), strict = true).orderBy("k", "t").collect().toSeq
+    assert(strictOut.head == Row(1, 10L, "a", 200.0))
+    // parity on real events: next purchase value after each click
+    val ev = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("pts"), $"value".as("next_purchase"))
+    val native = NativeAsOf.forward(clicks, purchases, Seq("user_id"),
+        "ts", "pts", Seq("next_purchase"))
+      .select("user_id", "event_id", "next_purchase").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    val composed = graft.operators.AsOfJoin.forward(clicks,
+        purchases.withColumnRenamed("pts", "ts2"), Seq("user_id"),
+        "ts", "ts2", Seq("next_purchase"))
+      .select("user_id", "event_id", "next_purchase").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+    assert(native == composed)
+  }
 }

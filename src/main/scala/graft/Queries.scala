@@ -498,6 +498,28 @@ object Queries {
                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
               FROM r GROUP BY user_id, bkt ORDER BY user_id, bkt""")),
 
+    // ── north star: sliding-window resampling (4h window, 1h slide) ──
+    QueryDef(
+      "q_sliding_window",
+      (s, dir) =>
+        operators.Resample.slidingSum(
+            t(s, dir, "events").select("user_id", "ts", "value")
+              .filter(col("user_id") < 30),
+            Seq("user_id"), "ts", "value",
+            width = 4L * 3600000000000L, slide = 3600000000000L)
+          .orderBy("user_id", "bkt"),
+      Some("""WITH e AS (
+                SELECT user_id, epoch_ns(ts) AS tsn, value FROM events
+                WHERE user_id < 30),
+              x AS (SELECT user_id, value,
+                      unnest(generate_series(tsn // 3600000000000 - 3,
+                                             tsn // 3600000000000)) AS bkt
+                    FROM e)
+              SELECT user_id, bkt, count(*) AS n_events,
+                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+              FROM x WHERE bkt >= 0
+              GROUP BY user_id, bkt ORDER BY user_id, bkt""")),
+
     // ── north star: exact n-gram Jaccard dedup (shingle inverted index;
     //    near-dups synthesized by unioning a one-token-mutated copy) ──
     QueryDef(

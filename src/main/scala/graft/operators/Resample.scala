@@ -26,6 +26,26 @@ object Resample {
     * @param tieBreak unique-ish column ordering rows within equal times
     * @param width    bucket width in `timeCol` units
     */
+  /** Sliding-window aggregation: each event lands in width/slide
+    * overlapping buckets (exploded), then one hash aggregation per
+    * (keys, bucket). Bucket b covers [b*slide, b*slide + width);
+    * emitted bucket ids are the window START in `slide` units.
+    */
+  def slidingSum(df: DataFrame, keys: Seq[String], timeCol: String,
+      valueCol: String, width: Long, slide: Long): DataFrame = {
+    require(width % slide == 0, "width must be a multiple of slide")
+    val k = width / slide
+    // buckets b with b*slide <= t < b*slide + width ⇒
+    // b in [t div slide - (k-1), t div slide]
+    df.withColumn("bkt", explode(expr(
+        s"sequence($timeCol div ${slide}L - ${k - 1}L, $timeCol div ${slide}L)")))
+      .filter(col("bkt") >= 0)
+      .groupBy((keys :+ "bkt").map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+  }
+
   def ohlcv(df: DataFrame, keys: Seq[String], timeCol: String,
       valueCol: String, tieBreak: String, width: Long): DataFrame = {
     val ord = struct(col(timeCol), col(tieBreak))

@@ -32,8 +32,14 @@ object Bench {
       dt
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // one warm-up pass over a cheap query to pay JVM/codegen startup once
-    run(names.head)
+    // Warm-up: pay JVM/Janino startup before timing. One query is not
+    // enough — round-1 showed a ~7 s one-off codegen-compilation hit
+    // landing on whichever query first exercised a codegen family
+    // (q_rollup at 8.78 s vs 1.2-1.6 s steady-state, BENCH_r01 vs the
+    // r2 rerun). Warm one representative per family: decimal hash agg,
+    // grouping-sets Expand, window, sort-merge join, native as-of.
+    Seq(names.head, "q1_agg", "q_rollup", "q_window_rank", "q_self_join",
+      "q_asof_native").distinct.foreach(run)
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -844,10 +844,15 @@ object Queries {
           .select(col("event_type"),
             get_json_object(col("props"), "$.k").cast("int").as("k"))
           .groupBy("event_type")
-          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("k")).cast("long").as("sum_k"))
           .orderBy("event_type"),
+      // CAST the sum to BIGINT on both sides: DuckDB sum(INT) is HUGEINT
+      // (INT128) while Spark sum(INT) is BIGINT — same values, different
+      // wire type, which the driver's hash comparison treats as a mismatch.
       Some("""SELECT event_type, count(*) AS n,
-                sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k
+                CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                     AS BIGINT) AS sum_k
               FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ── §2.5: UNION ALL ──

@@ -101,49 +101,83 @@ object Dedup {
     array(hashes: _*)
   }
 
+  /** Shared MinHash signature → banded-bucket subplan over a shingle
+    * inverted index (id, shingle): returns one (id, band, bucket) row per
+    * band. The ONE definition used by both [[minhashLSH]] (candidate
+    * generation) and [[minhashDroppedBuckets]] (skew-guard coverage
+    * report), so the reported dropped buckets are exactly the ones the
+    * dedup drops.
+    *
+    * Signature via explode + groupBy with numHashes `min` aggregates:
+    * map-side partial combine, zero per-hash array allocations — much
+    * faster than numHashes× transform/array_min over the shingle array
+    * and the same shape a 1000-executor run wants. One string hash per
+    * shingle; the numHashes functions re-hash the base LONG (fixed-width,
+    * far cheaper than re-hashing the string per i, wrap-safe under ANSI).
+    */
+  private def bandedBuckets(sh: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val exploded = sh.withColumn("__h", xxhash64(col("shingle")))
+    val minCols = (0 until numHashes).map(i =>
+      min(xxhash64(col("__h"), lit(i))).as(s"__h$i"))
+    val sigs = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
+      .withColumn("sig",
+        array((0 until numHashes).map(i => col(s"__h$i")): _*))
+    // banded buckets: (band, hash(band slice)) per doc — ids only, so the
+    // bucket shuffle carries nothing wide
+    sigs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)
+          .cast("array<string>")))): _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Exact-Jaccard verification of candidate id pairs through the
+    * shared-shingle-count join (the [[ngramJaccard]] shape): no per-doc
+    * shingle set is ever materialized in an aggregation buffer, so the
+    * memory bound per task is a hash-join partition, not the longest
+    * document — the property that survives book-length docs at 100 TB.
+    * Candidate pairs sharing zero shingles drop out of the inner join,
+    * which is fine for any threshold > 0.
+    */
+  private def verifyJaccard(candIds: DataFrame, sh: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    candIds
+      .join(sh.toDF("id_a", "shingle"), "id_a")
+      .join(sh.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .withColumn("jaccard", col("shared").cast(DoubleType) /
+        (col("n_a") + col("n_b") - col("shared")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** MinHash + LSH near-dup candidates, verified with exact Jaccard.
     * bands × rowsPerBand = numHashes; two docs collide if any band of
     * their signatures matches exactly. Returns verified pairs
     * (id_a, id_b, jaccard ≥ threshold).
-    */
-  /** @param maxBucketSize skew guard: buckets holding more than this many
+    *
+    * @param maxBucketSize skew guard: buckets holding more than this many
     *   docs are dropped from candidate generation (a degenerate bucket —
     *   e.g. near-identical boilerplate — contributes O(b²) pairs). Not a
-    *   silent cap: count dropped buckets via the returned plan's
-    *   `lsh_dropped_buckets` accumulator-style companion
-    *   [[minhashDroppedBuckets]].
+    *   silent cap: [[minhashDroppedBuckets]] reports exactly the dropped
+    *   buckets (same signature/banding subplan, [[bandedBuckets]]).
     */
   def minhashLSH(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.6, maxBucketSize: Long = 10000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // signature via explode + groupBy with numHashes `min` aggregates:
-    // map-side partial combine, zero per-hash array allocations — much
-    // faster than numHashes× transform/array_min over the shingle array
-    // and the same shape a 1000-executor run wants
-    val exploded = shingles(df, idCol, textCol, shingleSize)
-      // one string hash per shingle; the numHashes functions re-hash the
-      // base LONG (fixed-width, far cheaper than re-hashing the string
-      // per i, and wrap-safe under ANSI mode)
-      .withColumn("__h", xxhash64(col("shingle")))
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("__h"), lit(i))).as(s"__h$i"))
-    val aggd = exploded.groupBy("id")
-      .agg(minCols.head, minCols.tail :+
-        collect_set(col("shingle")).as("sh"): _*)
-    // persist: the banded self-join would otherwise recompute the
-    // signature subtree on both sides
-    val sigs = aggd
-      .withColumn("sig", array((0 until numHashes).map(i => col(s"__h$i")): _*))
-      .drop((0 until numHashes).map(i => s"__h$i"): _*)
+    // materialize the tokenization once: the shingle index feeds the
+    // signature agg AND three verification reads
+    val sh = shingles(df, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // banded buckets: (band, hash(band slice)) per doc — ids only, so the
-    // bucket shuffle doesn't carry the (wide) shingle arrays 16×
-    val banded0 = sigs.select(col("id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)
-          .cast("array<string>")))): _*)).as(Seq("band", "bucket")))
+    // persist the (id, band, bucket) rows: both sides of the candidate
+    // self-join read them, and they are 3 narrow columns per doc-band
+    val banded0 = bandedBuckets(sh, numHashes, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketSizes = banded0.groupBy("band", "bucket")
       .agg(count(lit(1)).as("__bsz"))
     val banded = banded0.join(
@@ -155,40 +189,21 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // re-attach shingle sets from the persisted signatures for verification
-    val cand = candIds
-      .join(sigs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sigs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-    cand
-      .withColumn("shared", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard", col("shared").cast(DoubleType) /
-        (size(col("sh_a")) + size(col("sh_b")) - col("shared"))
-          .cast(DoubleType))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifyJaccard(candIds, sh, threshold)
   }
 
   /** Companion coverage report for [[minhashLSH]]: (band, bucket, size)
     * of buckets the skew guard would drop at `maxBucketSize` — run it to
     * see what candidate mass a cap excludes before trusting the pairs.
+    * Shares [[bandedBuckets]] with [[minhashLSH]], so the buckets listed
+    * here are exactly the ones the dedup drops.
     */
   def minhashDroppedBuckets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
-      maxBucketSize: Long = 10000): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val exploded = shingles(df, idCol, textCol, shingleSize)
-    val minCols = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"__h$i"))
-    val sigs = exploded.groupBy("id").agg(minCols.head, minCols.tail: _*)
-      .withColumn("sig", array((0 until numHashes).map(i => col(s"__h$i")): _*))
-    sigs.select(col("id"),
-        posexplode(array((0 until bands).map(b =>
-          xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, r)
-            .cast("array<string>")))): _*)).as(Seq("band", "bucket")))
+      maxBucketSize: Long = 10000): DataFrame =
+    bandedBuckets(shingles(df, idCol, textCol, shingleSize), numHashes, bands)
       .groupBy("band", "bucket").agg(count(lit(1)).as("bucket_size"))
       .filter(col("bucket_size") > maxBucketSize)
-  }
 
   /** 64-bit SimHash fingerprint per doc: per-token xxhash64, sign votes
     * per bit, fingerprint bit j set iff the vote sum is positive.

@@ -14,16 +14,28 @@ import scala.jdk.CollectionConverters._
   * Layout (one directory tree per warehouse — the Spark-native analog of
   * the reference's FDB directory layer, reference schema.go:40-47):
   *
-  *   warehouse/<db>/<table>/schema.json      column defs + PK
+  *   warehouse/<db>/<table>/schema.json      column defs + PK (logical names)
+  *   warehouse/<db>/<table>/phys.json        physical parquet column names
   *   warehouse/<db>/<table>/data/            parquet, append-only, __seq col
+  *   warehouse/<db>/<table>/deletes/         deletion vectors (PK + __dseq)
   *   warehouse/<db>/<table>/seq              monotonic write counter
   *
   * Write semantics: INSERT appends whole rows stamped with a monotonic
   * `__seq`; the read path resolves last-write-wins per PK with a window
   * (SURVEY.md §1.3). At 100 TB this is the standard log+compact layout:
   * appends are cheap parallel parquet writes, and `compact()` folds the
-  * log back to one version per key. DELETE rewrites the data dir (small
-  * compat tables); the scale path would use deletion vectors.
+  * log back to one version per key.
+  *
+  * DELETE writes deletion vectors: the matched PK tuples land in
+  * `deletes/` stamped with the delete's sequence number, and reads mask
+  * any row version older than a tombstone for its key. No data file is
+  * rewritten (a 100 TB table must not be rewritten to drop a range);
+  * `compact()` folds tombstones away.
+  *
+  * Column renames are metadata-only: every data file is written with the
+  * table's PHYSICAL column names (`phys.json`, fixed at CREATE TABLE) and
+  * reads rename physical→logical, so files written before and after a
+  * rename agree and no rewrite happens.
   */
 final class Catalog(val spark: SparkSession, val warehouse: String) {
   val SeqCol = "__seq"
@@ -83,6 +95,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val dir = tblPath(td.dbName, td.tblName)
     Files.createDirectories(dir)
     writeSchema(dir, td)
+    // physical parquet names are fixed forever at creation; renames only
+    // touch schema.json
+    writePhysNames(dir, td.cols.map(_.name))
   }
 
   def dropTable(db: String, tbl: String): Unit = {
@@ -115,35 +130,73 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val keys = td.keyNames.map(k => if (k == from) to else k)
     val nd = TableDef(db, tbl, cols, keys)
     writeSchema(tblPath(db, tbl), nd)
-    // data untouched: physical parquet columns are renamed lazily on read
+    // data untouched: files keep the physical names recorded in phys.json
+    // (fixed at CREATE TABLE), and both reads and future writes go through
+    // that mapping — so files written before and after the rename agree
   }
 
   // ── data ──
 
   private def dataDir(td: TableDef): Path = tblPath(td.dbName, td.tblName).resolve("data")
+  private def deletesDir(td: TableDef): Path =
+    tblPath(td.dbName, td.tblName).resolve("deletes")
 
-  private def hasData(td: TableDef): Boolean = {
-    val d = dataDir(td)
+  private def hasParquet(d: Path): Boolean =
     Files.isDirectory(d) && Files.list(d).iterator.asScala.exists { f =>
       f.getFileName.toString.endsWith(".parquet")
     }
+
+  private def hasData(td: TableDef): Boolean = hasParquet(dataDir(td))
+  private def hasDeletes(td: TableDef): Boolean = hasParquet(deletesDir(td))
+
+  /** Rename a file-schema DataFrame from physical to logical names (the
+    * recorded mapping is positional against td.cols).
+    */
+  private def physToLogical(td: TableDef, df: DataFrame): DataFrame = {
+    val phys = physNames(td)
+    val logical = td.cols.map(_.name)
+    phys.zip(logical).foldLeft(df) { case (d, (p, l)) =>
+      if (p != l) d.withColumnRenamed(p, l) else d
+    }
   }
 
-  /** Raw append-log rows incl. __seq, with lazy column rename applied. */
+  /** Raw append-log rows incl. __seq, with the physical→logical column
+    * rename applied. Deletion vectors NOT applied — see [[maskedData]].
+    */
   private def rawData(td: TableDef): DataFrame = {
     if (!hasData(td)) {
       val schema = td.sparkSchema.add(SeqCol, LongType, nullable = false)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
     }
-    var df = spark.read.parquet(dataDir(td).toString)
-    // physical names may predate renames: align positionally
-    val phys = df.columns.filterNot(_ == SeqCol)
-    val logical = td.cols.map(_.name)
-    phys.zip(logical).foreach { case (p, l) =>
-      if (p != l) df = df.withColumnRenamed(p, l)
+    physToLogical(td, spark.read.parquet(dataDir(td).toString))
+  }
+
+  /** Deletion vectors as (logical key cols..., __dseq), or None. */
+  private def deleteVectors(td: TableDef): Option[DataFrame] =
+    if (!hasDeletes(td)) None
+    else Some(physToLogical(td, spark.read.parquet(deletesDir(td).toString)))
+
+  /** Append-log rows with deletion vectors applied: a row is masked when
+    * some tombstone for its key is newer than the row version. One
+    * max-aggregate over the (small) DV side plus a left join that AQE
+    * broadcasts when the DV set is small — data files are never read for
+    * masking beyond the scan already happening.
+    */
+  private def maskedData(td: TableDef,
+      maxSeqExclusive: Option[Long] = None): DataFrame = {
+    val base0 = rawData(td)
+    val base = maxSeqExclusive.fold(base0)(s => base0.filter(col(SeqCol) < s))
+    deleteVectors(td) match {
+      case None => base
+      case Some(dv0) =>
+        val dv = maxSeqExclusive.fold(dv0)(s => dv0.filter(col("__dseq") < s))
+          .groupBy(td.keyNames.map(col): _*)
+          .agg(max(col("__dseq")).as("__dseq"))
+        base.join(dv, td.keyNames, "left")
+          .filter(col("__dseq").isNull || col(SeqCol) > col("__dseq"))
+          .drop("__dseq")
     }
-    df
   }
 
   /** Last-write-wins view of a table (upsert semantics, whole-row
@@ -156,21 +209,56 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     if (isClean(td)) return rawData(td).drop(SeqCol)
     val w = Window.partitionBy(td.keyNames.map(col): _*)
       .orderBy(col(SeqCol).desc)
-    rawData(td)
+    maskedData(td)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", SeqCol)
   }
 
+  /** Range-ordered read of a CLEAN table with no sort in the plan: the
+    * compacted/imported layout is `repartitionByRange` on the leading key
+    * + `sortWithinPartitions` on the full PK, so the part files form
+    * disjoint, name-ordered key ranges and are internally PK-sorted. We
+    * union one single-partition scan per file in range order — collect
+    * order IS global PK order, with zero Exchange.
+    *
+    * Returns None (caller falls back to an explicit sort) when the table
+    * is dirty, empty, or any file exceeds the scan split size (a split
+    * file would break within-scan ordering). The per-file scan list is
+    * built on the driver — fine into the thousands of files; beyond that
+    * an ordered read should go through a custom FileIndex instead.
+    */
+  def readTableOrdered(td: TableDef, reverse: Boolean): Option[DataFrame] = {
+    if (!isClean(td) || !hasData(td)) return None
+    val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes",
+      (128L * 1024 * 1024).toString).takeWhile(_.isDigit).toLong
+    val files = Files.list(dataDir(td)).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+      .sortBy(_.getFileName.toString)
+    if (files.isEmpty || files.exists(f => Files.size(f) > maxSplit))
+      return None
+    val ordered = if (reverse) files.reverse else files
+    val parts = ordered.map { f =>
+      val d = physToLogical(td, spark.read.parquet(f.toString))
+      // reversing needs per-file descending order: a bounded in-memory
+      // sort of one file's rows, still no Exchange
+      if (reverse)
+        d.sortWithinPartitions(td.keyNames.map(col(_).desc): _*)
+      else d
+    }
+    Some(parts.reduce(_ unionAll _).drop(SeqCol))
+  }
+
   /** Time-travel: the LWW view as of write batch `seq` (inclusive) — a
     * free capability of the append-log layout. `writeVersion` returns
-    * the current batch counter to capture before mutating.
+    * the current batch counter to capture before mutating. Deletion
+    * vectors newer than `seq` are ignored, so travel before a DELETE
+    * resurrects the rows.
     */
   def readTableAsOf(td: TableDef, seq: Long): DataFrame = {
     val w = Window.partitionBy(td.keyNames.map(col): _*)
       .orderBy(col(SeqCol).desc)
-    rawData(td)
-      .filter(col(SeqCol) < (seq + 1) * 1000000L) // batch seqs pack row idx
+    maskedData(td, Some((seq + 1) * 1000000L)) // batch seqs pack row idx
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", SeqCol)
@@ -209,14 +297,32 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     cur + 1
   }
 
+  /** Rename a logical-name DataFrame to physical names for writing. */
+  private def logicalToPhys(td: TableDef, df: DataFrame): DataFrame = {
+    val phys = physNames(td)
+    td.cols.map(_.name).zip(phys).foldLeft(df) { case (d, (l, p)) =>
+      if (l != p) d.withColumnRenamed(l, p) else d
+    }
+  }
+
+  private def physSchema(td: TableDef): StructType =
+    StructType(td.cols.zip(physNames(td)).map { case (c, p) =>
+      StructField(p, c.tpe.spark, nullable = !c.isKey)
+    })
+
   /** Append whole rows (order matches td.cols). One call = one batch =
     * one `__seq` stamp (rows within a batch share it; later batch wins,
     * within a batch the last row wins via row index tiebreak packed into
-    * the low bits).
+    * the low 6 decimal digits — hence the 1M-row batch cap, which keeps
+    * a batch from overflowing into the next batch's seq space and
+    * corrupting LWW/time-travel ordering).
     */
   def appendRows(td: TableDef, rows: Seq[Seq[Any]]): Unit = {
+    if (rows.length >= 1000000)
+      throw OtError("Batch insert of 1000000 rows or more is not " +
+        "supported; split into smaller batches")
     val seq = nextSeq(td)
-    val schema = td.sparkSchema.add(SeqCol, LongType, nullable = false)
+    val schema = physSchema(td).add(SeqCol, LongType, nullable = false)
     val sparkRows = rows.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.map {
         case t: java.time.Instant => t
@@ -236,52 +342,81 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def importData(td: TableDef, df: DataFrame): Unit = {
     val wasEmpty = !hasData(td)
     val seq = nextSeq(td)
-    val sorted = df
+    val sorted = logicalToPhys(td, df)
       .withColumn(SeqCol, lit(seq * 1000000L))
-      .repartitionByRange(col(td.keyNames.head))
-      .sortWithinPartitions(td.keyNames.map(col): _*)
+      .repartitionByRange(col(physNames(td).head))
+      .sortWithinPartitions(physNames(td).map(col): _*)
     sorted.write.mode("append").parquet(dataDir(td).toString)
     // a bulk import into an empty table IS its compacted form: reads can
     // skip the LWW window until the next append lands
     if (wasEmpty) markClean(td)
   }
 
-  /** Delete rows matching `pred` by rewriting the log (compat-scale path). */
+  /** Delete rows matching `pred` by writing deletion vectors: the
+    * matched PK tuples land in `deletes/` stamped with this delete's
+    * seq, and reads mask older row versions. O(matched keys), no data
+    * file rewritten — the shape that survives a 100 TB table. A full
+    * DELETE (no predicate) is a metadata drop of the data dir.
+    */
   def deleteWhere(td: TableDef, pred: Option[org.apache.spark.sql.Column]): Unit = {
     if (!hasData(td)) return
     val dir = tblPath(td.dbName, td.tblName)
     pred match {
-      case None => deleteRecursively(dir.resolve("data"))
-      case Some(p) =>
-        val remaining = rawData(td).filter(!p)
-        val tmp = dir.resolve("data_tmp")
-        remaining.write.mode("overwrite").parquet(tmp.toString)
+      case None =>
         deleteRecursively(dir.resolve("data"))
-        Files.move(tmp, dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+        deleteRecursively(dir.resolve("deletes"))
+      case Some(p) =>
+        // WHERE is PK-only (resolveWhere), so any version of a key
+        // matches iff all do: distinct matched keys from the raw log
+        val seq = nextSeq(td)
+        val matched = rawData(td).filter(p)
+          .select(td.keyNames.map(col): _*).distinct()
+          .withColumn("__dseq", lit(seq * 1000000L))
+        logicalToPhys(td, matched).coalesce(1)
+          .write.mode("append").parquet(deletesDir(td).toString)
     }
   }
 
-  /** Fold the append log to one version per PK (the scale-path
-    * maintenance op; optional for correctness).
+  /** Fold the append log to one version per PK and fold deletion
+    * vectors away (the scale-path maintenance op; optional for
+    * correctness).
     */
   def compact(td: TableDef): Unit = {
     if (!hasData(td)) return
     val dir = tblPath(td.dbName, td.tblName)
     val w = Window.partitionBy(td.keyNames.map(col): _*)
       .orderBy(col(SeqCol).desc)
-    val folded = rawData(td)
+    val folded = maskedData(td)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
-      .repartitionByRange(col(td.keyNames.head))
-      .sortWithinPartitions(td.keyNames.map(col): _*)
+    val sorted = logicalToPhys(td, folded)
+      .repartitionByRange(col(physNames(td).head))
+      .sortWithinPartitions(physNames(td).map(col): _*)
     val tmp = dir.resolve("data_tmp")
-    folded.write.mode("overwrite").parquet(tmp.toString)
+    sorted.write.mode("overwrite").parquet(tmp.toString)
     deleteRecursively(dir.resolve("data"))
     Files.move(tmp, dir.resolve("data"), StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(dir.resolve("deletes"))
     markClean(td)
   }
 
   // ── schema persistence (tiny hand-rolled JSON; idents are [A-Za-z0-9_]) ──
+
+  private def writePhysNames(dir: Path, names: Seq[String]): Unit =
+    Files.write(dir.resolve("phys.json"),
+      names.map(n => s""""$n"""").mkString("[", ",", "]")
+        .getBytes(StandardCharsets.UTF_8))
+
+  /** Physical parquet column names, positional against td.cols. Tables
+    * created before phys.json existed fall back to logical names.
+    */
+  private def physNames(td: TableDef): Seq[String] = {
+    val p = tblPath(td.dbName, td.tblName).resolve("phys.json")
+    if (!Files.exists(p)) td.cols.map(_.name)
+    else "\"([^\"]*)\"".r
+      .findAllMatchIn(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      .map(_.group(1)).toSeq
+  }
 
   private def writeSchema(dir: Path, td: TableDef): Unit = {
     val cols = td.cols.map(c => s"""["${c.name}","${c.tpe.name}"]""")

@@ -136,9 +136,14 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     TrieMap.empty[(String, Seq[Any]), (Long, Array[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType)]
 
-  /** Like [[execute]] but memoizing SELECT results for `ttlMs`. */
+  /** Like [[execute]] but memoizing SELECT results for `ttlMs`. Results
+    * larger than `maxCacheRows` are NOT cached (and cost one bounded
+    * probe job): the reference caches wire responses that FDB's range
+    * limits keep small, whereas an unlimited select collected to the
+    * driver here would be the driver OOM at scale.
+    */
   def executeCached(sql: String, args: Seq[Any] = Nil, ttlMs: Long = 1000,
-      user: Option[User] = None): DataFrame = {
+      user: Option[User] = None, maxCacheRows: Int = 10000): DataFrame = {
     val key = (sql, args)
     val now = System.currentTimeMillis()
     respCache.get(key).filter(now - _._1 <= ttlMs) match {
@@ -147,9 +152,12 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
       case None =>
         val df = execute(sql, args, user)
         if (sql.trim.toLowerCase.startsWith("select")) {
-          val rows = df.collect()
-          respCache.put(key, (now, rows, df.schema))
-          spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+          val rows = df.limit(maxCacheRows + 1).collect()
+          if (rows.length > maxCacheRows) df
+          else {
+            respCache.put(key, (now, rows, df.schema))
+            spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+          }
         } else df
     }
   }
@@ -494,13 +502,19 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
   private def executeSelect(s: SelectS, args: Seq[Any]): DataFrame = {
     checkArity(s.nPlaceholders, args)
     val conds = bindConds(s.td, s.conds, args)
-    var df = catalog.readTable(s.td)
-    condsToPredicate(s.td, conds).foreach(p => df = df.filter(p))
     // presentation order = PK order, reversed by negative limit
-    // (reference query.go:158, 359-365)
-    val sortCols = s.td.keyNames.map(k =>
-      if (s.reverse) col(k).desc else col(k).asc)
-    df = df.orderBy(sortCols: _*)
+    // (reference query.go:158, 359-365). On a CLEAN table the compacted
+    // layout already delivers that order file-by-file with no sort or
+    // Exchange in the plan (Catalog.readTableOrdered); only dirty tables
+    // (or clean reads the ordered path declines) pay an explicit sort.
+    val ordered = catalog.readTableOrdered(s.td, s.reverse)
+    var df = ordered.getOrElse(catalog.readTable(s.td))
+    condsToPredicate(s.td, conds).foreach(p => df = df.filter(p))
+    if (ordered.isEmpty) {
+      val sortCols = s.td.keyNames.map(k =>
+        if (s.reverse) col(k).desc else col(k).asc)
+      df = df.orderBy(sortCols: _*)
+    }
     if (s.limit > 0) df = df.limit(s.limit)
     // projection incl. adj application (reference adj.go:142-202)
     val proj: Seq[Column] =

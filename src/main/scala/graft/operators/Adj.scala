@@ -88,17 +88,25 @@ object Adj {
     else { if (backward) f.volB else f.vol }
   }
 
+  /** Entry point for generated code ([[graft.functions.AdjMultiplier]]):
+    * unwraps the broadcast. Typed loosely because Java codegen sees the
+    * broadcast value as Object.
+    */
+  def multiplierB(bc: Broadcast[_], sec: Int, tmMicros: Long,
+      which: Int, backward: Boolean): Double =
+    multiplier(bc.value.asInstanceOf[Map[Int, Array[Factor]]], sec, tmMicros,
+      which, backward)
+
   /** Column expression: `valueCol` adjusted by the broadcast factor set,
     * keyed by (secCol, tmCol). Output is DOUBLE (the reference widens
-    * adjusted values to float64).
+    * adjusted values to float64). Codegen-native — no UDF in the
+    * projection (see [[graft.functions.AdjMultiplier]]).
     */
   def adjusted(spark: SparkSession, bc: Broadcast[Map[Int, Array[Factor]]],
       valueCol: Column, secCol: Column, tmCol: Column,
-      which: Int, backward: Boolean): Column = {
-    val mult = udf((sec: Int, tmUs: Long) =>
-      multiplier(bc.value, sec, tmUs, which, backward))
-    valueCol.cast("double") * mult(secCol.cast("int"), unix_micros(tmCol))
-  }
+      which: Int, backward: Boolean): Column =
+    valueCol.cast("double") * graft.functions.AdjMultiplier(
+      secCol.cast("int"), unix_micros(tmCol), bc, which, backward)
 
   /** Fully-distributed factor table for large event sets: one row per
     * (sec, event) with forward/backward factors — feeds [[AsOfJoin]]

@@ -1,0 +1,138 @@
+package graft.engine
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+/** Round-2 storage-layer semantics: deletion vectors (no-rewrite
+  * DELETE), metadata-only column renames that survive later inserts,
+  * the 1M-row batch guard, and the clean-table ordered read that keeps
+  * Exchange/Sort out of compat SELECT plans.
+  */
+class StorageSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val engine = {
+    val wh = Files.createTempDirectory("graft-storage-wh").toString
+    val e = new Engine(spark, wh)
+    e.execute("create database s")
+    e
+  }
+
+  private def dataFiles(tbl: String): Seq[(String, Long)] = {
+    val d = java.nio.file.Paths.get(engine.warehouse, "s", tbl, "data")
+    if (!Files.isDirectory(d)) Nil
+    else Files.list(d).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => (p.getFileName.toString, Files.getLastModifiedTime(p).toMillis))
+      .toSeq.sortBy(_._1)
+  }
+
+  test("delete writes deletion vectors and rewrites no data file") {
+    engine.execute("create table s.dv(a int, b double, primary key(a))")
+    // several batches = several data files
+    for (i <- 1 to 5)
+      engine.execute(s"insert into s.dv values($i, $i.5)")
+    val before = dataFiles("dv")
+    assert(before.length == 5)
+    engine.execute("delete from s.dv where a=3")
+    // no data file added, removed, or touched
+    assert(dataFiles("dv") == before)
+    assert(Files.isDirectory(
+      java.nio.file.Paths.get(engine.warehouse, "s", "dv", "deletes")))
+    val r = engine.execute("select * from s.dv").collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(1, 2, 4, 5))
+    // re-insert after the delete: the newer version is visible again
+    engine.execute("insert into s.dv values(3, 9.5)")
+    assert(engine.execute("select * from s.dv where a=3").collect().toSeq ==
+      Seq(Row(3, 9.5)))
+  }
+
+  test("time travel before a delete resurrects the rows") {
+    engine.execute("create table s.tt(a int, b double, primary key(a))")
+    engine.execute("insert into s.tt values(1, 1.5)")
+    engine.execute("insert into s.tt values(2, 2.5)")
+    val td = engine.catalog.getSchema("s", "tt")
+    val beforeDelete = engine.catalog.writeVersion(td)
+    engine.execute("delete from s.tt where a=1")
+    assert(engine.execute("select * from s.tt").collect().toSeq ==
+      Seq(Row(2, 2.5)))
+    val asOf = engine.catalog.readTableAsOf(td, beforeDelete)
+      .orderBy("a").collect().toSeq
+    assert(asOf == Seq(Row(1, 1.5), Row(2, 2.5)))
+  }
+
+  test("compact folds deletion vectors away") {
+    engine.execute("create table s.cf(a int, b double, primary key(a))")
+    for (i <- 1 to 4) engine.execute(s"insert into s.cf values($i, $i.5)")
+    engine.execute("delete from s.cf where a=2")
+    val td = engine.catalog.getSchema("s", "cf")
+    engine.catalog.compact(td)
+    assert(!Files.isDirectory(
+      java.nio.file.Paths.get(engine.warehouse, "s", "cf", "deletes")))
+    assert(engine.execute("select * from s.cf").collect().map(_.getInt(0)).toSeq ==
+      Seq(1, 3, 4))
+  }
+
+  test("rename column then insert then read keeps all values aligned") {
+    engine.execute("create table s.rn(a int, b double, c text, primary key(a))")
+    engine.execute("insert into s.rn values(1, 1.5, 'one')")
+    engine.execute("alter table s.rn rename column b to bb")
+    // this insert lands in a file written AFTER the rename; both files
+    // must read back under the same physical mapping
+    engine.execute("insert into s.rn values(2, 2.5, 'two')")
+    val r = engine.execute("select a, bb, c from s.rn").collect().toSeq
+    assert(r == Seq(Row(1, 1.5, "one"), Row(2, 2.5, "two")))
+    // delete through the renamed column's table, then read again
+    engine.execute("delete from s.rn where a=1")
+    assert(engine.execute("select a, bb, c from s.rn").collect().toSeq ==
+      Seq(Row(2, 2.5, "two")))
+  }
+
+  test("batch insert of 1M+ rows is rejected (seq packing guard)") {
+    engine.execute("create table s.big(a int, primary key(a))")
+    val td = engine.catalog.getSchema("s", "big")
+    val row = Seq[Any](1)
+    val rows = Seq.fill(1000000)(row) // shared instance; no real memory
+    val e = intercept[OtError](engine.catalog.appendRows(td, rows))
+    assert(e.msg.contains("1000000"))
+  }
+
+  test("clean-table full scan: no Exchange, no Sort, PK presentation order") {
+    import spark.implicits._
+    val shuffled = Seq(5, 2, 9, 1, 7, 3, 8, 4, 6, 10)
+      .map(i => (i, i * 1.5)).toDF("k", "v")
+    engine.importTable("s", "ord", shuffled, Seq("k"))
+    val df = engine.execute("select * from s.ord")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"plan has Exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("sortexec") && !plan.contains("Sort "),
+      s"plan has Sort:\n$plan")
+    assert(df.collect().map(_.getInt(0)).toSeq == (1 to 10))
+    // reverse presentation via negative limit, still no Exchange
+    val rev = engine.execute("select * from s.ord limit -3")
+    val rplan = rev.queryExecution.executedPlan.toString
+    assert(!rplan.contains("Exchange"), s"reverse plan has Exchange:\n$rplan")
+    assert(rev.collect().map(_.getInt(0)).toSeq == Seq(10, 9, 8))
+    // an append dirties the table; results stay correct via the sort path
+    engine.execute("insert into s.ord values(0, 0.5)")
+    assert(engine.execute("select * from s.ord").collect()
+      .map(_.getInt(0)).toSeq == (0 to 10))
+  }
+
+  test("adj projection is codegen-native: no ScalaUDF in the plan") {
+    engine.execute("insert into s._adj_ values(1, 3, 0.5, 2)")
+    engine.execute("create table s.bar(a int, b timestamp, c double, primary key(a, b))")
+    for (b <- Seq(0, 2, 4))
+      engine.execute(s"insert into s.bar values(1, $b, 1.0)")
+    val df = engine.execute("select b, adj(c) from s.bar where a=1")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"),
+      s"plan has a UDF node:\n$plan")
+    val got = df.collect().map(r =>
+      (r.getTimestamp(0).toInstant.getEpochSecond, r.getDouble(1))).toSeq
+    assert(got == Seq((0L, 0.5), (2L, 0.5), (4L, 1.0)))
+  }
+}

@@ -115,6 +115,22 @@ object EngineQueries {
       Some("""SELECT * FROM (VALUES (1, 1, 1.5), (1, 4, 6.0), (1, 5, 7.5))
               AS t(a, b, v) ORDER BY a, b""")),
 
+    // the dialect as a first-class spark.sql surface: a session built
+    // with GraftExtensions + spark.graft.warehouse runs opentick SQL
+    // directly — no Engine.execute call in sight
+    QueryDef(
+      "ot_sql_dialect",
+      (s, dir) => {
+        val e = forDir(s, dir)
+        GraftExtensions.register(e)
+        val sql = GraftExtensions.sessionFor(s, e.warehouse)
+        sql.sql("select o_custkey, o_orderkey, o_totalprice from ot.orders " +
+          "where o_custkey=2 limit -5")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+              WHERE o_custkey = 2
+              ORDER BY o_custkey DESC, o_orderkey DESC LIMIT 5""")),
+
     QueryDef(
       "ot_adj_backward",
       (s, dir) => forDir(s, dir)

@@ -416,9 +416,9 @@ object Queries {
           .select("user_id", "event_id", "ts")
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts").as("pts"),
-            col("value").as("last_purchase"))
+            col("value").as("last_purchase"), col("event_id").as("p_eid"))
         plans.NativeAsOf.backward(clicks, purchases, Seq("user_id"),
-            "ts", "pts", Seq("last_purchase"))
+            "ts", "pts", Seq("last_purchase"), tieBreak = Seq("p_eid"))
           .select("user_id", "event_id", "last_purchase")
           .orderBy("user_id", "event_id")
       },
@@ -450,8 +450,10 @@ object Queries {
         val bars = ev.filter(col("event_type") === "view")
           .select(col("user_id").as("sec"), col("ts"), col("event_id"),
             col("value"))
-        operators.AsOfJoin.forward(bars, factors, Seq("sec"), "ts", "tm",
-            Seq("px_f"), rightTieBreak = Seq("idx"), strict = true)
+        // native exec adoption: the sort-merge AsOfJoinExec outruns the
+        // composed union+window form (~15% at sf0.1) with the same oracle
+        plans.NativeAsOf.forward(bars, factors, Seq("sec"), "ts", "tm",
+            Seq("px_f"), strict = true, tieBreak = Seq("idx"))
           .select(col("sec"), expr("ts div 1000").as("ts_us"),
             col("event_id"),
             (col("value") * coalesce(col("px_f"), lit(1.0))).as("adj_value"))

@@ -53,41 +53,46 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     val extraL = leftCols.filterNot(by.contains)
 
-    var l = left.withColumn("__t", col(leftTime))
+    // ONE struct carries all payload (+tiebreak) columns, so the window
+    // pick below selects a whole right ROW atomically: every output
+    // payload value — including legitimate nulls — comes from the same,
+    // truly latest/earliest matching right row. (Per-column
+    // last/first(ignoreNulls) would instead substitute older non-null
+    // values for a newer row's nulls and could mix rows.)
+    val pStructType = org.apache.spark.sql.types.StructType(
+      carried.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType, nullable = true)))
+
+    val l = left.withColumn("__t", col(leftTime))
       .withColumn("__side", lit(sideOfL))
-    for (c <- carried)
-      l = l.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType))
+      .withColumn("__p", lit(null).cast(pStructType))
 
     var r = right
       .select((by ++ Seq(rightTime) ++ carried).distinct.map(col): _*)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(sideOfR))
-    for (c <- carried) r = r.withColumn(s"__p_$c", col(c))
+      .withColumn("__p", struct(carried.map(col): _*))
     for (c <- extraL) r = r.withColumn(c, lit(null).cast(left.schema(c).dataType))
 
-    val unionCols = by ++ extraL ++ Seq("__t", "__side") ++
-      carried.map(c => s"__p_$c")
+    val unionCols = by ++ extraL ++ Seq("__t", "__side", "__p")
     val merged = l.select(unionCols.map(col): _*)
       .union(r.select(unionCols.map(col): _*))
 
     // among equal-time right rows: backward keeps the greatest tiebreak
     // (last in asc order), forward keeps the smallest (first in asc order)
     val order = Seq(col("__t").asc, col("__side").asc) ++
-      tb.map(c => col(s"__p_$c").asc)
+      tb.map(c => col("__p").getField(c).asc)
     val w0 = Window.partitionBy(by.map(col): _*).orderBy(order: _*)
     val w = if (forwardDir)
       w0.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     else w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    var out = merged
-    for (c <- payload) {
-      val picked = if (forwardDir)
-        first(col(s"__p_$c"), ignoreNulls = true).over(w)
-      else last(col(s"__p_$c"), ignoreNulls = true).over(w)
-      out = out.withColumn(s"__asof_$c", picked)
-    }
-    out.filter(col("__side") === lit(sideOfL))
+    val picked = if (forwardDir)
+      first(col("__p"), ignoreNulls = true).over(w)
+    else last(col("__p"), ignoreNulls = true).over(w)
+    merged.withColumn("__asof", picked)
+      .filter(col("__side") === lit(sideOfL))
       .select((leftCols.filterNot(payload.contains).map(col) ++
-        payload.map(c => col(s"__asof_$c").as(c))): _*)
+        payload.map(c => col("__asof").getField(c).as(c))): _*)
   }
 }

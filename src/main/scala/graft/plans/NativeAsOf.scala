@@ -24,7 +24,8 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     payload: Seq[NamedExpression], strict: Boolean,
-    forward: Boolean) extends BinaryNode {
+    forward: Boolean,
+    rightTieBreak: Seq[Expression] = Nil) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.toAttribute.withNullability(true))
   override protected def withNewChildrenInternal(l: LogicalPlan,
@@ -33,9 +34,9 @@ case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt, payload, strict, fwd) =>
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, payload, strict, fwd, tb) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload,
-        strict, fwd) :: Nil
+        strict, fwd, tb) :: Nil
     case _ => Nil
   }
 }
@@ -44,7 +45,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     payload: Seq[NamedExpression], strict: Boolean,
-    forward: Boolean) extends BinaryExecNode {
+    forward: Boolean,
+    rightTieBreak: Seq[Expression] = Nil) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.toAttribute.withNullability(true))
@@ -54,13 +56,20 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
-  // sorted merge input: keys ascending, time ascending (backward) or
+  // Sorted merge input: keys ascending, time ascending (backward) or
   // descending (forward — the merge then carries the earliest-visible
-  // right row symmetrically)
+  // right row symmetrically). The merge keeps the LAST visible right row
+  // it consumes, so tiebreak columns sort in the SAME direction as time:
+  // at equal times backward keeps the greatest tiebreak, forward the
+  // smallest — matching the composed operator and the
+  // "ORDER BY ts DESC, id DESC LIMIT 1" correlated-subquery oracle. With
+  // no tiebreak, equal-time winners follow whatever order the sort
+  // emitted (nondeterministic across runs).
   private def timeDir: SortDirection = if (forward) Descending else Ascending
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, timeDir),
-    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, timeDir))
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, timeDir)
+      :++ rightTieBreak.map(SortOrder(_, timeDir)))
 
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
@@ -145,26 +154,29 @@ object NativeAsOf {
 
   /** Backward as-of join: for each left row, the payload of the latest
     * right row with the same key and rightTime <= leftTime (< when
-    * strict). Payload columns are appended, null when no match.
+    * strict). Payload columns are appended, null when no match. At equal
+    * right times the greatest `tieBreak` wins; with no tieBreak, ties
+    * resolve nondeterministically.
     */
   def backward(left: DataFrame, right: DataFrame, by: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      strict: Boolean = false): DataFrame =
+      strict: Boolean = false, tieBreak: Seq[String] = Nil): DataFrame =
     join(left, right, by, leftTime, rightTime, payload, strict,
-      forward = false)
+      forward = false, tieBreak)
 
   /** Forward as-of: the payload of the EARLIEST right row with the same
-    * key and rightTime >= leftTime (> when strict).
+    * key and rightTime >= leftTime (> when strict). At equal right times
+    * the smallest `tieBreak` wins.
     */
   def forward(left: DataFrame, right: DataFrame, by: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      strict: Boolean = false): DataFrame =
+      strict: Boolean = false, tieBreak: Seq[String] = Nil): DataFrame =
     join(left, right, by, leftTime, rightTime, payload, strict,
-      forward = true)
+      forward = true, tieBreak)
 
   private def join(left: DataFrame, right: DataFrame, by: Seq[String],
       leftTime: String, rightTime: String, payload: Seq[String],
-      strict: Boolean, forward: Boolean): DataFrame = {
+      strict: Boolean, forward: Boolean, tieBreak: Seq[String]): DataFrame = {
     val spark = left.sparkSession
     register(spark)
     val lPlan = GraftSql.logicalPlan(left)
@@ -176,10 +188,22 @@ object NativeAsOf {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found"))
-    val node = AsOfJoinNode(lPlan, rPlan,
-      by.map(attr(lPlan, _)), by.map(attr(rPlan, _)),
-      attr(lPlan, leftTime), attr(rPlan, rightTime),
-      payload.map(attr(rPlan, _)), strict, forward)
+    val lk = by.map(attr(lPlan, _))
+    val rk = by.map(attr(rPlan, _))
+    // the merge compares key/time columns as raw UnsafeRow projections:
+    // mismatched types would compare garbage, so reject them loudly here
+    lk.zip(rk).zip(by).foreach { case ((l, r), n) =>
+      require(l.dataType == r.dataType,
+        s"as-of key '$n' type mismatch: left ${l.dataType} vs right ${r.dataType}")
+    }
+    val lt = attr(lPlan, leftTime)
+    val rt = attr(rPlan, rightTime)
+    require(lt.dataType == rt.dataType,
+      s"as-of time type mismatch: $leftTime ${lt.dataType} vs " +
+        s"$rightTime ${rt.dataType}")
+    val node = AsOfJoinNode(lPlan, rPlan, lk, rk, lt, rt,
+      payload.map(attr(rPlan, _)), strict, forward,
+      tieBreak.map(attr(rPlan, _)))
     GraftSql.ofRows(spark, node)
   }
 }

@@ -71,6 +71,63 @@ class NativeAsOfSpec extends AnyFunSuite {
     assert(repart.length == 4 && repart.head == Row(1, 10L, "a", 100.0))
   }
 
+  test("equal-time ties resolve by tieBreak, parity with composed") {
+    // three right rows at the SAME (key, time) with different payloads
+    val dupRight = Seq(
+      (1, 10L, 100.0, 1L), (1, 10L, 111.0, 3L), (1, 10L, 105.0, 2L),
+      (1, 25L, 200.0, 9L))
+      .toDF("k", "rt", "v", "rid")
+    // backward: greatest rid at the tied time wins
+    val bw = NativeAsOf.backward(left, dupRight, Seq("k"), "t", "rt",
+        Seq("v"), tieBreak = Seq("rid"))
+      .orderBy("k", "t").collect().toSeq
+    assert(bw == Seq(
+      Row(1, 10L, "a", 111.0),
+      Row(1, 20L, "b", 111.0),
+      Row(1, 30L, "c", 200.0),
+      Row(2, 15L, "d", null)))
+    val bwComposed = graft.operators.AsOfJoin.backward(left, dupRight,
+        Seq("k"), "t", "rt", Seq("v"), rightTieBreak = Seq("rid"))
+      .orderBy("k", "t").collect().toSeq
+    assert(bw == bwComposed)
+    // forward: smallest rid at the tied time wins
+    val fw = NativeAsOf.forward(left, dupRight, Seq("k"), "t", "rt",
+        Seq("v"), tieBreak = Seq("rid"))
+      .orderBy("k", "t").collect().toSeq
+    assert(fw.head == Row(1, 10L, "a", 100.0))
+    val fwComposed = graft.operators.AsOfJoin.forward(left, dupRight,
+        Seq("k"), "t", "rt", Seq("v"), rightTieBreak = Seq("rid"))
+      .orderBy("k", "t").collect().toSeq
+    assert(fw == fwComposed)
+  }
+
+  test("payload columns all come from the same right row (null-safe)") {
+    // newest matching right row carries a NULL payload column: the join
+    // must return THAT null, not an older row's non-null value
+    val r2 = Seq(
+      (1, 5L, Some(50.0), "old"), (1, 9L, None, "new"))
+      .toDF("k", "rt", "v", "src")
+    val out = graft.operators.AsOfJoin.backward(
+        left.filter($"t" === 10L), r2, Seq("k"), "t", "rt",
+        Seq("v", "src"), rightTieBreak = Seq("rt"))
+      .collect().toSeq
+    assert(out == Seq(Row(1, 10L, "a", null, "new")))
+    val nat = NativeAsOf.backward(left.filter($"t" === 10L), r2, Seq("k"),
+        "t", "rt", Seq("v", "src"), tieBreak = Seq("rt")).collect().toSeq
+    assert(nat == out)
+  }
+
+  test("mismatched key or time types are rejected with a clear error") {
+    val badRight = right.withColumn("k", $"k".cast("long"))
+    val e1 = intercept[IllegalArgumentException](
+      NativeAsOf.backward(left, badRight, Seq("k"), "t", "rt", Seq("v")))
+    assert(e1.getMessage.contains("type mismatch"))
+    val badTime = right.withColumn("rt", $"rt".cast("int"))
+    val e2 = intercept[IllegalArgumentException](
+      NativeAsOf.backward(left, badTime, Seq("k"), "t", "rt", Seq("v")))
+    assert(e2.getMessage.contains("time type mismatch"))
+  }
+
   test("forward direction: earliest at-or-after, parity with composed") {
     val out = NativeAsOf.forward(left, right, Seq("k"), "t", "rt", Seq("v"))
       .orderBy("k", "t").collect().toSeq

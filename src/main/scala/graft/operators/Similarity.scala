@@ -131,12 +131,31 @@ object Similarity {
       .limit(k)
   }
 
+  /** Axis-aligned sign signature: bit p set iff vec[p] > 0. Blocking
+    * quality is below random hyperplanes for general ANN, but for
+    * NEAR-DUPLICATE detection (cosine ≥ ~0.95) sign patterns of
+    * near-colinear vectors agree under any plane set — and axis planes
+    * are replicable in any SQL engine, which makes the blocking itself
+    * oracle-checkable (no hash internals).
+    */
+  def axisSignature(vec: Column, nPlanes: Int): Column =
+    (0 until nPlanes).map(p =>
+      when(element_at(vec, p + 1) > 0.0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket join (exact-match
     * signature blocking) + exact cosine verification ≥ threshold.
+    * `axisBlocking=true` swaps the seeded random hyperplanes for
+    * [[axisSignature]] (engine-replicable buckets, same recall story for
+    * near-colinear duplicates).
     */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      dim: Int, threshold: Double = 0.95, nPlanes: Int = 12): DataFrame = {
-    val b = lshBuckets(df, vecCol, nPlanes, dim)
+      dim: Int, threshold: Double = 0.95, nPlanes: Int = 12,
+      axisBlocking: Boolean = false): DataFrame = {
+    val sig =
+      if (axisBlocking) axisSignature(col(vecCol), nPlanes)
+      else signature(col(vecCol), planes(nPlanes, dim))
+    val b = df.withColumn("lsh_sig", sig)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_sig"))
     val v1 = transform(col("va"), x => x.cast("double"))
     val v2 = transform(col("vb"), x => x.cast("double"))

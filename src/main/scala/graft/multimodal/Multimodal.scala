@@ -30,10 +30,75 @@ object Multimodal {
       length(col(binCol)).cast(LongType).as("n_bytes"),
       xxhash64(col(binCol)).as("content_id")))
 
+  /** REAL image decode via `javax.imageio` — the JDK's built-in codecs
+    * (PNG/JPEG/BMP/GIF/WBMP), no external libraries. Emits true
+    * (width, height, channels) plus a `dim`-float feature vector:
+    * mean-pooled luminance over a √dim×√dim grid, normalized to [0,1].
+    * Bytes no installed codec accepts yield NULLs (the honest signal;
+    * filter or route them to [[stubDecodeImage]]). Same partition-
+    * batched `mapPartitions` contract as the stub path, so swapping in
+    * a heavier codec changes no plan shape.
+    */
+  def decodeImage(df: DataFrame, binCol: String, dim: Int = 16): DataFrame = {
+    val grid = math.sqrt(dim.toDouble).toInt
+    require(grid * grid == dim, s"dim must be a square, got $dim")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("features", ArrayType(FloatType, containsNull = false),
+        nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      // codec lookup state is JVM-wide; per-partition batching keeps any
+      // per-task reader caches warm
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          catch { case _: Exception => null }
+        if (img == null)
+          Row.fromSeq(row.toSeq ++ Seq(null, null, null, null))
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val channels = img.getRaster.getNumBands
+          val feats = new Array[Float](dim)
+          val counts = new Array[Int](dim)
+          var y = 0
+          while (y < h) {
+            val gy = math.min(y * grid / h, grid - 1)
+            var x = 0
+            while (x < w) {
+              val gx = math.min(x * grid / w, grid - 1)
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xFF) * 299 +
+                ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
+              val cell = gy * grid + gx
+              feats(cell) += (lum / 255.0).toFloat
+              counts(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var i = 0
+          while (i < dim) {
+            if (counts(i) > 0) feats(i) /= counts(i)
+            i += 1
+          }
+          Row.fromSeq(row.toSeq ++ Seq(w, h, channels, feats))
+        }
+      }
+    }
+  }
+
   // ─────────────────────────────────────────────────────────────────
-  // STUB decoders — deterministic fakes standing in for real codecs.
-  // A production build replaces the byte math with e.g. a JNI decode;
-  // the mapPartitions batch shape and output schema stay identical.
+  // STUB decoders — deterministic fakes standing in for codecs the JVM
+  // lacks (audio feature extraction, video demux). A production build
+  // replaces the byte math with e.g. a JNI decode; the mapPartitions
+  // batch shape and output schema stay identical. Images use the REAL
+  // [[decodeImage]] above.
   // ─────────────────────────────────────────────────────────────────
 
   /** "Decode" an image binary into (width, height, channels) +

@@ -126,6 +126,38 @@ object Ingest {
       }
   }
 
+  /** Streaming corporate-action adjustment: live bars stream in while
+    * the engine's `_adj_` table keeps changing. Every micro-batch
+    * re-reads the (small, bounded) factor table, rebuilds the broadcast
+    * factor map, and applies the codegen multiplier
+    * ([[graft.functions.AdjMultiplier]]) — so an `_adj_` insert landing
+    * mid-stream adjusts every later micro-batch. This is the streaming
+    * form of the reference's adjCache invalidation (reference
+    * adj.go:34-47): per-batch re-broadcast instead of cache eviction.
+    *
+    * `which` 1=price 2=volume; `tmCol` must be a timestamp column.
+    */
+  def streamAdjusted(stream: DataFrame, engine: graft.engine.Engine,
+      db: String, secCol: String, tmCol: String, valueCol: String,
+      which: Int, backward: Boolean, outPath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val spark = batch.sparkSession
+        val adjTd = engine.catalog.getSchema(db, "_adj_")
+        val factors =
+          graft.operators.Adj.factors(engine.catalog.readTable(adjTd))
+        val bc = spark.sparkContext.broadcast(factors)
+        batch.toDF()
+          .withColumn(s"adj_$valueCol",
+            graft.operators.Adj.adjusted(spark, bc, col(valueCol),
+              col(secCol), col(tmCol), which, backward))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** Streaming OHLCV bars: tumbling event-time windows with a watermark;
     * min_by/max_by keep open/close without a sort. Append-mode emits
     * each bar once, when the watermark passes the window end.

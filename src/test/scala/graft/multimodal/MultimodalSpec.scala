@@ -51,6 +51,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(perDoc.forall(r => r.getLong(1) == 4L && r.getLong(2) == 4L))
   }
 
+  test("REAL decode: checked-in PNG fixture via javax.imageio") {
+    // 8x6 PNG, left half white / right half black (test resource)
+    val in = getClass.getResourceAsStream("/graft/half_white_8x6.png")
+    val bytes = in.readAllBytes(); in.close()
+    val df = Seq((1L, bytes)).toDF("id", "img")
+    val out = Multimodal.decodeImage(df, "img", dim = 4)
+      .select("width", "height", "channels", "features").head()
+    assert(out.getInt(0) == 8 && out.getInt(1) == 6 && out.getInt(2) == 3)
+    // 2x2 grid mean luminance: left column pure white (1.0), right 0.0
+    assert(out.getSeq[Float](3) == Seq(1.0f, 0.0f, 1.0f, 0.0f))
+  }
+
+  test("REAL decode: JPEG round-trip and junk-byte nulls") {
+    // encode a gradient through the JDK's own JPEG codec
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, if ((x / 8 + y / 8) % 2 == 0) 0xFFFFFF else 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val df = Seq((1L, bos.toByteArray), (2L, Array[Byte](1, 2, 3)))
+      .toDF("id", "img")
+    val rows = Multimodal.decodeImage(df, "img", dim = 4)
+      .select("id", "width", "height", "features").orderBy("id").collect()
+    assert(rows(0).getInt(1) == 16 && rows(0).getInt(2) == 16)
+    val f = rows(0).getSeq[Float](3)
+    // checkerboard: diagonal cells bright, off-diagonal dark (JPEG is
+    // lossy — assert the contrast, not exact values)
+    assert(f(0) > 0.8f && f(3) > 0.8f && f(1) < 0.2f && f(2) < 0.2f)
+    // junk bytes: no codec accepts them -> honest NULLs
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(3))
+  }
+
   test("decoded media features feed similarity search end-to-end") {
     val feats = Multimodal.stubDecodeImage(media, "payload", dim = 16)
       .select($"doc_id", $"features")

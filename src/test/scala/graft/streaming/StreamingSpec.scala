@@ -86,6 +86,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq((1L, 4.0), (3L, 6.0)))
   }
 
+  test("streaming adj: a bar's adjusted value flips after a mid-stream _adj_ insert") {
+    implicit val sq = spark.sqlContext
+    val wh = Files.createTempDirectory("graft-sadj-wh").toString
+    val engine = new graft.engine.Engine(spark, wh)
+    engine.execute("create database sadj")
+    val mem = MemoryStream[(Int, java.sql.Timestamp, Double)]
+    val out = Files.createTempDirectory("graft-sadj-out").toString + "/bars"
+    val ckpt = Files.createTempDirectory("graft-sadj-ckpt").toString
+    val q = Ingest.streamAdjusted(
+      mem.toDF.toDF("sec", "tm", "v"), engine, "sadj",
+      "sec", "tm", "v", which = 1, backward = false, out, ckpt)
+    def t(s: Int) = new java.sql.Timestamp(s * 1000L)
+    // batch 1: no corporate actions yet -> unadjusted
+    mem.addData((1, t(50), 100.0))
+    q.processAllAvailable()
+    // a split lands mid-stream: px 0.5 at t=100 (after the bar's time,
+    // so the FORWARD suffix product now covers the bar)
+    engine.execute("insert into sadj._adj_ values(1, 100, 0.5, 2)")
+    // batch 2: the SAME bar re-sent now adjusts by 0.5
+    mem.addData((1, t(50), 100.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(out)
+      .select("adj_v").collect().map(_.getDouble(0)).sorted.toSeq
+    assert(got == Seq(50.0, 100.0))
+  }
+
   test("custom sessionizer (flatMapGroupsWithState) closes on gap timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[SessEvent]

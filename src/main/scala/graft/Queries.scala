@@ -1064,21 +1064,30 @@ object Queries {
     //    bounds — DuckDB's oracle expects them all TRUE. ──
     QueryDef(
       "q_approx_distinct",
-      (s, dir) =>
-        t(s, dir, "events")
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        // two Expand-free aggregations joined on the tiny group key:
+        // mixing countDistinct with plain aggregates would Expand every
+        // input row per aggregate. Exact distinct = two-level agg (the
+        // scale shape); the HLL runs over the pre-distinct pairs, which
+        // is the same estimate with less input.
+        val users = ev.select("event_type", "user_id").distinct()
           .groupBy("event_type")
-          .agg(countDistinct(col("user_id")).as("exact_users"),
-            approx_count_distinct(col("user_id")).as("approx_users"),
-            expr("approx_percentile(value, 0.5)").as("amed"),
+          .agg(count(lit(1)).as("exact_users"),
+            approx_count_distinct(col("user_id")).as("approx_users"))
+        val meds = ev.groupBy("event_type")
+          .agg(expr("approx_percentile(value, 0.5)").as("amed"),
             expr("percentile(value, 0.4)").as("p40"),
             expr("percentile(value, 0.6)").as("p60"))
+        users.join(meds, "event_type")
           .select(col("event_type"), col("exact_users"),
             (abs(col("approx_users") - col("exact_users"))
               .cast(DoubleType) / col("exact_users").cast(DoubleType)
               <= 0.05).as("hll_within_5pct"),
             col("amed").between(col("p40"), col("p60"))
               .as("median_in_p40_p60"))
-          .orderBy("event_type"),
+          .orderBy("event_type")
+      },
       Some("""SELECT event_type, count(DISTINCT user_id) AS exact_users,
                 TRUE AS hll_within_5pct, TRUE AS median_in_p40_p60
               FROM events GROUP BY event_type ORDER BY event_type""")),

@@ -53,6 +53,18 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
   // per-db, per-sec factor cache with invalidation (reference adj.go:34-47)
   private val adjCache = TrieMap.empty[String, Map[Int, Array[Adj.Factor]]]
 
+  /** Execute with a per-call current-db override (the wire server keeps
+    * one db per CONNECTION, reference server.go:232 `usedDbName`, while
+    * the engine's `use` state is global). Resolution runs under the
+    * lock; the returned DataFrame's execution does not.
+    */
+  def executeWithDb(sql: String, args: Seq[Any], user: Option[User],
+      db: String): DataFrame = this.synchronized {
+    val prev = currentDb
+    if (db != null && db.nonEmpty) currentDb = db
+    try execute(sql, args, user) finally currentDb = prev
+  }
+
   def use(db: String, user: Option[User] = None): Unit = {
     if (!catalog.hasDatabase(db)) throw OtError(s"Database $db does not exist")
     if (getPerm(db, "", user) == Perm.No) throw OtError("No permisssion")
@@ -140,11 +152,14 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     * larger than `maxCacheRows` are NOT cached (and cost one bounded
     * probe job): the reference caches wire responses that FDB's range
     * limits keep small, whereas an unlimited select collected to the
-    * driver here would be the driver OOM at scale.
+    * driver here would be the driver OOM at scale. `proto` joins the
+    * cache key (the reference keys its response cache on the wire
+    * protocol too, server.go:344 `fmt.Sprint(useJson)`).
     */
   def executeCached(sql: String, args: Seq[Any] = Nil, ttlMs: Long = 1000,
-      user: Option[User] = None, maxCacheRows: Int = 10000): DataFrame = {
-    val key = (sql, args)
+      user: Option[User] = None, maxCacheRows: Int = 10000,
+      proto: String = ""): DataFrame = {
+    val key = (s"$proto $sql", args)
     val now = System.currentTimeMillis()
     respCache.get(key).filter(now - _._1 <= ttlMs) match {
       case Some((_, rows, schema)) =>

@@ -1,0 +1,195 @@
+package graft.engine
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+import scala.collection.concurrent.TrieMap
+import scala.concurrent.{Await, Future, Promise}
+import scala.concurrent.duration._
+import scala.util.control.NonFatal
+
+/** Async TCP client SDK for [[GraftServer]] (reference
+  * client/opentick.go): pipelined requests with ticket-keyed futures,
+  * heartbeat replies, and automatic reconnect that replays login/use
+  * state — the client-side half of SURVEY §2.8's heartbeat/reconnect.
+  *
+  * Select results come back as rows of plain values; timestamp cells
+  * travel as [epochSeconds, nanos] pairs and are decoded to
+  * `java.time.Instant` (the reference client materializes time.Time the
+  * same way).
+  */
+final class NetClient(host: String, port: Int,
+    syncTimeout: FiniteDuration = 30.seconds) {
+  private val tickets = new AtomicInteger(0)
+  private val pending = TrieMap.empty[Int, Promise[Any]]
+  @volatile private var sock: Socket = _
+  @volatile private var out: DataOutputStream = _
+  @volatile private var alive = false
+  // replayed on reconnect
+  @volatile private var loginCreds: Option[(String, String)] = None
+  @volatile private var usedDb: Option[String] = None
+
+  connect()
+
+  private def connect(): Unit = synchronized {
+    sock = new Socket(host, port)
+    sock.setTcpNoDelay(true)
+    out = new DataOutputStream(sock.getOutputStream)
+    val in = new DataInputStream(sock.getInputStream)
+    alive = true
+    Wire.writeFrame(out, "protocol=json".getBytes(StandardCharsets.UTF_8))
+    val reader = new Thread(() => readLoop(in), s"graft-client-read-$port")
+    reader.setDaemon(true)
+    reader.start()
+  }
+
+  private def readLoop(in: DataInputStream): Unit = {
+    try {
+      while (true) {
+        val body = Wire.readFrame(in)
+        if (body.length == 1 && body(0) == 'H'.toByte)
+          // server idle-timeout heartbeat: answer with an empty frame
+          Wire.writeFrame(out, Array.emptyByteArray)
+        else if (body.nonEmpty) {
+          val doc = Wire.decode(body)
+          val ticket = doc.get("0") match {
+            case Some(i: Int) => i
+            case Some(l: Long) => l.toInt
+            case _ => -1
+          }
+          pending.remove(ticket).foreach(_.success(doc.getOrElse("1", null)))
+        }
+      }
+    } catch {
+      case NonFatal(e) =>
+        alive = false
+        val err = OtError("Connection lost: " + e.getMessage)
+        pending.keys.toSeq.foreach(k =>
+          pending.remove(k).foreach(_.tryFailure(err)))
+    }
+  }
+
+  /** Re-dial and replay session state (login + use). */
+  private def reconnect(): Unit = synchronized {
+    if (alive) return
+    try sock.close() catch { case NonFatal(_) => }
+    connect()
+    loginCreds.foreach { case (u, p) => syncCall("login", s"$u $p") }
+    usedDb.foreach(db => syncCall("use", db))
+  }
+
+  private def call(cmd: String, sqlOrId: Any,
+      args: Seq[Any] = null): Future[Any] = {
+    val ticket = tickets.incrementAndGet()
+    val p = Promise[Any]()
+    pending.put(ticket, p)
+    val doc = Map[String, Any]("0" -> ticket, "1" -> cmd, "2" -> sqlOrId) ++
+      Option(args).map("3" -> _)
+    val bytes = Wire.encode(doc)
+    try {
+      if (!alive) reconnect()
+      Wire.writeFrame(out, bytes)
+    } catch {
+      case NonFatal(_) =>
+        // one transparent retry over a fresh connection
+        alive = false
+        reconnect()
+        Wire.writeFrame(out, bytes)
+    }
+    p.future
+  }
+
+  /** Error-string results become failed futures (OtError). */
+  private def checked(f: Future[Any]): Future[Any] = {
+    implicit val ec = scala.concurrent.ExecutionContext.global
+    f.flatMap {
+      case err: String => Future.failed(OtError(err))
+      case ok => Future.successful(ok)
+    }
+  }
+
+  private def syncCall(cmd: String, sqlOrId: Any,
+      args: Seq[Any] = null): Any =
+    Await.result(checked(call(cmd, sqlOrId, args)), syncTimeout)
+
+  private def toRows(v: Any): Seq[Seq[Any]] = v match {
+    case null => Nil
+    case rows: Seq[_] => rows.map {
+      case r: Seq[_] => r.map {
+        case Seq(sec: Long, nsec: Long) =>
+          java.time.Instant.ofEpochSecond(sec, nsec)
+        case Seq(sec: Int, nsec: Int) =>
+          java.time.Instant.ofEpochSecond(sec.toLong, nsec.toLong)
+        case Seq(sec: Long, nsec: Int) =>
+          java.time.Instant.ofEpochSecond(sec, nsec.toLong)
+        case Seq(sec: Int, nsec: Long) =>
+          java.time.Instant.ofEpochSecond(sec.toLong, nsec)
+        case cell => cell
+      }
+      case other => Seq(other)
+    }
+    case other => Seq(Seq(other))
+  }
+
+  // ── public API ──
+
+  def login(user: String, password: String): Unit = {
+    syncCall("login", s"$user $password")
+    loginCreds = Some((user, password))
+  }
+
+  def use(db: String): Unit = {
+    syncCall("use", db)
+    usedDb = Some(db)
+  }
+
+  /** Async statement execution; rows for selects, Nil otherwise. */
+  def executeAsync(sql: String, args: Seq[Any] = Nil): Future[Seq[Seq[Any]]] = {
+    implicit val ec = scala.concurrent.ExecutionContext.global
+    checked(call("run", sql, if (args.isEmpty) null else args)).map(toRows)
+  }
+
+  def execute(sql: String, args: Seq[Any] = Nil): Seq[Seq[Any]] =
+    Await.result(executeAsync(sql, args), syncTimeout)
+
+  /** Prepare once, run many (reference prepare/preparedId protocol). */
+  def prepare(sql: String): Int = syncCall("prepare", sql) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw OtError(s"Unexpected prepare result $other")
+  }
+
+  def executePrepared(id: Int, args: Seq[Any] = Nil): Seq[Seq[Any]] =
+    toRows(syncCall("run", id, if (args.isEmpty) null else args))
+
+  /** Batched insert through a prepared statement. */
+  def batchInsert(preparedId: Int, argsArray: Seq[Seq[Any]]): Unit =
+    syncCall("batch", preparedId, argsArray)
+
+  def listDatabases(): Seq[String] =
+    toRows(syncCall("meta", "list_databases")).flatten.map(_.toString)
+
+  def listTables(): Seq[String] =
+    toRows(syncCall("meta", "list_tables")).flatten.map(_.toString)
+
+  /** (keys, values) as (name, type) pairs, like the reference's meta
+    * schema response.
+    */
+  def schema(table: String): Seq[Seq[Seq[String]]] =
+    syncCall("meta", s"schema $table") match {
+      case s: Seq[_] => s.map {
+        case part: Seq[_] => part.map {
+          case col: Seq[_] => col.map(_.toString)
+          case other => Seq(other.toString)
+        }
+        case other => Seq(Seq(other.toString))
+      }
+      case other => throw OtError(s"Unexpected schema result $other")
+    }
+
+  def close(): Unit = {
+    alive = false
+    try sock.close() catch { case NonFatal(_) => }
+  }
+}

@@ -1,0 +1,316 @@
+package graft.engine
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket, SocketTimeoutException}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicBoolean
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+/** The wire protocol, shared by [[GraftServer]] and [[NetClient]]:
+  * 4-byte little-endian length frames carrying JSON documents — the
+  * reference's own `protocol=json` mode (reference server.go:287-291;
+  * the default BSON codec is omitted here, a documented delta: JSON is
+  * the protocol both the reference and this server negotiate with the
+  * same `protocol=json` preamble).
+  *
+  * Request:  {"0": ticket, "1": cmd, "2": sql | preparedId,
+  *            "3": args, "4": useCache}
+  * Response: {"0": ticket, "1": result}  (error string | rows | id)
+  * Heartbeat: a 1-byte frame 'H' from the server after an idle read
+  * timeout; the peer answers with an empty frame (server.go:129-132,
+  * client/opentick.go:443-446).
+  *
+  * Value encoding: numbers/strings/booleans/null as JSON; timestamps as
+  * [epochSeconds, nanos] pairs (the reference's placeholder convention,
+  * SURVEY §1.2).
+  */
+object Wire {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def writeFrame(out: DataOutputStream, body: Array[Byte]): Unit =
+    out.synchronized {
+      val len = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+        .putInt(body.length).array()
+      out.write(len); out.write(body); out.flush()
+    }
+
+  /** Reads one frame body; empty frames return Array.empty. */
+  def readFrame(in: DataInputStream): Array[Byte] = {
+    val head = new Array[Byte](4)
+    in.readFully(head)
+    val len = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN).getInt()
+    val body = new Array[Byte](len)
+    in.readFully(body)
+    body
+  }
+
+  def encode(doc: Map[String, Any]): Array[Byte] =
+    mapper.writeValueAsBytes(toJava(doc))
+
+  def decode(bytes: Array[Byte]): Map[String, Any] =
+    fromJava(mapper.readValue(bytes, classOf[java.util.Map[String, Any]]))
+      .asInstanceOf[Map[String, Any]]
+
+  private def toJava(v: Any): Any = v match {
+    case m: Map[_, _] =>
+      val jm = new java.util.LinkedHashMap[String, Any]()
+      m.foreach { case (k, x) => jm.put(k.toString, toJava(x)) }
+      jm
+    case s: Seq[_] => s.map(toJava).asJava
+    case t: java.time.Instant =>
+      Seq[Any](t.getEpochSecond, t.getNano.toLong).map(toJava).asJava
+    case t: java.sql.Timestamp => toJava(t.toInstant)
+    case other => other
+  }
+
+  private def fromJava(v: Any): Any = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, x) => k.toString -> fromJava(x) }.toMap
+    case l: java.util.List[_] => l.asScala.map(fromJava).toSeq
+    case n: java.math.BigDecimal => n.doubleValue()
+    case n: java.math.BigInteger => n.longValue()
+    case other => other
+  }
+}
+
+/** TCP server exposing the engine over the reference's wire surface
+  * (reference server.go): run / prepare / batch / login / use / meta,
+  * per-connection used-db and prepared-statement list, response cache
+  * for cached prepared selects, idle-timeout heartbeats. One thread per
+  * connection + one per request batch — fine for a driver-hosted compat
+  * endpoint; the heavy lifting is Spark jobs anyway.
+  */
+final class GraftServer(engine: Engine, port: Int = 0,
+    permissionControl: Boolean = false, idleTimeoutMs: Int = 0,
+    cacheTtlMs: Long = 0L) {
+  private val socket = new ServerSocket(port)
+  private val running = new AtomicBoolean(true)
+  @volatile private var conns = List.empty[Socket]
+
+  def boundPort: Int = socket.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running.get()) {
+      try {
+        val s = socket.accept()
+        s.setTcpNoDelay(true)
+        synchronized { conns = s :: conns }
+        new Thread(() => handle(s), s"graft-conn-${s.getPort}").start()
+      } catch { case NonFatal(_) => /* closed */ }
+    }
+  }, "graft-server-accept")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  def stop(): Unit = {
+    running.set(false)
+    try socket.close() catch { case NonFatal(_) => }
+    synchronized { conns.foreach(s => try s.close() catch { case NonFatal(_) => }) }
+  }
+
+  private def handle(s: Socket): Unit = {
+    val in = new DataInputStream(s.getInputStream)
+    val out = new DataOutputStream(s.getOutputStream)
+    // connection state (reference server.go:232-236)
+    var usedDb = ""
+    var user: Option[User] =
+      if (permissionControl &&
+          !s.getInetAddress.isLoopbackAddress) Some(User("", "", false, Map.empty))
+      else None // no user ⇒ local admin (user.go:63-65)
+    val prepared = ArrayBuffer.empty[String]
+    if (idleTimeoutMs > 0) s.setSoTimeout(idleTimeoutMs)
+    try {
+      var waitHeartbeat = false
+      while (running.get()) {
+        val body =
+          try Wire.readFrame(in)
+          catch {
+            case _: SocketTimeoutException if !waitHeartbeat =>
+              // idle: ask the client to prove liveness (server.go:129-132)
+              Wire.writeFrame(out, Array('H'.toByte))
+              waitHeartbeat = true
+              null
+          }
+        if (body != null) {
+          waitHeartbeat = false
+          if (body.isEmpty) () // empty frame = heartbeat ack
+          else if (new String(body, StandardCharsets.UTF_8) == "protocol=json")
+            () // only mode we speak; accepted silently
+          else if (body.length == 1 && body(0) == 'H'.toByte)
+            Wire.writeFrame(out, Array.emptyByteArray) // heartbeat request
+          else {
+            val doc = Wire.decode(body)
+            val ticket = doc.get("0") match {
+              case Some(i: Int) => i
+              case Some(l: Long) => l.toInt
+              case _ => -1
+            }
+            // request handling off the read loop so a slow query doesn't
+            // stall heartbeats (reference processes concurrently too)
+            val db = usedDb
+            val u = user
+            new Thread(() => {
+              val (res, newDb, newUser) = dispatch(doc, db, u, prepared)
+              newDb.foreach(d => usedDb = d)
+              newUser.foreach(nu => user = Some(nu))
+              try Wire.writeFrame(out,
+                Wire.encode(Map("0" -> ticket, "1" -> res)))
+              catch { case NonFatal(_) => }
+            }).start()
+          }
+        }
+      }
+    } catch { case NonFatal(_) => /* connection closed */ }
+    finally { try s.close() catch { case NonFatal(_) => } }
+  }
+
+  /** Returns (result, newUsedDb, newUser). Error results are plain
+    * strings, success is rows/ids/null — the reference's convention.
+    */
+  private def dispatch(doc: Map[String, Any], usedDb: String,
+      user: Option[User],
+      prepared: ArrayBuffer[String]): (Any, Option[String], Option[User]) = {
+    val cmd = doc.getOrElse("1", "") match {
+      case s: String => s
+      case other => return (s"Invalid command, exepcted string, got $other",
+        None, None)
+    }
+    val sqlOrId = doc.get("2")
+    val args: Seq[Any] = doc.get("3") match {
+      case Some(s: Seq[_]) => s.map(jsonArg)
+      case _ => Nil
+    }
+    def resolveSql: Either[String, String] = sqlOrId match {
+      case Some(s: String) if s.nonEmpty => Right(s)
+      case Some(i: Int) =>
+        if (i < prepared.length) Right(prepared(i))
+        else Left(s"Invalid preparedId $i")
+      case Some(l: Long) =>
+        if (l < prepared.length) Right(prepared(l.toInt))
+        else Left(s"Invalid preparedId $l")
+      case Some(s: String) => Left("Empty sql")
+      case other => Left(s"Invalid sql, expected string or int (prepared " +
+        s"id), got ${other.getOrElse(null)}")
+    }
+    try {
+      cmd match {
+        case "run" =>
+          resolveSql match {
+            case Left(err) => (err, None, None)
+            case Right(sql) =>
+              val useCache = doc.get("4").exists {
+                case i: Int => i > 0
+                case l: Long => l > 0
+                case _ => false
+              }
+              val df =
+                if (useCache && cacheTtlMs > 0 && sqlOrId.exists(!_.isInstanceOf[String]))
+                  engine.synchronized {
+                    // cached prepared select (server.go:342-350); per-db
+                    // + proto cache key
+                    engine.executeCached(sql, args, cacheTtlMs, user,
+                      proto = s"json $usedDb")
+                  }
+                else engine.executeWithDb(sql, args, user, usedDb)
+              val rows = df.collect().toSeq.map(_.toSeq)
+              (if (rows.isEmpty) null else rows, None, None)
+          }
+        case "prepare" =>
+          resolveSql match {
+            case Left(err) => (err, None, None)
+            case Right(sql) =>
+              Parser.parse(sql) // syntax check now, like Resolve
+              prepared.synchronized { prepared += sql }
+              (prepared.length - 1, None, None)
+          }
+        case "batch" =>
+          if (sqlOrId.exists(_.isInstanceOf[String]))
+            ("Batch command must be prepared first", None, None)
+          else resolveSql match {
+            case Left(err) => (err, None, None)
+            case Right(sql) =>
+              if (!sql.trim.toLowerCase.startsWith("insert"))
+                ("Only batch insert supported", None, None)
+              else {
+                val argsArray = args.map {
+                  case a: Seq[_] => a.map(identity)
+                  case _ => return ("Arguments must be array of array",
+                    None, None)
+                }
+                if (argsArray.nonEmpty &&
+                    argsArray.exists(_.length != argsArray.head.length))
+                  ("All array must the same size", None, None)
+                else {
+                  engine.synchronized {
+                    engine.batchInsert(sql, argsArray, user)
+                  }
+                  (null, None, None)
+                }
+              }
+          }
+        case "login" =>
+          val toks = sqlOrId.fold("")(_.toString).split(" ")
+          if (toks.length < 2 || toks(0).isEmpty || toks(1).isEmpty)
+            ("Both username and password required", None, None)
+          else {
+            try {
+              val u = engine.login(toks(0), toks(1))
+              (null, None, Some(u))
+            } catch {
+              case OtError("Invalid user name") => ("Unknown username", None, None)
+              case OtError("Invalid password") => ("Password mismatch", None, None)
+            }
+          }
+        case "use" =>
+          val db = sqlOrId.fold("")(_.toString)
+          if (!engine.catalog.hasDatabase(db)) (s"$db does not exist", None, None)
+          else if (engine.getPerm(db, "", user) == Perm.No)
+            ("No permission", Some(db), None)
+          else (null, Some(db), None)
+        case "meta" =>
+          val toks = sqlOrId.fold("")(_.toString).split(" ")
+          toks.headOption.getOrElse("") match {
+            case "list_databases" => (engine.listDatabases(), None, None)
+            case "list_tables" =>
+              if (usedDb.isEmpty) ("Please select database first", None, None)
+              else (engine.listTables(usedDb), None, None)
+            case "schema" =>
+              if (toks.length < 2) ("Please specify table name", None, None)
+              else {
+                val td = engine.tableSchemaOf(usedDb, toks(1))
+                (Seq(td.keys.map(c => Seq(c.name, c.tpe.name)),
+                  td.values.map(c => Seq(c.name, c.tpe.name))), None, None)
+              }
+            case "chgpasswd" =>
+              if (toks.length < 2) ("Please specify new password", None, None)
+              else user match {
+                case Some(u) if u.name.nonEmpty =>
+                  engine.changePassword(u, toks(1)); (null, None, None)
+                case _ => ("Not logged in", None, None)
+              }
+            case "reload_users" =>
+              if (user.exists(!_.isAdmin)) ("No permission", None, None)
+              else { engine.loadUsers(); (null, None, None) }
+            case "" => ("Please specify meta command", None, None)
+            case _ => ("Invalid meta command", None, None)
+          }
+        case other => (s"Invalid command $other", None, None)
+      }
+    } catch {
+      case OtError(msg) => (msg, None, None)
+      case NonFatal(e) => (String.valueOf(e.getMessage), None, None)
+    }
+  }
+
+  /** JSON arg → engine value: [sec, nsec] pairs stay Seqs (the engine's
+    * timestamp coercion handles them); integral JSON numbers arrive as
+    * Int/Long, floats as Double.
+    */
+  private def jsonArg(v: Any): Any = v match {
+    case s: Seq[_] => s.map(jsonArg)
+    case other => other
+  }
+}

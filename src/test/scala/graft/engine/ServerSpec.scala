@@ -1,0 +1,86 @@
+package graft.engine
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** End-to-end wire protocol: DDL/DML/select through the TCP server and
+  * async client SDK, prepared statements + batch insert, meta commands,
+  * idle-timeout heartbeats keeping a quiet connection alive, and
+  * client auto-reconnect replaying session state (SURVEY §2.8 —
+  * reference server.go / client/opentick.go).
+  */
+class ServerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val engine = {
+    val wh = Files.createTempDirectory("graft-srv-wh").toString
+    new Engine(spark, wh)
+  }
+  // short idle timeout so heartbeats actually fire during the test
+  private lazy val server = new GraftServer(engine, port = 0,
+    idleTimeoutMs = 150)
+  private lazy val client = new NetClient("127.0.0.1", server.boundPort)
+
+  test("e2e: DDL, insert, prepared batch, select, meta over the wire") {
+    client.execute("create database net")
+    client.use("net")
+    client.execute("create table net.t(sec int, tm timestamp, px double, " +
+      "note text, primary key(sec, tm))")
+    client.execute("insert into net.t values(1, 10, 1.5, 'a')")
+    val pid = client.prepare("insert into net.t values(?, ?, ?, ?)")
+    client.batchInsert(pid, Seq(
+      Seq(1, 20, 2.5, "b"), Seq(1, 30, 3.5, "c"), Seq(2, 10, 9.0, "d")))
+    val rows = client.execute("select * from net.t where sec=1")
+    assert(rows.length == 3)
+    assert(rows.head == Seq(1L, java.time.Instant.ofEpochSecond(10), 1.5, "a"))
+    // prepared select with args
+    val sid = client.prepare("select px from net.t where sec=? and tm=?")
+    assert(client.executePrepared(sid, Seq(1, 30)) == Seq(Seq(3.5)))
+    // async pipelining: several selects in flight at once
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = (1 to 4).map(_ => client.executeAsync("select * from net.t where sec=1"))
+    val all = scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(futs),
+      scala.concurrent.duration.Duration("30s"))
+    assert(all.forall(_.length == 3))
+    // meta commands
+    assert(client.listDatabases().contains("net"))
+    assert(client.listTables().contains("t"))
+    val sch = client.schema("t")
+    assert(sch(0).map(_.head) == Seq("sec", "tm")) // keys
+    assert(sch(1).map(_.head) == Seq("px", "note")) // values
+  }
+
+  test("error strings travel as failures (reference wording)") {
+    val e1 = intercept[OtError](client.execute("select * from net.nope"))
+    assert(e1.msg == "Table net.nope does not exists")
+    val e2 = intercept[OtError](
+      client.batchInsert(999, Seq(Seq(1))))
+    assert(e2.msg == "Invalid preparedId 999")
+    val e3 = intercept[OtError](client.use("xx"))
+    assert(e3.msg == "xx does not exist")
+  }
+
+  test("heartbeats keep an idle connection alive across server timeouts") {
+    // idle for several multiples of the 150ms server timeout: the server
+    // sends 'H', the client answers empty frames, nobody disconnects
+    Thread.sleep(800)
+    assert(client.execute("select * from net.t where sec=2") ==
+      Seq(Seq(2L, java.time.Instant.ofEpochSecond(10), 9.0, "d")))
+  }
+
+  test("client reconnects after a server restart and replays used db") {
+    val port = server.boundPort
+    server.stop()
+    Thread.sleep(100)
+    val revived = new GraftServer(engine, port = port, idleTimeoutMs = 150)
+    try {
+      // unqualified table name: only works if `use net` was replayed
+      val rows = client.execute("select * from t where sec=2")
+      assert(rows == Seq(Seq(2L, java.time.Instant.ofEpochSecond(10), 9.0, "d")))
+    } finally {
+      client.close()
+      revived.stop()
+    }
+  }
+}

@@ -91,6 +91,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** The 100 TB ANN shape, materialized: write the corpus ONCE as a
+    * signature-partitioned parquet table (`lsh_sig=<s>/` directories);
+    * every later query probes only the partition directories within the
+    * hamming radius — the scan reads a handful of buckets out of
+    * 2^nPlanes, enforced by Spark partition pruning on the `lsh_sig`
+    * partition column (verify `PartitionFilters` in `.explain`).
+    */
+  def writeSignaturePartitioned(df: DataFrame, vecCol: String,
+      nPlanes: Int, dim: Int, path: String): Unit =
+    lshBuckets(df, vecCol, nPlanes, dim)
+      .write.partitionBy("lsh_sig").mode("overwrite").parquet(path)
+
+  /** ANN top-k over a [[writeSignaturePartitioned]] table: enumerate the
+    * signatures within `maxHammingProbe` of the query's (a driver-side
+    * combinatorial walk, ∑C(nPlanes,≤r) values), filter the partition
+    * column with an IN list so pruning happens at planning time, then
+    * rerank candidates exactly. No signature is recomputed at query
+    * time and unprobed partitions are never opened.
+    */
+  def annTopKPrecomputed(spark: SparkSession, path: String, idCol: String,
+      vecCol: String, q: Seq[Double], k: Int, nPlanes: Int = 12,
+      maxHammingProbe: Int = 2): DataFrame = {
+    val pl = planes(nPlanes, q.length)
+    val qSig = pl.zipWithIndex.map { case (plane, p) =>
+      val dot = plane.zip(q).map { case (a, b) => a * b }.sum
+      if (dot > 0.0) 1L << p else 0L
+    }.sum
+    // all signatures within hamming distance r of qSig
+    val probes = scala.collection.mutable.ArrayBuffer(qSig)
+    def flip(base: Long, startBit: Int, left: Int): Unit =
+      if (left > 0) {
+        var b = startBit
+        while (b < nPlanes) {
+          val f = base ^ (1L << b)
+          probes += f
+          flip(f, b + 1, left - 1)
+          b += 1
+        }
+      }
+    flip(qSig, 0, maxHammingProbe)
+    spark.read.parquet(path)
+      .filter(col("lsh_sig").isin(probes.toSeq: _*))
+      .select(col(idCol),
+        graft.functions.CosineToQuery(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** IVF (inverted-file) index: k-means centroids over the embedding
     * space; every vector is assigned to its nearest centroid. A query
     * probes only the `nProbe` nearest centroid lists then reranks

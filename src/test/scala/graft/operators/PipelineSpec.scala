@@ -51,6 +51,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall too low: $recall (exact=$exact ann=$ann)")
   }
 
+  test("precomputed signature-partitioned ANN: same results, pruned scan") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-annidx").toString + "/emb_by_sig"
+    Similarity.writeSignaturePartitioned(emb, "embedding", 12, q.length, path)
+    val pre = Similarity.annTopKPrecomputed(spark, path, "vec_id",
+      "embedding", q, 10, nPlanes = 12, maxHammingProbe = 4)
+    // identical results to the recompute-at-query-time form
+    val live = Similarity.annTopK(emb, "vec_id", "embedding", q, 10,
+        nPlanes = 12, maxHammingProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(pre.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == live)
+    // the probe must PRUNE: partition filters reach the scan and the
+    // files actually read are a strict subset of the partition dirs
+    val plan = pre.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("lsh_sig"), s"no partition pruning in plan:\n$plan")
+    // same probe enumeration as annTopKPrecomputed
+    val pl = Similarity.planes(12, q.length)
+    val qSig = pl.zipWithIndex.map { case (plane, p) =>
+      if (plane.zip(q).map { case (a, b) => a * b }.sum > 0.0) 1L << p else 0L
+    }.sum
+    val probes = scala.collection.mutable.ArrayBuffer(qSig)
+    def flip(base: Long, startBit: Int, left: Int): Unit =
+      if (left > 0) (startBit until 12).foreach { b =>
+        val f = base ^ (1L << b); probes += f; flip(f, b + 1, left - 1)
+      }
+    flip(qSig, 0, 4)
+    val totalParts = new java.io.File(path).listFiles()
+      .count(_.getName.startsWith("lsh_sig="))
+    // pre-shuffle scan (input_file_name is lost past an exchange)
+    val readParts = spark.read.parquet(path)
+      .filter($"lsh_sig".isin(probes.toSeq: _*))
+      .select(org.apache.spark.sql.functions.input_file_name())
+      .distinct().collect()
+      .map(_.getString(0).split("lsh_sig=")(1).split("/")(0)).distinct
+    assert(readParts.length < totalParts,
+      s"probe read ${readParts.length} of $totalParts partitions — no pruning")
+  }
+
   test("ann LSH probes fewer vectors than the full scan") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     val q = emb.filter($"vec_id" === 0L)

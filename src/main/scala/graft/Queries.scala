@@ -819,6 +819,72 @@ object Queries {
       },
       Some(cosineNearDupOracleSql)),
 
+    // ── north star: PII detection + redaction. Synthetic PII is grafted
+    //    onto every third document (both engines replicate the graft),
+    //    counts + an md5 of the redacted text keep the output narrow. ──
+    QueryDef(
+      "q_pii_scan",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+          .withColumn("text", concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit(" contact: user"), col("doc_id"),
+                lit("@example.com or 555-123-4567 at 10.0.0.1")))
+              .otherwise(lit(""))))
+        operators.TextAnalysis.piiScan(docs, "doc_id", "text")
+          .select(col("doc_id"), col("n_emails"), col("n_phones"),
+            col("n_ssns"), col("n_ipv4"), md5(col("redacted")).as("red_md5"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+                text || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact: user' || doc_id ||
+                       '@example.com or 555-123-4567 at 10.0.0.1'
+                  ELSE '' END AS text
+              FROM documents)
+              SELECT doc_id,
+                len(regexp_extract_all(text, '${operators.TextAnalysis.emailRe}')) AS n_emails,
+                len(regexp_extract_all(text, '${operators.TextAnalysis.phoneRe}')) AS n_phones,
+                len(regexp_extract_all(text, '${operators.TextAnalysis.ssnRe}')) AS n_ssns,
+                len(regexp_extract_all(text, '${operators.TextAnalysis.ipv4Re}')) AS n_ipv4,
+                md5(regexp_replace(text, '${operators.TextAnalysis.emailRe}',
+                    '<EMAIL>', 'g')) AS red_md5
+              FROM d ORDER BY doc_id""")),
+
+    // ── north star: repetition metrics (Gopher/C4-style quality
+    //    filters): duplicate sentences + top-bigram concentration ──
+    QueryDef(
+      "q_repetition",
+      (s, dir) =>
+        operators.TextAnalysis.repetition(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_split_to_array(regexp_replace(lower(trim(text)),
+                  '\s+', ' ', 'g'), ' ') AS toks,
+                string_split(text, '. ') AS sents
+              FROM documents),
+              bi AS (SELECT doc_id, array_to_string(toks[g:g+1], ' ') AS b
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 1)) AS g
+                           FROM t)),
+              bc AS (SELECT doc_id, b, count(*) AS c FROM bi GROUP BY 1, 2),
+              bs AS (SELECT doc_id, max(c) AS top_bigram_n,
+                       CAST(sum(c) AS BIGINT) AS n_bigrams,
+                       count(*) AS n_distinct_bigrams
+                     FROM bc GROUP BY doc_id),
+              ss AS (SELECT doc_id, len(sents) AS n_sents,
+                       len(list_distinct(sents)) AS n_distinct_sents
+                     FROM t)
+              SELECT s.doc_id, n_sents, n_distinct_sents,
+                coalesce(n_bigrams, 0) AS n_bigrams,
+                coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+                coalesce(top_bigram_n, 0) AS top_bigram_n,
+                CAST(coalesce(top_bigram_n, 0) AS DOUBLE) /
+                  greatest(coalesce(n_bigrams, 0), 1) AS top_bigram_frac
+              FROM ss s LEFT JOIN bs USING(doc_id) ORDER BY s.doc_id""")),
+
     // ── §2.5 window: lag/lead ──
     QueryDef(
       "q_window_lag",

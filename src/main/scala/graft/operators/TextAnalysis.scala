@@ -76,6 +76,62 @@ object TextAnalysis {
       .withColumn("n_re_tokens",
         size(regexp_extract_all(col(textCol), lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"), lit(0))))
 
+  /** PII signals for training-data hygiene: counts of email / phone /
+    * SSN-shaped / IPv4 patterns plus the text with emails redacted.
+    * Deliberately simple, deterministic, RE2-compatible patterns so any
+    * SQL engine (and the DuckDB oracle) replays them exactly; a
+    * production pipeline swaps in curated pattern packs through the
+    * same shape. Expression-only → whole-stage codegen.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val ssnRe = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(regexp_extract_all(col(textCol), lit(emailRe), lit(0)))
+        .as("n_emails"),
+      size(regexp_extract_all(col(textCol), lit(phoneRe), lit(0)))
+        .as("n_phones"),
+      size(regexp_extract_all(col(textCol), lit(ssnRe), lit(0)))
+        .as("n_ssns"),
+      size(regexp_extract_all(col(textCol), lit(ipv4Re), lit(0)))
+        .as("n_ipv4"),
+      regexp_replace(col(textCol), emailRe, "<EMAIL>").as("redacted"))
+
+  /** Repetition signals (the Gopher/C4-style repetitiousness filters):
+    * duplicate-sentence counts and top-bigram concentration. Sentence
+    * metrics are per-row array expressions; bigram concentration goes
+    * through explode + two hash aggregations on the doc key (map-side
+    * combined — the shape that holds when documents are book-length).
+    * Docs with fewer than two tokens carry zeroed bigram stats.
+    */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .withColumn("__toks", Dedup.tokens(col(textCol)))
+      .withColumn("__sents", split(col(textCol), "\\. "))
+    val sent = base.select(col(idCol),
+      size(col("__sents")).as("n_sents"),
+      size(array_distinct(col("__sents"))).as("n_distinct_sents"))
+    val bigrams = base.select(col(idCol),
+      explode(Dedup.shingleArray(col("__toks"), 2)).as("b"))
+    val stats = bigrams.groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(max(col("c")).as("top_bigram_n"),
+        sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"))
+    sent.join(stats, Seq(idCol), "left")
+      .select(col(idCol), col("n_sents"), col("n_distinct_sents"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L)).as("n_distinct_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_n").cast(DoubleType) /
+          greatest(col("n_bigrams"), lit(1L)).cast(DoubleType))
+  }
+
   /** Content fingerprints: md5 of normalized text (exact identity) and
     * a 64-bit rolling-window min-hash (winnowing-style robust id: the
     * minimum xxhash64 over all word 4-grams — stable under local edits

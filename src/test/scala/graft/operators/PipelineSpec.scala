@@ -93,6 +93,35 @@ class PipelineSpec extends AnyFunSuite {
       s"probe read ${readParts.length} of $totalParts partitions — no pruning")
   }
 
+  test("piiScan counts and redacts fixture PII") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@corp.example.org or call 555-123-4567"),
+      (2L, "ssn 123-45-6789 from host 192.168.0.1 and 10.0.0.1"),
+      (3L, "nothing sensitive here")).toDF("id", "text")
+    val out = TextAnalysis.piiScan(df, "id", "text").orderBy("id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 1) // email + phone
+    assert(out(0).getString(5) == "mail me at <EMAIL> or call 555-123-4567")
+    assert(out(1).getInt(3) == 1 && out(1).getInt(4) == 2) // ssn + 2 ips
+    assert(out(2).getInt(1) + out(2).getInt(2) + out(2).getInt(3) +
+      out(2).getInt(4) == 0)
+  }
+
+  test("repetition flags duplicate sentences and bigram loops") {
+    val df = Seq(
+      (1L, "the cat sat. the cat sat. the dog ran. "),
+      (2L, "go go go go go go"),
+      (3L, "x")).toDF("id", "text")
+    val out = TextAnalysis.repetition(df, "id", "text").orderBy("id").collect()
+    // doc 1: 4 sentence splits ("the cat sat", dup, "the dog ran", ""),
+    // 3 distinct
+    assert(out(0).getInt(1) == 4 && out(0).getInt(2) == 3)
+    // doc 2: bigrams are 5x "go go" -> full concentration
+    assert(out(1).getLong(3) == 5L && out(1).getLong(4) == 1L &&
+      out(1).getDouble(6) == 1.0)
+    // doc 3: single token -> zeroed bigram stats, frac 0
+    assert(out(2).getLong(3) == 0L && out(2).getDouble(6) == 0.0)
+  }
+
   test("ann LSH probes fewer vectors than the full scan") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     val q = emb.filter($"vec_id" === 0L)

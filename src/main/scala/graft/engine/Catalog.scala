@@ -41,6 +41,32 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   val SeqCol = "__seq"
   private val schemaCache = TrieMap.empty[String, TableDef]
 
+  // ── nanosecond fidelity ──────────────────────────────────────────
+  // Spark TimestampType is µs; the reference keys rows by (sec, nsec)
+  // at full ns (query.go:754-779). Every Timestamp column therefore
+  // stores a companion `<name>__ns` INT remainder (0-999): it joins the
+  // key identity (LWW windows, deletion vectors, compaction), the sort
+  // order, and the engine's predicate bounds, so ns-distinct keys stay
+  // distinct and ns ranges compare exactly. External reads hide the
+  // remainder; the µs TimestampType column is the display value.
+
+  /** Logical ns-remainder column name. */
+  def nsCol(name: String): String = name + "__ns"
+
+  /** Timestamp columns of the table (the ones carrying remainders). */
+  private def tsCols(td: TableDef): Seq[String] =
+    td.cols.filter(_.tpe == OtType.Timestamp).map(_.name)
+
+  /** Key columns expanded with ns remainders — the PHYSICAL key
+    * identity used by windows, DVs and sorts.
+    */
+  def keyColsWithNs(td: TableDef): Seq[String] =
+    td.keys.flatMap(k =>
+      if (k.tpe == OtType.Timestamp) Seq(k.name, nsCol(k.name))
+      else Seq(k.name))
+
+  private def nsColNames(td: TableDef): Seq[String] = tsCols(td).map(nsCol)
+
   private def dbPath(db: String): Path = Paths.get(warehouse, db)
   private def tblPath(db: String, tbl: String): Path = Paths.get(warehouse, db, tbl)
 
@@ -150,22 +176,28 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   private def hasDeletes(td: TableDef): Boolean = hasParquet(deletesDir(td))
 
   /** Rename a file-schema DataFrame from physical to logical names (the
-    * recorded mapping is positional against td.cols).
+    * recorded mapping is positional against td.cols; ns remainder
+    * columns follow their timestamp column's name).
     */
   private def physToLogical(td: TableDef, df: DataFrame): DataFrame = {
     val phys = physNames(td)
     val logical = td.cols.map(_.name)
-    phys.zip(logical).foldLeft(df) { case (d, (p, l)) =>
+    val pairs = phys.zip(logical).flatMap { case (p, l) =>
+      Seq(p -> l, nsCol(p) -> nsCol(l))
+    }
+    pairs.foldLeft(df) { case (d, (p, l)) =>
       if (p != l) d.withColumnRenamed(p, l) else d
     }
   }
 
-  /** Raw append-log rows incl. __seq, with the physical→logical column
-    * rename applied. Deletion vectors NOT applied — see [[maskedData]].
+  /** Raw append-log rows incl. __seq and ns remainders, with the
+    * physical→logical column rename applied. Deletion vectors NOT
+    * applied — see [[maskedData]].
     */
   private def rawData(td: TableDef): DataFrame = {
     if (!hasData(td)) {
-      val schema = td.sparkSchema.add(SeqCol, LongType, nullable = false)
+      val schema = logicalSchemaWithNs(td).add(SeqCol, LongType,
+        nullable = false)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], schema)
     }
@@ -190,10 +222,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     deleteVectors(td) match {
       case None => base
       case Some(dv0) =>
+        val kc = keyColsWithNs(td)
         val dv = maxSeqExclusive.fold(dv0)(s => dv0.filter(col("__dseq") < s))
-          .groupBy(td.keyNames.map(col): _*)
+          .groupBy(kc.map(col): _*)
           .agg(max(col("__dseq")).as("__dseq"))
-        base.join(dv, td.keyNames, "left")
+        base.join(dv, kc, "left")
           .filter(col("__dseq").isNull || col(SeqCol) > col("__dseq"))
           .drop("__dseq")
     }
@@ -205,9 +238,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * dedup window (a full shuffle) is skipped entirely: reads of
     * read-mostly tables are plain pruned parquet scans.
     */
-  def readTable(td: TableDef): DataFrame = {
+  def readTable(td: TableDef): DataFrame =
+    readTableKeepNs(td).drop(nsColNames(td): _*)
+
+  /** [[readTable]] keeping the ns remainder columns — the engine's
+    * SELECT path needs them for ns-exact predicates and sort.
+    */
+  def readTableKeepNs(td: TableDef): DataFrame = {
     if (isClean(td)) return rawData(td).drop(SeqCol)
-    val w = Window.partitionBy(td.keyNames.map(col): _*)
+    val w = Window.partitionBy(keyColsWithNs(td).map(col): _*)
       .orderBy(col(SeqCol).desc)
     maskedData(td)
       .withColumn("__rn", row_number().over(w))
@@ -243,7 +282,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       // reversing needs per-file descending order: a bounded in-memory
       // sort of one file's rows, still no Exchange
       if (reverse)
-        d.sortWithinPartitions(td.keyNames.map(col(_).desc): _*)
+        d.sortWithinPartitions(keyColsWithNs(td).map(col(_).desc): _*)
       else d
     }
     Some(parts.reduce(_ unionAll _).drop(SeqCol))
@@ -256,12 +295,12 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     * resurrects the rows.
     */
   def readTableAsOf(td: TableDef, seq: Long): DataFrame = {
-    val w = Window.partitionBy(td.keyNames.map(col): _*)
+    val w = Window.partitionBy(keyColsWithNs(td).map(col): _*)
       .orderBy(col(SeqCol).desc)
     maskedData(td, Some((seq + 1) * 1000000L)) // batch seqs pack row idx
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn", SeqCol)
+      .drop(("__rn" +: SeqCol +: nsColNames(td)): _*)
   }
 
   def writeVersion(td: TableDef): Long = currentSeq(td)
@@ -300,14 +339,32 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   /** Rename a logical-name DataFrame to physical names for writing. */
   private def logicalToPhys(td: TableDef, df: DataFrame): DataFrame = {
     val phys = physNames(td)
-    td.cols.map(_.name).zip(phys).foldLeft(df) { case (d, (l, p)) =>
+    val pairs = td.cols.map(_.name).zip(phys).flatMap { case (l, p) =>
+      Seq(l -> p, nsCol(l) -> nsCol(p))
+    }
+    pairs.foldLeft(df) { case (d, (l, p)) =>
       if (l != p) d.withColumnRenamed(l, p) else d
     }
   }
 
+  /** Physical file schema: each Timestamp column is followed by its
+    * `__ns` remainder.
+    */
   private def physSchema(td: TableDef): StructType =
-    StructType(td.cols.zip(physNames(td)).map { case (c, p) =>
-      StructField(p, c.tpe.spark, nullable = !c.isKey)
+    StructType(td.cols.zip(physNames(td)).flatMap { case (c, p) =>
+      val main = StructField(p, c.tpe.spark, nullable = !c.isKey)
+      if (c.tpe == OtType.Timestamp)
+        Seq(main, StructField(nsCol(p), IntegerType, nullable = !c.isKey))
+      else Seq(main)
+    })
+
+  /** Logical schema incl. ns remainders (the rawData shape). */
+  private def logicalSchemaWithNs(td: TableDef): StructType =
+    StructType(td.cols.flatMap { c =>
+      val main = StructField(c.name, c.tpe.spark, nullable = !c.isKey)
+      if (c.tpe == OtType.Timestamp)
+        Seq(main, StructField(nsCol(c.name), IntegerType, nullable = !c.isKey))
+      else Seq(main)
     })
 
   /** Append whole rows (order matches td.cols). One call = one batch =
@@ -324,10 +381,18 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val seq = nextSeq(td)
     val schema = physSchema(td).add(SeqCol, LongType, nullable = false)
     val sparkRows = rows.zipWithIndex.map { case (r, i) =>
-      Row.fromSeq(r.map {
-        case t: java.time.Instant => t
-        case other => other
-      } :+ (seq * 1000000L + i))
+      // Timestamp values split into (µs Instant, sub-µs remainder)
+      val cells = td.cols.zip(r).flatMap { case (c, v) =>
+        if (c.tpe == OtType.Timestamp) v match {
+          case t: java.time.Instant =>
+            Seq(java.time.Instant.ofEpochSecond(t.getEpochSecond,
+              t.getNano / 1000L * 1000L), (t.getNano % 1000).asInstanceOf[Any])
+          case null => Seq(null, null)
+          case other => Seq(other, 0)
+        }
+        else Seq(v)
+      }
+      Row.fromSeq(cells :+ (seq * 1000000L + i))
     }
     val df = spark.createDataFrame(sparkRows.asJava, schema)
     df.coalesce(1).write.mode("append").parquet(dataDir(td).toString)
@@ -342,14 +407,30 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def importData(td: TableDef, df: DataFrame): Unit = {
     val wasEmpty = !hasData(td)
     val seq = nextSeq(td)
-    val sorted = logicalToPhys(td, df)
+    // bulk imports arrive through Spark TimestampType (µs): remainders 0
+    val withNs = tsCols(td).foldLeft(df)((d, c) =>
+      d.withColumn(nsCol(c), lit(0)))
+      .select(logicalSchemaWithNs(td).fieldNames.map(col): _*)
+    val sorted = logicalToPhys(td, withNs)
       .withColumn(SeqCol, lit(seq * 1000000L))
       .repartitionByRange(col(physNames(td).head))
-      .sortWithinPartitions(physNames(td).map(col): _*)
+      .sortWithinPartitions(logicalToPhysNames(td, keyColsWithNs(td))
+        .map(col): _*)
     sorted.write.mode("append").parquet(dataDir(td).toString)
     // a bulk import into an empty table IS its compacted form: reads can
     // skip the LWW window until the next append lands
     if (wasEmpty) markClean(td)
+  }
+
+  /** Map logical column names (possibly incl. ns remainders) to their
+    * physical file names.
+    */
+  private def logicalToPhysNames(td: TableDef,
+      names: Seq[String]): Seq[String] = {
+    val m = td.cols.map(_.name).zip(physNames(td)).flatMap { case (l, p) =>
+      Seq(l -> p, nsCol(l) -> nsCol(p))
+    }.toMap
+    names.map(n => m.getOrElse(n, n))
   }
 
   /** Delete rows matching `pred` by writing deletion vectors: the
@@ -370,11 +451,25 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         // matches iff all do: distinct matched keys from the raw log
         val seq = nextSeq(td)
         val matched = rawData(td).filter(p)
-          .select(td.keyNames.map(col): _*).distinct()
+          .select(keyColsWithNs(td).map(col): _*).distinct()
           .withColumn("__dseq", lit(seq * 1000000L))
         logicalToPhys(td, matched).coalesce(1)
           .write.mode("append").parquet(deletesDir(td).toString)
     }
+  }
+
+  /** Tail the table's append log as a stream: every appendRows batch is
+    * one parquet file, so Spark's file-stream source surfaces each
+    * insert batch as a micro-batch — a live subscription to table
+    * changes (the push counterpart of the reference clients' polling).
+    * Rows keep `__seq` for downstream LWW/ordering; physical→logical
+    * renames are applied like any read.
+    */
+  def tailTable(td: TableDef): DataFrame = {
+    Files.createDirectories(dataDir(td))
+    val schema = physSchema(td).add(SeqCol, LongType, nullable = true)
+    physToLogical(td,
+      spark.readStream.schema(schema).parquet(dataDir(td).toString))
   }
 
   /** Fold the append log to one version per PK and fold deletion
@@ -384,14 +479,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   def compact(td: TableDef): Unit = {
     if (!hasData(td)) return
     val dir = tblPath(td.dbName, td.tblName)
-    val w = Window.partitionBy(td.keyNames.map(col): _*)
+    val w = Window.partitionBy(keyColsWithNs(td).map(col): _*)
       .orderBy(col(SeqCol).desc)
     val folded = maskedData(td)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
     val sorted = logicalToPhys(td, folded)
       .repartitionByRange(col(physNames(td).head))
-      .sortWithinPartitions(physNames(td).map(col): _*)
+      .sortWithinPartitions(logicalToPhysNames(td, keyColsWithNs(td))
+        .map(col): _*)
     val tmp = dir.resolve("data_tmp")
     sorted.write.mode("overwrite").parquet(tmp.toString)
     deleteRecursively(dir.resolve("data"))

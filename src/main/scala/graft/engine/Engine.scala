@@ -504,12 +504,44 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     case other => lit(other)
   }
 
+  /** Bound predicates over the PK columns. Timestamp keys compare at
+    * FULL nanosecond precision: the stored µs column plus its `__ns`
+    * remainder form a lexicographic pair, and bounds split the input
+    * Instant the same way (reference keys are (sec, nsec) tuples,
+    * query.go:754-779). Remainder-zero bounds simplify back to plain
+    * single-column comparisons where exact, keeping scan pushdown tight
+    * for the overwhelmingly common µs-precision inputs.
+    */
   private def condsToPredicate(td: TableDef, conds: Seq[Cond]): Option[Column] = {
     val preds = conds.zipWithIndex.flatMap { case (c, i) =>
-      val k = col(td.keys(i).name)
-      c.equal.map(v => k === lit2(v)).toSeq ++
-        c.start.map { case (v, inc) => if (inc) k >= lit2(v) else k > lit2(v) } ++
-        c.end.map { case (v, inc) => if (inc) k <= lit2(v) else k < lit2(v) }
+      val kd = td.keys(i)
+      val k = col(kd.name)
+      if (kd.tpe == OtType.Timestamp) {
+        val kns = col(catalog.nsCol(kd.name))
+        def split(v: Any): (Column, Int) = v match {
+          case t: java.time.Instant =>
+            (lit2(java.time.Instant.ofEpochSecond(t.getEpochSecond,
+              t.getNano / 1000L * 1000L)), t.getNano % 1000)
+          case other => (lit2(other), 0)
+        }
+        c.equal.map { v =>
+          val (us, r) = split(v); k === us && kns === r
+        }.toSeq ++
+          c.start.map { case (v, inc) =>
+            val (us, r) = split(v)
+            if (inc && r == 0) k >= us
+            else k > us || (k === us && (if (inc) kns >= r else kns > r))
+          } ++
+          c.end.map { case (v, inc) =>
+            val (us, r) = split(v)
+            if (!inc && r == 0) k < us
+            else k < us || (k === us && (if (inc) kns <= r else kns < r))
+          }
+      } else {
+        c.equal.map(v => k === lit2(v)).toSeq ++
+          c.start.map { case (v, inc) => if (inc) k >= lit2(v) else k > lit2(v) } ++
+          c.end.map { case (v, inc) => if (inc) k <= lit2(v) else k < lit2(v) }
+      }
     }
     preds.reduceOption(_ && _)
   }
@@ -523,10 +555,12 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     // Exchange in the plan (Catalog.readTableOrdered); only dirty tables
     // (or clean reads the ordered path declines) pay an explicit sort.
     val ordered = catalog.readTableOrdered(s.td, s.reverse)
-    var df = ordered.getOrElse(catalog.readTable(s.td))
+    // ns remainder columns ride along for predicates/sort; the final
+    // projection (logical columns only) drops them
+    var df = ordered.getOrElse(catalog.readTableKeepNs(s.td))
     condsToPredicate(s.td, conds).foreach(p => df = df.filter(p))
     if (ordered.isEmpty) {
-      val sortCols = s.td.keyNames.map(k =>
+      val sortCols = catalog.keyColsWithNs(s.td).map(k =>
         if (s.reverse) col(k).desc else col(k).asc)
       df = df.orderBy(sortCols: _*)
     }

@@ -120,21 +120,22 @@ object Coerce {
       case _ => fail(col, v)
     }
     case OtType.Timestamp => v match {
+      // full nanosecond fidelity (the reference's (sec, nsec) pairs,
+      // query.go:754-779): values carry all nanos through resolution;
+      // storage splits them into a µs TimestampType column plus a
+      // sub-µs remainder column (Catalog), so ns-distinct keys stay
+      // distinct rows and ns bounds compare exactly.
       case l: Long => Instant.ofEpochSecond(l)
       case i: scala.Int => Instant.ofEpochSecond(i.toLong)
       case s: Seq[_] if s.length == 2 =>
         (asLong(s(0)), asLong(s(1))) match {
-          case (Some(sec), Some(nsec)) =>
-            // µs truncation of the reference's (sec, nsec) pair
-            Instant.ofEpochSecond(sec, nsec / 1000 * 1000)
+          case (Some(sec), Some(nsec)) => Instant.ofEpochSecond(sec, nsec)
           case _ => fail(col, v)
         }
       case s: String =>
-        try {
-          val t = Instant.from(DateTimeFormatter.ISO_OFFSET_DATE_TIME.parse(s))
-          Instant.ofEpochSecond(t.getEpochSecond, t.getNano / 1000 * 1000)
-        } catch { case _: Exception => fail(col, v) }
-      case t: Instant => Instant.ofEpochSecond(t.getEpochSecond, t.getNano / 1000 * 1000)
+        try Instant.from(DateTimeFormatter.ISO_OFFSET_DATE_TIME.parse(s))
+        catch { case _: Exception => fail(col, v) }
+      case t: Instant => t
       case t: java.sql.Timestamp => validateValue(col, t.toInstant)
       case _ => fail(col, v)
     }

@@ -122,6 +122,98 @@ class StorageSpec extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == (0 to 10))
   }
 
+  test("nanosecond PK fidelity: ns-distinct keys are distinct rows with exact bounds") {
+    engine.execute("create table s.ns(sec int, tm timestamp, px double, primary key(sec, tm))")
+    // three rows inside the SAME microsecond (t=5s + 1µs + {250,500,750}ns),
+    // inserted via the reference's (sec, nsec) placeholder pairs
+    for ((ns, px) <- Seq(250 -> 1.0, 500 -> 2.0, 750 -> 3.0))
+      engine.execute("insert into s.ns values(1, ?, ?)",
+        Seq(Seq(5L, 1000L + ns), px))
+    // all three survive as distinct keys (µs truncation would LWW them
+    // into one)
+    val all = engine.execute("select * from s.ns where sec=1").collect()
+    assert(all.map(_.getDouble(2)).toSeq == Seq(1.0, 2.0, 3.0))
+    // ns-exact point get
+    assert(engine.execute("select px from s.ns where sec=1 and tm=?",
+      Seq(Seq(5L, 1500L))).collect().map(_.getDouble(0)).toSeq == Seq(2.0))
+    // ns-exact range bounds: (1250, 1750] keeps the middle and upper
+    val r = engine.execute(
+      "select px from s.ns where sec=1 and tm>? and tm<=?",
+      Seq(Seq(5L, 1250L), Seq(5L, 1750L))).collect()
+    assert(r.map(_.getDouble(0)).toSeq == Seq(2.0, 3.0))
+    // ns-exact upsert: overwriting the middle key touches only it
+    engine.execute("insert into s.ns values(1, ?, ?)",
+      Seq(Seq(5L, 1500L), 9.0))
+    assert(engine.execute("select * from s.ns where sec=1").collect()
+      .map(_.getDouble(2)).toSeq == Seq(1.0, 9.0, 3.0))
+    // ns-exact delete removes exactly one of the µs-colliding keys
+    engine.execute("delete from s.ns where sec=1 and tm=?",
+      Seq(Seq(5L, 1500L)))
+    assert(engine.execute("select * from s.ns where sec=1").collect()
+      .map(_.getDouble(2)).toSeq == Seq(1.0, 3.0))
+    // reverse presentation order respects the sub-µs ordering
+    assert(engine.execute("select * from s.ns where sec=1 limit -2")
+      .collect().map(_.getDouble(2)).toSeq == Seq(3.0, 1.0))
+  }
+
+  test("randomized op sequences match a model (LWW + DV + rename + compact)") {
+    val rnd = new scala.util.Random(42)
+    engine.execute("create table s.prop(k int, v double, w text, primary key(k))")
+    var model = Map.empty[Int, (Double, String)]
+    var colV = "v"
+    var renameIdx = 0
+    var snapshot: Option[(Long, Map[Int, (Double, String)])] = None
+    def tdNow = engine.catalog.getSchema("s", "prop")
+    for (step <- 1 to 40) {
+      rnd.nextInt(10) match {
+        case n if n <= 5 => // upsert (whole-row replace)
+          val k = rnd.nextInt(8)
+          val v = rnd.nextInt(100) / 2.0
+          val w = "s" + rnd.nextInt(5)
+          engine.execute(s"insert into s.prop(k, $colV, w) values($k, $v, '$w')")
+          model += k -> (v, w)
+        case 6 | 7 => // point or range delete (deletion vectors)
+          if (rnd.nextBoolean()) {
+            val k = rnd.nextInt(8)
+            engine.execute(s"delete from s.prop where k=$k")
+            model -= k
+          } else {
+            val lo = rnd.nextInt(8)
+            val hi = lo + rnd.nextInt(4)
+            engine.execute(s"delete from s.prop where k>=$lo and k<=$hi")
+            model = model.filter { case (k, _) => k < lo || k > hi }
+          }
+        case 8 => // metadata-only column rename
+          val nn = s"v$renameIdx"; renameIdx += 1
+          engine.execute(s"alter table s.prop rename column $colV to $nn")
+          colV = nn
+        case 9 =>
+          engine.catalog.compact(tdNow)
+      }
+      if (step == 20)
+        snapshot = Some((engine.catalog.writeVersion(tdNow), model))
+      if (step % 4 == 0 || step == 40) {
+        val got = engine.execute("select * from s.prop").collect()
+          .map(r => r.getInt(0) -> (r.getDouble(1), r.getString(2))).toMap
+        assert(got == model, s"step $step: $got != $model")
+      }
+    }
+    // time travel back to the mid-sequence snapshot (unless a later
+    // compact folded history away — compaction keeps only the present)
+    snapshot.foreach { case (ver, snap) =>
+      val stillHasLog = engine.catalog.writeVersion(tdNow) > ver
+      if (stillHasLog) {
+        val got = engine.catalog.readTableAsOf(tdNow, ver).collect()
+          .map(r => r.getInt(0) -> (r.getDouble(1), r.getString(2))).toMap
+        // a compact between snapshot and now rewrites history at the
+        // current state; only assert when the data dir still holds the
+        // original seq range (detectable: asOf returns the snapshot)
+        if (got.nonEmpty || snap.isEmpty) assert(got == snap || got == model,
+          s"asOf($ver): $got matches neither snapshot nor present")
+      }
+    }
+  }
+
   test("adj projection is codegen-native: no ScalaUDF in the plan") {
     engine.execute("insert into s._adj_ values(1, 3, 0.5, 2)")
     engine.execute("create table s.bar(a int, b timestamp, c double, primary key(a, b))")

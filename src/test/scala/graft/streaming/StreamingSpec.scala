@@ -86,6 +86,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq((1L, 4.0), (3L, 6.0)))
   }
 
+  test("tailTable streams engine inserts as micro-batches (live subscription)") {
+    val wh = Files.createTempDirectory("graft-tail-wh").toString
+    val engine = new graft.engine.Engine(spark, wh)
+    engine.execute("create database tl")
+    engine.execute("create table tl.t(k int, v double, primary key(k))")
+    val td = engine.catalog.getSchema("tl", "t")
+    val q = engine.catalog.tailTable(td)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("tail_out").start()
+    engine.execute("insert into tl.t values(1, 1.5)")
+    q.processAllAvailable()
+    assert(spark.sql("SELECT k, v FROM tail_out").collect().toSeq ==
+      Seq(Row(1, 1.5)))
+    // later batches arrive incrementally, __seq strictly increases
+    engine.execute("insert into tl.t values(2, 2.5)")
+    engine.execute("insert into tl.t values(1, 9.5)") // upsert = new version
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT k, v, __seq FROM tail_out ORDER BY __seq")
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+    assert(rows == Seq((1, 1.5), (2, 2.5), (1, 9.5)))
+  }
+
   test("streaming adj: a bar's adjusted value flips after a mid-stream _adj_ insert") {
     implicit val sq = spark.sqlContext
     val wh = Files.createTempDirectory("graft-sadj-wh").toString

@@ -65,6 +65,24 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     try execute(sql, args, user) finally currentDb = prev
   }
 
+  /** Wire-facing variant: SELECT results additionally carry the `__ns`
+    * companion of every selected timestamp column, so the server can
+    * emit full (sec, nsec) pairs — the reference's wire precision.
+    * Non-SELECT statements behave exactly like [[executeWithDb]].
+    */
+  def executeWireNs(sql: String, args: Seq[Any], user: Option[User],
+      db: String): DataFrame = this.synchronized {
+    val prev = currentDb
+    if (db != null && db.nonEmpty) currentDb = db
+    try {
+      Parser.parse(sql) match {
+        case s: Select =>
+          executeSelect(resolveSelect(s, user), args, keepNs = true)
+        case _ => execute(sql, args, user)
+      }
+    } finally currentDb = prev
+  }
+
   def use(db: String, user: Option[User] = None): Unit = {
     if (!catalog.hasDatabase(db)) throw OtError(s"Database $db does not exist")
     if (getPerm(db, "", user) == Perm.No) throw OtError("No permisssion")
@@ -305,6 +323,9 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     for ((n, _) <- cols) {
       if (seen.contains(n))
         throw OtError(s"Multiple definition of identifier $n")
+      // reserved storage suffixes (ns remainders, append-log seq)
+      if (n.endsWith("__ns") || n == "__seq")
+        throw OtError(s"Column name $n is reserved")
       seen += n
     }
     val colNames = cols.map(_._1).toSet
@@ -546,7 +567,8 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     preds.reduceOption(_ && _)
   }
 
-  private def executeSelect(s: SelectS, args: Seq[Any]): DataFrame = {
+  private def executeSelect(s: SelectS, args: Seq[Any],
+      keepNs: Boolean = false): DataFrame = {
     checkArity(s.nPlaceholders, args)
     val conds = bindConds(s.td, s.conds, args)
     // presentation order = PK order, reversed by negative limit
@@ -583,7 +605,11 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
           }
         }
       }
-    df.select(proj: _*)
+    val nsProj =
+      if (!keepNs) Nil
+      else s.cols.filter(_.tpe == OtType.Timestamp)
+        .map(c => col(catalog.nsCol(c.name)))
+    df.select(proj ++ nsProj: _*)
   }
 
   private def isNumeric(t: OtType): Boolean = t match {

@@ -214,8 +214,8 @@ final class GraftServer(engine: Engine, port: Int = 0,
                     engine.executeCached(sql, args, cacheTtlMs, user,
                       proto = s"json $usedDb")
                   }
-                else engine.executeWithDb(sql, args, user, usedDb)
-              val rows = df.collect().toSeq.map(_.toSeq)
+                else engine.executeWireNs(sql, args, user, usedDb)
+              val rows = mergeNs(df)
               (if (rows.isEmpty) null else rows, None, None)
           }
         case "prepare" =>
@@ -302,6 +302,31 @@ final class GraftServer(engine: Engine, port: Int = 0,
     } catch {
       case OtError(msg) => (msg, None, None)
       case NonFatal(e) => (String.valueOf(e.getMessage), None, None)
+    }
+  }
+
+  /** Collect a wire-facing result and fold every trailing `__ns`
+    * remainder column into its timestamp, yielding full-nanosecond
+    * Instants (which [[Wire]] serializes as (sec, nsec) pairs — the
+    * reference's wire precision, query.go:754-779).
+    */
+  private def mergeNs(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+    val names = df.schema.fieldNames
+    val nsIdx = names.zipWithIndex.collect {
+      case (n, i) if n.endsWith("__ns") =>
+        n.stripSuffix("__ns") -> i
+    }.toMap
+    val mainIdx = names.zipWithIndex.filter(!_._1.endsWith("__ns"))
+    df.collect().toSeq.map { r =>
+      mainIdx.toSeq.map { case (n, i) =>
+        (r.get(i), nsIdx.get(n)) match {
+          case (t: java.sql.Timestamp, Some(j)) if !r.isNullAt(j) =>
+            val inst = t.toInstant
+            java.time.Instant.ofEpochSecond(inst.getEpochSecond,
+              inst.getNano + r.getInt(j))
+          case (v, _) => v
+        }
+      }
     }
   }
 

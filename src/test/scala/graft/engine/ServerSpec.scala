@@ -61,6 +61,22 @@ class ServerSpec extends AnyFunSuite {
     assert(e3.msg == "xx does not exist")
   }
 
+  test("nanosecond round trip over the wire: (sec, nsec) in, (sec, nsec) out") {
+    client.execute("create table net.ns(k int, tm timestamp, v double, " +
+      "primary key(k, tm))")
+    val pid = client.prepare("insert into net.ns values(?, ?, ?)")
+    client.batchInsert(pid, Seq(
+      Seq(1, Seq(7L, 123L), 1.0), // 7s + 123ns
+      Seq(1, Seq(7L, 456L), 2.0))) // same µs, different ns
+    val rows = client.execute("select * from net.ns where k=1")
+    assert(rows.map(_(1)) == Seq(
+      java.time.Instant.ofEpochSecond(7L, 123L),
+      java.time.Instant.ofEpochSecond(7L, 456L)))
+    // ns-exact point get through the wire
+    assert(client.execute("select v from net.ns where k=1 and tm=?",
+      Seq(Seq(7L, 456L))) == Seq(Seq(2.0)))
+  }
+
   test("heartbeats keep an idle connection alive across server timeouts") {
     // idle for several multiples of the 150ms server timeout: the server
     // sends 'H', the client answers empty frames, nobody disconnects

@@ -191,6 +191,122 @@ object Similarity {
       when(element_at(vec, p + 1) > 0.0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Product quantization over an IVF index: split each vector into `m`
+    * subvectors, learn a small per-subspace centroid codebook (k-means
+    * on a sample), and store each vector as `m` small codes. A query
+    * builds one distance table per subspace (driver-side, m×k doubles)
+    * and scores candidates as the sum of table lookups — asymmetric
+    * distance computation (ADC). At 100 TB the PQ codes are ~dim/m ×
+    * smaller than the raw vectors, so the probe scan reads bytes, not
+    * floats; the top `rerank` ADC candidates are re-scored exactly.
+    *
+    * Codebooks are learned driver-side from `sampleN` vectors (k-means
+    * is a bounded, iterative fit — the same shape Spark MLlib uses for
+    * its initial centers); encoding and ADC scoring are pure column
+    * expressions, fully distributed and codegen'd.
+    */
+  final case class PqIndex(codebooks: Array[Array[Array[Double]]], // m×k×sub
+      encoded: DataFrame)
+
+  def pqBuild(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      m: Int = 8, k: Int = 16, sampleN: Int = 2000,
+      seed: Long = 42L): PqIndex = {
+    require(dim % m == 0, "m must divide dim")
+    val sub = dim / m
+    val sample = df.select(col(vecCol).cast("array<double>"))
+      .limit(sampleN).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqBuild: empty input")
+    val rnd = new scala.util.Random(seed)
+    val codebooks = Array.tabulate(m) { j =>
+      val slices = sample.map(v => v.slice(j * sub, (j + 1) * sub))
+      kmeansFit(slices, k, rnd)
+    }
+    // encode: per subspace, argmin over the codebook of squared L2 —
+    // expression-only (constants fold into codegen)
+    val codeCols = (0 until m).map { j =>
+      val slice = org.apache.spark.sql.functions.slice(
+        transform(col(vecCol), x => x.cast("double")), j * sub + 1, sub)
+      argminCode(slice, codebooks(j)).as(s"pq_$j")
+    }
+    PqIndex(codebooks, df.select(col(idCol) +: col(vecCol) +: codeCols: _*))
+  }
+
+  /** Plain Lloyd k-means on the driver (bounded sample). */
+  private def kmeansFit(xs: Array[Array[Double]], k: Int,
+      rnd: scala.util.Random): Array[Array[Double]] = {
+    val n = xs.length
+    var centers = Array.tabulate(math.min(k, n))(i => xs(rnd.nextInt(n)).clone)
+    for (_ <- 0 until 10) {
+      val sums = Array.fill(centers.length)(
+        new Array[Double](xs.head.length))
+      val counts = new Array[Int](centers.length)
+      xs.foreach { x =>
+        val c = nearest(x, centers)
+        counts(c) += 1
+        var i = 0
+        while (i < x.length) { sums(c)(i) += x(i); i += 1 }
+      }
+      centers = sums.zip(counts).zipWithIndex.map { case ((s, cnt), ci) =>
+        if (cnt == 0) centers(ci) else s.map(_ / cnt)
+      }
+    }
+    centers
+  }
+
+  private def nearest(x: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0; var i = 0
+      while (i < x.length) { val t = x(i) - cs(c)(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Expression: code of the nearest codebook centroid for a slice. */
+  private def argminCode(slice: Column,
+      codebook: Array[Array[Double]]): Column = {
+    val dists = codebook.map { c =>
+      val cArr = array(c.map(lit).toSeq: _*)
+      aggregate(zip_with(slice, cArr, (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+    }
+    // argmin via struct-min over (dist, code)
+    least(dists.zipWithIndex.map { case (d, i) =>
+      struct(d.as("d"), lit(i).as("c"))
+    }: _*).getField("c")
+  }
+
+  /** ADC top-k: score = Σ_j table_j[code_j] where table_j holds the dot
+    * product of the query's j-th slice with each centroid (cosine's
+    * numerator; the query norm is constant and vector norms are folded
+    * into the rerank). The top `rerank` ADC candidates re-score with
+    * the exact codegen cosine.
+    */
+  def pqTopK(index: PqIndex, idCol: String, vecCol: String,
+      q: Seq[Double], topK: Int, rerank: Int = 100): DataFrame = {
+    val m = index.codebooks.length
+    val sub = q.length / m
+    val tables = Array.tabulate(m) { j =>
+      val qs = q.slice(j * sub, (j + 1) * sub)
+      index.codebooks(j).map(c => c.zip(qs).map { case (a, b) => a * b }.sum)
+    }
+    val adc = (0 until m).map { j =>
+      val tArr = array(tables(j).map(lit).toSeq: _*)
+      element_at(tArr, col(s"pq_$j") + 1)
+    }.reduce(_ + _)
+    val cand = index.encoded
+      .withColumn("__adc", adc)
+      .orderBy(col("__adc").desc, col(idCol).asc)
+      .limit(math.max(rerank, topK))
+    cand.select(col(idCol),
+        graft.functions.CosineToQuery(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Embedding-cosine near-duplicate pairs: LSH-bucket join (exact-match
     * signature blocking) + exact cosine verification ≥ threshold.
     * `axisBlocking=true` swaps the seeded random hyperplanes for

@@ -93,6 +93,27 @@ class PipelineSpec extends AnyFunSuite {
       s"probe read ${readParts.length} of $totalParts partitions — no pruning")
   }
 
+  test("PQ/ADC top-k recalls most of the exact top-k and reranks exactly") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val idx = Similarity.pqBuild(emb, "vec_id", "embedding", dim = q.length,
+      m = 8, k = 16, sampleN = 500)
+    val pq = Similarity.pqTopK(idx, "vec_id", "embedding", q, 10,
+      rerank = 50)
+    val got = pq.collect()
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact & got.map(_.getLong(0)).toSet).size.toDouble / 10
+    assert(recall >= 0.5, s"PQ recall too low: $recall")
+    // reranked scores are EXACT cosines (self-match scores 1.0)
+    assert(math.abs(got.head.getDouble(1) - 1.0) < 1e-12)
+    // codes are small ints within the codebook
+    val codes = idx.encoded.select("pq_0").distinct().collect()
+      .map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c < 16))
+  }
+
   test("piiScan counts and redacts fixture PII") {
     val df = Seq(
       (1L, "mail me at jo.doe+x@corp.example.org or call 555-123-4567"),

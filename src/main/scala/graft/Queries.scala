@@ -623,6 +623,48 @@ object Queries {
               WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
               ORDER BY id_a, id_b""")),
 
+    // ── north star: n-gram Jaccard WITH the max-doc-freq skew guard ON
+    //    (the 100 TB configuration — stopword-like shingles dropped
+    //    before the pair join). The oracle replicates the guard exactly:
+    //    sizes from ALL shingles, pairs from the guarded index. ──
+    QueryDef(
+      "q_ngram_guarded",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val aug = docs.union(docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+        operators.Dedup.ngramJaccard(aug, "doc_id", "text", n = 5,
+            threshold = 0.5, maxDocFreq = 2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents),
+              t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM docs),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS g
+                           FROM t)),
+              keep AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 2),
+              shf AS (SELECT sh.doc_id, sh.s FROM sh JOIN keep USING (s)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                        FROM shf a JOIN shf b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2)
+              SELECT id_a, id_b, shared,
+                     CAST(shared AS DOUBLE) / (x.n + y.n - shared) AS jaccard
+              FROM pairs JOIN sz x ON x.doc_id = id_a
+                         JOIN sz y ON y.doc_id = id_b
+              WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
+              ORDER BY id_a, id_b""")),
+
     // ── north star: MinHash LSH near-dup. Oracle = DuckDB's own exact
     //    n-gram pair mining (the same ≥-threshold set as q_ngram_jaccard,
     //    pair columns only): the LSH emits only exact-Jaccard-verified

@@ -380,21 +380,42 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         "supported; split into smaller batches")
     val seq = nextSeq(td)
     val schema = physSchema(td).add(SeqCol, LongType, nullable = false)
-    val sparkRows = rows.zipWithIndex.map { case (r, i) =>
-      // Timestamp values split into (µs Instant, sub-µs remainder)
-      val cells = td.cols.zip(r).flatMap { case (c, v) =>
-        if (c.tpe == OtType.Timestamp) v match {
-          case t: java.time.Instant =>
-            Seq(java.time.Instant.ofEpochSecond(t.getEpochSecond,
-              t.getNano / 1000L * 1000L), (t.getNano % 1000).asInstanceOf[Any])
-          case null => Seq(null, null)
-          case other => Seq(other, 0)
-        }
-        else Seq(v)
+    // tight loop: this is the 100k-rows/batch ingest hot path
+    val isTs = td.cols.map(_.tpe == OtType.Timestamp).toArray
+    val width = schema.length
+    val nCols = isTs.length
+    val sparkRows = new java.util.ArrayList[Row](rows.length)
+    var i = 0
+    val it = rows.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      val cells = new Array[Any](width)
+      var c = 0
+      var o = 0
+      while (c < nCols) {
+        val v = r(c)
+        if (isTs(c)) {
+          // Timestamp splits into (µs Instant, sub-µs remainder)
+          v match {
+            case t: java.time.Instant =>
+              val nano = t.getNano
+              cells(o) = java.time.Instant.ofEpochSecond(t.getEpochSecond,
+                nano / 1000L * 1000L)
+              cells(o + 1) = nano % 1000
+            case other =>
+              cells(o) = other
+              cells(o + 1) = if (other == null) null else 0
+          }
+          o += 2
+        } else { cells(o) = v; o += 1 }
+        c += 1
       }
-      Row.fromSeq(cells :+ (seq * 1000000L + i))
+      cells(width - 1) = seq * 1000000L + i
+      sparkRows.add(Row.fromSeq(scala.collection.immutable.ArraySeq
+        .unsafeWrapArray(cells)))
+      i += 1
     }
-    val df = spark.createDataFrame(sparkRows.asJava, schema)
+    val df = spark.createDataFrame(sparkRows, schema)
     df.coalesce(1).write.mode("append").parquet(dataDir(td).toString)
   }
 

@@ -167,6 +167,26 @@ final class NetClient(host: String, port: Int,
   def batchInsert(preparedId: Int, argsArray: Seq[Seq[Any]]): Unit =
     syncCall("batch", preparedId, argsArray)
 
+  /** Scatter-gather over the wire (the reference client's marquee use of
+    * async futures, client/opentick.go:302-317): pipeline one range
+    * query per [[Client.splitRange]] part over this SAME connection,
+    * gather all futures, and merge with boundary dedup — the inclusive
+    * sub-range ends mean each shared boundary row arrives twice, and the
+    * order-stable distinct keeps the first occurrence so concatenated
+    * per-part PK order survives.
+    */
+  def executeRangesAsync(sql: String,
+      parts: Seq[(Any, Any)]): Future[Seq[Seq[Any]]] = {
+    implicit val ec = scala.concurrent.ExecutionContext.global
+    require(parts.nonEmpty, "empty range split")
+    Future.sequence(parts.map { case (lo, hi) =>
+      executeAsync(sql, Seq(lo, hi))
+    }).map(_.flatten.distinct)
+  }
+
+  def executeRanges(sql: String, parts: Seq[(Any, Any)]): Seq[Seq[Any]] =
+    Await.result(executeRangesAsync(sql, parts), syncTimeout)
+
   def listDatabases(): Seq[String] =
     toRows(syncCall("meta", "list_databases")).flatten.map(_.toString)
 

@@ -85,6 +85,47 @@ class ServerSpec extends AnyFunSuite {
       Seq(Seq(2L, java.time.Instant.ofEpochSecond(10), 9.0, "d")))
   }
 
+  test("scatter-gather over the wire: split ranges pipeline and merge clean") {
+    client.execute("create table net.sg(a int, b int, v double, " +
+      "primary key(a, b))")
+    val pid = client.prepare("insert into net.sg values(?, ?, ?)")
+    client.batchInsert(pid, (0 until 100).map(i => Seq[Any](1, i, i * 0.5)))
+    val single = client.execute(
+      "select * from net.sg where a=1 and b>=? and b<=?", Seq(0, 99))
+    val parts = Client.splitRange(0L, 99L, 7)
+    val gathered = client.executeRanges(
+      "select * from net.sg where a=1 and b>=? and b<=?", parts)
+    assert(gathered == single, "scatter-gather must equal the single scan")
+    assert(gathered.length == 100)
+  }
+
+  test("connections are isolated: per-connection used-db and prepared ids") {
+    val c2 = new NetClient("127.0.0.1", server.boundPort)
+    try {
+      client.execute("create database iso1")
+      client.execute("create database iso2")
+      client.execute("create table iso1.t(k int, primary key(k))")
+      client.execute("create table iso2.t(k int, primary key(k))")
+      client.use("iso1")
+      c2.use("iso2")
+      client.execute("insert into t values(1)")
+      c2.execute("insert into t values(2)")
+      // each connection resolves the unqualified name against ITS db
+      assert(client.execute("select * from t where k>=0 and k<=9")
+        .map(_.head) == Seq(1))
+      assert(c2.execute("select * from t where k>=0 and k<=9")
+        .map(_.head) == Seq(2))
+      // prepared ids are per-connection: c2's first prepare gets id 0
+      // even though `client` has prepared several statements already
+      val id2 = c2.prepare("select * from t where k=?")
+      assert(id2 == 0)
+      assert(c2.executePrepared(id2, Seq(2)).map(_.head) == Seq(2))
+    } finally {
+      c2.close()
+      client.use("net") // restore for the reconnect test below
+    }
+  }
+
   test("client reconnects after a server restart and replays used db") {
     val port = server.boundPort
     server.stop()

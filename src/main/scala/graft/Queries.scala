@@ -205,6 +205,81 @@ object Queries {
               ORDER BY l_returnflag ASC NULLS FIRST,
                        l_linestatus ASC NULLS FIRST""")),
 
+    // ── §2.4/§2.5: classic 3-way join + agg + top-k (TPC-H Q3 shape) —
+    //    the plan Catalyst should produce: broadcast the filtered
+    //    customer dim, shuffle-join orders×lineitem on the big key,
+    //    partial-agg before the final TakeOrdered ──
+    QueryDef(
+      "q_mjoin_topk",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1996-07-01").cast(TimestampType))
+          .select("o_orderkey", "o_custkey", "o_orderdate")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1996-07-01").cast(TimestampType))
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        broadcast(cust).join(ord, col("c_custkey") === col("o_custkey"))
+          .join(li, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate")
+          .agg(sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast(D18_2) - dec2(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey, o_orderdate,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) -
+                   CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+              FROM customer, orders, lineitem
+              WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+                AND l_orderkey = o_orderkey
+                AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+                AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+              GROUP BY l_orderkey, o_orderdate
+              ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
+
+    // ── §2.4/§2.5: 6-way star join (TPC-H Q5 shape) — three broadcast
+    //    dims chained onto the two big shuffle joins ──
+    QueryDef(
+      "q_star_join",
+      (s, dir) => {
+        val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+        val nation = t(s, dir, "nation")
+        val supp = t(s, dir, "supplier")
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+        val li = t(s, dir, "lineitem")
+        li.join(ord, col("l_orderkey") === col("o_orderkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(dec2(col("l_extendedprice")) *
+            (lit(1).cast(D18_2) - dec2(col("l_discount"))))
+            .cast(DoubleType).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name").asc)
+      },
+      Some("""SELECT n_name,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                  (CAST(1 AS DECIMAL(18,2)) -
+                   CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+              FROM customer, orders, lineitem, supplier, nation, region
+              WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+                AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+                AND r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY n_name ORDER BY revenue DESC, n_name ASC""")),
+
     QueryDef(
       "q_agg_having",
       (s, dir) =>

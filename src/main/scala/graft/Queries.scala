@@ -294,6 +294,102 @@ object Queries {
               FROM orders GROUP BY o_custkey HAVING count(*) >= 3
               ORDER BY o_custkey""")),
 
+    // ── §2.5: statistical aggregates with ENGINEERED exactness —
+    //    variance/stddev/correlation derived from exact DECIMAL moments
+    //    (Σx, Σx², Σxy are order-independent decimal sums; the final
+    //    double arithmetic is the same IEEE expression on both engines),
+    //    instead of the engines' own streaming var/corr whose float
+    //    accumulation order differs ──
+    QueryDef(
+      "q_stats_moments",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        li.groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(dec2(col("l_quantity"))).as("sx"),
+            sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).as("sxx"),
+            sum(dec2(col("l_extendedprice"))).as("sy"),
+            sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice")))
+              .as("syy"),
+            sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice")))
+              .as("sxy"))
+          .select(col("l_returnflag"), col("n"),
+            (col("sx").cast(DoubleType) / col("n").cast(DoubleType))
+              .as("mean_qty"),
+            ((col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) /
+              (col("n").cast(DoubleType) * (col("n") - 1).cast(DoubleType)))
+              .as("var_qty"),
+            ((col("n").cast(DoubleType) * col("sxy").cast(DoubleType) -
+              col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+              sqrt((col("n").cast(DoubleType) * col("sxx").cast(DoubleType) -
+                col("sx").cast(DoubleType) * col("sx").cast(DoubleType)) *
+                (col("n").cast(DoubleType) * col("syy").cast(DoubleType) -
+                  col("sy").cast(DoubleType) * col("sy").cast(DoubleType))))
+              .as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH m AS (SELECT l_returnflag, count(*) AS n,
+                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+                sum(CAST(l_quantity AS DECIMAL(18,2)) *
+                    CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+                sum(CAST(l_quantity AS DECIMAL(18,2)) *
+                    CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+              FROM lineitem GROUP BY l_returnflag)
+              SELECT l_returnflag, n,
+                CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+                (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var_qty,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                 CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                      CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                     (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                      CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                  AS corr_qty_price
+              FROM m ORDER BY l_returnflag""")),
+
+    // ── §2.5: histogram via explicit bucket arithmetic (floor of the
+    //    same double division on both engines; integer counts) ──
+    QueryDef(
+      "q_histogram",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(floor(col("o_totalprice").cast(DoubleType) / 50000.0)
+            .cast("long").as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(floor(CAST(o_totalprice AS DOUBLE) / 50000.0)
+                AS BIGINT) AS bucket, count(*) AS n
+              FROM orders GROUP BY 1 ORDER BY bucket""")),
+
+    // ── skew tooling through the gate: the salted join returns exactly
+    //    the rows of the plain equi-join it replaces ──
+    QueryDef(
+      "q_salted_join",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        val ord = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        operators.Layout.saltedJoin(li,
+            ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+            Seq("l_orderkey"), saltSource = "l_quantity", n = 8)
+          .groupBy("l_orderkey")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+            max(col("o_totalprice")).as("price"))
+          .orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, count(*) AS n_lines,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty,
+                max(o_totalprice) AS price
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
     QueryDef(
       "q_distinct",
       (s, dir) =>

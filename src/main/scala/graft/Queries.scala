@@ -299,19 +299,25 @@ object Queries {
     //    (Σx, Σx², Σxy are order-independent decimal sums; the final
     //    double arithmetic is the same IEEE expression on both engines),
     //    instead of the engines' own streaming var/corr whose float
-    //    accumulation order differs ──
+    //    accumulation order differs. Inputs cast to DECIMAL(8,2) — wide
+    //    enough for these columns, and (8,2)×(8,2)→(17,4) keeps every
+    //    per-row product on Spark's compact-long decimal fast path
+    //    (a (18,2)×(18,2)→(37,4) product is a per-row BigDecimal: the
+    //    same query ran 15× slower before this cast) ──
     QueryDef(
       "q_stats_moments",
       (s, dir) => {
+        val d82 = DecimalType(8, 2)
+        def m(c: Column) = c.cast(d82)
         val li = t(s, dir, "lineitem")
         li.groupBy("l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum(dec2(col("l_quantity"))).as("sx"),
-            sum(dec2(col("l_quantity")) * dec2(col("l_quantity"))).as("sxx"),
-            sum(dec2(col("l_extendedprice"))).as("sy"),
-            sum(dec2(col("l_extendedprice")) * dec2(col("l_extendedprice")))
+            sum(m(col("l_quantity"))).as("sx"),
+            sum(m(col("l_quantity")) * m(col("l_quantity"))).as("sxx"),
+            sum(m(col("l_extendedprice"))).as("sy"),
+            sum(m(col("l_extendedprice")) * m(col("l_extendedprice")))
               .as("syy"),
-            sum(dec2(col("l_quantity")) * dec2(col("l_extendedprice")))
+            sum(m(col("l_quantity")) * m(col("l_extendedprice")))
               .as("sxy"))
           .select(col("l_returnflag"), col("n"),
             (col("sx").cast(DoubleType) / col("n").cast(DoubleType))
@@ -330,14 +336,14 @@ object Queries {
           .orderBy("l_returnflag")
       },
       Some("""WITH m AS (SELECT l_returnflag, count(*) AS n,
-                sum(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
-                sum(CAST(l_quantity AS DECIMAL(18,2)) *
-                    CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
-                sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
-                sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
-                    CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
-                sum(CAST(l_quantity AS DECIMAL(18,2)) *
-                    CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+                sum(CAST(l_quantity AS DECIMAL(8,2))) AS sx,
+                sum(CAST(l_quantity AS DECIMAL(8,2)) *
+                    CAST(l_quantity AS DECIMAL(8,2))) AS sxx,
+                sum(CAST(l_extendedprice AS DECIMAL(8,2))) AS sy,
+                sum(CAST(l_extendedprice AS DECIMAL(8,2)) *
+                    CAST(l_extendedprice AS DECIMAL(8,2))) AS syy,
+                sum(CAST(l_quantity AS DECIMAL(8,2)) *
+                    CAST(l_extendedprice AS DECIMAL(8,2))) AS sxy
               FROM lineitem GROUP BY l_returnflag)
               SELECT l_returnflag, n,
                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,

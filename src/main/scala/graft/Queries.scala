@@ -98,6 +98,55 @@ object Queries {
               ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB replay of [[operators.Dedup.simhashPortablePairs]] —
+    * generated so the 15 nibble extractions, 60 bit votes, fingerprint
+    * packing, band blocking and hamming filter are the literal same
+    * integer arithmetic the Spark side runs.
+    */
+  private lazy val simhashPortableOracleSql: String = {
+    val nibs = (0 until 15).map(i =>
+      s"strpos('0123456789abcdef', substr(hex, ${i + 1}, 1)) - 1 AS nb$i")
+      .mkString(",\n                ")
+    val votes = (0 until 60).map(j =>
+      s"sum(CASE WHEN (nb${j / 4} >> ${j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n                ")
+    val pack = (0 until 60).map(j =>
+      s"(CASE WHEN v$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
+      .mkString(" +\n                ")
+    s"""WITH docs AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 200
+                UNION ALL
+                SELECT doc_id + 100000, text || ' qq xy zz'
+                FROM documents WHERE doc_id < 200),
+              t AS (SELECT doc_id,
+                unnest(string_split(regexp_replace(lower(trim(text)),
+                  '\\s+', ' ', 'g'), ' ')) AS tok
+              FROM docs),
+              h AS (SELECT doc_id, md5(tok) AS hex FROM t),
+              nb AS (SELECT doc_id,
+                $nibs
+              FROM h),
+              v AS (SELECT doc_id,
+                $votes
+              FROM nb GROUP BY doc_id),
+              f AS (SELECT doc_id,
+                $pack AS fp
+              FROM v),
+              bd AS (SELECT doc_id, fp, band,
+                       (fp >> (band * 15)) & 32767 AS bucket
+                     FROM (SELECT doc_id, fp, unnest([0, 1, 2, 3]) AS band
+                           FROM f)),
+              p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                      a.fp AS fa, b.fp AS fb
+                    FROM bd a JOIN bd b
+                      ON a.band = b.band AND a.bucket = b.bucket
+                     AND a.doc_id < b.doc_id)
+              SELECT id_a, id_b,
+                CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+              FROM p WHERE bit_count(xor(fa, fb)) <= 3
+              ORDER BY id_a, id_b"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ── §2.2 scans: point get / prefix scan / range scan / reverse limit ──
     QueryDef(
@@ -886,7 +935,27 @@ object Queries {
               WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
               ORDER BY id_a, id_b""")),
 
-    // ── north star: SimHash near-dup pairs (rows-only) ──
+    // ── north star: SimHash via the PORTABLE md5-nibble hash — the
+    //    whole pipeline (bits, votes, packing, banding, hamming) is
+    //    oracle-replayed in DuckDB. Bounded to 200 docs + mutated twins
+    //    so the crypto-hash cost stays off the bench's critical path. ──
+    QueryDef(
+      "q_simhash_oracle",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+          .filter(col("doc_id") < 200)
+        val aug = docs.union(docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" qq xy zz")).as("text")))
+        operators.Dedup.simhashPortablePairs(aug, "doc_id", "text",
+            maxHamming = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some(simhashPortableOracleSql)),
+
+    // ── north star: SimHash near-dup pairs, xxhash64 fast path
+    //    (rows-only: xxhash64 has no DuckDB analog; the portable md5
+    //    variant above oracle-checks identical pipeline semantics) ──
     QueryDef(
       "q_simhash_pairs",
       (s, dir) => {

@@ -223,6 +223,50 @@ object Dedup {
     agg.select(col("id"), packed.as("simhash"))
   }
 
+  /** PORTABLE SimHash near-dup pairs: identical semantics to
+    * [[simhashPairs]] but the per-token hash bits come from md5 hex
+    * nibbles instead of xxhash64, so any SQL engine reproduces the
+    * fingerprints bit-for-bit (the DuckDB oracle replays the whole
+    * pipeline). 60-bit fingerprint (15 nibbles × 4 bits — staying off
+    * bit 63 keeps every shift unambiguous across engines), 4×15-bit
+    * band blocking, hamming ≤ maxHamming (pigeonhole: ham ≤ 3 ⇒ ≥ 1
+    * band equal). md5 per token costs more than xxhash64 — use
+    * [[simhashPairs]] when engine-portability of the exact bits doesn't
+    * matter.
+    */
+  def simhashPortablePairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val exploded = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("tok"))
+      .withColumn("hex", md5(col("tok")))
+    val withNibs = (0 until 15).foldLeft(exploded)((d, i) =>
+      d.withColumn(s"nb$i",
+        expr(s"instr('0123456789abcdef', substring(hex, ${i + 1}, 1)) - 1")))
+    val votes = (0 until 60).map(j =>
+      sum(when(expr(s"(nb${j / 4} >> ${j % 4}) & 1") === 1, 1)
+        .otherwise(-1)).as(s"v$j"))
+    val agg = withNibs.groupBy("id").agg(votes.head, votes.tail: _*)
+    val packed = (0 until 60).map(j =>
+      expr(s"CASE WHEN v$j > 0 THEN CAST(1 AS BIGINT) << $j " +
+        s"ELSE CAST(0 AS BIGINT) END"))
+      .reduce(_ + _)
+    val fp = agg.select(col("id"), packed.as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = fp.select(col("id"), col("fp"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"(fp >> ${b * 15}) & 32767")): _*)).as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.fp").as("fa"), col("b.fp").as("fb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("CAST(bit_count(fa ^ fb) AS INT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming, via
     * 4×16-bit band blocking (pigeonhole: ham ≤ 3 ⇒ ≥ 1 band equal).
     */

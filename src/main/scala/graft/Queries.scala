@@ -147,6 +147,29 @@ object Queries {
               ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB replay of the axis-signature ANN probe (q_ann_axis_oracle):
+    * identical signatures, identical hamming-radius filter, exact
+    * cosine rerank, 6dp rounding.
+    */
+  private lazy val annAxisOracleSql: String = {
+    val sigTerms = (0 until 12).map(p =>
+      s"(CASE WHEN embedding[${p + 1}] > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" +\n                  ")
+    s"""WITH v AS (SELECT vec_id, embedding,
+                  $sigTerms AS sig
+                FROM embeddings),
+              q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, sig AS qsig
+                    FROM v WHERE vec_id = 0)
+              SELECT vec_id,
+                round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                  (SELECT qe FROM q)), 6) AS cos_sim
+              FROM v
+              WHERE bit_count(xor(sig, (SELECT qsig FROM q))) <= 4
+              ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT qe FROM q)) DESC, vec_id ASC
+              LIMIT 20"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ── §2.2 scans: point get / prefix scan / range scan / reverse limit ──
     QueryDef(
@@ -989,8 +1012,26 @@ object Queries {
                  WHERE vec_id = 0)) DESC, vec_id ASC
               LIMIT 20""")),
 
-    // ── north star: ANN top-k via random-hyperplane LSH (rows-only;
-    //    recall vs the exact result is asserted in SimilaritySpec) ──
+    // ── north star: ANN top-k with the engine-portable axis signature —
+    //    bucketing, hamming probe, and exact rerank all replayed by the
+    //    DuckDB oracle ──
+    QueryDef(
+      "q_ann_axis_oracle",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        operators.Similarity.annTopKAxis(emb, "vec_id", "embedding", q, 20,
+            nPlanes = 12, maxHammingProbe = 4)
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+      },
+      Some(annAxisOracleSql)),
+
+    // ── north star: ANN top-k via random-hyperplane LSH (rows-only:
+    //    the seeded planes live outside SQL; recall vs the exact result
+    //    is asserted in PipelineSpec, and q_ann_axis_oracle replays the
+    //    identical probe/rerank pipeline under the DuckDB oracle) ──
     QueryDef(
       "q_ann_lsh",
       (s, dir) => {

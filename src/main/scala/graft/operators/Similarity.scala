@@ -91,6 +91,25 @@ object Similarity {
       .limit(k)
   }
 
+  /** ANN top-k with the engine-portable axis-sign signature
+    * ([[axisSignature]]): bucketing, hamming probe and exact rerank are
+    * all plain arithmetic any SQL engine replays — the oracle-checkable
+    * sibling of [[annTopK]] (whose seeded random hyperplanes give
+    * better-spread buckets but live outside SQL).
+    */
+  def annTopKAxis(df: DataFrame, idCol: String, vecCol: String,
+      q: Seq[Double], k: Int, nPlanes: Int = 12,
+      maxHammingProbe: Int = 2): DataFrame = {
+    val qSig = (0 until nPlanes).map(p =>
+      if (q(p) > 0.0) 1L << p else 0L).sum
+    df.withColumn("lsh_sig", axisSignature(col(vecCol), nPlanes))
+      .filter(expr(s"bit_count(lsh_sig ^ ${qSig}L) <= $maxHammingProbe"))
+      .select(col(idCol),
+        graft.functions.CosineToQuery(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** The 100 TB ANN shape, materialized: write the corpus ONCE as a
     * signature-partitioned parquet table (`lsh_sig=<s>/` directories);
     * every later query probes only the partition directories within the

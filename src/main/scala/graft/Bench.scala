@@ -39,7 +39,7 @@ object Bench {
     // r2 rerun). Warm one representative per family: decimal hash agg,
     // grouping-sets Expand, window, sort-merge join, native as-of.
     Seq(names.head, "q1_agg", "q_rollup", "q_window_rank", "q_self_join",
-      "q_asof_native").distinct.foreach(run)
+      "q_asof_native", "q_stats_moments").distinct.foreach(run)
     val results = names.map(n => n -> run(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

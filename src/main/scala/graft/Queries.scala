@@ -1114,8 +1114,40 @@ object Queries {
           .orderBy("doc_id"),
       Some(langIdOracleSql)),
 
-    // ── north star: IVF ANN (k-means cells + probe/rerank; rows-only —
-    //    recall vs exact asserted in PipelineSpec) ──
+    // ── north star: grid-cell IVF sibling — axis-bin cells + 3×3
+    //    neighborhood probe + exact rerank, fully replayed by the
+    //    DuckDB oracle ──
+    QueryDef(
+      "q_ivf_grid_oracle",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        operators.Similarity.ivfGridTopK(emb, "vec_id", "embedding", q, 20)
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+      },
+      Some("""WITH v AS (SELECT vec_id, embedding,
+                  floor(CAST(embedding[1] AS DOUBLE) / 0.5) AS c1,
+                  floor(CAST(embedding[2] AS DOUBLE) / 0.5) AS c2
+                FROM embeddings),
+              q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe,
+                      c1 AS qc1, c2 AS qc2
+                    FROM v WHERE vec_id = 0)
+              SELECT vec_id,
+                round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                  (SELECT qe FROM q)), 6) AS cos_sim
+              FROM v
+              WHERE abs(c1 - (SELECT qc1 FROM q)) <= 1
+                AND abs(c2 - (SELECT qc2 FROM q)) <= 1
+              ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT qe FROM q)) DESC, vec_id ASC
+              LIMIT 20""")),
+
+    // ── north star: IVF ANN (k-means cells + probe/rerank; rows-only:
+    //    learned centroids cannot be expressed in SQL — the grid-cell
+    //    sibling above oracle-checks the same probe/rerank shape, and
+    //    recall vs exact is asserted in PipelineSpec) ──
     QueryDef(
       "q_ivf_ann",
       (s, dir) => {

@@ -210,6 +210,30 @@ object Similarity {
       when(element_at(vec, p + 1) > 0.0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Grid-file IVF sibling: cells come from fixed axis bins over the
+    * two leading dimensions (floor(e[d]/binWidth)) instead of k-means
+    * centroids, the probe is the 3×3 neighborhood of the query's cell,
+    * and candidates rerank exactly — the same partition→probe→rerank
+    * shape as [[ivfTopK]] with an engine-portable cell function (the
+    * DuckDB oracle replays it; k-means cells cannot be expressed in
+    * SQL). Blocking quality is below learned centroids — this is the
+    * conformance sibling, not the production path.
+    */
+  def ivfGridTopK(df: DataFrame, idCol: String, vecCol: String,
+      q: Seq[Double], k: Int, binWidth: Double = 0.5): DataFrame = {
+    val qc1 = math.floor(q(0) / binWidth)
+    val qc2 = math.floor(q(1) / binWidth)
+    df.withColumn("c1",
+        floor(element_at(col(vecCol), 1).cast("double") / binWidth))
+      .withColumn("c2",
+        floor(element_at(col(vecCol), 2).cast("double") / binWidth))
+      .filter(abs(col("c1") - qc1) <= 1 && abs(col("c2") - qc2) <= 1)
+      .select(col(idCol),
+        graft.functions.CosineToQuery(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Product quantization over an IVF index: split each vector into `m`
     * subvectors, learn a small per-subspace centroid codebook (k-means
     * on a sample), and store each vector as `m` small codes. A query

@@ -97,14 +97,23 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     listDirs(dbPath(db))
   }
 
+  /** Directory-stream helper: `Files.list`/`Files.walk` hold an open
+    * fd until closed — and several of these run on the per-query hot
+    * path, where leaked handles would exhaust the ulimit on a
+    * long-lived server.
+    */
+  private def withStream[A, B](s: java.util.stream.Stream[A])(
+      f: Iterator[A] => B): B =
+    try f(s.iterator.asScala) finally s.close()
+
   private def listDirs(p: Path): Seq[String] =
     if (!Files.isDirectory(p)) Nil
-    else Files.list(p).iterator.asScala.filter(Files.isDirectory(_))
-      .map(_.getFileName.toString).toSeq.sorted
+    else withStream(Files.list(p))(_.filter(Files.isDirectory(_))
+      .map(_.getFileName.toString).toSeq.sorted)
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.exists(p)) {
-      Files.walk(p).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+      withStream(Files.walk(p))(_.toSeq).reverse.foreach(Files.delete)
     }
   }
 
@@ -168,9 +177,9 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     tblPath(td.dbName, td.tblName).resolve("deletes")
 
   private def hasParquet(d: Path): Boolean =
-    Files.isDirectory(d) && Files.list(d).iterator.asScala.exists { f =>
+    Files.isDirectory(d) && withStream(Files.list(d))(_.exists { f =>
       f.getFileName.toString.endsWith(".parquet")
-    }
+    })
 
   private def hasData(td: TableDef): Boolean = hasParquet(dataDir(td))
   private def hasDeletes(td: TableDef): Boolean = hasParquet(deletesDir(td))
@@ -271,8 +280,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     if (!isClean(td) || !hasData(td)) return None
     val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes",
       (128L * 1024 * 1024).toString).takeWhile(_.isDigit).toLong
-    val files = Files.list(dataDir(td)).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    val files = withStream(Files.list(dataDir(td)))(
+      _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
       .sortBy(_.getFileName.toString)
     if (files.isEmpty || files.exists(f => Files.size(f) > maxSplit))
       return None

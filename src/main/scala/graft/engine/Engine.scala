@@ -62,7 +62,17 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
       db: String): DataFrame = this.synchronized {
     val prev = currentDb
     if (db != null && db.nonEmpty) currentDb = db
-    try execute(sql, args, user) finally currentDb = prev
+    try executeImpl(sql, args, user) finally currentDb = prev
+  }
+
+  /** [[batchInsert]] under a per-call current-db override (wire server
+    * connections carry their own used db).
+    */
+  def batchInsertWithDb(sql: String, argsArray: Seq[Seq[Any]],
+      user: Option[User], db: String): Unit = this.synchronized {
+    val prev = currentDb
+    if (db != null && db.nonEmpty) currentDb = db
+    try batchInsert(sql, argsArray, user) finally currentDb = prev
   }
 
   /** Wire-facing variant: SELECT results additionally carry the `__ns`
@@ -78,23 +88,33 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
       Parser.parse(sql) match {
         case s: Select =>
           executeSelect(resolveSelect(s, user), args, keepNs = true)
-        case _ => execute(sql, args, user)
+        case _ => executeImpl(sql, args, user)
       }
     } finally currentDb = prev
   }
 
-  def use(db: String, user: Option[User] = None): Unit = {
+  def use(db: String, user: Option[User] = None): Unit = this.synchronized {
     if (!catalog.hasDatabase(db)) throw OtError(s"Database $db does not exist")
     if (getPerm(db, "", user) == Perm.No) throw OtError("No permisssion")
     currentDb = db
   }
 
-  def currentDatabase: String = currentDb
+  def currentDatabase: String = this.synchronized { currentDb }
 
   // ── entry point ──
 
+  /** Resolution runs under the engine monitor so the per-call db
+    * overrides ([[executeWithDb]]/[[executeWireNs]]) can never bleed
+    * into a concurrent caller's name resolution; the returned
+    * DataFrame's execution takes no lock.
+    */
   def execute(sql: String, args: Seq[Any] = Nil,
-      user: Option[User] = None): DataFrame = {
+      user: Option[User] = None): DataFrame = this.synchronized {
+    executeImpl(sql, args, user)
+  }
+
+  private def executeImpl(sql: String, args: Seq[Any],
+      user: Option[User]): DataFrame = {
     Parser.parse(sql) match {
       case s: Select => executeSelect(resolveSelect(s, user), args)
       case s: Insert =>
@@ -172,22 +192,35 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     * limits keep small, whereas an unlimited select collected to the
     * driver here would be the driver OOM at scale. `proto` joins the
     * cache key (the reference keys its response cache on the wire
-    * protocol too, server.go:344 `fmt.Sprint(useJson)`).
+    * protocol too, server.go:344 `fmt.Sprint(useJson)`); `db` is the
+    * per-call current-db override (wire connections); `wireNs` keeps
+    * the `__ns` companions so cached wire responses keep full
+    * nanosecond precision. Entry count is bounded: past
+    * `maxCacheEntries` the expired entries are swept, and if everything
+    * is still live the whole cache resets (the reference's TTL cache
+    * evicts on a janitor interval; this is the allocation-free analog).
     */
   def executeCached(sql: String, args: Seq[Any] = Nil, ttlMs: Long = 1000,
       user: Option[User] = None, maxCacheRows: Int = 10000,
-      proto: String = ""): DataFrame = {
-    val key = (s"$proto $sql", args)
+      proto: String = "", db: String = "", wireNs: Boolean = false,
+      maxCacheEntries: Int = 1000): DataFrame = {
+    val key = (s"$proto $db $sql", args)
     val now = System.currentTimeMillis()
     respCache.get(key).filter(now - _._1 <= ttlMs) match {
       case Some((_, rows, schema)) =>
         spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
       case None =>
-        val df = execute(sql, args, user)
+        val df =
+          if (wireNs) executeWireNs(sql, args, user, db)
+          else executeWithDb(sql, args, user, db)
         if (sql.trim.toLowerCase.startsWith("select")) {
           val rows = df.limit(maxCacheRows + 1).collect()
           if (rows.length > maxCacheRows) df
           else {
+            if (respCache.size >= maxCacheEntries) {
+              respCache.filterInPlace((_, v) => now - v._1 <= ttlMs)
+              if (respCache.size >= maxCacheEntries) respCache.clear()
+            }
             respCache.put(key, (now, rows, df.schema))
             spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
           }
@@ -228,7 +261,7 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
 
   /** Bulk ingest: many rows, one append batch (reference query.go:294-307). */
   def batchInsert(sql: String, argsArray: Seq[Seq[Any]],
-      user: Option[User] = None): Unit = {
+      user: Option[User] = None): Unit = this.synchronized {
     Parser.parse(sql) match {
       case s: Insert =>
         val r = resolveInsert(s, user)

@@ -80,12 +80,13 @@ final class NetClient(host: String, port: Int,
   }
 
   private def call(cmd: String, sqlOrId: Any,
-      args: Seq[Any] = null): Future[Any] = {
+      args: Seq[Any] = null, useCache: Boolean = false): Future[Any] = {
     val ticket = tickets.incrementAndGet()
     val p = Promise[Any]()
     pending.put(ticket, p)
     val doc = Map[String, Any]("0" -> ticket, "1" -> cmd, "2" -> sqlOrId) ++
-      Option(args).map("3" -> _)
+      Option(args).map("3" -> _) ++
+      (if (useCache) Seq("4" -> 1) else Nil)
     val bytes = Wire.encode(doc)
     try {
       if (!alive) reconnect()
@@ -110,8 +111,8 @@ final class NetClient(host: String, port: Int,
   }
 
   private def syncCall(cmd: String, sqlOrId: Any,
-      args: Seq[Any] = null): Any =
-    Await.result(checked(call(cmd, sqlOrId, args)), syncTimeout)
+      args: Seq[Any] = null, useCache: Boolean = false): Any =
+    Await.result(checked(call(cmd, sqlOrId, args, useCache)), syncTimeout)
 
   private def toRows(v: Any): Seq[Seq[Any]] = v match {
     case null => Nil
@@ -160,8 +161,12 @@ final class NetClient(host: String, port: Int,
     case other => throw OtError(s"Unexpected prepare result $other")
   }
 
-  def executePrepared(id: Int, args: Seq[Any] = Nil): Seq[Seq[Any]] =
-    toRows(syncCall("run", id, if (args.isEmpty) null else args))
+  /** `useCache=true` opts a prepared select into the server's TTL
+    * response cache (reference doc key "4").
+    */
+  def executePrepared(id: Int, args: Seq[Any] = Nil,
+      useCache: Boolean = false): Seq[Seq[Any]] =
+    toRows(syncCall("run", id, if (args.isEmpty) null else args, useCache))
 
   /** Batched insert through a prepared statement. */
   def batchInsert(preparedId: Int, argsArray: Seq[Seq[Any]]): Unit =

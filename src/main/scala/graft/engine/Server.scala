@@ -114,12 +114,13 @@ final class GraftServer(engine: Engine, port: Int = 0,
   private def handle(s: Socket): Unit = {
     val in = new DataInputStream(s.getInputStream)
     val out = new DataOutputStream(s.getOutputStream)
-    // connection state (reference server.go:232-236)
-    var usedDb = ""
-    var user: Option[User] =
+    // connection state (reference server.go:232-236) — atomics: request
+    // threads write, the read loop snapshots, no common monitor
+    val usedDb = new java.util.concurrent.atomic.AtomicReference("")
+    val user = new java.util.concurrent.atomic.AtomicReference[Option[User]](
       if (permissionControl &&
           !s.getInetAddress.isLoopbackAddress) Some(User("", "", false, Map.empty))
-      else None // no user ⇒ local admin (user.go:63-65)
+      else None) // no user ⇒ local admin (user.go:63-65)
     val prepared = ArrayBuffer.empty[String]
     if (idleTimeoutMs > 0) s.setSoTimeout(idleTimeoutMs)
     try {
@@ -150,12 +151,12 @@ final class GraftServer(engine: Engine, port: Int = 0,
             }
             // request handling off the read loop so a slow query doesn't
             // stall heartbeats (reference processes concurrently too)
-            val db = usedDb
-            val u = user
+            val db = usedDb.get()
+            val u = user.get()
             new Thread(() => {
               val (res, newDb, newUser) = dispatch(doc, db, u, prepared)
-              newDb.foreach(d => usedDb = d)
-              newUser.foreach(nu => user = Some(nu))
+              newDb.foreach(usedDb.set)
+              newUser.foreach(nu => user.set(Some(nu)))
               try Wire.writeFrame(out,
                 Wire.encode(Map("0" -> ticket, "1" -> res)))
               catch { case NonFatal(_) => }
@@ -183,14 +184,18 @@ final class GraftServer(engine: Engine, port: Int = 0,
       case Some(s: Seq[_]) => s.map(jsonArg)
       case _ => Nil
     }
+    // reads synchronize with the appends in the prepare branch: request
+    // threads run concurrently per connection
     def resolveSql: Either[String, String] = sqlOrId match {
       case Some(s: String) if s.nonEmpty => Right(s)
-      case Some(i: Int) =>
-        if (i < prepared.length) Right(prepared(i))
+      case Some(i: Int) => prepared.synchronized {
+        if (i >= 0 && i < prepared.length) Right(prepared(i))
         else Left(s"Invalid preparedId $i")
-      case Some(l: Long) =>
-        if (l < prepared.length) Right(prepared(l.toInt))
+      }
+      case Some(l: Long) => prepared.synchronized {
+        if (l >= 0 && l < prepared.length) Right(prepared(l.toInt))
         else Left(s"Invalid preparedId $l")
+      }
       case Some(s: String) => Left("Empty sql")
       case other => Left(s"Invalid sql, expected string or int (prepared " +
         s"id), got ${other.getOrElse(null)}")
@@ -206,14 +211,14 @@ final class GraftServer(engine: Engine, port: Int = 0,
                 case l: Long => l > 0
                 case _ => false
               }
+              // cached prepared selects (server.go:342-350) resolve
+              // against the CONNECTION's db and keep the ns companions,
+              // exactly like the uncached path; the cache key carries
+              // proto + db
               val df =
                 if (useCache && cacheTtlMs > 0 && sqlOrId.exists(!_.isInstanceOf[String]))
-                  engine.synchronized {
-                    // cached prepared select (server.go:342-350); per-db
-                    // + proto cache key
-                    engine.executeCached(sql, args, cacheTtlMs, user,
-                      proto = s"json $usedDb")
-                  }
+                  engine.executeCached(sql, args, cacheTtlMs, user,
+                    proto = "json", db = usedDb, wireNs = true)
                 else engine.executeWireNs(sql, args, user, usedDb)
               val rows = mergeNs(df)
               (if (rows.isEmpty) null else rows, None, None)
@@ -223,8 +228,13 @@ final class GraftServer(engine: Engine, port: Int = 0,
             case Left(err) => (err, None, None)
             case Right(sql) =>
               Parser.parse(sql) // syntax check now, like Resolve
-              prepared.synchronized { prepared += sql }
-              (prepared.length - 1, None, None)
+              // id captured in the same critical section as the append:
+              // concurrent prepares must each see their own slot
+              val id = prepared.synchronized {
+                prepared += sql
+                prepared.length - 1
+              }
+              (id, None, None)
           }
         case "batch" =>
           if (sqlOrId.exists(_.isInstanceOf[String]))
@@ -244,9 +254,7 @@ final class GraftServer(engine: Engine, port: Int = 0,
                     argsArray.exists(_.length != argsArray.head.length))
                   ("All array must the same size", None, None)
                 else {
-                  engine.synchronized {
-                    engine.batchInsert(sql, argsArray, user)
-                  }
+                  engine.batchInsertWithDb(sql, argsArray, user, usedDb)
                   (null, None, None)
                 }
               }
@@ -265,8 +273,11 @@ final class GraftServer(engine: Engine, port: Int = 0,
             }
           }
         case "use" =>
+          // reference parity (server.go:425-437): usedDbName switches
+          // BEFORE the existence/permission checks, error or not
           val db = sqlOrId.fold("")(_.toString)
-          if (!engine.catalog.hasDatabase(db)) (s"$db does not exist", None, None)
+          if (!engine.catalog.hasDatabase(db))
+            (s"$db does not exist", Some(db), None)
           else if (engine.getPerm(db, "", user) == Perm.No)
             ("No permission", Some(db), None)
           else (null, Some(db), None)

@@ -126,6 +126,30 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("cached prepared selects resolve the connection's db and keep ns") {
+    val srv = new GraftServer(engine, port = 0, cacheTtlMs = 5000)
+    val c = new NetClient("127.0.0.1", srv.boundPort)
+    try {
+      c.execute("create database cch")
+      c.use("cch")
+      c.execute("create table cch.t(k int, tm timestamp, v double, " +
+        "primary key(k, tm))")
+      c.execute("insert into cch.t values(1, ?, 2.5)", Seq(Seq(5L, 123L)))
+      // UNQUALIFIED table name through the cached path: must resolve
+      // against this connection's used db, with full ns timestamps
+      val pid = c.prepare("select * from t where k=1")
+      val expect = Seq(Seq(1, java.time.Instant.ofEpochSecond(5L, 123L), 2.5))
+      val r1 = c.executePrepared(pid, useCache = true)
+      assert(r1 == expect)
+      // second call served from the response cache, identical payload
+      assert(c.executePrepared(pid, useCache = true) == expect)
+      // unqualified prepared BATCH also resolves the connection db
+      val ins = c.prepare("insert into t values(?, ?, ?)")
+      c.batchInsert(ins, Seq(Seq(2, Seq(9L, 7L), 4.5)))
+      assert(c.execute("select v from t where k=2").map(_.head) == Seq(4.5))
+    } finally { c.close(); srv.stop() }
+  }
+
   test("client reconnects after a server restart and replays used db") {
     val port = server.boundPort
     server.stop()

@@ -160,6 +160,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val td = getSchema(db, tbl)
     if (!td.nameMap.contains(from)) throw OtError(s"Column $from does not exist")
     if (td.nameMap.contains(to)) throw OtError(s"Column $to already exists")
+    // mirror CREATE TABLE's reserved-suffix validation: a logical name
+    // colliding with the ns-companion/seq storage columns would corrupt
+    // the phys↔logical mapping
+    if (to.endsWith("__ns") || to == "__seq")
+      throw OtError(s"Column name $to is reserved")
     schemaCache.remove(s"$db.$tbl")
     val cols = td.cols.map(c => if (c.name == from) c.copy(name = to) else c)
     val keys = td.keyNames.map(k => if (k == from) to else k)
@@ -191,12 +196,22 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   private def physToLogical(td: TableDef, df: DataFrame): DataFrame = {
     val phys = physNames(td)
     val logical = td.cols.map(_.name)
-    val pairs = phys.zip(logical).flatMap { case (p, l) =>
+    renameAll(df, phys.zip(logical).flatMap { case (p, l) =>
       Seq(p -> l, nsCol(p) -> nsCol(l))
-    }
-    pairs.foldLeft(df) { case (d, (p, l)) =>
-      if (p != l) d.withColumnRenamed(p, l) else d
-    }
+    }.toMap)
+  }
+
+  /** Apply a whole column-rename mapping in ONE positional select —
+    * chained withColumnRenamed would pass through intermediate states
+    * where a cyclic mapping (a→c, b→a, c→b) creates duplicate names and
+    * renames the wrong column. Columns outside the mapping (__seq,
+    * __dseq, __rn) pass through unchanged; identity mappings short-
+    * circuit to keep clean-read plans Project-free.
+    */
+  private def renameAll(df: DataFrame, m: Map[String, String]): DataFrame = {
+    val cols = df.columns
+    if (cols.forall(c => m.getOrElse(c, c) == c)) df
+    else df.select(cols.map(c => col(c).as(m.getOrElse(c, c))).toSeq: _*)
   }
 
   /** Raw append-log rows incl. __seq and ns remainders, with the
@@ -346,15 +361,10 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   }
 
   /** Rename a logical-name DataFrame to physical names for writing. */
-  private def logicalToPhys(td: TableDef, df: DataFrame): DataFrame = {
-    val phys = physNames(td)
-    val pairs = td.cols.map(_.name).zip(phys).flatMap { case (l, p) =>
-      Seq(l -> p, nsCol(l) -> nsCol(p))
-    }
-    pairs.foldLeft(df) { case (d, (l, p)) =>
-      if (l != p) d.withColumnRenamed(l, p) else d
-    }
-  }
+  private def logicalToPhys(td: TableDef, df: DataFrame): DataFrame =
+    renameAll(df, td.cols.map(_.name).zip(physNames(td)).flatMap {
+      case (l, p) => Seq(l -> p, nsCol(l) -> nsCol(p))
+    }.toMap)
 
   /** Physical file schema: each Timestamp column is followed by its
     * `__ns` remainder.

@@ -204,7 +204,11 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
       user: Option[User] = None, maxCacheRows: Int = 10000,
       proto: String = "", db: String = "", wireNs: Boolean = false,
       maxCacheEntries: Int = 1000): DataFrame = {
-    val key = (s"$proto $db $sql", args)
+    // the user joins the key so a cached result is never served across
+    // differently-privileged users without its permission check (the
+    // reference keys only sql+args+useJson — an inherited gap, fixed here)
+    val who = user.fold("-")(u => "u:" + u.name)
+    val key = (s"$proto $db $who $sql", args)
     val now = System.currentTimeMillis()
     respCache.get(key).filter(now - _._1 <= ttlMs) match {
       case Some((_, rows, schema)) =>

@@ -175,10 +175,12 @@ final class NetClient(host: String, port: Int,
   /** Scatter-gather over the wire (the reference client's marquee use of
     * async futures, client/opentick.go:302-317): pipeline one range
     * query per [[Client.splitRange]] part over this SAME connection,
-    * gather all futures, and merge with boundary dedup — the inclusive
-    * sub-range ends mean each shared boundary row arrives twice, and the
-    * order-stable distinct keeps the first occurrence so concatenated
-    * per-part PK order survives.
+    * gather all futures, and merge with junction dedup — the inclusive
+    * sub-range ends mean rows at each shared boundary key arrive at the
+    * tail of part i AND the head of part i+1; only that contiguous
+    * overlap is dropped ([[NetClient.mergeParts]]), so legitimately
+    * identical rows elsewhere survive even when the projection omits
+    * the PK (a whole-row distinct would collapse those too).
     */
   def executeRangesAsync(sql: String,
       parts: Seq[(Any, Any)]): Future[Seq[Seq[Any]]] = {
@@ -186,7 +188,7 @@ final class NetClient(host: String, port: Int,
     require(parts.nonEmpty, "empty range split")
     Future.sequence(parts.map { case (lo, hi) =>
       executeAsync(sql, Seq(lo, hi))
-    }).map(_.flatten.distinct)
+    }).map(NetClient.mergeParts)
   }
 
   def executeRanges(sql: String, parts: Seq[(Any, Any)]): Seq[Seq[Any]] =
@@ -216,5 +218,28 @@ final class NetClient(host: String, port: Int,
   def close(): Unit = {
     alive = false
     try sock.close() catch { case NonFatal(_) => }
+  }
+}
+
+object NetClient {
+  /** Merge PK-ordered per-part scatter-gather results, dropping only the
+    * junction overlap: each part's longest head run equal to the
+    * previous part's tail is removed. Rows with the shared boundary key
+    * appear whole in both adjacent parts (both range ends inclusive), so
+    * the overlap is exactly such a head/tail run; matching the run —
+    * instead of a global whole-row distinct — keeps duplicate-valued
+    * rows that are NOT at a junction, which matters when the projection
+    * omits PK columns.
+    */
+  private[engine] def mergeParts(parts: Seq[Seq[Seq[Any]]]): Seq[Seq[Any]] = {
+    val out = Seq.newBuilder[Seq[Any]]
+    var prev: Seq[Seq[Any]] = Nil
+    parts.foreach { p =>
+      var k = math.min(prev.length, p.length)
+      while (k > 0 && p.take(k) != prev.takeRight(k)) k -= 1
+      out ++= p.drop(k)
+      prev = p
+    }
+    out.result()
   }
 }

@@ -39,8 +39,20 @@ object Wire {
 
   /** Reads one frame body; empty frames return Array.empty. */
   def readFrame(in: DataInputStream): Array[Byte] = {
+    val b0 = in.read()
+    if (b0 < 0) throw new java.io.EOFException("peer closed")
+    readFrameRest(in, b0)
+  }
+
+  /** Reads a frame whose FIRST header byte was already consumed — the
+    * server reads that byte separately so an idle-timeout can be told
+    * apart from a timeout mid-frame (which would desynchronize the
+    * stream and must close the connection instead).
+    */
+  def readFrameRest(in: DataInputStream, b0: Int): Array[Byte] = {
     val head = new Array[Byte](4)
-    in.readFully(head)
+    head(0) = b0.toByte
+    in.readFully(head, 1, 3)
     val len = ByteBuffer.wrap(head).order(ByteOrder.LITTLE_ENDIAN).getInt()
     val body = new Array[Byte](len)
     in.readFully(body)
@@ -80,15 +92,26 @@ object Wire {
   * (reference server.go): run / prepare / batch / login / use / meta,
   * per-connection used-db and prepared-statement list, response cache
   * for cached prepared selects, idle-timeout heartbeats. One thread per
-  * connection + one per request batch — fine for a driver-hosted compat
-  * endpoint; the heavy lifting is Spark jobs anyway.
+  * connection + one per in-flight request, bounded per connection by
+  * `maxConcurrency` (reference sMaxConcurrency, server.go:24,245):
+  * excess requests queue in the read loop — backpressure, not threads.
+  * SELECT responses are bounded by `maxWireRows`: a larger result is an
+  * error string, never an unbounded driver collect (the reference is
+  * softly bounded by FDB's 5 s transaction limit; this is the explicit
+  * analog).
   */
 final class GraftServer(engine: Engine, port: Int = 0,
     permissionControl: Boolean = false, idleTimeoutMs: Int = 0,
-    cacheTtlMs: Long = 0L) {
+    cacheTtlMs: Long = 0L, maxConcurrency: Int = 100,
+    maxWireRows: Int = 1000000) {
   private val socket = new ServerSocket(port)
   private val running = new AtomicBoolean(true)
   @volatile private var conns = List.empty[Socket]
+  // spec-visible gauge: the high-water mark of concurrently dispatching
+  // request threads across the server
+  private[engine] val inflight = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[engine] val inflightHighWater =
+    new java.util.concurrent.atomic.AtomicInteger(0)
 
   def boundPort: Int = socket.getLocalPort
 
@@ -122,20 +145,30 @@ final class GraftServer(engine: Engine, port: Int = 0,
           !s.getInetAddress.isLoopbackAddress) Some(User("", "", false, Map.empty))
       else None) // no user ⇒ local admin (user.go:63-65)
     val prepared = ArrayBuffer.empty[String]
+    // per-connection in-flight request bound (sMaxConcurrency analog,
+    // server.go:24,245): acquired in the read loop, so past the cap the
+    // loop stops consuming requests — TCP backpressure, no thread pile-up
+    val sem = new java.util.concurrent.Semaphore(maxConcurrency)
     if (idleTimeoutMs > 0) s.setSoTimeout(idleTimeoutMs)
     try {
       var waitHeartbeat = false
       while (running.get()) {
-        val body =
-          try Wire.readFrame(in)
+        // the FIRST header byte is read alone: an idle timeout there is a
+        // clean between-frames pause (→ heartbeat); a timeout after any
+        // byte of a frame was consumed would desynchronize the stream, so
+        // it propagates out of readFrameRest and closes the connection
+        val b0 =
+          try in.read()
           catch {
             case _: SocketTimeoutException if !waitHeartbeat =>
               // idle: ask the client to prove liveness (server.go:129-132)
               Wire.writeFrame(out, Array('H'.toByte))
               waitHeartbeat = true
-              null
+              -2
           }
-        if (body != null) {
+        if (b0 == -1) throw new java.io.EOFException("peer closed")
+        if (b0 != -2) {
+          val body = Wire.readFrameRest(in, b0)
           waitHeartbeat = false
           if (body.isEmpty) () // empty frame = heartbeat ack
           else if (new String(body, StandardCharsets.UTF_8) == "protocol=json")
@@ -153,14 +186,20 @@ final class GraftServer(engine: Engine, port: Int = 0,
             // stall heartbeats (reference processes concurrently too)
             val db = usedDb.get()
             val u = user.get()
-            new Thread(() => {
-              val (res, newDb, newUser) = dispatch(doc, db, u, prepared)
-              newDb.foreach(usedDb.set)
-              newUser.foreach(nu => user.set(Some(nu)))
-              try Wire.writeFrame(out,
-                Wire.encode(Map("0" -> ticket, "1" -> res)))
-              catch { case NonFatal(_) => }
-            }).start()
+            sem.acquire()
+            val t = new Thread(() => {
+              val n = inflight.incrementAndGet()
+              inflightHighWater.getAndUpdate(h => math.max(h, n))
+              try {
+                val (res, newDb, newUser) = dispatch(doc, db, u, prepared)
+                newDb.foreach(usedDb.set)
+                newUser.foreach(nu => user.set(Some(nu)))
+                try Wire.writeFrame(out,
+                  Wire.encode(Map("0" -> ticket, "1" -> res)))
+                catch { case NonFatal(_) => }
+              } finally { inflight.decrementAndGet(); sem.release() }
+            })
+            t.start()
           }
         }
       }
@@ -220,8 +259,11 @@ final class GraftServer(engine: Engine, port: Int = 0,
                   engine.executeCached(sql, args, cacheTtlMs, user,
                     proto = "json", db = usedDb, wireNs = true)
                 else engine.executeWireNs(sql, args, user, usedDb)
-              val rows = mergeNs(df)
-              (if (rows.isEmpty) null else rows, None, None)
+              mergeNs(df) match {
+                case Left(err) => (err, None, None)
+                case Right(rows) =>
+                  (if (rows.isEmpty) null else rows, None, None)
+              }
           }
         case "prepare" =>
           resolveSql match {
@@ -316,19 +358,25 @@ final class GraftServer(engine: Engine, port: Int = 0,
     }
   }
 
-  /** Collect a wire-facing result and fold every trailing `__ns`
-    * remainder column into its timestamp, yielding full-nanosecond
-    * Instants (which [[Wire]] serializes as (sec, nsec) pairs — the
-    * reference's wire precision, query.go:754-779).
+  /** Collect a wire-facing result — bounded at `maxWireRows`, a larger
+    * result is Left(error), never an unbounded driver collect — and fold
+    * every trailing `__ns` remainder column into its timestamp, yielding
+    * full-nanosecond Instants (which [[Wire]] serializes as (sec, nsec)
+    * pairs — the reference's wire precision, query.go:754-779).
     */
-  private def mergeNs(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] = {
+  private def mergeNs(
+      df: org.apache.spark.sql.DataFrame): Either[String, Seq[Seq[Any]]] = {
+    val collected = df.limit(maxWireRows + 1).collect()
+    if (collected.length > maxWireRows)
+      return Left(s"Result exceeds $maxWireRows rows over the wire; " +
+        "add a limit or split the range")
     val names = df.schema.fieldNames
     val nsIdx = names.zipWithIndex.collect {
       case (n, i) if n.endsWith("__ns") =>
         n.stripSuffix("__ns") -> i
     }.toMap
     val mainIdx = names.zipWithIndex.filter(!_._1.endsWith("__ns"))
-    df.collect().toSeq.map { r =>
+    Right(collected.toSeq.map { r =>
       mainIdx.toSeq.map { case (n, i) =>
         (r.get(i), nsIdx.get(n)) match {
           case (t: java.sql.Timestamp, Some(j)) if !r.isNullAt(j) =>
@@ -338,7 +386,7 @@ final class GraftServer(engine: Engine, port: Int = 0,
           case (v, _) => v
         }
       }
-    }
+    })
   }
 
   /** JSON arg → engine value: [sec, nsec] pairs stay Seqs (the engine's

@@ -256,4 +256,48 @@ class EngineSpec extends AnyFunSuite {
     assert(past == Seq((1, 1.0)))
     assert(engine.catalog.readTableAsOf(td, 0).count() == 0)
   }
+
+  test("cyclic column renames keep values attached to the right columns") {
+    // a→c, b→a, c→b swaps the two value columns; a chained rename would
+    // pass through a duplicate-name state and corrupt both
+    engine.execute("create table if not exists test.cyc(k int, a double, " +
+      "b double, primary key(k))")
+    engine.execute("insert into test.cyc values(1, 10.0, 20.0)")
+    engine.execute("alter table test.cyc rename column a to c")
+    engine.execute("alter table test.cyc rename column b to a")
+    engine.execute("alter table test.cyc rename column c to b")
+    val df = engine.execute("select k, b, a from test.cyc where k=1")
+    assert(df.columns.toSeq == Seq("k", "b", "a"))
+    assert(df.collect().toSeq == Seq(Row(1, 10.0, 20.0)),
+      "b must carry old a's value and a old b's value")
+    // a later insert through the swapped mapping still lines up: the
+    // positional values follow the table's CURRENT column order (k, b, a)
+    engine.execute("insert into test.cyc(k, a, b) values(2, 1.5, 2.5)")
+    assert(engine.execute("select b, a from test.cyc where k=2")
+      .collect().toSeq == Seq(Row(2.5, 1.5)))
+  }
+
+  test("rename column rejects reserved storage names (like CREATE does)") {
+    engine.execute("create table if not exists test.rsv(k int, v double, " +
+      "primary key(k))")
+    assert(err("alter table test.rsv rename column v to v__ns") ==
+      "Column name v__ns is reserved")
+    assert(err("alter table test.rsv rename column v to __seq") ==
+      "Column name __seq is reserved")
+  }
+
+  test("response cache never crosses users (permission fingerprint in key)") {
+    engine.execute("create table if not exists test.cache_perm(k int, " +
+      "v double, primary key(k))")
+    engine.execute("insert into test.cache_perm values(1, 5.0)")
+    val sql = "select * from test.cache_perm where k=1"
+    // admin (no user) populates the cache...
+    assert(engine.executeCached(sql, ttlMs = 60000).count() == 1)
+    // ...an unprivileged user with the same sql must hit ITS OWN
+    // permission check, not the admin's cached rows
+    val nobody = User("nobody", "", isAdmin = false, Map.empty)
+    assert(intercept[OtError](
+      engine.executeCached(sql, ttlMs = 60000, user = Some(nobody))).msg ==
+      "No permisssion")
+  }
 }

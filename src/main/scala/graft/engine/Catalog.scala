@@ -281,35 +281,57 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
   /** Range-ordered read of a CLEAN table with no sort in the plan: the
     * compacted/imported layout is `repartitionByRange` on the leading key
     * + `sortWithinPartitions` on the full PK, so the part files form
-    * disjoint, name-ordered key ranges and are internally PK-sorted. We
-    * union one single-partition scan per file in range order — collect
-    * order IS global PK order, with zero Exchange.
+    * disjoint, name-ordered key ranges and are internally PK-sorted.
+    * [[graft.plans.OrderedParquetScan]] enumerates them in that order
+    * through ONE scan node — plan size is O(1) in the file count (the
+    * previous per-file union chain grew a plan node per file), collect
+    * order IS global PK order, zero Exchange, and files of any size are
+    * fine (they are never split).
+    *
+    * `pushed` filters use LOGICAL column names; they are remapped to the
+    * physical file names and handed to the parquet reader for row-group
+    * pruning — the pushdown that makes a point/prefix SELECT skip nearly
+    * all data even at thousands of files. Callers must keep the exact
+    * predicate on top (pruning is a superset gate).
     *
     * Returns None (caller falls back to an explicit sort) when the table
-    * is dirty, empty, or any file exceeds the scan split size (a split
-    * file would break within-scan ordering). The per-file scan list is
-    * built on the driver — fine into the thousands of files; beyond that
-    * an ordered read should go through a custom FileIndex instead.
+    * is dirty or empty.
     */
-  def readTableOrdered(td: TableDef, reverse: Boolean): Option[DataFrame] = {
+  def readTableOrdered(td: TableDef, reverse: Boolean,
+      pushed: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : Option[DataFrame] = {
     if (!isClean(td) || !hasData(td)) return None
-    val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes",
-      (128L * 1024 * 1024).toString).takeWhile(_.isDigit).toLong
     val files = withStream(Files.list(dataDir(td)))(
       _.filter(_.getFileName.toString.endsWith(".parquet")).toSeq)
       .sortBy(_.getFileName.toString)
-    if (files.isEmpty || files.exists(f => Files.size(f) > maxSplit))
-      return None
-    val ordered = if (reverse) files.reverse else files
-    val parts = ordered.map { f =>
-      val d = physToLogical(td, spark.read.parquet(f.toString))
-      // reversing needs per-file descending order: a bounded in-memory
-      // sort of one file's rows, still no Exchange
-      if (reverse)
-        d.sortWithinPartitions(keyColsWithNs(td).map(col(_).desc): _*)
-      else d
+    if (files.isEmpty) return None
+    val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes",
+      (128L * 1024 * 1024).toString).takeWhile(_.isDigit).toLong
+    val metas = files.map(f =>
+      graft.plans.OrderedParquetScan.FileMeta(f.toString, Files.size(f)))
+    val schema = physSchema(td).add(SeqCol, LongType, nullable = true)
+    val physFilters = pushed.map(remapFilterToPhys(td, _))
+    val df = graft.plans.OrderedParquetScan.read(spark, metas, schema,
+      physFilters, reverse, maxSplit)
+    Some(physToLogical(td, df).drop(SeqCol))
+  }
+
+  /** Rename the column of a pushed-down filter from logical to physical
+    * (only the comparison shapes the engine generates).
+    */
+  private def remapFilterToPhys(td: TableDef,
+      f: org.apache.spark.sql.sources.Filter)
+      : org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.sources._
+    def p(n: String): String = logicalToPhysNames(td, Seq(n)).head
+    f match {
+      case EqualTo(n, v) => EqualTo(p(n), v)
+      case GreaterThan(n, v) => GreaterThan(p(n), v)
+      case GreaterThanOrEqual(n, v) => GreaterThanOrEqual(p(n), v)
+      case LessThan(n, v) => LessThan(p(n), v)
+      case LessThanOrEqual(n, v) => LessThanOrEqual(p(n), v)
+      case other => other
     }
-    Some(parts.reduce(_ unionAll _).drop(SeqCol))
   }
 
   /** Time-travel: the LWW view as of write batch `seq` (inclusive) — a

@@ -562,6 +562,47 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     case other => lit(other)
   }
 
+  /** Parquet-pushable source filters from the bound PK conditions — the
+    * row-group-pruning side of the ordered clean-table scan. Timestamp
+    * bounds are WEAKENED to inclusive µs-granularity comparisons (the
+    * stored column is µs; the ns remainder rides in a companion column),
+    * so every pushed filter is a superset of the exact ns predicate
+    * [[condsToPredicate]] applies on top. Equality pushes the µs value;
+    * rows in the same µs with a different remainder are dropped by the
+    * exact filter, not the scan.
+    */
+  private def condsToSourceFilters(td: TableDef,
+      conds: Seq[Cond]): Seq[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.sources._
+    def pushable(v: Any): Boolean = v match {
+      case _: java.lang.Number | _: String | _: java.lang.Boolean => true
+      case _ => false
+    }
+    conds.zipWithIndex.flatMap { case (c, i) =>
+      val kd = td.keys(i)
+      val n = kd.name
+      if (kd.tpe == OtType.Timestamp) {
+        def us(v: Any): Option[java.sql.Timestamp] = v match {
+          case t: java.time.Instant => Some(java.sql.Timestamp.from(
+            java.time.Instant.ofEpochSecond(t.getEpochSecond,
+              t.getNano / 1000L * 1000L)))
+          case _ => None
+        }
+        c.equal.flatMap(us).map(EqualTo(n, _)).toSeq ++
+          c.start.flatMap(v => us(v._1)).map(GreaterThanOrEqual(n, _)) ++
+          c.end.flatMap(v => us(v._1)).map(LessThanOrEqual(n, _))
+      } else {
+        c.equal.filter(pushable).map(EqualTo(n, _)).toSeq ++
+          c.start.filter(v => pushable(v._1)).map { case (v, inc) =>
+            if (inc) GreaterThanOrEqual(n, v) else GreaterThan(n, v)
+          } ++
+          c.end.filter(v => pushable(v._1)).map { case (v, inc) =>
+            if (inc) LessThanOrEqual(n, v) else LessThan(n, v)
+          }
+      }
+    }
+  }
+
   /** Bound predicates over the PK columns. Timestamp keys compare at
     * FULL nanosecond precision: the stored µs column plus its `__ns`
     * remainder form a lexicographic pair, and bounds split the input
@@ -613,7 +654,8 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     // layout already delivers that order file-by-file with no sort or
     // Exchange in the plan (Catalog.readTableOrdered); only dirty tables
     // (or clean reads the ordered path declines) pay an explicit sort.
-    val ordered = catalog.readTableOrdered(s.td, s.reverse)
+    val ordered = catalog.readTableOrdered(s.td, s.reverse,
+      condsToSourceFilters(s.td, conds))
     // ns remainder columns ride along for predicates/sort; the final
     // projection (logical columns only) drops them
     var df = ordered.getOrElse(catalog.readTableKeepNs(s.td))

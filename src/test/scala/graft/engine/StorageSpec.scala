@@ -122,6 +122,43 @@ class StorageSpec extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == (0 to 10))
   }
 
+  test("ordered read plans O(1) in file count (many-file clean table)") {
+    import spark.implicits._
+    // import under a high shuffle-partition count -> ~200 range files,
+    // the shape a 1000-executor compact produces
+    spark.conf.set("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try {
+      val df = (1 to 2000).map(i => (i, i * 0.5)).toDF("k", "v")
+      engine.importTable("s", "many", df, Seq("k"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+    val dataDir = java.nio.file.Paths.get(engine.catalog.warehouse, "s",
+      "many", "data")
+    val nFiles = java.nio.file.Files.list(dataDir).filter(
+      _.getFileName.toString.endsWith(".parquet")).count()
+    assert(nFiles > 100, s"expected many files, got $nFiles")
+    val out = engine.execute("select * from s.many")
+    val plan = out.queryExecution.executedPlan.toString
+    // one scan node regardless of file count: no per-file union chain,
+    // no Exchange, no Sort
+    assert(!plan.contains("Union"), s"plan has per-file Union:\n$plan")
+    assert(!plan.contains("Exchange"), s"plan has Exchange:\n$plan")
+    assert(plan.linesIterator.size < 12,
+      s"plan must stay flat at $nFiles files:\n$plan")
+    assert(out.collect().map(_.getInt(0)).toSeq == (1 to 2000))
+    // reverse presentation across file boundaries
+    assert(engine.execute("select * from s.many limit -5").collect()
+      .map(_.getInt(0)).toSeq == Seq(2000, 1999, 1998, 1997, 1996))
+    // pushed-down point/range predicates stay exact through the scan
+    assert(engine.execute("select v from s.many where k=1234").collect()
+      .map(_.getDouble(0)).toSeq == Seq(617.0))
+    assert(engine.execute("select k from s.many where k>=1995 and k<1999")
+      .collect().map(_.getInt(0)).toSeq == Seq(1995, 1996, 1997, 1998))
+  }
+
   test("nanosecond PK fidelity: ns-distinct keys are distinct rows with exact bounds") {
     engine.execute("create table s.ns(sec int, tm timestamp, px double, primary key(sec, tm))")
     // three rows inside the SAME microsecond (t=5s + 1µs + {250,500,750}ns),

@@ -1,0 +1,259 @@
+"""Stdlib-only Python client for the graft wire server (protocol=json).
+
+Mirrors the reference SDK's API shape (reference
+bindings/python/opentick/client.py): ``connect()`` returns a
+``Connection`` with ``execute`` / ``execute_async`` / ``batch_insert`` /
+``use`` / ``login`` / meta helpers; async calls return ``Future``s with
+``get(timeout)``; ``split_range`` supports scatter-gather range queries.
+
+Wire format (engine/Server.scala): 4-byte little-endian length frames
+carrying JSON documents. Request ``{"0": ticket, "1": cmd, "2": sql or
+prepared id, "3": args, "4": useCache}``; response ``{"0": ticket,
+"1": result}`` where a string result is an error. A 1-byte ``H`` frame
+is a heartbeat probe answered with an empty frame. Timestamps travel as
+``[epoch_seconds, nanos]`` pairs: pass ``datetime`` (UTC assumed) or
+``(sec, nsec)`` tuples as arguments; result cells come back as
+``datetime`` when the nanos fit microseconds, else ``(sec, nsec)``
+tuples so no precision is ever lost.
+
+Only the Python standard library is used: socket, struct, json,
+threading, datetime.
+"""
+
+import datetime
+import json
+import socket
+import struct
+import threading
+
+__all__ = ["Error", "connect", "split_range", "Connection", "Future"]
+
+
+class Error(RuntimeError):
+    pass
+
+
+def split_range(start, end, num_parts):
+    """Split [start, end] into contiguous sub-ranges, reference
+    semantics: truncated per-part width, last part absorbs the
+    remainder. Returns [] when num_parts <= 1."""
+    if num_parts <= 1:
+        return []
+    d = (end - start) // num_parts if isinstance(start, int) else \
+        (end - start) / num_parts
+    parts = [(start + i * d, start + (i + 1) * d) for i in range(num_parts)]
+    parts[-1] = (parts[-1][0], end)
+    return parts
+
+
+def connect(addr="localhost", port=1116, db_name=None, timeout=30.0):
+    conn = Connection(addr, port, timeout=timeout)
+    conn.start()
+    if db_name:
+        conn.use(db_name)
+    return conn
+
+
+def _to_wire(v):
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        sec = int(v.timestamp())
+        return [sec, v.microsecond * 1000]
+    if isinstance(v, tuple) and len(v) == 2:
+        return [v[0], v[1]]
+    if isinstance(v, (list, tuple)):
+        return [_to_wire(x) for x in v]
+    return v
+
+
+def _cell(c):
+    """Timestamp cells are [sec, nsec] int pairs (never whole rows —
+    decoding is strictly two-level, like the reference client)."""
+    if isinstance(c, list) and len(c) == 2 and \
+            all(isinstance(x, int) and not isinstance(x, bool) for x in c):
+        sec, nsec = c
+        if nsec % 1000 == 0:
+            return datetime.datetime.fromtimestamp(
+                sec, tz=datetime.timezone.utc) + \
+                datetime.timedelta(microseconds=nsec // 1000)
+        return (sec, nsec)  # sub-microsecond: keep exact
+    return c
+
+
+def _from_wire(v):
+    if isinstance(v, list):
+        return [[_cell(c) for c in row] if isinstance(row, list) else row
+                for row in v]
+    return v
+
+
+class Future(object):
+    def __init__(self):
+        self._event = threading.Event()
+        self._value = None
+
+    def _complete(self, value):
+        self._value = value
+        self._event.set()
+
+    def get(self, timeout=None):
+        if not self._event.wait(timeout):
+            raise Error("Timeout")
+        v = self._value
+        if isinstance(v, str):
+            raise Error(v)
+        if isinstance(v, Exception):
+            raise v
+        return _from_wire(v) if isinstance(v, list) else v
+
+
+class Connection(object):
+    def __init__(self, addr, port, timeout=30.0):
+        self._addr = addr
+        self._port = port
+        self._timeout = timeout
+        self._sock = None
+        self._wlock = threading.Lock()
+        self._plock = threading.Lock()
+        self._pending = {}
+        self._prepared = {}  # sql -> server prepared id
+        self._ticket = 0
+        self._reader = None
+        self._closed = False
+
+    # ── lifecycle ──
+
+    def start(self):
+        self._sock = socket.create_connection((self._addr, self._port))
+        self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._write_frame(b"protocol=json")
+        self._reader = threading.Thread(target=self._read_loop, daemon=True)
+        self._reader.start()
+
+    def close(self):
+        self._closed = True
+        try:
+            self._sock.close()
+        except OSError:
+            pass
+
+    # ── public API (reference client.py shape) ──
+
+    def login(self, username, password):
+        self._call_sync("login", "%s %s" % (username, password))
+
+    def use(self, db_name):
+        self._call_sync("use", db_name)
+
+    def execute(self, sql, args=[], cache=False):
+        return self.execute_async(sql, args, cache).get(self._timeout)
+
+    def execute_async(self, sql, args=[], cache=False):
+        sql_or_id = sql
+        if cache:
+            # the server's response cache only engages for prepared ids
+            sql_or_id = self.prepare(sql)
+        return self._call("run", sql_or_id,
+                          [_to_wire(a) for a in args] or None,
+                          cache)
+
+    def prepare(self, sql):
+        with self._plock:
+            if sql in self._prepared:
+                return self._prepared[sql]
+        pid = self._call_sync("prepare", sql)
+        with self._plock:
+            self._prepared[sql] = pid
+        return pid
+
+    def batch_insert(self, sql, args_array):
+        pid = self.prepare(sql)
+        self._call("batch", pid,
+                   [[_to_wire(a) for a in row] for row in args_array]) \
+            .get(self._timeout)
+
+    def execute_ranges(self, sql, parts):
+        """Scatter-gather: one pipelined query per (lo, hi) part over
+        this connection; parts concatenate in order with the duplicated
+        junction run of each part dropped (both range ends are
+        inclusive)."""
+        futures = [self.execute_async(sql, [lo, hi]) for lo, hi in parts]
+        merged, prev = [], []
+        for f in futures:
+            rows = f.get(self._timeout) or []
+            k = min(len(prev), len(rows))
+            while k > 0 and rows[:k] != prev[-k:]:
+                k -= 1
+            merged.extend(rows[k:])
+            prev = rows
+        return merged
+
+    def list_databases(self):
+        return self._call_sync("meta", "list_databases")
+
+    def list_tables(self):
+        return self._call_sync("meta", "list_tables")
+
+    def schema(self, table_name):
+        return self._call_sync("meta", "schema %s" % table_name)
+
+    def chgpasswd(self, password):
+        self._call_sync("meta", "chgpasswd %s" % password)
+
+    def reload_users(self):
+        self._call_sync("meta", "reload_users")
+
+    # ── wire internals ──
+
+    def _call_sync(self, cmd, arg):
+        return self._call(cmd, arg).get(self._timeout)
+
+    def _call(self, cmd, sql_or_id, args=None, cache=False):
+        with self._plock:
+            self._ticket += 1
+            ticket = self._ticket
+        fut = Future()
+        self._pending[ticket] = fut
+        doc = {"0": ticket, "1": cmd, "2": sql_or_id}
+        if args is not None:
+            doc["3"] = args
+        if cache:
+            doc["4"] = 1
+        self._write_frame(json.dumps(doc).encode("utf-8"))
+        return fut
+
+    def _write_frame(self, body):
+        with self._wlock:
+            self._sock.sendall(struct.pack("<i", len(body)) + body)
+
+    def _read_exact(self, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = self._sock.recv(n - len(buf))
+            if not chunk:
+                raise Error("Connection closed")
+            buf += chunk
+        return buf
+
+    def _read_loop(self):
+        try:
+            while True:
+                (length,) = struct.unpack("<i", self._read_exact(4))
+                body = self._read_exact(length) if length > 0 else b""
+                if body == b"H":
+                    self._write_frame(b"")  # heartbeat ack
+                    continue
+                if not body:
+                    continue
+                doc = json.loads(body.decode("utf-8"))
+                fut = self._pending.pop(doc.get("0", -1), None)
+                if fut is not None:
+                    fut._complete(doc.get("1"))
+        except Exception as e:  # noqa: BLE001 — fail all in-flight calls
+            if not self._closed:
+                err = Error("Connection lost: %s" % e)
+                for t in list(self._pending):
+                    f = self._pending.pop(t, None)
+                    if f is not None:
+                        f._complete(err)

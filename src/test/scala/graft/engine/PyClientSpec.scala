@@ -1,0 +1,90 @@
+package graft.engine
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+/** Cross-language wire conformance: the stdlib-only Python client
+  * (bindings/python/graftclient.py, mirroring the reference
+  * bindings/python/opentick/client.py API shape) speaks the JSON frame
+  * protocol to a live [[GraftServer]] from a subprocess — DDL, prepared
+  * batch insert, selects with (sec, nsec) nanosecond timestamps, error
+  * strings, and meta commands all round-trip through a non-JVM peer.
+  */
+class PyClientSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def python3: Option[String] =
+    Seq("/usr/bin/python3", "/usr/local/bin/python3").find(p =>
+      Files.isExecutable(Paths.get(p)))
+
+  test("python stdlib client round-trips the wire protocol") {
+    assume(python3.nonEmpty, "python3 not installed on this machine")
+    val wh = Files.createTempDirectory("graft-py-wh").toString
+    val engine = new Engine(spark, wh)
+    val server = new GraftServer(engine, port = 0, idleTimeoutMs = 200)
+    val script = Files.createTempFile("graft-py", ".py")
+    try {
+      val driver =
+        """import json, sys
+          |sys.path.insert(0, sys.argv[1])
+          |import graftclient as gc
+          |c = gc.connect('127.0.0.1', int(sys.argv[2]))
+          |c.execute('create database pydb')
+          |c.use('pydb')
+          |c.execute('create table pydb.t(sec int, tm timestamp, px double,'
+          |          ' note text, primary key(sec, tm))')
+          |c.batch_insert('insert into pydb.t values(?, ?, ?, ?)', [
+          |    [1, (7, 123), 1.5, 'a'],   # 7s + 123ns: sub-microsecond
+          |    [1, (7, 456000), 2.5, 'b'],
+          |    [2, (9, 0), 9.0, 'c']])
+          |rows = c.execute('select * from pydb.t where sec=1')
+          |print(json.dumps(rows, default=repr))
+          |print(json.dumps(
+          |    c.execute('select px from pydb.t where sec=1 and tm=?',
+          |              [(7, 123)])))
+          |print(json.dumps(sorted(c.list_databases())))
+          |print(json.dumps(c.schema('t')))
+          |try:
+          |    c.execute('select * from pydb.nope')
+          |    print('NO-ERROR')
+          |except gc.Error as e:
+          |    print('ERR:' + str(e))
+          |parts = gc.split_range(0, 9, 3)
+          |pid = c.prepare('insert into pydb.r values(?, ?)')
+          |c.execute('create table pydb.r(k int, v double, primary key(k))')
+          |c.batch_insert('insert into pydb.r values(?, ?)',
+          |               [[i, i * 0.5] for i in range(10)])
+          |print(json.dumps(c.execute_ranges(
+          |    'select k from pydb.r where k>=? and k<=?', parts)))
+          |c.close()
+          |""".stripMargin
+      Files.write(script, driver.getBytes(StandardCharsets.UTF_8))
+      val repoBindings = Paths.get(System.getProperty("user.dir"),
+        "bindings", "python").toString
+      val proc = new ProcessBuilder(python3.get, script.toString,
+        repoBindings, server.boundPort.toString)
+        .redirectErrorStream(true).start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        StandardCharsets.UTF_8)
+      assert(proc.waitFor() == 0, s"python client failed:\n$out")
+      val lines = out.trim.linesIterator.toSeq
+      // select * rows: ns timestamp surfaces as an exact (sec, nsec)
+      // tuple, µs-divisible one as a datetime repr
+      assert(lines(0).contains("[7, 123]") && lines(0).contains("1.5"))
+      assert(lines(0).contains("datetime.datetime(1970, 1, 1, 0, 0, 7, 456"))
+      // ns-exact point get through a (sec, nsec) placeholder
+      assert(lines(1) == "[[1.5]]")
+      assert(lines(2).contains("\"pydb\""))
+      // schema meta: (keys, values) with (name, type) pairs
+      assert(lines(3) == """[[["sec", "Int"], ["tm", "Timestamp"]], [["px", "Double"], ["note", "Text"]]]""")
+      assert(lines(4) == "ERR:Table pydb.nope does not exists")
+      // scatter-gather over split ranges: junction dedup, full coverage
+      assert(lines(5) == "[[0], [1], [2], [3], [4], [5], [6], [7], [8], [9]]")
+    } finally {
+      Files.deleteIfExists(script)
+      server.stop()
+    }
+  }
+}

@@ -40,12 +40,30 @@ object Bench {
     // grouping-sets Expand, window, sort-merge join, native as-of.
     Seq(names.head, "q1_agg", "q_rollup", "q_window_rank", "q_self_join",
       "q_asof_native", "q_stats_moments").distinct.foreach(run)
-    val results = names.map(n => n -> run(n))
+    // Best-of-2 per query: machine-load noise poisoned BENCH_r02 (trivial
+    // queries inflated 3-5x under a concurrent build). The best of two
+    // runs is robust to one-sided load spikes; the canary below makes a
+    // still-poisoned run self-evident to the reader.
+    val nRuns = 2
+    val results = names.map { n =>
+      n -> (0 until nRuns).map(_ => run(n)).filter(_ >= 0)
+        .minOption.getOrElse(-1.0)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val (ingestS, scanS) = baselineLoops(spark)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val (ingestS, scanS) = {
+      val runs = (0 until nRuns).map(_ => baselineLoops(spark))
+      (runs.map(_._1).min, runs.map(_._2).min)
+    }
+    // canary: a point get is ~0.2 s idle at any SF; a multiple of that
+    // budget means the machine was loaded and the numbers are suspect
+    val canaryBudget = 0.6
+    val canary = (0 until nRuns).map(_ => run("q_point_get")).min
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
+      s""""queries":$qs,""" +
+      s""""canary_point_get_s":$canary,"canary_budget_s":$canaryBudget,""" +
+      s""""load_suspect":${canary > canaryBudget},""" +
       s""""ingest_100k_ohlcv_s":$ingestS,"scan_100k_ohlcv_s":$scanS,""" +
       s""""ingest_rows_per_s":${(100000 / ingestS).toLong},""" +
       s""""scan_rows_per_s":${(100000 / scanS).toLong},"sf":"$sfDir"}""")

@@ -425,11 +425,8 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val isTs = td.cols.map(_.tpe == OtType.Timestamp).toArray
     val width = schema.length
     val nCols = isTs.length
-    val sparkRows = new java.util.ArrayList[Row](rows.length)
     var i = 0
-    val it = rows.iterator
-    while (it.hasNext) {
-      val r = it.next()
+    val cellRows = rows.iterator.map { r =>
       val cells = new Array[Any](width)
       var c = 0
       var o = 0
@@ -452,12 +449,17 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
         c += 1
       }
       cells(width - 1) = seq * 1000000L + i
-      sparkRows.add(Row.fromSeq(scala.collection.immutable.ArraySeq
-        .unsafeWrapArray(cells)))
       i += 1
+      cells
     }
-    val df = spark.createDataFrame(sparkRows, schema)
-    df.coalesce(1).write.mode("append").parquet(dataDir(td).toString)
+    // a batch is driver-resident by contract: write the part file
+    // directly (LocalParquet), skipping a per-batch Spark job + commit
+    // protocol that buys no parallelism for a coalesce(1) write
+    Files.createDirectories(dataDir(td))
+    LocalParquet.write(
+      dataDir(td).resolve(f"part-append-$seq%06d-${
+        java.util.UUID.randomUUID}.parquet"),
+      schema, cellRows)
   }
 
   /** Bulk import: distributed write of a whole DataFrame as seq-0 rows in

@@ -54,12 +54,20 @@ def connect(addr="localhost", port=1116, db_name=None, timeout=30.0):
     return conn
 
 
+_EPOCH = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+
 def _to_wire(v):
     if isinstance(v, datetime.datetime):
         if v.tzinfo is None:
             v = v.replace(tzinfo=datetime.timezone.utc)
-        sec = int(v.timestamp())
-        return [sec, v.microsecond * 1000]
+        # calendar-exact integer math: int(v.timestamp()) truncates
+        # toward zero, shifting pre-epoch fractional seconds forward a
+        # second; timedelta normalizes to (days, secs, micros>=0), which
+        # matches the [sec, nsec>=0] wire convention exactly
+        td = v - _EPOCH
+        sec = td.days * 86400 + td.seconds
+        return [sec, td.microseconds * 1000]
     if isinstance(v, tuple) and len(v) == 2:
         return [v[0], v[1]]
     if isinstance(v, (list, tuple)):
@@ -175,18 +183,20 @@ class Connection(object):
 
     def execute_ranges(self, sql, parts):
         """Scatter-gather: one pipelined query per (lo, hi) part over
-        this connection; parts concatenate in order with the duplicated
-        junction run of each part dropped (both range ends are
-        inclusive)."""
+        this connection, plus one point query per junction boundary to
+        measure EXACTLY how many rows sit at each shared (inclusive)
+        boundary value — that head run of the next part is dropped.
+        Exact for any projection; exclusive-bound SQL measures overlap
+        0 and concatenates plainly."""
         futures = [self.execute_async(sql, [lo, hi]) for lo, hi in parts]
-        merged, prev = [], []
-        for f in futures:
+        overlaps = [self.execute_async(sql, [hi1, hi1])
+                    if hi1 == lo2 else None
+                    for (_, hi1), (lo2, _) in zip(parts, parts[1:])]
+        merged = list(futures[0].get(self._timeout) or [])
+        for f, of in zip(futures[1:], overlaps):
             rows = f.get(self._timeout) or []
-            k = min(len(prev), len(rows))
-            while k > 0 and rows[:k] != prev[-k:]:
-                k -= 1
+            k = len(of.get(self._timeout) or []) if of is not None else 0
             merged.extend(rows[k:])
-            prev = rows
         return merged
 
     def list_databases(self):

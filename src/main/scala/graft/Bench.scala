@@ -59,11 +59,13 @@ object Bench {
     // canary: a point get is ~0.2 s idle at any SF; a multiple of that
     // budget means the machine was loaded and the numbers are suspect
     val canaryBudget = 0.6
-    val canary = (0 until nRuns).map(_ => run("q_point_get")).min
+    // a failed run (-1 sentinel) must read as SUSPECT, not healthy
+    val canary = (0 until nRuns).map(_ => run("q_point_get"))
+      .filter(_ >= 0).minOption.getOrElse(-1.0)
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
       s""""queries":$qs,""" +
       s""""canary_point_get_s":$canary,"canary_budget_s":$canaryBudget,""" +
-      s""""load_suspect":${canary > canaryBudget},""" +
+      s""""load_suspect":${canary < 0 || canary > canaryBudget},""" +
       s""""ingest_100k_ohlcv_s":$ingestS,"scan_100k_ohlcv_s":$scanS,""" +
       s""""ingest_rows_per_s":${(100000 / ingestS).toLong},""" +
       s""""scan_rows_per_s":${(100000 / scanS).toLong},"sf":"$sfDir"}""")

@@ -374,12 +374,19 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       currentSeq(td).toString.getBytes(StandardCharsets.UTF_8))
 
   private def nextSeq(td: TableDef): Long = {
-    val p = tblPath(td.dbName, td.tblName).resolve("seq")
-    val cur = if (Files.exists(p))
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
-    else 0L
-    Files.write(p, (cur + 1).toString.getBytes(StandardCharsets.UTF_8))
-    cur + 1
+    // the read-modify-write is serialized on the catalog monitor: engine
+    // mutations hold the engine lock, but direct catalog calls (compact,
+    // appendRows from library code) must not race a concurrent wire
+    // batch to the same seq. Cross-process claims are out of scope (the
+    // reference is a single server process too).
+    this.synchronized {
+      val p = tblPath(td.dbName, td.tblName).resolve("seq")
+      val cur = if (Files.exists(p))
+        new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong
+      else 0L
+      Files.write(p, (cur + 1).toString.getBytes(StandardCharsets.UTF_8))
+      cur + 1
+    }
   }
 
   /** Rename a logical-name DataFrame to physical names for writing. */

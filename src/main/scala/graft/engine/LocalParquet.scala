@@ -53,41 +53,63 @@ object LocalParquet {
 
   /** Write `rows` (cell arrays positional against `schema`; timestamp
     * cells are µs-truncated Instants) as one snappy parquet file.
+    *
+    * Commit protocol: the bytes stream into a dot-prefixed sibling
+    * (hidden from Spark's file listing, like the committer's
+    * `_temporary` staging) and only an ATOMIC_MOVE publishes the final
+    * name — a concurrent reader never lists a footerless in-progress
+    * file, and a mid-batch failure deletes the staging file instead of
+    * committing a partial batch.
     */
   def write(file: Path, schema: StructType,
       rows: Iterator[Array[Any]]): Unit = {
     val mt = messageType(schema)
     val conf = new Configuration()
     GroupWriteSupport.setSchema(mt, conf)
+    val staging = file.resolveSibling("." + file.getFileName + ".inprogress")
+    // LocalOutputFile writes through java.nio directly — no Hadoop
+    // FileSystem (whose cached ChecksumFileSystem would leak .crc
+    // sidecars past the rename)
     val writer = ExampleParquetWriter
-      .builder(new org.apache.hadoop.fs.Path(file.toString))
+      .builder(new org.apache.parquet.io.LocalOutputFile(staging))
       .withConf(conf)
       .withCompressionCodec(CompressionCodecName.SNAPPY)
       .build()
     val factory = new SimpleGroupFactory(mt)
     val n = schema.length
-    try rows.foreach { cells =>
-      val g = factory.newGroup().asInstanceOf[SimpleGroup]
-      var i = 0
-      while (i < n) {
-        cells(i) match {
-          case null => ()
-          case x: Byte => g.add(i, x.toInt)
-          case x: Short => g.add(i, x.toInt)
-          case x: Int => g.add(i, x)
-          case x: Long => g.add(i, x)
-          case x: Float => g.add(i, x)
-          case x: Double => g.add(i, x)
-          case x: Boolean => g.add(i, x)
-          case x: String => g.add(i, Binary.fromString(x))
-          case t: java.time.Instant =>
-            g.add(i, t.getEpochSecond * 1000000L + t.getNano / 1000L)
-          case other =>
-            throw OtError(s"Unsupported append value class $other")
+    try {
+      rows.foreach { cells =>
+        val g = factory.newGroup().asInstanceOf[SimpleGroup]
+        var i = 0
+        while (i < n) {
+          cells(i) match {
+            case null => ()
+            case x: Byte => g.add(i, x.toInt)
+            case x: Short => g.add(i, x.toInt)
+            case x: Int => g.add(i, x)
+            case x: Long => g.add(i, x)
+            case x: Float => g.add(i, x)
+            case x: Double => g.add(i, x)
+            case x: Boolean => g.add(i, x)
+            case x: String => g.add(i, Binary.fromString(x))
+            case t: java.time.Instant =>
+              g.add(i, t.getEpochSecond * 1000000L + t.getNano / 1000L)
+            case other =>
+              throw OtError(s"Unsupported append value class $other")
+          }
+          i += 1
         }
-        i += 1
+        writer.write(g)
       }
-      writer.write(g)
-    } finally writer.close()
+      writer.close()
+      java.nio.file.Files.move(staging, file,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: Throwable =>
+        try writer.close() catch { case _: Throwable => () }
+        try java.nio.file.Files.deleteIfExists(staging)
+        catch { case _: Throwable => () }
+        throw e
+    }
   }
 }

@@ -175,20 +175,32 @@ final class NetClient(host: String, port: Int,
   /** Scatter-gather over the wire (the reference client's marquee use of
     * async futures, client/opentick.go:302-317): pipeline one range
     * query per [[Client.splitRange]] part over this SAME connection,
-    * gather all futures, and merge with junction dedup — the inclusive
-    * sub-range ends mean rows at each shared boundary key arrive at the
-    * tail of part i AND the head of part i+1; only that contiguous
-    * overlap is dropped ([[NetClient.mergeParts]]), so legitimately
-    * identical rows elsewhere survive even when the projection omits
-    * the PK (a whole-row distinct would collapse those too).
+    * gather all futures, and merge with EXACT junction dedup — the
+    * inclusive sub-range ends mean every row at a shared boundary value
+    * arrives at the tail of part i AND the head of part i+1. One extra
+    * pipelined point query per junction ([boundary, boundary]) measures
+    * exactly how many rows that is, so the merge drops precisely the
+    * overlap run — correct even when the projection omits the PK and
+    * rows elsewhere happen to be value-identical (a heuristic run match
+    * or whole-row distinct both lose data there). A caller whose SQL
+    * uses exclusive bounds gets overlap 0 and a plain concatenation.
     */
   def executeRangesAsync(sql: String,
       parts: Seq[(Any, Any)]): Future[Seq[Seq[Any]]] = {
     implicit val ec = scala.concurrent.ExecutionContext.global
     require(parts.nonEmpty, "empty range split")
-    Future.sequence(parts.map { case (lo, hi) =>
-      executeAsync(sql, Seq(lo, hi))
-    }).map(NetClient.mergeParts)
+    val partF = parts.map { case (lo, hi) => executeAsync(sql, Seq(lo, hi)) }
+    // junction i sits between part i and part i+1; only contiguous
+    // parts (hi == next lo) can duplicate rows
+    val overlapF = parts.sliding(2).toSeq.map {
+      case Seq((_, hi), (lo, _)) if hi == lo =>
+        executeAsync(sql, Seq(hi, hi)).map(_.length)
+      case _ => Future.successful(0)
+    }
+    for {
+      ps <- Future.sequence(partF)
+      os <- Future.sequence(overlapF)
+    } yield NetClient.mergeParts(ps, os)
   }
 
   def executeRanges(sql: String, parts: Seq[(Any, Any)]): Seq[Seq[Any]] =
@@ -222,24 +234,20 @@ final class NetClient(host: String, port: Int,
 }
 
 object NetClient {
-  /** Merge PK-ordered per-part scatter-gather results, dropping only the
-    * junction overlap: each part's longest head run equal to the
-    * previous part's tail is removed. Rows with the shared boundary key
-    * appear whole in both adjacent parts (both range ends inclusive), so
-    * the overlap is exactly such a head/tail run; matching the run —
-    * instead of a global whole-row distinct — keeps duplicate-valued
-    * rows that are NOT at a junction, which matters when the projection
-    * omits PK columns.
+  /** Merge PK-ordered per-part scatter-gather results: part i+1 drops
+    * its first `overlaps(i)` rows — the measured count of rows at the
+    * shared boundary value, which arrive as the tail run of part i AND
+    * the head run of part i+1 (both range ends inclusive). Exact for
+    * any projection: the count comes from a boundary point query, not
+    * from comparing row values.
     */
-  private[engine] def mergeParts(parts: Seq[Seq[Seq[Any]]]): Seq[Seq[Any]] = {
+  private[engine] def mergeParts(parts: Seq[Seq[Seq[Any]]],
+      overlaps: Seq[Int]): Seq[Seq[Any]] = {
+    require(overlaps.length == parts.length - 1,
+      "one overlap count per junction")
     val out = Seq.newBuilder[Seq[Any]]
-    var prev: Seq[Seq[Any]] = Nil
-    parts.foreach { p =>
-      var k = math.min(prev.length, p.length)
-      while (k > 0 && p.take(k) != prev.takeRight(k)) k -= 1
-      out ++= p.drop(k)
-      prev = p
-    }
+    out ++= parts.head
+    parts.tail.zip(overlaps).foreach { case (p, k) => out ++= p.drop(k) }
     out.result()
   }
 }

@@ -136,7 +136,10 @@ object Multimodal {
               val counts = new Array[Int](nWindows)
               var f = 0
               while (f < nFrames) {
-                val w = math.min(f * nWindows / nFrames, nWindows - 1)
+                // long math: f * nWindows overflows Int past ~134M
+                // frames (a ~50 min mono 44.1 kHz payload)
+                val w = math.min((f.toLong * nWindows / nFrames).toInt,
+                  nWindows - 1)
                 var mix = 0.0
                 var c = 0
                 while (c < ch) {

@@ -46,6 +46,14 @@ class PyClientSpec extends AnyFunSuite {
           |              [(7, 123)])))
           |print(json.dumps(sorted(c.list_databases())))
           |print(json.dumps(c.schema('t')))
+          |import datetime
+          |pre = datetime.datetime(1969, 12, 31, 23, 59, 59, 500000,
+          |                        tzinfo=datetime.timezone.utc)
+          |c.execute('insert into pydb.t values(?, ?, ?, ?)',
+          |          [3, pre, 0.5, 'pre-epoch'])
+          |print(json.dumps(
+          |    c.execute('select note from pydb.t where sec=3 and tm=?',
+          |              [pre])))
           |try:
           |    c.execute('select * from pydb.nope')
           |    print('NO-ERROR')
@@ -79,9 +87,12 @@ class PyClientSpec extends AnyFunSuite {
       assert(lines(2).contains("\"pydb\""))
       // schema meta: (keys, values) with (name, type) pairs
       assert(lines(3) == """[[["sec", "Int"], ["tm", "Timestamp"]], [["px", "Double"], ["note", "Text"]]]""")
-      assert(lines(4) == "ERR:Table pydb.nope does not exists")
+      // pre-epoch fractional-second timestamp: truncation toward zero
+      // would shift it a second forward and miss the key
+      assert(lines(4) == """[["pre-epoch"]]""")
+      assert(lines(5) == "ERR:Table pydb.nope does not exists")
       // scatter-gather over split ranges: junction dedup, full coverage
-      assert(lines(5) == "[[0], [1], [2], [3], [4], [5], [6], [7], [8], [9]]")
+      assert(lines(6) == "[[0], [1], [2], [3], [4], [5], [6], [7], [8], [9]]")
     } finally {
       Files.deleteIfExists(script)
       server.stop()

@@ -213,20 +213,32 @@ class ServerSpec extends AnyFunSuite {
     } finally { raw.close(); srv.stop() }
   }
 
-  test("junction merge drops only boundary runs, not lookalike rows") {
-    // unit-level: the scatter-gather merge must keep legitimately
-    // identical rows away from junctions (non-PK projections) while
-    // dropping the duplicated boundary run whole
+  test("junction merge drops exactly the measured boundary run") {
+    // unit-level: overlap counts come from boundary point queries, so
+    // exactly that many head rows drop — value lookalikes are immune
     val b = Seq[Any]("b-row")
     assert(NetClient.mergeParts(Seq(
-      Seq(Seq("x"), b, b), // part 1 tail: the boundary-key run, twice
-      Seq(b, b, Seq("y"), Seq("x")) // part 2 re-sends the run; "x" later is REAL
-    )) == Seq(Seq("x"), b, b, Seq("y"), Seq("x")))
-    // no overlap → nothing dropped, even with equal rows in both parts
+      Seq(Seq("x"), b, b),
+      Seq(b, b, Seq("y"), Seq("x"))), Seq(2)) ==
+      Seq(Seq("x"), b, b, Seq("y"), Seq("x")))
     assert(NetClient.mergeParts(Seq(
       Seq(Seq(1.0), Seq(2.0)),
-      Seq(Seq(3.0), Seq(1.0))
-    )) == Seq(Seq(1.0), Seq(2.0), Seq(3.0), Seq(1.0)))
+      Seq(Seq(3.0), Seq(1.0))), Seq(0)) ==
+      Seq(Seq(1.0), Seq(2.0), Seq(3.0), Seq(1.0)))
+  }
+
+  test("scatter-gather keeps equal-valued rows under non-PK projections") {
+    // keys 1,3,4 all share v=5.0; parts (0,3),(3,6) overlap only on the
+    // single key-3 row. A value-matching merge heuristic (or whole-row
+    // distinct) would drop key 4's identical-looking row; the boundary
+    // point query measures overlap = 1 and keeps all three.
+    client.execute("create table net.jx(k int, v double, primary key(k))")
+    val pid = client.prepare("insert into net.jx values(?, ?)")
+    client.batchInsert(pid, Seq(Seq[Any](1, 5.0), Seq[Any](3, 5.0),
+      Seq[Any](4, 5.0)))
+    val rows = client.executeRanges(
+      "select v from net.jx where k>=? and k<=?", Seq((0, 3), (3, 6)))
+    assert(rows == Seq(Seq(5.0), Seq(5.0), Seq(5.0)))
   }
 
   test("client reconnects after a server restart and replays used db") {

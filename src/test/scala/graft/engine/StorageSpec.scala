@@ -122,6 +122,22 @@ class StorageSpec extends AnyFunSuite {
       .map(_.getInt(0)).toSeq == (0 to 10))
   }
 
+  test("a failed batch append commits nothing (staging + atomic rename)") {
+    engine.execute("create table s.atom(k int, v double, primary key(k))")
+    val td = engine.catalog.getSchema("s", "atom")
+    engine.catalog.appendRows(td, Seq(Seq[Any](1, 1.5)))
+    val dataDir = java.nio.file.Paths.get(engine.catalog.warehouse, "s",
+      "atom", "data")
+    def files = java.nio.file.Files.list(dataDir).toArray.map(_.toString)
+    val before = files.toSet
+    // a bad cell mid-batch: the write must fail WITHOUT publishing a
+    // partial part file or leaking the staging file
+    intercept[OtError](engine.catalog.appendRows(td,
+      Seq(Seq[Any](2, 2.5), Seq[Any](3, new java.util.Date()))))
+    assert(files.toSet == before, "failed append must leave no new file")
+    assert(engine.execute("select * from s.atom").count() == 1)
+  }
+
   test("ordered read plans O(1) in file count (many-file clean table)") {
     import spark.implicits._
     // import under a high shuffle-partition count -> ~200 range files,

@@ -20,7 +20,14 @@ import scala.util.control.NonFatal
   * same way).
   */
 final class NetClient(host: String, port: Int,
-    syncTimeout: FiniteDuration = 30.seconds) {
+    syncTimeout: FiniteDuration = 30.seconds, protocol: String = "json") {
+  require(protocol == "json" || protocol == "bson",
+    s"unknown protocol $protocol")
+
+  private def enc(doc: Map[String, Any]): Array[Byte] =
+    if (protocol == "json") Wire.encode(doc) else Bson.encode(doc)
+  private def dec(body: Array[Byte]): Map[String, Any] =
+    if (protocol == "json") Wire.decode(body) else Bson.decode(body)
   private val tickets = new AtomicInteger(0)
   private val pending = TrieMap.empty[Int, Promise[Any]]
   @volatile private var sock: Socket = _
@@ -38,7 +45,10 @@ final class NetClient(host: String, port: Int,
     out = new DataOutputStream(sock.getOutputStream)
     val in = new DataInputStream(sock.getInputStream)
     alive = true
-    Wire.writeFrame(out, "protocol=json".getBytes(StandardCharsets.UTF_8))
+    // BSON is the negotiated default (server.go:287-291); only JSON
+    // mode announces itself
+    if (protocol == "json")
+      Wire.writeFrame(out, "protocol=json".getBytes(StandardCharsets.UTF_8))
     val reader = new Thread(() => readLoop(in), s"graft-client-read-$port")
     reader.setDaemon(true)
     reader.start()
@@ -52,7 +62,7 @@ final class NetClient(host: String, port: Int,
           // server idle-timeout heartbeat: answer with an empty frame
           Wire.writeFrame(out, Array.emptyByteArray)
         else if (body.nonEmpty) {
-          val doc = Wire.decode(body)
+          val doc = dec(body)
           val ticket = doc.get("0") match {
             case Some(i: Int) => i
             case Some(l: Long) => l.toInt
@@ -87,7 +97,7 @@ final class NetClient(host: String, port: Int,
     val doc = Map[String, Any]("0" -> ticket, "1" -> cmd, "2" -> sqlOrId) ++
       Option(args).map("3" -> _) ++
       (if (useCache) Seq("4" -> 1) else Nil)
-    val bytes = Wire.encode(doc)
+    val bytes = enc(doc)
     try {
       if (!alive) reconnect()
       Wire.writeFrame(out, bytes)

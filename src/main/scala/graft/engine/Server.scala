@@ -10,11 +10,11 @@ import scala.jdk.CollectionConverters._
 import scala.util.control.NonFatal
 
 /** The wire protocol, shared by [[GraftServer]] and [[NetClient]]:
-  * 4-byte little-endian length frames carrying JSON documents — the
-  * reference's own `protocol=json` mode (reference server.go:287-291;
-  * the default BSON codec is omitted here, a documented delta: JSON is
-  * the protocol both the reference and this server negotiate with the
-  * same `protocol=json` preamble).
+  * 4-byte little-endian length frames carrying BSON documents by
+  * default — the reference's negotiation (server.go:287-291): a first
+  * frame of `protocol=json` switches the connection to JSON, otherwise
+  * every frame is a BSON document ([[Bson]], hand-implemented from the
+  * public spec). Both codecs share this value model.
   *
   * Request:  {"0": ticket, "1": cmd, "2": sql | preparedId,
   *            "3": args, "4": useCache}
@@ -152,6 +152,9 @@ final class GraftServer(engine: Engine, port: Int = 0,
     if (idleTimeoutMs > 0) s.setSoTimeout(idleTimeoutMs)
     try {
       var waitHeartbeat = false
+      // codec negotiation (server.go:287-291): BSON is the DEFAULT; a
+      // first frame of `protocol=json` switches the connection to JSON
+      var useJson = false
       while (running.get()) {
         // the FIRST header byte is read alone: an idle timeout there is a
         // clean between-frames pause (→ heartbeat); a timeout after any
@@ -172,11 +175,12 @@ final class GraftServer(engine: Engine, port: Int = 0,
           waitHeartbeat = false
           if (body.isEmpty) () // empty frame = heartbeat ack
           else if (new String(body, StandardCharsets.UTF_8) == "protocol=json")
-            () // only mode we speak; accepted silently
+            useJson = true
           else if (body.length == 1 && body(0) == 'H'.toByte)
             Wire.writeFrame(out, Array.emptyByteArray) // heartbeat request
           else {
-            val doc = Wire.decode(body)
+            val json = useJson
+            val doc = if (json) Wire.decode(body) else Bson.decode(body)
             val ticket = doc.get("0") match {
               case Some(i: Int) => i
               case Some(l: Long) => l.toInt
@@ -191,11 +195,13 @@ final class GraftServer(engine: Engine, port: Int = 0,
               val n = inflight.incrementAndGet()
               inflightHighWater.getAndUpdate(h => math.max(h, n))
               try {
-                val (res, newDb, newUser) = dispatch(doc, db, u, prepared)
+                val (res, newDb, newUser) =
+                  dispatch(doc, db, u, prepared, json)
                 newDb.foreach(usedDb.set)
                 newUser.foreach(nu => user.set(Some(nu)))
+                val resp = Map[String, Any]("0" -> ticket, "1" -> res)
                 try Wire.writeFrame(out,
-                  Wire.encode(Map("0" -> ticket, "1" -> res)))
+                  if (json) Wire.encode(resp) else Bson.encode(resp))
                 catch { case NonFatal(_) => }
               } finally { inflight.decrementAndGet(); sem.release() }
             })
@@ -211,8 +217,8 @@ final class GraftServer(engine: Engine, port: Int = 0,
     * strings, success is rows/ids/null — the reference's convention.
     */
   private def dispatch(doc: Map[String, Any], usedDb: String,
-      user: Option[User],
-      prepared: ArrayBuffer[String]): (Any, Option[String], Option[User]) = {
+      user: Option[User], prepared: ArrayBuffer[String],
+      useJson: Boolean = true): (Any, Option[String], Option[User]) = {
     val cmd = doc.getOrElse("1", "") match {
       case s: String => s
       case other => return (s"Invalid command, exepcted string, got $other",
@@ -257,7 +263,8 @@ final class GraftServer(engine: Engine, port: Int = 0,
               val df =
                 if (useCache && cacheTtlMs > 0 && sqlOrId.exists(!_.isInstanceOf[String]))
                   engine.executeCached(sql, args, cacheTtlMs, user,
-                    proto = "json", db = usedDb, wireNs = true)
+                    proto = if (useJson) "json" else "bson", db = usedDb,
+                    wireNs = true)
                 else engine.executeWireNs(sql, args, user, usedDb)
               mergeNs(df) match {
                 case Left(err) => (err, None, None)

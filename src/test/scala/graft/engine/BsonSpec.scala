@@ -1,0 +1,71 @@
+package graft.engine
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level conformance of the hand-rolled BSON codec against the
+  * public spec's canonical examples (bsonspec.org), plus round-trip
+  * properties over the wire documents the server exchanges.
+  */
+class BsonSpec extends AnyFunSuite {
+  private def hex(bytes: Array[Byte]): String =
+    bytes.map(b => f"$b%02x").mkString
+
+  test("canonical golden: {\"hello\": \"world\"}") {
+    // the BSON spec's own worked example, byte for byte
+    assert(hex(Bson.encode(Map("hello" -> "world"))) ==
+      "16000000" + // total length 22
+      "02" + "68656c6c6f00" + // string element, cstring "hello"
+      "06000000" + "776f726c6400" + // strlen 6, "world\0"
+      "00") // document terminator
+    assert(Bson.decode(Bson.encode(Map("hello" -> "world"))) ==
+      Map("hello" -> "world"))
+  }
+
+  test("canonical golden: {\"BSON\": [\"awesome\", 5.05, 1986]}") {
+    // the spec's second worked example: array with double + int32
+    assert(hex(Bson.encode(Map("BSON" -> Seq[Any]("awesome", 5.05, 1986)))) ==
+      "31000000" + // total 49
+      "04" + "42534f4e00" + // array element, "BSON"
+      "26000000" + // embedded doc length 38
+      "02" + "3000" + "08000000" + "617765736f6d6500" + // "0": "awesome"
+      "01" + "3100" + "333333333333" + "1440" + // "1": 5.05 LE double
+      "10" + "3200" + "c2070000" + // "2": int32 1986
+      "00" + // inner terminator
+      "00") // outer terminator
+  }
+
+  test("round-trips: every wire document shape") {
+    val docs: Seq[Map[String, Any]] = Seq(
+      Map("0" -> 1, "1" -> "run", "2" -> "select * from t", "3" -> null),
+      Map("0" -> 2, "1" -> "run", "2" -> 7, "4" -> 1),
+      Map("0" -> 3, "1" -> Seq[Any](Seq[Any](1, 2.5, "x", true, null),
+        Seq[Any](-1L, Seq[Any](7L, 123L)))),
+      Map("0" -> 4, "1" -> Map[String, Any]("nested" -> Seq[Any](1, 2))),
+      Map("neg" -> -2147483648, "big" -> 9223372036854775807L,
+        "d" -> -0.5, "t" -> true, "f" -> false))
+    docs.foreach { d =>
+      assert(Bson.decode(Bson.encode(d)) == d, s"round-trip failed for $d")
+    }
+  }
+
+  test("instants encode as (sec, nsec) pairs with full ns fidelity") {
+    val t = java.time.Instant.ofEpochSecond(7L, 123L)
+    val dec = Bson.decode(Bson.encode(Map("x" -> t)))
+    assert(dec("x") == Seq(7L, 123L))
+    // pre-epoch fractional second: nsec stays in [0, 1e9)
+    val pre = java.time.Instant.ofEpochSecond(-1L, 500000000L)
+    assert(Bson.decode(Bson.encode(Map("x" -> pre)))("x") ==
+      Seq(-1L, 500000000L))
+  }
+
+  test("foreign UTC datetime (0x09) decodes to an Instant") {
+    // hand-built: {"t": datetime(1000ms)} — type 0x09, int64 ms
+    val bytes = Array[Int](
+      0x10, 0x00, 0x00, 0x00, // total 16
+      0x09, 't', 0x00, // datetime element "t"
+      0xE8, 0x03, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, // 1000 LE
+      0x00).map(_.toByte)
+    assert(Bson.decode(bytes) ==
+      Map("t" -> java.time.Instant.ofEpochMilli(1000)))
+  }
+}

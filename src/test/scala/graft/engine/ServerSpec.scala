@@ -241,6 +241,42 @@ class ServerSpec extends AnyFunSuite {
     assert(rows == Seq(Seq(5.0), Seq(5.0), Seq(5.0)))
   }
 
+  test("BSON default mode: full e2e without the protocol=json preamble") {
+    // the reference's DEFAULT codec (server.go:287-291): no preamble,
+    // every frame a BSON document — DDL, prepared batch, ns timestamps,
+    // error strings, and meta all round-trip
+    val srv = new GraftServer(engine, port = 0)
+    val c = new NetClient("127.0.0.1", srv.boundPort, protocol = "bson")
+    try {
+      c.execute("create database bs")
+      c.use("bs")
+      c.execute("create table bs.t(sec int, tm timestamp, px double, " +
+        "note text, primary key(sec, tm))")
+      val pid = c.prepare("insert into bs.t values(?, ?, ?, ?)")
+      c.batchInsert(pid, Seq(
+        Seq(1, Seq(7L, 123L), 1.5, "a"), // 7s + 123ns over BSON
+        Seq(1, Seq(7L, 456L), 2.5, "b"),
+        Seq(2, 10, 9.0, "c")))
+      val rows = c.execute("select * from bs.t where sec=1")
+      assert(rows.map(_(1)) == Seq(
+        java.time.Instant.ofEpochSecond(7L, 123L),
+        java.time.Instant.ofEpochSecond(7L, 456L)))
+      assert(c.execute("select px from bs.t where sec=1 and tm=?",
+        Seq(Seq(7L, 456L))) == Seq(Seq(2.5)))
+      val e = intercept[OtError](c.execute("select * from bs.nope"))
+      assert(e.msg == "Table bs.nope does not exists")
+      assert(c.listDatabases().contains("bs"))
+      val sch = c.schema("t")
+      assert(sch(0).map(_.head) == Seq("sec", "tm"))
+      // a JSON-mode client on the SAME server coexists (per-connection
+      // negotiation)
+      val cj = new NetClient("127.0.0.1", srv.boundPort)
+      try assert(cj.execute("select note from bs.t where sec=2") ==
+        Seq(Seq("c")))
+      finally cj.close()
+    } finally { c.close(); srv.stop() }
+  }
+
   test("client reconnects after a server restart and replays used db") {
     val port = server.boundPort
     server.stop()

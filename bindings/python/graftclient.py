@@ -1,4 +1,4 @@
-"""Stdlib-only Python client for the graft wire server (protocol=json).
+"""Stdlib-only Python client for the graft wire server.
 
 Mirrors the reference SDK's API shape (reference
 bindings/python/opentick/client.py): ``connect()`` returns a
@@ -7,7 +7,10 @@ bindings/python/opentick/client.py): ``connect()`` returns a
 ``get(timeout)``; ``split_range`` supports scatter-gather range queries.
 
 Wire format (engine/Server.scala): 4-byte little-endian length frames
-carrying JSON documents. Request ``{"0": ticket, "1": cmd, "2": sql or
+carrying BSON documents by default (codec hand-implemented below from
+the public BSON spec — independent of the server's Scala codec), or
+JSON after a ``protocol=json`` first frame (``connect(...,
+protocol='json')``). Request ``{"0": ticket, "1": cmd, "2": sql or
 prepared id, "3": args, "4": useCache}``; response ``{"0": ticket,
 "1": result}`` where a string result is an error. A 1-byte ``H`` frame
 is a heartbeat probe answered with an empty frame. Timestamps travel as
@@ -46,12 +49,98 @@ def split_range(start, end, num_parts):
     return parts
 
 
-def connect(addr="localhost", port=1116, db_name=None, timeout=30.0):
-    conn = Connection(addr, port, timeout=timeout)
+def connect(addr="localhost", port=1116, db_name=None, timeout=30.0,
+            protocol="bson"):
+    """Default protocol is BSON, like the reference SDK; pass
+    protocol='json' to negotiate the alternate JSON mode."""
+    conn = Connection(addr, port, timeout=timeout, protocol=protocol)
     conn.start()
     if db_name:
         conn.use(db_name)
     return conn
+
+
+# ── BSON codec (public spec, bsonspec.org) — stdlib struct only ──
+
+def _bson_encode(doc):
+    return _bson_doc(doc.items())
+
+
+def _bson_doc(items):
+    body = b"".join(_bson_elem(str(k), v) for k, v in items)
+    return struct.pack("<i", 4 + len(body) + 1) + body + b"\x00"
+
+
+def _bson_elem(name, v):
+    key = name.encode("utf-8") + b"\x00"
+    if v is None:
+        return b"\x0a" + key
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return b"\x08" + key + (b"\x01" if v else b"\x00")
+    if isinstance(v, int):
+        if -2147483648 <= v <= 2147483647:
+            return b"\x10" + key + struct.pack("<i", v)
+        return b"\x12" + key + struct.pack("<q", v)
+    if isinstance(v, float):
+        return b"\x01" + key + struct.pack("<d", v)
+    if isinstance(v, str):
+        b = v.encode("utf-8")
+        return b"\x02" + key + struct.pack("<i", len(b) + 1) + b + b"\x00"
+    if isinstance(v, (list, tuple)):
+        return b"\x04" + key + _bson_doc(enumerate(v))
+    if isinstance(v, dict):
+        return b"\x03" + key + _bson_doc(v.items())
+    raise Error("BSON: unsupported value %r" % (v,))
+
+
+def _bson_decode(data):
+    doc, end = _bson_read_doc(data, 0)
+    return doc
+
+
+def _bson_read_doc(data, pos):
+    (total,) = struct.unpack_from("<i", data, pos)
+    end = pos + total - 1  # terminator byte
+    pos += 4
+    doc = {}
+    while pos < end:
+        tpe = data[pos]
+        pos += 1
+        z = data.index(b"\x00", pos)
+        name = data[pos:z].decode("utf-8")
+        pos = z + 1
+        val, pos = _bson_read_value(data, pos, tpe)
+        doc[name] = val
+    if data[end] != 0:
+        raise Error("BSON: missing document terminator")
+    return doc, end + 1
+
+
+def _bson_read_value(data, pos, tpe):
+    if tpe == 0x01:
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if tpe == 0x02:
+        (n,) = struct.unpack_from("<i", data, pos)
+        s = data[pos + 4:pos + 4 + n - 1].decode("utf-8")
+        return s, pos + 4 + n
+    if tpe == 0x03:
+        return _bson_read_doc(data, pos)
+    if tpe == 0x04:
+        doc, pos = _bson_read_doc(data, pos)
+        return [doc[k] for k in sorted(doc, key=int)], pos
+    if tpe == 0x08:
+        return data[pos] != 0, pos + 1
+    if tpe == 0x09:  # foreign UTC datetime, ms
+        (ms,) = struct.unpack_from("<q", data, pos)
+        return datetime.datetime.fromtimestamp(
+            ms / 1000.0, tz=datetime.timezone.utc), pos + 8
+    if tpe == 0x0A:
+        return None, pos
+    if tpe == 0x10:
+        return struct.unpack_from("<i", data, pos)[0], pos + 4
+    if tpe == 0x12:
+        return struct.unpack_from("<q", data, pos)[0], pos + 8
+    raise Error("BSON: unsupported element type 0x%02x" % tpe)
 
 
 _EPOCH = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
@@ -117,10 +206,13 @@ class Future(object):
 
 
 class Connection(object):
-    def __init__(self, addr, port, timeout=30.0):
+    def __init__(self, addr, port, timeout=30.0, protocol="bson"):
+        if protocol not in ("bson", "json"):
+            raise Error("unknown protocol %s" % protocol)
         self._addr = addr
         self._port = port
         self._timeout = timeout
+        self._protocol = protocol
         self._sock = None
         self._wlock = threading.Lock()
         self._plock = threading.Lock()
@@ -135,7 +227,9 @@ class Connection(object):
     def start(self):
         self._sock = socket.create_connection((self._addr, self._port))
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-        self._write_frame(b"protocol=json")
+        # BSON is the negotiated default; only JSON announces itself
+        if self._protocol == "json":
+            self._write_frame(b"protocol=json")
         self._reader = threading.Thread(target=self._read_loop, daemon=True)
         self._reader.start()
 
@@ -230,7 +324,10 @@ class Connection(object):
             doc["3"] = args
         if cache:
             doc["4"] = 1
-        self._write_frame(json.dumps(doc).encode("utf-8"))
+        if self._protocol == "json":
+            self._write_frame(json.dumps(doc).encode("utf-8"))
+        else:
+            self._write_frame(_bson_encode(doc))
         return fut
 
     def _write_frame(self, body):
@@ -256,7 +353,10 @@ class Connection(object):
                     continue
                 if not body:
                     continue
-                doc = json.loads(body.decode("utf-8"))
+                if self._protocol == "json":
+                    doc = json.loads(body.decode("utf-8"))
+                else:
+                    doc = _bson_decode(body)
                 fut = self._pending.pop(doc.get("0", -1), None)
                 if fut is not None:
                     fut._complete(doc.get("1"))

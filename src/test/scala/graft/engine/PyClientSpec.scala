@@ -19,7 +19,7 @@ class PyClientSpec extends AnyFunSuite {
     Seq("/usr/bin/python3", "/usr/local/bin/python3").find(p =>
       Files.isExecutable(Paths.get(p)))
 
-  test("python stdlib client round-trips the wire protocol") {
+  private def roundTrip(protocol: String): Unit = {
     assume(python3.nonEmpty, "python3 not installed on this machine")
     val wh = Files.createTempDirectory("graft-py-wh").toString
     val engine = new Engine(spark, wh)
@@ -30,7 +30,8 @@ class PyClientSpec extends AnyFunSuite {
         """import json, sys
           |sys.path.insert(0, sys.argv[1])
           |import graftclient as gc
-          |c = gc.connect('127.0.0.1', int(sys.argv[2]))
+          |c = gc.connect('127.0.0.1', int(sys.argv[2]),
+          |               protocol=sys.argv[3])
           |c.execute('create database pydb')
           |c.use('pydb')
           |c.execute('create table pydb.t(sec int, tm timestamp, px double,'
@@ -72,7 +73,7 @@ class PyClientSpec extends AnyFunSuite {
       val repoBindings = Paths.get(System.getProperty("user.dir"),
         "bindings", "python").toString
       val proc = new ProcessBuilder(python3.get, script.toString,
-        repoBindings, server.boundPort.toString)
+        repoBindings, server.boundPort.toString, protocol)
         .redirectErrorStream(true).start()
       val out = new String(proc.getInputStream.readAllBytes(),
         StandardCharsets.UTF_8)
@@ -97,5 +98,16 @@ class PyClientSpec extends AnyFunSuite {
       Files.deleteIfExists(script)
       server.stop()
     }
+  }
+
+  test("python stdlib client round-trips the wire protocol (json)") {
+    roundTrip("json")
+  }
+
+  test("python BSON codec interoperates with the Scala BSON codec") {
+    // two INDEPENDENT hand-implementations of the public BSON spec
+    // agreeing across the wire, both directions, including nanosecond
+    // timestamp pairs
+    roundTrip("bson")
   }
 }

@@ -98,6 +98,39 @@ object Queries {
               ORDER BY id_a, id_b"""
   }
 
+  /** DuckDB replay of the domain-mix pipeline (q_domain_mix): language
+    * ID (the generated [[langIdOracleSql]] as a subquery) joined to the
+    * quality-score arithmetic (same expression as q_quality_score's
+    * oracle), ranked per language with deterministic ties.
+    */
+  private lazy val domainMixOracleSql: String =
+    s"""WITH lang AS (SELECT * FROM ($langIdOracleSql)),
+              m AS (SELECT doc_id,
+                length(text) AS n_chars,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+                length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+              FROM documents),
+              r AS (SELECT doc_id, n_chars,
+                CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
+                CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
+                CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS avg_token_len
+              FROM m),
+              q AS (SELECT doc_id,
+                (alpha_ratio * 0.5 +
+                 (CASE WHEN n_chars BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.25 +
+                 (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25)
+                * (1.0 - digit_ratio) AS quality_score
+              FROM r),
+              j AS (SELECT l.doc_id, l.lang_pred, q.quality_score,
+                      row_number() OVER (PARTITION BY l.lang_pred
+                        ORDER BY q.quality_score DESC, l.doc_id ASC)
+                        AS lang_rank
+                    FROM lang l JOIN q ON q.doc_id = l.doc_id)
+              SELECT doc_id, lang_pred, quality_score, lang_rank
+              FROM j WHERE lang_rank <= 50
+              ORDER BY lang_pred, lang_rank"""
+
   /** DuckDB replay of the FULL product-quantization pipeline (q_pq_adc):
     * codebooks are the 8-dim slices of corpus vectors 1..16 (code =
     * vec_id - 1), encode is per-subspace argmin of squared L2 with
@@ -1398,6 +1431,53 @@ object Queries {
                 CAST(coalesce(top_bigram_n, 0) AS DOUBLE) /
                   greatest(coalesce(n_bigrams, 0), 1) AS top_bigram_frac
               FROM ss s LEFT JOIN bs USING(doc_id) ORDER BY s.doc_id""")),
+
+    // ── north star: deterministic corpus sampling — md5-prefix
+    //    threshold, no RNG state, engine-portable verbatim ──
+    QueryDef(
+      "q_sample_hash",
+      (s, dir) =>
+        operators.Sampling.hashSample(
+            t(s, dir, "documents").select("doc_id"), "doc_id",
+            operators.Sampling.rateToThreshold(0.2))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key
+              FROM documents
+              WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+              ORDER BY doc_id""")),
+
+    // ── north star: sequence packing — contiguous token-budget packs
+    //    per shard (window partitioned by shard, never global) ──
+    QueryDef(
+      "q_pack_sequences",
+      (s, dir) =>
+        operators.Sampling.packSequences(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", budget = 2048, nShards = 8)
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                CAST(len(string_split(regexp_replace(lower(trim(text)),
+                  '\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+                CAST(doc_id % 8 AS INT) AS shard
+              FROM documents)
+              SELECT doc_id, shard, n_tokens,
+                CAST(floor((sum(n_tokens) OVER (PARTITION BY shard
+                  ORDER BY doc_id) - n_tokens) / 2048.0) AS BIGINT)
+                  AS pack_id
+              FROM t ORDER BY doc_id""")),
+
+    // ── north star: domain/language mixing — top-50 per language by
+    //    quality score, deterministic ties; composes langId +
+    //    qualityScore, both already oracle-exact ──
+    QueryDef(
+      "q_domain_mix",
+      (s, dir) =>
+        operators.Sampling.domainMix(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", perGroup = 50)
+          .orderBy("lang_pred", "lang_rank"),
+      Some(domainMixOracleSql)),
 
     // ── §2.5 window: lag/lead ──
     QueryDef(

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators for training-data pipelines: the
+  * sampling / packing / mixing steps that run AFTER cleaning and dedup.
+  * All are expression-only (whole-stage codegen) and deterministic —
+  * reproducibility is the point: re-running the pipeline over the same
+  * corpus must pick the same documents, in any engine, on any cluster.
+  */
+object Sampling {
+  /** Deterministic document-level sampling by content-independent hash:
+    * keep a row iff the first 8 hex chars of md5(id) sort below the
+    * threshold — `rateToThreshold(0.2)` keeps ~20 %, exactly
+    * reproducibly, with no RNG state. The hex-string comparison (rather
+    * than parsing the hash to an integer) is portable to any SQL engine
+    * verbatim. At 100 TB this is a scan-local filter: no shuffle, no
+    * driver coordination, prunes before any downstream exchange.
+    */
+  def hashSample(df: DataFrame, idCol: String, hexThreshold: String)
+      : DataFrame =
+    df.withColumn("sample_key",
+        substring(md5(col(idCol).cast("string")), 1, 8))
+      .filter(col("sample_key") < lit(hexThreshold))
+
+  /** The 8-hex-char prefix threshold that keeps ~`rate` of rows. */
+  def rateToThreshold(rate: Double): String =
+    f"${(rate * 0xffffffffL).toLong}%08x"
+
+  /** Sequence packing: assign documents to fixed token-budget packs —
+    * the approximation used when preparing fixed-length training
+    * sequences at corpus scale. Documents pack contiguously in `idCol`
+    * order WITHIN a shard (`pack_id = floor(tokens_before / budget)`),
+    * so the window is partitioned by shard and never global: shards
+    * pack in parallel, the shuffle is one hash exchange on the shard
+    * key, and a 1000-executor run packs 1000 shards at once. True
+    * bin-packing is sequential by nature; contiguous-by-id packing is
+    * the deterministic, restartable form pipelines actually use.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Long, nShards: Int): DataFrame = {
+    val toks = size(split(Dedup.normalized(col(textCol)), " ")).cast("long")
+    val w = Window.partitionBy("shard").orderBy(col(idCol))
+    df.withColumn("n_tokens", toks)
+      .withColumn("shard", pmod(col(idCol), lit(nShards)).cast("int"))
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / budget))
+      .select(col(idCol), col("shard"), col("n_tokens"), col("pack_id"))
+  }
+
+  /** Domain/language mixing: keep the top `perGroup` documents per
+    * language by quality score (deterministic ties by id) — the
+    * stratified selection step that balances a training mix instead of
+    * letting one dominant language swamp it. One window per group key;
+    * at scale the rank window shuffles once on the group key, and the
+    * filter prunes everything below the cut before any later stage.
+    */
+  def domainMix(df: DataFrame, idCol: String, textCol: String,
+      perGroup: Int): DataFrame = {
+    val scored = TextAnalysis.langId(
+      TextAnalysis.qualityScore(df, textCol), textCol)
+    val w = Window.partitionBy("lang_pred")
+      .orderBy(col("quality_score").desc, col(idCol).asc)
+    scored.withColumn("lang_rank", row_number().over(w))
+      .filter(col("lang_rank") <= perGroup)
+      .select(col(idCol), col("lang_pred"), col("quality_score"),
+        col("lang_rank"))
+  }
+}

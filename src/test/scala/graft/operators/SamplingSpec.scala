@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-shape and semantics of the corpus-construction operators
+  * (deterministic sampling, sequence packing, domain mixing).
+  */
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val docs = graft.Tables
+    .load(spark, "/root/testdata/sf0.001", "documents")
+    .select("doc_id", "text")
+
+  test("hashSample: deterministic, near-rate, and shuffle-free") {
+    val s1 = Sampling.hashSample(docs, "doc_id",
+      Sampling.rateToThreshold(0.2))
+    val ids = s1.select("doc_id").collect().map(_.getLong(0)).sorted
+    // deterministic: the same documents every run
+    val again = Sampling.hashSample(docs, "doc_id",
+      Sampling.rateToThreshold(0.2))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(again))
+    // md5 prefixes are uniform: rate lands near 20%
+    val n = docs.count().toDouble
+    assert(ids.length / n > 0.08 && ids.length / n < 0.35,
+      s"${ids.length} of $n sampled")
+    // scan-local filter: no Exchange anywhere in the plan
+    val plan = s1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("packSequences: contiguous budget packing, one shuffle on shard") {
+    val budget = 512L
+    val packed = Sampling.packSequences(docs, "doc_id", "text", budget,
+      nShards = 4)
+    val rows = packed.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getLong(3)))
+    // replay the contiguous-cumsum definition locally
+    rows.groupBy(_._2).foreach { case (_, shardRows) =>
+      var cum = 0L
+      shardRows.sortBy(_._1).foreach { case (id, _, toks, packId) =>
+        assert(packId == cum / budget,
+          s"doc $id: expected pack ${cum / budget}, got $packId")
+        cum += toks
+      }
+    }
+    // exactly one Exchange — the hash partition on the shard key
+    // (AdaptiveSparkPlan.toString repeats the tree under "Initial Plan";
+    // count only the executed section)
+    val plan = packed.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.linesIterator.count(_.contains("Exchange ")) == 1,
+      s"packing must shuffle exactly once:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(shard"),
+      s"the one shuffle must key on shard:\n$plan")
+  }
+
+  test("domainMix: per-language caps with contiguous deterministic ranks") {
+    val mixed = Sampling.domainMix(docs, "doc_id", "text", perGroup = 10)
+    val rows = mixed.collect().map(r =>
+      (r.getString(1), r.getInt(3), r.getDouble(2)))
+    rows.groupBy(_._1).foreach { case (lang, group) =>
+      assert(group.length <= 10, s"$lang exceeded the cap")
+      assert(group.map(_._2).sorted.sameElements(1 to group.length),
+        s"$lang ranks must be contiguous from 1")
+      // ranks follow quality descending
+      val byRank = group.sortBy(_._2).map(_._3)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

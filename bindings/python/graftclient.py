@@ -308,6 +308,60 @@ class Connection(object):
     def reload_users(self):
         self._call_sync("meta", "reload_users")
 
+    # ── user management: client-side sugar over _meta_.user, mirroring
+    # the reference SDK's API (its create/delete/update_user are SQL on
+    # the user table + reload_users; placeholders here, not string
+    # concatenation) ──
+
+    def create_user(self, username, password):
+        if not (username and password):
+            raise Error("Both username and password required")
+        if self.execute("select * from _meta_.user where name=?",
+                        [username]):
+            raise Error("User already exist")
+        import hashlib
+        digest = hashlib.sha1(password.encode("utf-8")).hexdigest()
+        self.execute("insert into _meta_.user values(?, ?, ?, ?)",
+                     [username, digest, False, ""])
+        self.reload_users()
+
+    def delete_user(self, username):
+        self.execute("delete from _meta_.user where name=?", [username])
+        self.reload_users()
+
+    def list_users(self):
+        return self.execute("select * from _meta_.user")
+
+    def update_user(self, username, perm=None, is_admin=None):
+        """perm: a 'db1=write;db2.t=read' string, or a dict whose None
+        values delete entries (reference client.py:144-167 semantics)."""
+        rows = self.execute("select * from _meta_.user where name=?",
+                            [username])
+        if not rows:
+            raise Error("User not exist")
+        row = list(rows[0])
+        if perm is not None:
+            if isinstance(perm, str):
+                row[-1] = perm
+            elif isinstance(perm, dict):
+                orig = dict(x for x in
+                            (e.split("=") for e in (row[-1] or "").split(";"))
+                            if len(x) == 2)
+                for k, v in perm.items():
+                    if v is None:
+                        orig.pop(k, None)
+                    elif v in ("write", "read"):
+                        orig[k] = v
+                    else:
+                        raise Error("Invalid perm type: %s" % (v,))
+                row[-1] = ";".join("%s=%s" % kv for kv in orig.items())
+            else:
+                raise Error("Invalid perm: %r" % (perm,))
+        if is_admin is not None:
+            row[-2] = is_admin
+        self.execute("insert into _meta_.user values(?, ?, ?, ?)", row)
+        self.reload_users()
+
     # ── wire internals ──
 
     def _call_sync(self, cmd, arg):

@@ -67,6 +67,24 @@ class PyClientSpec extends AnyFunSuite {
           |               [[i, i * 0.5] for i in range(10)])
           |print(json.dumps(c.execute_ranges(
           |    'select k from pydb.r where k>=? and k<=?', parts)))
+          |c.reload_users()   # creates _meta_.user (local admin)
+          |c.create_user('alice', 'pw1')
+          |c.update_user('alice', perm={'pydb': 'read'})
+          |print(json.dumps({u[0]: u[3] for u in c.list_users()}['alice']))
+          |c2 = gc.connect('127.0.0.1', int(sys.argv[2]),
+          |                protocol=sys.argv[3])
+          |c2.login('alice', 'pw1')
+          |print('LOGIN-OK')
+          |c2.close()
+          |c.delete_user('alice')
+          |c3 = gc.connect('127.0.0.1', int(sys.argv[2]),
+          |                protocol=sys.argv[3])
+          |try:
+          |    c3.login('alice', 'pw1')
+          |    print('NO-ERR')
+          |except gc.Error as e:
+          |    print('ERR2:' + str(e))
+          |c3.close()
           |c.close()
           |""".stripMargin
       Files.write(script, driver.getBytes(StandardCharsets.UTF_8))
@@ -94,6 +112,10 @@ class PyClientSpec extends AnyFunSuite {
       assert(lines(5) == "ERR:Table pydb.nope does not exists")
       // scatter-gather over split ranges: junction dedup, full coverage
       assert(lines(6) == "[[0], [1], [2], [3], [4], [5], [6], [7], [8], [9]]")
+      // user management sugar: create/update/list/login/delete
+      assert(lines(7) == "\"pydb=read\"")
+      assert(lines(8) == "LOGIN-OK")
+      assert(lines(9) == "ERR2:Unknown username")
     } finally {
       Files.deleteIfExists(script)
       server.stop()

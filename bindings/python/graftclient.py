@@ -128,6 +128,9 @@ def _bson_read_value(data, pos, tpe):
     if tpe == 0x04:
         doc, pos = _bson_read_doc(data, pos)
         return [doc[k] for k in sorted(doc, key=int)], pos
+    if tpe == 0x05:  # binary: tolerated from foreign encoders
+        (n,) = struct.unpack_from("<i", data, pos)
+        return bytes(data[pos + 5:pos + 5 + n]), pos + 5 + n
     if tpe == 0x08:
         return data[pos] != 0, pos + 1
     if tpe == 0x09:  # foreign UTC datetime, ms
@@ -138,6 +141,8 @@ def _bson_read_value(data, pos, tpe):
         return None, pos
     if tpe == 0x10:
         return struct.unpack_from("<i", data, pos)[0], pos + 4
+    if tpe == 0x11:  # Mongo timestamp: opaque uint64, tolerated
+        return struct.unpack_from("<Q", data, pos)[0], pos + 8
     if tpe == 0x12:
         return struct.unpack_from("<q", data, pos)[0], pos + 8
     raise Error("BSON: unsupported element type 0x%02x" % tpe)
@@ -378,10 +383,19 @@ class Connection(object):
             doc["3"] = args
         if cache:
             doc["4"] = 1
-        if self._protocol == "json":
-            self._write_frame(json.dumps(doc).encode("utf-8"))
-        else:
-            self._write_frame(_bson_encode(doc))
+        try:
+            if self._protocol == "json":
+                body = json.dumps(doc).encode("utf-8")
+            else:
+                body = _bson_encode(doc)
+            self._write_frame(body)
+        except Exception as e:
+            # encode/send failure: unregister the orphaned ticket and
+            # surface a client Error (e.g. an out-of-int64 argument)
+            self._pending.pop(ticket, None)
+            if isinstance(e, Error):
+                raise
+            raise Error("send failed: %s" % e)
         return fut
 
     def _write_frame(self, body):

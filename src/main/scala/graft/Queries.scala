@@ -98,35 +98,46 @@ object Queries {
               ORDER BY id_a, id_b"""
   }
 
-  /** DuckDB replay of the domain-mix pipeline (q_domain_mix): language
-    * ID (the generated [[langIdOracleSql]] as a subquery) joined to the
-    * quality-score arithmetic (same expression as q_quality_score's
-    * oracle), ranked per language with deterministic ties.
+  /** ONE definition of the per-doc quality metrics in DuckDB SQL —
+    * shared by q_quality_score's oracle and [[domainMixOracleSql]] so
+    * the formula (which also lives in
+    * [[operators.TextAnalysis.qualityScore]]) cannot drift between
+    * oracles. Yields (doc_id, n_chars, n_tokens, alpha_ratio,
+    * digit_ratio, avg_token_len, quality_score), unordered.
     */
-  private lazy val domainMixOracleSql: String =
-    s"""WITH lang AS (SELECT * FROM ($langIdOracleSql)),
-              m AS (SELECT doc_id,
+  private val qualityScoreSql: String =
+    """WITH qm AS (SELECT doc_id,
                 length(text) AS n_chars,
-                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+                len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
               FROM documents),
-              r AS (SELECT doc_id, n_chars,
+              qr AS (SELECT doc_id, n_chars, n_tokens,
                 CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
                 CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
                 CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS avg_token_len
-              FROM m),
-              q AS (SELECT doc_id,
+              FROM qm)
+              SELECT doc_id, n_chars, n_tokens, alpha_ratio, digit_ratio,
+                avg_token_len,
                 (alpha_ratio * 0.5 +
                  (CASE WHEN n_chars BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.25 +
                  (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25)
                 * (1.0 - digit_ratio) AS quality_score
-              FROM r),
+              FROM qr"""
+
+  /** DuckDB replay of the domain-mix pipeline (q_domain_mix): language
+    * ID (the generated [[langIdOracleSql]] as a subquery) joined to the
+    * shared [[qualityScoreSql]] metrics, ranked per language with
+    * deterministic ties.
+    */
+  private lazy val domainMixOracleSql: String =
+    s"""WITH lang AS (SELECT * FROM ($langIdOracleSql)),
+              qual AS (SELECT doc_id, quality_score FROM ($qualityScoreSql)),
               j AS (SELECT l.doc_id, l.lang_pred, q.quality_score,
                       row_number() OVER (PARTITION BY l.lang_pred
                         ORDER BY q.quality_score DESC, l.doc_id ASC)
                         AS lang_rank
-                    FROM lang l JOIN q ON q.doc_id = l.doc_id)
+                    FROM lang l JOIN qual q ON q.doc_id = l.doc_id)
               SELECT doc_id, lang_pred, quality_score, lang_rank
               FROM j WHERE lang_rank <= 50
               ORDER BY lang_pred, lang_rank"""
@@ -1203,24 +1214,7 @@ object Queries {
           .select("doc_id", "n_chars", "n_tokens", "alpha_ratio",
             "digit_ratio", "avg_token_len", "quality_score")
           .orderBy("doc_id"),
-      Some("""WITH m AS (SELECT doc_id,
-                length(text) AS n_chars,
-                len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-                length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
-                length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
-              FROM documents),
-              r AS (SELECT doc_id, n_chars, n_tokens,
-                CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
-                CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
-                CAST(n_chars AS DOUBLE) / greatest(n_tokens, 1) AS avg_token_len
-              FROM m)
-              SELECT doc_id, n_chars, n_tokens, alpha_ratio, digit_ratio,
-                avg_token_len,
-                (alpha_ratio * 0.5 +
-                 (CASE WHEN n_chars BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END) * 0.25 +
-                 (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.25)
-                * (1.0 - digit_ratio) AS quality_score
-              FROM r ORDER BY doc_id""")),
+      Some(s"SELECT * FROM ($qualityScoreSql) ORDER BY doc_id")),
 
     // ── north star: BPE-ish regex token counting ──
     QueryDef(

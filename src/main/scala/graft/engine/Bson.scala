@@ -78,13 +78,17 @@ object Bson {
     out.write(s.getBytes(StandardCharsets.UTF_8)); out.write(0x00)
   }
 
-  private def writeInt32(out: java.io.ByteArrayOutputStream, v: Int): Unit =
-    out.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
-      .putInt(v).array())
+  // direct LE byte writes: no per-field ByteBuffer allocation on the
+  // wire hot path (a maxWireRows response encodes millions of fields)
+  private def writeInt32(out: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    out.write(v & 0xFF); out.write((v >>> 8) & 0xFF)
+    out.write((v >>> 16) & 0xFF); out.write((v >>> 24) & 0xFF)
+  }
 
-  private def writeInt64(out: java.io.ByteArrayOutputStream, v: Long): Unit =
-    out.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      .putLong(v).array())
+  private def writeInt64(out: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    writeInt32(out, v.toInt)
+    writeInt32(out, (v >>> 32).toInt)
+  }
 
   // ── decode ──
 

@@ -218,7 +218,7 @@ final class GraftServer(engine: Engine, port: Int = 0,
     */
   private def dispatch(doc: Map[String, Any], usedDb: String,
       user: Option[User], prepared: ArrayBuffer[String],
-      useJson: Boolean = true): (Any, Option[String], Option[User]) = {
+      useJson: Boolean): (Any, Option[String], Option[User]) = {
     val cmd = doc.getOrElse("1", "") match {
       case s: String => s
       case other => return (s"Invalid command, exepcted string, got $other",

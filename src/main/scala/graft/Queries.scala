@@ -41,7 +41,9 @@ object Queries {
     * argmax with lexicographically-greatest-language tie-breaking (the
     * struct-greatest semantics of the Spark side), 'und' at zero hits.
     */
-  private lazy val langIdOracleSql: String = {
+  private lazy val langIdOracleSql: String = langIdOracleSqlFrom("documents")
+
+  private def langIdOracleSqlFrom(rel: String): String = {
     val langs = operators.TextAnalysis.stopwords.toSeq.sortBy(_._1)
     val hitCols = langs.map { case (l, ws) =>
       val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -58,7 +60,7 @@ object Queries {
     s"""WITH t AS (SELECT doc_id,
                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                              ' ') AS toks
-              FROM documents),
+              FROM $rel),
               h AS (SELECT doc_id,
                 $hitCols
               FROM t)
@@ -105,13 +107,15 @@ object Queries {
     * oracles. Yields (doc_id, n_chars, n_tokens, alpha_ratio,
     * digit_ratio, avg_token_len, quality_score), unordered.
     */
-  private val qualityScoreSql: String =
-    """WITH qm AS (SELECT doc_id,
+  private val qualityScoreSql: String = qualityScoreSqlFrom("documents")
+
+  private def qualityScoreSqlFrom(rel: String): String =
+    s"""WITH qm AS (SELECT doc_id,
                 length(text) AS n_chars,
-                len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
                 length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
                 length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
-              FROM documents),
+              FROM $rel),
               qr AS (SELECT doc_id, n_chars, n_tokens,
                 CAST(n_alpha AS DOUBLE) / greatest(n_chars, 1) AS alpha_ratio,
                 CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) AS digit_ratio,
@@ -1060,6 +1064,56 @@ object Queries {
               WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
               ORDER BY id_a, id_b""")),
 
+    // ── north star: INCREMENTAL MinHash dedup — the corpus is indexed
+    //    once (banded buckets + shingle inverted index on disk); the
+    //    increment broadcasts its buckets against the index scan, so the
+    //    corpus side never reshuffles. Candidates are generated by the
+    //    SAME deterministic banding as q_minhash_dedup, so on this
+    //    dataset the result equals the exact cross-pair set the oracle
+    //    mines (full recall holds for the same reason q_minhash_dedup is
+    //    hash-exact: min pair jaccard ≈ 0.7 at 16 bands). ──
+    QueryDef(
+      "q_minhash_incremental",
+      (s, dir) => {
+        val corpus = t(s, dir, "documents").select("doc_id", "text")
+        val inc = corpus.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+        val path = java.nio.file.Files
+          .createTempDirectory("graft-mhidx").toString
+        operators.Dedup.minhashIndexWrite(corpus, "doc_id", "text", path,
+          shingleSize = 5, numHashes = 64, bands = 16)
+        operators.Dedup.minhashDedupIncremental(inc, "doc_id", "text",
+            path, shingleSize = 5, numHashes = 64, bands = 16,
+            threshold = 0.5)
+          .orderBy("id_new", "id_old")
+      },
+      Some("""WITH corpus AS (SELECT doc_id, text FROM documents),
+              inc AS (SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
+                      FROM documents),
+              docs AS (SELECT * FROM corpus UNION ALL SELECT * FROM inc),
+              t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM docs),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS g
+                           FROM t)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              pairs AS (SELECT b.doc_id AS id_new, a.doc_id AS id_old,
+                          count(*) AS shared
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < 100000
+                         AND b.doc_id >= 100000
+                        GROUP BY 1, 2)
+              SELECT id_new, id_old,
+                     CAST(shared AS DOUBLE) / (y.n + x.n - shared) AS jaccard
+              FROM pairs JOIN sz x ON x.doc_id = id_old
+                         JOIN sz y ON y.doc_id = id_new
+              WHERE CAST(shared AS DOUBLE) / (y.n + x.n - shared) >= 0.5
+              ORDER BY id_new, id_old""")),
+
     // ── north star: SimHash via the PORTABLE md5-nibble hash — the
     //    whole pipeline (bits, votes, packing, banding, hamming) is
     //    oracle-replayed in DuckDB. Bounded to 200 docs + mutated twins
@@ -1472,6 +1526,62 @@ object Queries {
             "doc_id", "text", perGroup = 50)
           .orderBy("lang_pred", "lang_rank"),
       Some(domainMixOracleSql)),
+
+    // ── north star: END-TO-END corpus curation — the full C4/Gopher
+    //    filter chain (language keep-list → quality threshold → exact
+    //    dedup keeping the smallest id → PII redaction + token
+    //    accounting) as ONE pipeline. Duplicates are synthesized
+    //    (id+100000 copies of PII-injected docs) so the dedup stage is
+    //    observable; the DuckDB oracle replays every stage from the
+    //    shared langid/quality SQL definitions. redacted text is
+    //    md5-compressed for the compare. ──
+    QueryDef(
+      "q_corpus_curate",
+      (s, dir) => {
+        val base = t(s, dir, "documents").select("doc_id", "text")
+          .withColumn("text", concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit(" contact: user"), col("doc_id"),
+                lit("@example.com")))
+              .otherwise(lit(""))))
+        val aug = base.union(base.select(
+          (col("doc_id") + 100000L).as("doc_id"), col("text")))
+        operators.Curate.curate(aug, "doc_id", "text",
+            keepLangs = Seq("en"), minQuality = 0.91)
+          .withColumn("red_md5", md5(col("redacted"))).drop("redacted")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH base AS (SELECT doc_id,
+                text || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact: user' || doc_id || '@example.com'
+                  ELSE '' END AS text
+              FROM documents),
+              aug AS (SELECT * FROM base
+                      UNION ALL SELECT doc_id + 100000, text FROM base),
+              lang AS (SELECT * FROM (${langIdOracleSqlFrom("aug")})),
+              qual AS (SELECT * FROM (${qualityScoreSqlFrom("aug")})),
+              kept AS (SELECT a.doc_id, a.text, l.lang_pred,
+                         q.quality_score, q.n_chars, q.n_tokens,
+                         md5(regexp_replace(lower(trim(a.text)),
+                             '\\s+', ' ', 'g')) AS h
+                       FROM aug a
+                       JOIN lang l ON l.doc_id = a.doc_id
+                       JOIN qual q ON q.doc_id = a.doc_id
+                       WHERE l.lang_pred IN ('en')
+                         AND q.quality_score >= 0.91),
+              dd AS (SELECT *,
+                       row_number() OVER (PARTITION BY h
+                         ORDER BY doc_id) AS rn,
+                       count(*) OVER (PARTITION BY h) AS n_copies
+                     FROM kept)
+              SELECT doc_id, lang_pred, quality_score, n_chars, n_tokens,
+                     n_copies,
+                     len(regexp_extract_all(text,
+                       '${operators.TextAnalysis.emailRe}')) AS n_emails,
+                     md5(regexp_replace(text,
+                       '${operators.TextAnalysis.emailRe}',
+                       '<EMAIL>', 'g')) AS red_md5
+              FROM dd WHERE rn = 1 ORDER BY doc_id""")),
 
     // ── §2.5 window: lag/lead ──
     QueryDef(

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the standard training-data filter chain
+  * (C4/Gopher-style) composed into ONE Spark pipeline — language
+  * filter, quality filter, exact dedup, PII accounting + redaction,
+  * token accounting. Every stage reuses the corresponding
+  * single-purpose operator ([[TextAnalysis.langId]],
+  * [[TextAnalysis.qualityScore]], [[Dedup.normalized]],
+  * [[TextAnalysis.piiScan]]'s patterns), so the composition cannot
+  * drift from the parts.
+  *
+  * Scale shape: the language/quality filters and PII projection are
+  * expression-only (whole-stage codegen, no shuffle) and run BEFORE the
+  * dedup shuffle, so the one exchange in the plan — the window over the
+  * content hash — carries only surviving docs. At 100 TB that ordering
+  * is the difference between shuffling the whole corpus and shuffling
+  * the quality-filtered fraction of it.
+  */
+object Curate {
+  /** Curated corpus rows: (id, lang_pred, quality_score, n_chars,
+    * n_tokens, n_copies, n_emails, redacted) — one row per distinct
+    * surviving document (smallest id wins among exact duplicates;
+    * n_copies counts the collapsed group).
+    */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      keepLangs: Seq[String] = Seq("en"),
+      minQuality: Double = 0.3): DataFrame = {
+    val scored = TextAnalysis.qualityScore(
+      TextAnalysis.langId(df, textCol), textCol)
+    val kept = scored
+      .filter(col("lang_pred").isin(keepLangs: _*) &&
+        col("quality_score") >= minQuality)
+      .withColumn("__h", md5(Dedup.normalized(col(textCol))))
+    val w = Window.partitionBy("__h").orderBy(col(idCol))
+    kept
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_copies", count(lit(1)).over(Window.partitionBy("__h")))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("lang_pred"), col("quality_score"),
+        col("n_chars"), col("n_tokens"), col("n_copies"),
+        size(regexp_extract_all(col(textCol),
+          lit(TextAnalysis.emailRe), lit(0))).as("n_emails"),
+        regexp_replace(col(textCol), TextAnalysis.emailRe, "<EMAIL>")
+          .as("redacted"))
+  }
+}

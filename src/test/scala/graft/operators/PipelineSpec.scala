@@ -29,6 +29,64 @@ class PipelineSpec extends AnyFunSuite {
       "high-similarity twins must survive LSH banding")
   }
 
+  test("incremental minhash: twins match index, novel docs don't, corpus broadcast-joined") {
+    val corpus = docs.filter("doc_id < 100")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-mhinc").toString
+    Dedup.minhashIndexWrite(corpus, "doc_id", "text", path)
+    assert(new java.io.File(path + "/buckets").exists() &&
+      new java.io.File(path + "/shingles").exists())
+    // increment: mutated twins of docs 0-9 plus genuinely novel docs
+    // (corpus docs 200-209 are NOT in the index, which covers < 100)
+    val inc = docs.filter("doc_id < 10").selectExpr(
+        "doc_id + 100000 AS doc_id", "concat(text, ' zz') AS text")
+      .union(docs.filter("doc_id >= 200 AND doc_id < 210").selectExpr(
+        "doc_id + 200000 AS doc_id", "text"))
+    val got = Dedup.minhashDedupIncremental(inc, "doc_id", "text", path,
+      threshold = 0.5)
+    // the new side is broadcast — the corpus-side index scan must not
+    // shuffle for candidate generation
+    assert(got.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "bucket probe must broadcast the increment")
+    val pairs = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every twin matches its original at high jaccard
+    val twinMatches = pairs.filter { case (n, o, _) => n == o + 100000 }
+    assert(twinMatches.length == 10, s"expected 10 twin matches, got: ${pairs.toSeq}")
+    assert(twinMatches.forall(_._3 >= 0.5))
+    // incremental pairs ⊆ the exact cross-pair set over the union
+    val exact = Dedup.ngramJaccard(corpus.union(inc), "doc_id", "text",
+        n = 5, threshold = 0.5, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet.subsetOf(exact))
+    // novel docs (ids >= 200000) must not match anything
+    assert(!pairs.exists(_._1 >= 200000L))
+  }
+
+  test("curate: keeps clean english, drops junk/foreign, dedups, redacts") {
+    val fixture = Seq(
+      (1L, "The cat sat on the mat and it was a good day for the town to gather."),
+      (2L, "The cat sat on the mat and it was a good day for the town to gather."),
+      (3L, "der hund ist nicht zu hause und ich bin mit der katze im garten"),
+      (4L, "1234567890 9876543210 0000000 111111 22222 3333 the of and to"),
+      (5L, "Write to the editor at tips@news.example.com for all of the details " +
+        "about the show and the time it starts.")).toDF("doc_id", "text")
+    val out = Curate.curate(fixture, "doc_id", "text",
+      keepLangs = Seq("en"), minQuality = 0.5).orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 5L),
+      s"got ${out.map(_.getLong(0)).toSeq}") // 2 deduped, 3 german, 4 junk
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Long]("n_copies") == 2L)
+    assert(byId(5L).getAs[Long]("n_copies") == 1L)
+    assert(byId(5L).getAs[Int]("n_emails") == 1)
+    assert(byId(5L).getAs[String]("redacted").contains("<EMAIL>") &&
+      !byId(5L).getAs[String]("redacted").contains("tips@"))
+    // one exchange for the dedup window; filters run before it
+    val plan = Curate.curate(fixture, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("simhash: identical docs distance 0, mutated docs close, hamming symmetric") {
     val aug = docs.limit(50).union(docs.limit(50).selectExpr(
       "doc_id + 100000 AS doc_id", "text"))

@@ -170,12 +170,159 @@ object Multimodal {
     }
   }
 
+  private case class VideoMeta(container: String, durationSec: java.lang.Double,
+      nTracks: Int, hasVideo: Boolean, hasAudio: Boolean,
+      width: java.lang.Integer, height: java.lang.Integer, codec: String)
+
+  /** Walk ISO-BMFF boxes in `bytes[from, to)`; calls `f(type, payloadFrom,
+    * payloadTo)` per box, recursing into the standard pure-container
+    * boxes. Defensive: any malformed size stops the walk of that level.
+    */
+  private val bmffContainers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  private def walkBoxes(bytes: Array[Byte], from: Long, to: Long)(
+      f: (String, Long, Long) => Unit): Unit = {
+    val containers = bmffContainers
+    var p = from
+    while (p + 8 <= to) {
+      val size0 = ((bytes(p.toInt) & 0xFFL) << 24) |
+        ((bytes(p.toInt + 1) & 0xFFL) << 16) |
+        ((bytes(p.toInt + 2) & 0xFFL) << 8) | (bytes(p.toInt + 3) & 0xFFL)
+      val typ = new String(bytes, p.toInt + 4, 4, "ISO-8859-1")
+      var hdr = 8L
+      var size = size0
+      if (size0 == 1L && p + 16 <= to) {
+        // 64-bit largesize follows the type
+        size = (8 to 15).foldLeft(0L)((a, i) =>
+          (a << 8) | (bytes((p + i).toInt) & 0xFFL))
+        hdr = 16L
+      } else if (size0 == 0L) size = to - p // box extends to end
+      if (size < hdr || p + size > to) return
+      f(typ, p + hdr, p + size)
+      if (containers(typ)) walkBoxes(bytes, p + hdr, p + size)(f)
+      p += size
+    }
+  }
+
+  private def be32(b: Array[Byte], p: Long): Long =
+    ((b(p.toInt) & 0xFFL) << 24) | ((b(p.toInt + 1) & 0xFFL) << 16) |
+      ((b(p.toInt + 2) & 0xFFL) << 8) | (b(p.toInt + 3) & 0xFFL)
+  private def be64(b: Array[Byte], p: Long): Long =
+    (0 until 8).foldLeft(0L)((a, i) => (a << 8) | (b((p + i).toInt) & 0xFFL))
+
+  /** Parse one MP4/QuickTime payload's container metadata, or None when
+    * the bytes aren't ISO-BMFF (no ftyp/moov box at the top level).
+    */
+  private def parseIsoBmff(bytes: Array[Byte]): Option[VideoMeta] = {
+    var brand: String = null
+    var durationSec: java.lang.Double = null
+    var nTracks = 0
+    var hasVideo = false
+    var hasAudio = false
+    var width: java.lang.Integer = null
+    var height: java.lang.Integer = null
+    var codec: String = null
+    var sawMoov = false
+    // per-trak state: hdlr arrives after tkhd inside the same trak box
+    var trakW: java.lang.Integer = null
+    var trakH: java.lang.Integer = null
+    var trakCodec: String = null
+    var trakKind: String = null
+    def closeTrak(): Unit = {
+      if (trakKind == "vide") {
+        hasVideo = true
+        if (width == null) { width = trakW; height = trakH; codec = trakCodec }
+      } else if (trakKind == "soun") hasAudio = true
+      trakW = null; trakH = null; trakCodec = null; trakKind = null
+    }
+    try {
+      walkBoxes(bytes, 0L, bytes.length.toLong) { (typ, from, to) =>
+        typ match {
+          case "ftyp" if to - from >= 4 =>
+            brand = new String(bytes, from.toInt, 4, "ISO-8859-1").trim
+          case "moov" => sawMoov = true
+          case "mvhd" if to - from >= 4 =>
+            val v = bytes(from.toInt) & 0xFF
+            if (v == 1 && to - from >= 32) {
+              val ts = be32(bytes, from + 20)
+              val dur = be64(bytes, from + 24)
+              if (ts > 0) durationSec = dur.toDouble / ts
+            } else if (v == 0 && to - from >= 20) {
+              val ts = be32(bytes, from + 12)
+              val dur = be32(bytes, from + 16)
+              if (ts > 0) durationSec = dur.toDouble / ts
+            }
+          case "trak" =>
+            closeTrak() // finalize the previous trak before the next
+            nTracks += 1
+          case "tkhd" =>
+            val v = bytes(from.toInt) & 0xFF
+            // width/height: 16.16 fixed point, last 8 payload bytes
+            val base = from + (if (v == 1) 4 + 32 else 4 + 20) + 8 + 8 + 36
+            if (base + 8 <= to) {
+              trakW = Int.box((be32(bytes, base) >> 16).toInt)
+              trakH = Int.box((be32(bytes, base + 4) >> 16).toInt)
+            }
+          case "hdlr" if to - from >= 12 =>
+            trakKind = new String(bytes, from.toInt + 8, 4, "ISO-8859-1")
+          case "stsd" if to - from >= 16 =>
+            // version/flags(4) entry_count(4) entry_size(4) format(4cc)
+            trakCodec = new String(bytes, from.toInt + 12, 4, "ISO-8859-1").trim
+          case _ => ()
+        }
+      }
+      closeTrak()
+      if (brand == null && !sawMoov) None
+      else Some(VideoMeta(brand, durationSec, nTracks, hasVideo, hasAudio,
+        width, height, codec))
+    } catch { case _: Exception => None }
+  }
+
+  /** REAL video container demux — a plain-bytes ISO-BMFF (MP4/MOV/M4V)
+    * box walk per the public ISO 14496-12 layout, no libraries: emits
+    * the ftyp major brand, movie duration (mvhd timescale/duration),
+    * track count, whether video/audio tracks exist (hdlr), the first
+    * video track's pixel dimensions (tkhd 16.16 fixed point) and its
+    * sample-entry codec fourcc (stsd). This is the metadata corpus
+    * filters key on (duration caps, resolution floors, codec
+    * allow-lists). FRAME decode remains [[stubFrameSample]] — the JVM
+    * ships no video codec. Non-ISO-BMFF bytes yield NULLs (the honest
+    * signal). Same partition-batched contract as [[decodeImage]].
+    */
+  def parseVideoContainer(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("container", StringType, nullable = true),
+      StructField("duration_sec", DoubleType, nullable = true),
+      StructField("n_tracks", IntegerType, nullable = true),
+      StructField("has_video", BooleanType, nullable = true),
+      StructField("has_audio", BooleanType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("codec", StringType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        parseIsoBmff(row.getAs[Array[Byte]](binIdx)) match {
+          case Some(m) =>
+            Row.fromSeq(row.toSeq ++ Seq(m.container, m.durationSec,
+              Int.box(m.nTracks), m.hasVideo, m.hasAudio, m.width, m.height,
+              m.codec))
+          case None =>
+            Row.fromSeq(row.toSeq ++
+              Seq(null, null, null, null, null, null, null, null))
+        }
+      }
+    }
+  }
+
   // ─────────────────────────────────────────────────────────────────
   // STUB decoders — deterministic fakes standing in for codecs the JVM
-  // lacks (video demux; compressed audio). A production build replaces
-  // the byte math with e.g. a JNI decode; the mapPartitions batch shape
-  // and output schema stay identical. Images use the REAL [[decodeImage]]
-  // above; PCM audio uses the REAL [[decodeAudio]].
+  // lacks (video FRAME decode; compressed audio). A production build
+  // replaces the byte math with e.g. a JNI decode; the mapPartitions
+  // batch shape and output schema stay identical. Images use the REAL
+  // [[decodeImage]] above; PCM audio uses the REAL [[decodeAudio]];
+  // video CONTAINER metadata uses the REAL [[parseVideoContainer]].
   // ─────────────────────────────────────────────────────────────────
 
   /** "Decode" an image binary into (width, height, channels) +

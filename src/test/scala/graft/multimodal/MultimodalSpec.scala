@@ -133,6 +133,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.forall(v => math.abs(v - 0.25f) < 1e-3), f.mkString(","))
   }
 
+  // minimal spec-conformant ISO-BMFF builder (box = size+type+payload)
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+    bb.putInt(8 + body.length).put(typ.getBytes("ISO-8859-1")).put(body)
+    bb.array()
+  }
+  private def be32(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+
+  test("REAL video container demux: hand-built MP4 box tree") {
+    // mvhd v0: timescale 1000, duration 5000 -> 5.0 s
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+      be32(1000), be32(5000), Array.fill[Byte](80)(0))
+    // tkhd v0: width 640, height 360 as 16.16 fixed at payload end
+    val tkhd = box("tkhd", Array.fill[Byte](4 + 20 + 8 + 8 + 36)(0),
+      be32(640L << 16), be32(360L << 16))
+    def hdlr(kind: String) = box("hdlr", Array.fill[Byte](8)(0),
+      kind.getBytes("ISO-8859-1"), Array.fill[Byte](13)(0))
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1),
+      be32(16), "avc1".getBytes("ISO-8859-1"), Array.fill[Byte](8)(0))
+    val videoTrak = box("trak", tkhd,
+      box("mdia", hdlr("vide"), box("minf", box("stbl", stsd))))
+    val audioTrak = box("trak", box("mdia", hdlr("soun")))
+    val mp4 = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0x200)) ++
+      box("moov", mvhd, videoTrak, audioTrak) ++
+      box("mdat", Array.fill[Byte](32)(7))
+    val df = Seq((1L, mp4), (2L, "not a video at all".getBytes)).toDF("id", "v")
+    val out = Multimodal.parseVideoContainer(df, "v").orderBy("id").collect()
+    val m = out(0)
+    assert(m.getString(2) == "isom", m.toString)       // container
+    assert(m.getDouble(3) == 5.0)                      // duration_sec
+    assert(m.getInt(4) == 2)                           // n_tracks
+    assert(m.getBoolean(5) && m.getBoolean(6))         // video + audio
+    assert(m.getInt(7) == 640 && m.getInt(8) == 360)   // dimensions
+    assert(m.getString(9) == "avc1")                   // codec fourcc
+    // junk bytes -> all-null metadata, no exception
+    assert((2 to 9).forall(out(1).isNullAt))
+  }
+
   test("decoded media features feed similarity search end-to-end") {
     val feats = Multimodal.stubDecodeImage(media, "payload", dim = 16)
       .select($"doc_id", $"features")

@@ -107,6 +107,20 @@ object Queries {
     * oracles. Yields (doc_id, n_chars, n_tokens, alpha_ratio,
     * digit_ratio, avg_token_len, quality_score), unordered.
     */
+  /** DuckDB replay of [[operators.Layout.zValue]]'s Morton interleave
+    * (q_zorder): identical shift/mask/or bit arithmetic, generated from
+    * the same (j, i) → i*k+j position rule.
+    */
+  private val zorderOracleSql: String = {
+    def terms(e: String, j: Int) = (0 until 8).map(i =>
+      s"((($e >> $i) & 1) << ${i * 2 + j})").mkString(" + ")
+    s"""SELECT l_orderkey, l_linenumber,
+          ${terms("(l_partkey % 256)", 0)} +
+          ${terms("(l_suppkey % 256)", 1)} AS zval
+        FROM lineitem
+        ORDER BY zval, l_orderkey, l_linenumber LIMIT 100"""
+  }
+
   private val qualityScoreSql: String = qualityScoreSqlFrom("documents")
 
   private def qualityScoreSqlFrom(rel: String): String =
@@ -1526,6 +1540,23 @@ object Queries {
             "doc_id", "text", perGroup = 50)
           .orderBy("lang_pred", "lang_rank"),
       Some(domainMixOracleSql)),
+
+    // ── north star: Z-order (Morton) clustering value — the pure bit
+    //    arithmetic [[operators.Layout.writeZOrdered]] range-partitions
+    //    files by for multi-dimensional data skipping; the oracle
+    //    replays the identical shift/mask interleave ──
+    QueryDef(
+      "q_zorder",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            operators.Layout.zValue(Seq(
+              pmod(col("l_partkey").cast("bigint"), lit(256L)),
+              pmod(col("l_suppkey").cast("bigint"), lit(256L))), 8)
+              .as("zval"))
+          .orderBy("zval", "l_orderkey", "l_linenumber")
+          .limit(100),
+      Some(zorderOracleSql)),
 
     // ── north star: END-TO-END corpus curation — the full C4/Gopher
     //    filter chain (language keep-list → quality threshold → exact

@@ -39,4 +39,40 @@ object Layout {
       explode(array((0 until n).map(i => lit(i.toLong)): _*)))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
+
+  /** Z-order (Morton) value of `cols`: bit `i*k + j` of the result is
+    * bit `i` of column `j` — pure integer expressions (whole-stage
+    * codegen; any engine replays them). Inputs must already be
+    * non-negative and fit `bits` bits (scale or `pmod` first);
+    * `cols.size * bits` must stay ≤ 63.
+    */
+  def zValue(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 1 && k * bits <= 63, s"$k cols x $bits bits exceeds long")
+    val terms = for (j <- 0 until k; i <- 0 until bits) yield
+      shiftleft(shiftright(cols(j).cast("bigint"), i).bitwiseAND(lit(1L)),
+        i * k + j)
+    terms.reduce(_ + _) // disjoint bits: + is OR
+  }
+
+  /** Write `df` clustered by the Z-order of `cols` (each taken
+    * `pmod 2^bits`): range-partition on the z-value, sort within
+    * partitions, write parquet. Files then hold tight min/max ranges on
+    * EVERY interleaved dimension at once, so a box predicate on any
+    * subset of them prunes files/row-groups via plain parquet stats —
+    * multi-dimensional data skipping with zero read-side machinery.
+    * Linear sort gives that for the leading column only; at 100 TB the
+    * difference is reading a few files vs all of them for the
+    * second-dimension query.
+    */
+  def writeZOrdered(df: DataFrame, cols: Seq[String], bits: Int,
+      nFiles: Int, path: String): Unit = {
+    val z = zValue(cols.map(c => pmod(col(c).cast("bigint"),
+      lit(1L << bits))), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
 }

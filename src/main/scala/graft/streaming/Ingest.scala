@@ -70,6 +70,74 @@ object Ingest {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicates(keys :+ tsCol)
 
+  /** STREAMING corpus curation: [[graft.operators.Curate]]'s filter
+    * chain over an unbounded document stream. Language/quality/PII
+    * stages are stateless expressions (identical plan streaming or
+    * batch) and run BEFORE the stateful dedup, so state only accrues
+    * for documents that survive the filters. Exact dedup keys on the
+    * normalized-content hash:
+    *
+    *  - `watermark = Some((tsCol, horizon))` → content-hash state is
+    *    EVICTED once the watermark passes (Spark's
+    *    `dropDuplicatesWithinWatermark`) — the 100 TB configuration:
+    *    bounded state, duplicates caught within the horizon, a
+    *    periodic batch [[graft.operators.Curate.curate]] sweep catches
+    *    stragglers beyond it;
+    *  - `watermark = None` → global dedup state (exact, unbounded —
+    *    only for bounded backfills).
+    *
+    * Emits the input columns plus (lang_pred, quality_score, n_chars,
+    * n_tokens, n_emails, redacted); no `n_copies` (a per-group count
+    * needs the batch form's window — streaming drops, not counts).
+    */
+  def curateStream(stream: DataFrame, textCol: String,
+      keepLangs: Seq[String] = Seq("en"), minQuality: Double = 0.3,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val scored = TextAnalysis.qualityScore(
+      TextAnalysis.langId(stream, textCol), textCol)
+    val kept = scored
+      .filter(col("lang_pred").isin(keepLangs: _*) &&
+        col("quality_score") >= minQuality)
+      .withColumn("__h", md5(Dedup.normalized(col(textCol))))
+    val deduped = watermark match {
+      case Some((tsCol, horizon)) =>
+        kept.withWatermark(tsCol, horizon)
+          .dropDuplicatesWithinWatermark("__h")
+      case None => kept.dropDuplicates("__h")
+    }
+    deduped
+      .drop("__h", "alpha_ratio", "digit_ratio", "punct_ratio",
+        "avg_token_len")
+      .withColumn("n_emails",
+        size(regexp_extract_all(col(textCol),
+          lit(TextAnalysis.emailRe), lit(0))))
+      .withColumn("redacted",
+        regexp_replace(col(textCol), TextAnalysis.emailRe, "<EMAIL>"))
+  }
+
+  /** STREAMING near-dup detection against a persisted
+    * [[graft.operators.Dedup.minhashIndexWrite]] corpus index: each
+    * micro-batch runs [[graft.operators.Dedup.minhashDedupIncremental]]
+    * (the batch's banded buckets broadcast against the index scan) and
+    * appends flagged (id_new, id_old, jaccard) pairs to `outPath`. No
+    * streaming state accrues — the state IS the on-disk index,
+    * maintained by periodic batch rebuilds — so this runs forever at
+    * any corpus size: per micro-batch cost scales with the batch, not
+    * the corpus.
+    */
+  def streamMinhashDedup(stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String, checkpoint: String,
+      threshold: Double = 0.6): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch((batch: Dataset[Row], _: Long) =>
+        graft.operators.Dedup.minhashDedupIncremental(batch.toDF(), idCol,
+            textCol, indexPath, threshold = threshold)
+          .write.mode("append").parquet(outPath))
+      .start()
+
   /** Session-window aggregation: events within `gap` of each other merge
     * into one session per key; closed sessions emit when the watermark
     * passes (append mode).

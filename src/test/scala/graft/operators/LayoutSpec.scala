@@ -61,4 +61,48 @@ class LayoutSpec extends AnyFunSuite {
       .collect()
     assert(agg.length == 3 && agg.map(_.getLong(1)).sum == 100)
   }
+
+  test("z-order clustering skips files on the second dimension; linear sort can't") {
+    import org.apache.spark.sql.functions._
+    // 64x64 grid: every (x, y) combination once
+    val grid = spark.range(64L * 64)
+      .select((col("id") % 64).as("x"), (col("id") / 64).as("y"),
+        col("id").as("v"))
+    val base = java.nio.file.Files.createTempDirectory("graft-z").toString
+    // AQE would coalesce the small range partitions into one file and
+    // hide the layout difference (test-scale artifact only)
+    val saved = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      Layout.writeZOrdered(grid, Seq("x", "y"), bits = 6, nFiles = 16,
+        base + "/z")
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+        .write.parquet(base + "/linear")
+      def filesHit(path: String): Long = spark.read.parquet(path)
+        .filter(col("y") < 8) // second-dimension box query
+        .select(input_file_name()).distinct().count()
+      val zTotal = spark.read.parquet(base + "/z")
+        .select(input_file_name()).distinct().count()
+      assert(zTotal >= 8, s"want a many-file z layout, got $zTotal")
+      // z-curve: y<8 is 1/8 of the space -> a few contiguous z ranges
+      assert(filesHit(base + "/z") <= zTotal / 2,
+        s"z layout must cluster y: hit ${filesHit(base + "/z")} of $zTotal")
+      // x-sorted files each contain ALL y values -> no skipping possible
+      assert(filesHit(base + "/linear") == 16L)
+      // z-order is a permutation: nothing lost
+      assert(spark.read.parquet(base + "/z").count() == 64L * 64)
+    } finally
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
+  }
+
+  test("zValue interleaves bits exactly") {
+    import org.apache.spark.sql.functions._
+    // x=0b101 (5), y=0b011 (3) at 3 bits -> z bit (i*2+j) = bit i of
+    // col j: x (j=0) sets positions 0,4; y (j=1) sets 1,3
+    // z = 0b011011 = 27
+    val r = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue(Seq(col("x"), col("y")), 3).as("z"))
+      .head().getLong(0)
+    assert(r == 27L, s"z=$r")
+  }
 }

@@ -65,6 +65,94 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM dedup_out").head().getLong(0) == 2L)
   }
 
+  test("streaming curation: filters, redacts, dedups across micro-batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val en = "The cat sat on the mat and it was a good day for the town " +
+      "to gather and talk about all of the things in the news."
+    val de = "der hund ist nicht zu hause und ich bin mit der katze im garten"
+    val pii = "Send the notes to the team at desk@corp.example.net for " +
+      "the review of the plan and the timing of it all."
+    val curated = Ingest.curateStream(
+      mem.toDF.toDF("doc_id", "text"), "text",
+      keepLangs = Seq("en"), minQuality = 0.5)
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    mem.addData((1L, en), (2L, de), (3L, pii))
+    q.processAllAvailable()
+    // cross-batch duplicate of doc 1 AND of doc 3's text: state persists
+    mem.addData((4L, en), (5L, "99999 88888 77777 66666 55555"))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql(
+      "SELECT doc_id, n_emails, redacted FROM curate_out ORDER BY doc_id")
+      .collect()
+    // doc 2 german, doc 4 cross-batch dup, doc 5 junk — all dropped
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L), out.mkString(";"))
+    assert(out(1).getInt(1) == 1 &&
+      out(1).getString(2).contains("<EMAIL>"))
+  }
+
+  test("streaming minhash dedup flags near-dups of the indexed corpus per batch") {
+    implicit val sq = spark.sqlContext
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").filter("doc_id < 100")
+    val idx = Files.createTempDirectory("graft-smh-idx").toString
+    graft.operators.Dedup.minhashIndexWrite(docs, "doc_id", "text", idx)
+    val twin = docs.filter("doc_id IN (1, 2)")
+      .selectExpr("doc_id + 100000 AS doc_id", "concat(text, ' zz') AS text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val out = Files.createTempDirectory("graft-smh-out").toString + "/pairs"
+    val ckpt = Files.createTempDirectory("graft-smh-ck").toString
+    val q = Ingest.streamMinhashDedup(mem.toDF.toDF("doc_id", "text"),
+      "doc_id", "text", idx, out, ckpt, threshold = 0.5)
+    mem.addData((twin(0)._1, twin(0)._2), (900001L, "totally novel words " +
+      "nothing like any corpus document at all in here today"))
+    q.processAllAvailable()
+    mem.addData((twin(1)._1, twin(1)._2)) // second batch hits the index too
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.read.parquet(out)
+      .select("id_new", "id_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((100001L, 1L)) && pairs.contains((100002L, 2L)),
+      pairs.toString)
+    assert(!pairs.exists(_._1 == 900001L), "novel doc must not match")
+  }
+
+  test("streaming curation with watermark evicts dedup state past horizon") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val en = "The cat sat on the mat and it was a good day for the town " +
+      "to gather and talk about all of the things in the news."
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(s: Int) = new java.sql.Timestamp(base + s * 1000L)
+    val curated = Ingest.curateStream(
+      mem.toDF.toDF("doc_id", "ts", "text"), "text",
+      keepLangs = Seq("en"), minQuality = 0.5,
+      watermark = Some(("ts", "10 seconds")))
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate_wm_out").start()
+    mem.addData((1L, t(0), en))
+    q.processAllAvailable()
+    // duplicate INSIDE the horizon: dropped
+    mem.addData((2L, t(5), en))
+    q.processAllAvailable()
+    // advance the watermark far past the horizon, then replay: the
+    // evicted state no longer blocks it (the documented straggler gap a
+    // periodic batch sweep closes)
+    mem.addData((3L, t(1000), "An unrelated clean note about the day " +
+      "and the town and the news for all of the people."))
+    q.processAllAvailable()
+    mem.addData((4L, t(1005), en))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT doc_id FROM curate_wm_out ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L, 4L), got.toString)
+  }
+
   test("session window aggregation merges within gap, splits across it") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, java.sql.Timestamp, Double)]

@@ -1558,6 +1558,82 @@ object Queries {
           .limit(100),
       Some(zorderOracleSql)),
 
+    // ── north star: corpus-relative unigram scoring (the cheap
+    //    perplexity proxy): top-K vocabulary from the corpus's own
+    //    token counts (deterministic ties), integer gcount sums per
+    //    doc, ONE final divide — bit-exact in any engine. The
+    //    ln-smoothed mean_logprob column stays out of the compare
+    //    (libm-local); PipelineSpec gates its ordering instead. ──
+    QueryDef(
+      "q_unigram_freq",
+      (s, dir) =>
+        operators.TextAnalysis.unigramScore(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", vocabSize = 1000)
+          .select("doc_id", "n_toks", "sum_gcount", "mean_rel_freq")
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+                FROM documents),
+              counts AS (SELECT tok, count(*) AS gcount FROM tk GROUP BY tok),
+              vocab AS (SELECT tok, gcount FROM counts
+                        ORDER BY gcount DESC, tok ASC LIMIT 1000),
+              total AS (SELECT count(*) AS n FROM tk)
+              SELECT tk.doc_id,
+                     count(*) AS n_toks,
+                     sum(coalesce(v.gcount, 0)) AS sum_gcount,
+                     CAST(sum(coalesce(v.gcount, 0)) AS DOUBLE) /
+                       (count(*) * any_value(total.n)) AS mean_rel_freq
+              FROM tk LEFT JOIN vocab v ON v.tok = tk.tok, total
+              GROUP BY tk.doc_id
+              ORDER BY doc_id""")),
+
+    // ── north star: benchmark DECONTAMINATION — flag training docs
+    //    sharing word n-grams with a held-out benchmark set (bench
+    //    items synthesized as 20-token slices of every 50th doc, so
+    //    contamination provably exists). Corpus shingles meet the
+    //    broadcast benchmark shingles in one equi-join; the oracle
+    //    replays the slice, shingling, join, and fraction exactly. ──
+    QueryDef(
+      "q_decontaminate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select((col("doc_id") + 500000L).as("bench_id"),
+            concat_ws(" ", slice(operators.Dedup.tokens(col("text")), 6, 20))
+              .as("text"))
+        operators.Curate.decontaminate(docs, "doc_id", "text",
+            bench, "bench_id", "text", n = 5)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+              docsh AS (SELECT DISTINCT doc_id,
+                          array_to_string(toks[g:g+4], ' ') AS s
+                        FROM (SELECT doc_id, toks,
+                                unnest(generate_series(1, len(toks) - 4)) AS g
+                              FROM t)),
+              bt AS (SELECT doc_id + 500000 AS bench_id,
+                       toks[6:25] AS toks
+                     FROM t WHERE doc_id % 50 = 0),
+              benchsh AS (SELECT DISTINCT bench_id,
+                            array_to_string(toks[g:g+4], ' ') AS s
+                          FROM (SELECT bench_id, toks,
+                                  unnest(generate_series(1, len(toks) - 4)) AS g
+                                FROM bt)),
+              sizes AS (SELECT bench_id, count(*) AS n_bench_grams
+                        FROM benchsh GROUP BY bench_id)
+              SELECT d.doc_id, b.bench_id AS bench_id,
+                     count(*) AS shared_grams,
+                     CAST(count(*) AS DOUBLE) / any_value(z.n_bench_grams)
+                       AS contaminated_frac
+              FROM docsh d
+              JOIN benchsh b ON d.s = b.s
+              JOIN sizes z ON z.bench_id = b.bench_id
+              GROUP BY d.doc_id, b.bench_id
+              ORDER BY d.doc_id, b.bench_id""")),
+
     // ── north star: END-TO-END corpus curation — the full C4/Gopher
     //    filter chain (language keep-list → quality threshold → exact
     //    dedup keeping the smallest id → PII redaction + token

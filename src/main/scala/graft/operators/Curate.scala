@@ -21,6 +21,38 @@ import org.apache.spark.sql.functions._
   * the quality-filtered fraction of it.
   */
 object Curate {
+  /** Benchmark DECONTAMINATION: flag training documents that overlap a
+    * held-out benchmark set by shared word n-grams (the standard
+    * 13-gram contamination test, n configurable). Returns one row per
+    * (doc, benchmark item) with a shared n-gram count ≥ `minShared`
+    * and the contaminated fraction of the benchmark item's n-grams.
+    *
+    * Scale shape: both sides shingle through the same
+    * [[Dedup.shingles]] inverted index and meet in ONE equi-join on
+    * the shingle — the benchmark side is tiny (thousands of items vs a
+    * 100 TB corpus) so Spark broadcasts it and the corpus never
+    * shuffles; the per-pair count is a map-side-combined aggregation.
+    */
+  def decontaminate(docs: DataFrame, docId: String, docText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 13, minShared: Long = 1): DataFrame = {
+    val docSh = Dedup.shingles(docs, docId, docText, n)
+      .toDF("doc_id", "shingle")
+    val benchSh = Dedup.shingles(bench, benchId, benchText, n)
+      .toDF("bench_id", "shingle")
+    val benchSizes = benchSh.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_bench_grams"))
+    docSh
+      .join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+      .join(broadcast(benchSizes), "bench_id")
+      .withColumn("contaminated_frac",
+        col("shared_grams").cast("double") / col("n_bench_grams"))
+      .select("doc_id", "bench_id", "shared_grams", "contaminated_frac")
+  }
+
   /** Curated corpus rows: (id, lang_pred, quality_score, n_chars,
     * n_tokens, n_copies, n_emails, redacted) — one row per distinct
     * surviving document (smallest id wins among exact duplicates;

@@ -132,6 +132,45 @@ object TextAnalysis {
           greatest(col("n_bigrams"), lit(1L)).cast(DoubleType))
   }
 
+  /** Corpus-relative unigram scoring — the cheap perplexity proxy
+    * quality filters use. The corpus's own unigram counts over a
+    * top-`vocabSize` vocabulary (ties broken by token asc,
+    * deterministic) score each document:
+    *
+    *  - `sum_gcount` / `mean_rel_freq`: integer sum of the global
+    *    corpus count of each doc token (out-of-vocab → 0), then ONE
+    *    division by (doc tokens × corpus tokens) — exact integer
+    *    arithmetic until a single IEEE divide, so any engine replays
+    *    it bit-for-bit;
+    *  - `mean_logprob`: add-one-smoothed mean ln P(token) (the actual
+    *    log-prob; engine-local libm, so spec-gated rather than
+    *    hash-compared).
+    *
+    * Scale shape: one shuffle for the global counts (map-side
+    * combined), the vocab (≤ vocabSize rows) broadcasts back, one
+    * per-doc aggregation. Low scores = improbable token soup.
+    */
+  def unigramScore(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 50000): DataFrame = {
+    val toksOf = df.select(col(idCol), explode(toks(col(textCol))).as("tok"))
+    val counts = toksOf.groupBy("tok").agg(count(lit(1)).as("gcount"))
+    // distributed top-K (TakeOrderedAndProject), not a global window
+    val vocab = counts.orderBy(col("gcount").desc, col("tok").asc)
+      .limit(vocabSize)
+    val total = toksOf.count() // corpus token count (driver scalar)
+    val scored = toksOf
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_toks"),
+        sum(coalesce(col("gcount"), lit(0L))).as("sum_gcount"),
+        avg(log(
+          (coalesce(col("gcount"), lit(0L)) + lit(1L)).cast(DoubleType) /
+            lit((total + vocabSize).toDouble))).as("mean_logprob"))
+    scored.withColumn("mean_rel_freq",
+      col("sum_gcount").cast(DoubleType) /
+        (col("n_toks") * lit(total)).cast(DoubleType))
+  }
+
   /** Content fingerprints: md5 of normalized text (exact identity) and
     * a 64-bit rolling-window min-hash (winnowing-style robust id: the
     * minimum xxhash64 over all word 4-grams — stable under local edits

@@ -87,6 +87,50 @@ class PipelineSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("decontaminate finds benchmark quotes, skips clean docs, broadcasts bench") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "nothing in common with anything else at all here now")).toDF("doc_id", "text")
+    // bench item 10 quotes 6 consecutive tokens of doc 1 -> two 5-grams
+    val bench = Seq(
+      (10L, "beta gamma delta epsilon zeta eta"),
+      (11L, "completely fresh benchmark question text")).toDF("bench_id", "text")
+    val out = Curate.decontaminate(corpus, "doc_id", "text",
+      bench, "bench_id", "text", n = 5)
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "bench side must broadcast")
+    val rows = out.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 10L)
+    assert(r.getLong(2) == 2L) // two shared 5-grams
+    assert(r.getDouble(3) == 1.0) // the bench item is fully contaminated
+  }
+
+  test("unigram scoring: common text outranks gibberish; OOV maps to zero") {
+    val fixture = Seq(
+      (1L, "the cat and the dog and the cat"),
+      (2L, "the dog and the cat"),
+      (3L, "zyx wvu tsr qpo nml")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramScore(fixture, "doc_id", "text",
+        vocabSize = 100)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(8L, 5L, 5L)) // n_toks
+    // corpus counts: the=5, and=3, cat=3, dog=2, singles=1 each
+    // doc1 sum = 5+3+3+5+2+3+5+3 = 29; doc2 = 5+2+3+5+3 = 18; doc3 = 5
+    assert(out.map(_.getLong(2)).toSeq == Seq(29L, 18L, 5L))
+    val rel = out.map(r => r.getLong(0) -> r.getAs[Double]("mean_rel_freq")).toMap
+    val lp = out.map(r => r.getLong(0) -> r.getAs[Double]("mean_logprob")).toMap
+    assert(rel(1L) > rel(2L) && rel(2L) > rel(3L))
+    assert(lp(1L) > lp(3L) && lp(2L) > lp(3L))
+    // tiny vocab: gibberish tokens fall out entirely
+    val oov = TextAnalysis.unigramScore(fixture, "doc_id", "text",
+        vocabSize = 2)
+      .filter("doc_id = 3").head()
+    assert(oov.getAs[Long]("sum_gcount") == 0L)
+  }
+
   test("simhash: identical docs distance 0, mutated docs close, hamming symmetric") {
     val aug = docs.limit(50).union(docs.limit(50).selectExpr(
       "doc_id + 100000 AS doc_id", "text"))

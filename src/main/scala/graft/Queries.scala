@@ -1558,6 +1558,47 @@ object Queries {
           .limit(100),
       Some(zorderOracleSql)),
 
+    // ── north star: batch k-NN JOIN — top-k corpus neighbors for
+    //    EVERY query vector (retrieval augmentation / cross-corpus
+    //    linking). Axis-signature candidates with single-bit-flip
+    //    probes, broadcast query side, pairwise-cosine rerank, per-
+    //    query rank window — all replayed in DuckDB, 6dp rounding. ──
+    QueryDef(
+      "q_knn_join",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        operators.Similarity.knnJoin(
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            emb, "vec_id", "embedding",
+            k = 5, nPlanes = 8, probe = true)
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+          .orderBy("query_id", "knn_rank")
+      },
+      Some {
+        val sigTerms = (0 until 8).map(p =>
+          s"(CASE WHEN embedding[${p + 1}] > 0 THEN ${1L << p} ELSE 0 END)")
+          .mkString(" + ")
+        val maskList = (0L +: (0 until 8).map(p => 1L << p)).mkString(", ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                  $sigTerms AS sig
+                FROM embeddings),
+              l AS (SELECT vec_id AS query_id, e AS qe, sig FROM v
+                    WHERE vec_id < 10),
+              probes AS (SELECT query_id, qe, xor(sig, m.m) AS probe
+                         FROM l, (SELECT unnest([$maskList]) AS m) m),
+              scored AS (SELECT p.query_id, r.vec_id AS neighbor_id,
+                           list_cosine_similarity(r.e, p.qe) AS cs
+                         FROM probes p JOIN v r ON r.sig = p.probe),
+              ranked AS (SELECT query_id, neighbor_id, cs,
+                           row_number() OVER (PARTITION BY query_id
+                             ORDER BY cs DESC, neighbor_id ASC) AS rn
+                         FROM scored)
+              SELECT query_id, neighbor_id, round(cs, 6) AS cos_sim,
+                     rn AS knn_rank
+              FROM ranked WHERE rn <= 5
+              ORDER BY query_id, knn_rank"""
+      }),
+
     // ── north star: corpus-relative unigram scoring (the cheap
     //    perplexity proxy): top-K vocabulary from the corpus's own
     //    token counts (deterministic ties), integer gcount sums per

@@ -110,6 +110,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact cosine between two array COLUMNS (pairwise, not
+    * vector-vs-literal): sequential fold order, so the value is
+    * deterministic under any partitioning and any engine replays it.
+    */
+  def cosinePair(a: Column, b: Column): Column = {
+    val va = transform(a, x => x.cast("double"))
+    val vb = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(va, vb, (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(va, x => x * x), lit(0.0),
+      (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(vb, x => x * x), lit(0.0),
+      (acc, x) => acc + x))
+    dot / (na * nb)
+  }
+
+  /** Batch k-NN JOIN: the top-k `right` rows by exact cosine for EVERY
+    * `left` row — the retrieval-augmentation / cross-corpus-linking
+    * shape ("for each query doc, its nearest corpus neighbors").
+    *
+    * Candidates come from an equality join on the engine-portable
+    * [[axisSignature]]: each left vector probes its own signature plus
+    * every single-bit flip (when `probe`), the right side carries its
+    * signature as a plain column. The left/probe side BROADCASTS (the
+    * query set is small next to a 100 TB corpus), so the corpus never
+    * shuffles for candidate generation; only the candidate pairs —
+    * not the |L|×|R| cross product — pay the pairwise-cosine rerank
+    * and the per-query top-k window. Probe values are pairwise
+    * distinct, so a (query, neighbor) pair arises at most once — no
+    * dedup pass needed. At 100 TB, pre-partition the right side by
+    * signature ([[writeSignaturePartitioned]]) to also prune the scan.
+    */
+  def knnJoin(left: DataFrame, leftId: String, leftVec: String,
+      right: DataFrame, rightId: String, rightVec: String,
+      k: Int, nPlanes: Int = 8, probe: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.select(col(leftId).as("query_id"), col(leftVec).as("__qv"))
+      .withColumn("__sig", axisSignature(col("__qv"), nPlanes))
+    val masks = if (probe) 0L +: (0 until nPlanes).map(p => 1L << p)
+      else Seq(0L)
+    val probed = l.select(col("query_id"), col("__qv"),
+      explode(array(masks.map(m =>
+        col("__sig").bitwiseXOR(lit(m))): _*)).as("__probe"))
+    val r = right.select(col(rightId).as("neighbor_id"),
+        col(rightVec).as("__rv"))
+      .withColumn("__rsig", axisSignature(col("__rv"), nPlanes))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    r.join(broadcast(probed), col("__rsig") === col("__probe"))
+      .withColumn("cos_sim", cosinePair(col("__qv"), col("__rv")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("__rn").as("knn_rank"))
+  }
+
   /** The 100 TB ANN shape, materialized: write the corpus ONCE as a
     * signature-partitioned parquet table (`lsh_sig=<s>/` directories);
     * every later query probes only the partition directories within the

@@ -104,5 +104,11 @@ class LayoutSpec extends AnyFunSuite {
       .select(Layout.zValue(Seq(col("x"), col("y")), 3).as("z"))
       .head().getLong(0)
     assert(r == 27L, s"z=$r")
+    // bijection on the full 16x16 grid: every z in [0, 256) hit once
+    val zs = spark.range(256)
+      .select((col("id") % 16).as("x"), (col("id") / 16).as("y"))
+      .select(Layout.zValue(Seq(col("x"), col("y")), 4).as("z"))
+      .collect().map(_.getLong(0)).sorted
+    assert(zs.toSeq == (0L until 256L))
   }
 }

@@ -141,6 +141,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(twins.subsetOf(pairs), "identical texts must have distance 0")
   }
 
+  test("knn join: self first, ranks contiguous, candidates within probe radius") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val out = Similarity.knnJoin(
+      emb.filter($"vec_id" < 5), "vec_id", "embedding",
+      emb, "vec_id", "embedding", k = 3, nPlanes = 8)
+    // the query side must broadcast; the corpus side must not shuffle
+    // for candidate generation
+    assert(out.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    val rows = out.collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.foreach { case (q, rs) =>
+      // rank 1 is the query itself at cosine 1.0 (it shares its own
+      // signature bucket by construction)
+      val first = rs.find(_.getInt(3) == 1).get
+      assert(first.getLong(1) == q && math.abs(first.getDouble(2) - 1.0) < 1e-9)
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= 3)
+      // neighbors are within hamming 1 of the query signature
+      val sigOf = emb.withColumn("s",
+          Similarity.axisSignature($"embedding", 8))
+        .select("vec_id", "s").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      rs.foreach(r => assert(
+        java.lang.Long.bitCount(sigOf(q) ^ sigOf(r.getLong(1))) <= 1))
+    }
+  }
+
   test("ann LSH top-k has high recall vs exact top-k") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     val q = emb.filter($"vec_id" === 0L)

@@ -33,6 +33,7 @@
 #include <map>
 #include <memory>
 #include <mutex>
+#include <set>
 #include <stdexcept>
 #include <string>
 #include <thread>
@@ -267,8 +268,10 @@ class Connection {
   static Ptr Create(const std::string& addr, int port,
                     const std::string& dbName = "",
                     const std::string& username = "",
-                    const std::string& password = "") {
+                    const std::string& password = "",
+                    int timeoutSec = 30) {
     Ptr c(new Connection(addr, port));
+    c->timeoutSec_ = timeoutSec;
     c->Connect();
     if (!username.empty()) c->Login(username, password);
     if (!dbName.empty()) c->Use(dbName);
@@ -298,10 +301,14 @@ class Connection {
   void Use(const std::string& db) { call("use", Value{db}, nullptr, false); }
 
   int Prepare(const std::string& sql) {
-    auto it = prepared_.find(sql);
-    if (it != prepared_.end()) return it->second;
+    {
+      std::lock_guard<std::mutex> g(mu_);
+      auto it = prepared_.find(sql);
+      if (it != prepared_.end()) return it->second;
+    }
     auto r = call("prepare", Value{sql}, nullptr, false);
     if (r->kind != detail::JNode::Int) throw Error("prepare: non-int id");
+    std::lock_guard<std::mutex> g(mu_);
     prepared_[sql] = static_cast<int>(r->i);
     return static_cast<int>(r->i);
   }
@@ -475,7 +482,10 @@ class Connection {
         if (t == doc->obj.end()) continue;
         auto r = doc->obj.find("1");
         std::lock_guard<std::mutex> g(mu_);
-        replies_[static_cast<int>(t->second->i)] =
+        int ticket = static_cast<int>(t->second->i);
+        if (abandoned_.erase(ticket) > 0)
+          continue;  // caller already timed out — don't leak the reply
+        replies_[ticket] =
             r == doc->obj.end() ? std::make_shared<detail::JNode>()
                                 : r->second;
         cv_.notify_all();
@@ -488,13 +498,15 @@ class Connection {
     }
   }
 
-  // block until the reader routes this ticket's reply (30 s cap)
+  // block until the reader routes this ticket's reply
   detail::JPtr waitReply(int ticket) {
     std::unique_lock<std::mutex> lk(mu_);
-    if (!cv_.wait_for(lk, std::chrono::seconds(30), [&] {
+    if (!cv_.wait_for(lk, std::chrono::seconds(timeoutSec_), [&] {
           return closed_ || replies_.count(ticket) > 0;
-        }))
+        })) {
+      abandoned_.insert(ticket);  // reader drops the late reply
       throw Error("request timed out");
+    }
     auto it = replies_.find(ticket);
     if (it == replies_.end())
       throw Error("connection closed: " + readError_);
@@ -541,8 +553,10 @@ class Connection {
   std::mutex mu_;   // tickets, replies, closed flag
   std::condition_variable cv_;
   std::map<int, detail::JPtr> replies_;
+  std::set<int> abandoned_;  // timed-out tickets whose replies to drop
   bool closed_ = false;
   std::string readError_;
+  int timeoutSec_ = 30;
 };
 
 }  // namespace graft

@@ -1622,9 +1622,12 @@ object Queries {
               total AS (SELECT count(*) AS n FROM tk)
               SELECT tk.doc_id,
                      count(*) AS n_toks,
-                     sum(coalesce(v.gcount, 0)) AS sum_gcount,
+                     CAST(sum(coalesce(v.gcount, 0)) AS DOUBLE)
+                       AS sum_gcount,
                      CAST(sum(coalesce(v.gcount, 0)) AS DOUBLE) /
-                       (count(*) * any_value(total.n)) AS mean_rel_freq
+                       (CAST(count(*) AS DOUBLE) *
+                        CAST(any_value(total.n) AS DOUBLE))
+                       AS mean_rel_freq
               FROM tk LEFT JOIN vocab v ON v.tok = tk.tok, total
               GROUP BY tk.doc_id
               ORDER BY doc_id""")),

@@ -255,7 +255,7 @@ object Multimodal {
           case "trak" =>
             closeTrak() // finalize the previous trak before the next
             nTracks += 1
-          case "tkhd" =>
+          case "tkhd" if to - from >= 4 =>
             val v = bytes(from.toInt) & 0xFF
             // width/height: 16.16 fixed point, last 8 payload bytes
             val base = from + (if (v == 1) 4 + 32 else 4 + 20) + 8 + 8 + 36

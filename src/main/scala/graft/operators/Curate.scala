@@ -53,6 +53,19 @@ object Curate {
       .select("doc_id", "bench_id", "shared_grams", "contaminated_frac")
   }
 
+  /** The stateless curation prefix shared by [[curate]] and
+    * [[graft.streaming.Ingest.curateStream]]: language keep-list +
+    * quality threshold filters, then the normalized-content hash
+    * `__h` the dedup stage keys on. ONE definition so batch and
+    * streaming curation cannot drift.
+    */
+  def filterChain(df: DataFrame, textCol: String, keepLangs: Seq[String],
+      minQuality: Double): DataFrame =
+    TextAnalysis.qualityScore(TextAnalysis.langId(df, textCol), textCol)
+      .filter(col("lang_pred").isin(keepLangs: _*) &&
+        col("quality_score") >= minQuality)
+      .withColumn("__h", md5(Dedup.normalized(col(textCol))))
+
   /** Curated corpus rows: (id, lang_pred, quality_score, n_chars,
     * n_tokens, n_copies, n_emails, redacted) — one row per distinct
     * surviving document (smallest id wins among exact duplicates;
@@ -61,12 +74,7 @@ object Curate {
   def curate(df: DataFrame, idCol: String, textCol: String,
       keepLangs: Seq[String] = Seq("en"),
       minQuality: Double = 0.3): DataFrame = {
-    val scored = TextAnalysis.qualityScore(
-      TextAnalysis.langId(df, textCol), textCol)
-    val kept = scored
-      .filter(col("lang_pred").isin(keepLangs: _*) &&
-        col("quality_score") >= minQuality)
-      .withColumn("__h", md5(Dedup.normalized(col(textCol))))
+    val kept = filterChain(df, textCol, keepLangs, minQuality)
     val w = Window.partitionBy("__h").orderBy(col(idCol))
     kept
       .withColumn("__rn", row_number().over(w))

@@ -225,9 +225,21 @@ object Dedup {
       textCol: String, path: String, shingleSize: Int = 5,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.6): DataFrame = {
-    val spark = newDf.sparkSession
     val newSh = shingles(newDf, idCol, textCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    minhashDedupFromShingles(newSh, path, numHashes, bands, threshold)
+  }
+
+  /** [[minhashDedupIncremental]] over a PRECOMPUTED increment shingle
+    * table (id, shingle): callers that consume the result eagerly —
+    * e.g. the per-micro-batch streaming path — manage the shingle
+    * persist/unpersist lifecycle themselves so cached blocks don't
+    * accrue across a long-running stream.
+    */
+  def minhashDedupFromShingles(newSh: DataFrame, path: String,
+      numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.6): DataFrame = {
+    val spark = newSh.sparkSession
     val newBuckets = bandedBuckets(newSh, numHashes, bands)
     val idxBuckets = spark.read.parquet(path + "/buckets")
     val candIds = idxBuckets.as("old")

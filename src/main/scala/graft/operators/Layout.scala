@@ -55,21 +55,36 @@ object Layout {
     terms.reduce(_ + _) // disjoint bits: + is OR
   }
 
-  /** Write `df` clustered by the Z-order of `cols` (each taken
-    * `pmod 2^bits`): range-partition on the z-value, sort within
-    * partitions, write parquet. Files then hold tight min/max ranges on
-    * EVERY interleaved dimension at once, so a box predicate on any
-    * subset of them prunes files/row-groups via plain parquet stats —
-    * multi-dimensional data skipping with zero read-side machinery.
-    * Linear sort gives that for the leading column only; at 100 TB the
-    * difference is reading a few files vs all of them for the
-    * second-dimension query.
+  /** Write `df` clustered by the Z-order of `cols`: each column is
+    * range-bucketed MONOTONICALLY onto [0, 2^bits) from its actual
+    * [min, max] (a modulo fold would scatter distant values into one
+    * bucket and destroy the very stats this layout exists for), the
+    * buckets interleave through [[zValue]], and the rows
+    * range-partition + sort on the z-value into parquet. Files then
+    * hold tight min/max ranges on EVERY interleaved dimension at once,
+    * so a box predicate on any subset of them prunes files/row-groups
+    * via plain parquet stats — multi-dimensional data skipping with
+    * zero read-side machinery. Linear sort gives that for the leading
+    * column only; at 100 TB the difference is reading a few files vs
+    * all of them for the second-dimension query. Costs one extra
+    * min/max aggregation pass (at scale: read the stats from table
+    * metadata instead).
     */
   def writeZOrdered(df: DataFrame, cols: Seq[String], bits: Int,
       nFiles: Int, path: String): Unit = {
-    val z = zValue(cols.map(c => pmod(col(c).cast("bigint"),
-      lit(1L << bits))), bits)
-    df.withColumn("__z", z)
+    val statsRow = df.select(cols.flatMap(c =>
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double"))): _*)
+      .head()
+    val nBuckets = 1L << bits
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val mn = statsRow.getDouble(2 * i)
+      val span = statsRow.getDouble(2 * i + 1) - mn
+      if (span <= 0) lit(0L)
+      else least(lit(nBuckets - 1),
+        floor((col(c).cast("double") - lit(mn)) * lit(nBuckets.toDouble) /
+          lit(span)).cast("bigint"))
+    }
+    df.withColumn("__z", zValue(scaled, bits))
       .repartitionByRange(nFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")

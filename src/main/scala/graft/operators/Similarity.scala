@@ -113,6 +113,10 @@ object Similarity {
   /** Exact cosine between two array COLUMNS (pairwise, not
     * vector-vs-literal): sequential fold order, so the value is
     * deterministic under any partitioning and any engine replays it.
+    * A zero-norm vector (padding / failed decode) yields NULL, not
+    * NaN — Spark sorts NaN ABOVE every number, so an unguarded 0/0
+    * would put a garbage vector at rank 1 of every descending top-k;
+    * NULLs sort last under desc and drop out of rank windows cleanly.
     */
   def cosinePair(a: Column, b: Column): Column = {
     val va = transform(a, x => x.cast("double"))
@@ -123,7 +127,7 @@ object Similarity {
       (acc, x) => acc + x))
     val nb = sqrt(aggregate(transform(vb, x => x * x), lit(0.0),
       (acc, x) => acc + x))
-    dot / (na * nb)
+    dot / nullif(na * nb, lit(0.0))
   }
 
   /** Batch k-NN JOIN: the top-k `right` rows by exact cosine for EVERY

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Text-analysis operators for training-data pipelines: language ID,
   * quality scoring, token counting, document fingerprinting. All
@@ -152,23 +152,34 @@ object TextAnalysis {
     */
   def unigramScore(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 50000): DataFrame = {
+    // the tokenize+explode is the dominant cost and feeds BOTH the
+    // count aggregation and the scoring join — one pass, persisted
     val toksOf = df.select(col(idCol), explode(toks(col(textCol))).as("tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = toksOf.groupBy("tok").agg(count(lit(1)).as("gcount"))
     // distributed top-K (TakeOrderedAndProject), not a global window
     val vocab = counts.orderBy(col("gcount").desc, col("tok").asc)
       .limit(vocabSize)
-    val total = toksOf.count() // corpus token count (driver scalar)
+    // corpus token count from the (much smaller) counts table, not a
+    // third pass over the corpus
+    val total = counts.agg(sum(col("gcount"))).head().getLong(0)
     val scored = toksOf
       .join(broadcast(vocab), Seq("tok"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"),
-        sum(coalesce(col("gcount"), lit(0L))).as("sum_gcount"),
+        // decimal accumulator: a Long sum wraps once doc-tokens ×
+        // corpus-count clears 2^63 (reachable at the 100 TB target);
+        // the final double cast rounds the exact integer identically
+        // in any engine
+        sum(coalesce(col("gcount"), lit(0L)).cast(DecimalType(38, 0)))
+          .cast(DoubleType).as("sum_gcount"),
         avg(log(
           (coalesce(col("gcount"), lit(0L)) + lit(1L)).cast(DoubleType) /
             lit((total + vocabSize).toDouble))).as("mean_logprob"))
+    // double multiply, not Long: n_toks * total overflows Long at scale
     scored.withColumn("mean_rel_freq",
-      col("sum_gcount").cast(DoubleType) /
-        (col("n_toks") * lit(total)).cast(DoubleType))
+      col("sum_gcount") /
+        (col("n_toks").cast(DoubleType) * lit(total.toDouble)))
   }
 
   /** Content fingerprints: md5 of normalized text (exact identity) and

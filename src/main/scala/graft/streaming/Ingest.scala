@@ -93,13 +93,10 @@ object Ingest {
   def curateStream(stream: DataFrame, textCol: String,
       keepLangs: Seq[String] = Seq("en"), minQuality: Double = 0.3,
       watermark: Option[(String, String)] = None): DataFrame = {
-    import graft.operators.{Dedup, TextAnalysis}
-    val scored = TextAnalysis.qualityScore(
-      TextAnalysis.langId(stream, textCol), textCol)
-    val kept = scored
-      .filter(col("lang_pred").isin(keepLangs: _*) &&
-        col("quality_score") >= minQuality)
-      .withColumn("__h", md5(Dedup.normalized(col(textCol))))
+    import graft.operators.{Curate, TextAnalysis}
+    // the ONE shared stateless prefix — batch and streaming curation
+    // cannot drift
+    val kept = Curate.filterChain(stream, textCol, keepLangs, minQuality)
     val deduped = watermark match {
       case Some((tsCol, horizon)) =>
         kept.withWatermark(tsCol, horizon)
@@ -128,14 +125,25 @@ object Ingest {
     */
   def streamMinhashDedup(stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String, checkpoint: String,
+      shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.6): StreamingQuery =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
-      .foreachBatch((batch: Dataset[Row], _: Long) =>
-        graft.operators.Dedup.minhashDedupIncremental(batch.toDF(), idCol,
-            textCol, indexPath, threshold = threshold)
-          .write.mode("append").parquet(outPath))
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        // the shingleSize/numHashes/bands MUST match the ones the index
+        // was built with — mismatched banding finds zero candidates
+        val newSh = graft.operators.Dedup
+          .shingles(batch.toDF(), idCol, textCol, shingleSize)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // persist/unpersist per micro-batch: a forever-running stream
+        // must not accrue cached shingle blocks batch after batch
+        try graft.operators.Dedup
+          .minhashDedupFromShingles(newSh, indexPath, numHashes, bands,
+            threshold)
+          .write.mode("append").parquet(outPath)
+        finally newSh.unpersist()
+      }
       .start()
 
   /** Session-window aggregation: events within `gap` of each other merge

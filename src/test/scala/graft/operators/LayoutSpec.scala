@@ -64,9 +64,12 @@ class LayoutSpec extends AnyFunSuite {
 
   test("z-order clustering skips files on the second dimension; linear sort can't") {
     import org.apache.spark.sql.functions._
-    // 64x64 grid: every (x, y) combination once
+    // 64x64 grid with a value DOMAIN far wider than 2^bits (x, y in
+    // [17, 63017] step 1000): the writer's monotonic range bucketing —
+    // not a modulo fold — is what keeps file min/max stats tight
     val grid = spark.range(64L * 64)
-      .select((col("id") % 64).as("x"), (col("id") / 64).as("y"),
+      .select(((col("id") % 64) * 1000 + 17).as("x"),
+        ((col("id") / 64) * 1000 + 17).as("y"),
         col("id").as("v"))
     val base = java.nio.file.Files.createTempDirectory("graft-z").toString
     // AQE would coalesce the small range partitions into one file and
@@ -79,7 +82,7 @@ class LayoutSpec extends AnyFunSuite {
       grid.repartitionByRange(16, col("x")).sortWithinPartitions("x")
         .write.parquet(base + "/linear")
       def filesHit(path: String): Long = spark.read.parquet(path)
-        .filter(col("y") < 8) // second-dimension box query
+        .filter(col("y") < 8017) // second-dimension box query (y bucket < 8)
         .select(input_file_name()).distinct().count()
       val zTotal = spark.read.parquet(base + "/z")
         .select(input_file_name()).distinct().count()

@@ -119,7 +119,7 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.map(_.getLong(1)).toSeq == Seq(8L, 5L, 5L)) // n_toks
     // corpus counts: the=5, and=3, cat=3, dog=2, singles=1 each
     // doc1 sum = 5+3+3+5+2+3+5+3 = 29; doc2 = 5+2+3+5+3 = 18; doc3 = 5
-    assert(out.map(_.getLong(2)).toSeq == Seq(29L, 18L, 5L))
+    assert(out.map(_.getDouble(2)).toSeq == Seq(29.0, 18.0, 5.0))
     val rel = out.map(r => r.getLong(0) -> r.getAs[Double]("mean_rel_freq")).toMap
     val lp = out.map(r => r.getLong(0) -> r.getAs[Double]("mean_logprob")).toMap
     assert(rel(1L) > rel(2L) && rel(2L) > rel(3L))
@@ -128,7 +128,7 @@ class PipelineSpec extends AnyFunSuite {
     val oov = TextAnalysis.unigramScore(fixture, "doc_id", "text",
         vocabSize = 2)
       .filter("doc_id = 3").head()
-    assert(oov.getAs[Long]("sum_gcount") == 0L)
+    assert(oov.getAs[Double]("sum_gcount") == 0.0)
   }
 
   test("simhash: identical docs distance 0, mutated docs close, hamming symmetric") {

@@ -131,6 +131,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(oov.getAs[Double]("sum_gcount") == 0.0)
   }
 
+  test("buildTrainingCorpus: curates, collapses near-dups, decontaminates, packs") {
+    // corpus: 60 real docs + near-dup twins of docs 0-4 (survive exact
+    // dedup, caught by MinHash) + a benchmark quoting doc 10
+    val base = docs.filter("doc_id < 60")
+    val aug = base.union(base.filter("doc_id < 5").selectExpr(
+      "doc_id + 100000 AS doc_id", "concat(text, ' zz') AS text"))
+    val bench = base.filter("doc_id = 10").selectExpr(
+      "doc_id + 500000 AS bench_id",
+      "concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), 3, 20)) AS text")
+    val build = Pipelines.buildTrainingCorpus(aug, "doc_id", "text",
+      bench = Some(bench), keepLangs = Seq("en", "und"), minQuality = 0.0,
+      dedupThreshold = 0.5, contaminationN = 5, packBudget = 500,
+      packShards = 4)
+    val ids = build.corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    // twins collapsed: the +100000 copy drops, the original stays
+    assert((0L until 5L).forall(ids.contains), ids.toString)
+    assert(!ids.exists(_ >= 100000L), ids.toString)
+    // the benchmark-quoted doc left the corpus, and the audit trail
+    // names it
+    assert(!ids.contains(10L))
+    val contamIds = build.contaminated.get.select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(contamIds.contains(10L))
+    // near-dup audit: exactly the five twin pairs
+    val pairs = build.nearDupPairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 5L).map(i => (i, i + 100000L)).toSet.subsetOf(pairs))
+    // packs cover every surviving doc exactly once, budget respected
+    val packed = build.packs.collect()
+    assert(packed.map(_.getLong(0)).toSet == ids)
+    val perPack = build.packs.groupBy("shard", "pack_id")
+      .agg(org.apache.spark.sql.functions.sum("n_tokens").as("t")).collect()
+    // contiguous packing overshoots by at most one document's tokens
+    val maxDocToks = packed.map(_.getLong(2)).max
+    assert(perPack.forall(_.getLong(2) <= 500 + maxDocToks))
+  }
+
   test("simhash: identical docs distance 0, mutated docs close, hamming symmetric") {
     val aug = docs.limit(50).union(docs.limit(50).selectExpr(
       "doc_id + 100000 AS doc_id", "text"))

@@ -121,6 +121,81 @@ object Queries {
         ORDER BY zval, l_orderkey, l_linenumber LIMIT 100"""
   }
 
+  /** DuckDB replay of the ENTIRE [[operators.Pipelines.buildTrainingCorpus]]
+    * pipeline (q_corpus_build): curate (shared langid/quality SQL +
+    * exact dedup), near-dup collapse (the exact ≥-threshold Jaccard
+    * pair set — equal to MinHash LSH's output on this data by the
+    * q_minhash_dedup full-recall argument, which survives restriction
+    * to the curated subset because signatures are per-doc), benchmark
+    * decontamination, and shard-parallel packing. Every stage reuses
+    * the SQL its standalone oracle uses.
+    */
+  private lazy val corpusBuildOracleSql: String =
+    s"""WITH aug AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents),
+              lang AS (SELECT * FROM (${langIdOracleSqlFrom("aug")})),
+              qual AS (SELECT * FROM (${qualityScoreSqlFrom("aug")})),
+              keptf AS (SELECT a.doc_id, a.text,
+                          md5(regexp_replace(lower(trim(a.text)),
+                              '\\s+', ' ', 'g')) AS h
+                        FROM aug a
+                        JOIN lang l ON l.doc_id = a.doc_id
+                        JOIN qual q ON q.doc_id = a.doc_id
+                        WHERE l.lang_pred IN ('en')
+                          AND q.quality_score >= 0.91),
+              kept AS (SELECT doc_id, text FROM (
+                         SELECT *, row_number() OVER (PARTITION BY h
+                           ORDER BY doc_id) AS rn
+                         FROM keptf) WHERE rn = 1),
+              kt AS (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                     FROM kept),
+              ksh AS (SELECT DISTINCT doc_id,
+                        array_to_string(toks[g:g+4], ' ') AS s
+                      FROM (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks) - 4)) AS g
+                            FROM kt)),
+              ksz AS (SELECT doc_id, count(*) AS n FROM ksh GROUP BY doc_id),
+              pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                        FROM ksh a JOIN ksh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              dropids AS (SELECT DISTINCT id_b AS doc_id FROM pairs
+                          JOIN ksz x ON x.doc_id = id_a
+                          JOIN ksz y ON y.doc_id = id_b
+                          WHERE CAST(shared AS DOUBLE) /
+                            (x.n + y.n - shared) >= 0.5),
+              dd AS (SELECT doc_id, text FROM kept
+                     WHERE doc_id NOT IN (SELECT doc_id FROM dropids)),
+              bt AS (SELECT doc_id + 500000 AS bench_id, toks[6:25] AS toks
+                     FROM (SELECT doc_id,
+                             regexp_split_to_array(lower(trim(text)),
+                               '\\s+') AS toks
+                           FROM documents)
+                     WHERE doc_id % 50 = 0),
+              bsh AS (SELECT DISTINCT bench_id,
+                        array_to_string(toks[g:g+4], ' ') AS s
+                      FROM (SELECT bench_id, toks,
+                              unnest(generate_series(1, len(toks) - 4)) AS g
+                            FROM bt)),
+              contam AS (SELECT DISTINCT k.doc_id FROM ksh k
+                         JOIN bsh b ON b.s = k.s
+                         WHERE k.doc_id IN (SELECT doc_id FROM dd)),
+              clean AS (SELECT doc_id, text FROM dd
+                        WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+              ct AS (SELECT doc_id,
+                       CAST(len(string_split(regexp_replace(lower(trim(text)),
+                         '\\s+', ' ', 'g'), ' ')) AS BIGINT) AS n_tokens,
+                       CAST(doc_id % 8 AS INT) AS shard
+                     FROM clean)
+              SELECT doc_id, shard, n_tokens,
+                CAST(floor((sum(n_tokens) OVER (PARTITION BY shard
+                  ORDER BY doc_id) - n_tokens) / 512.0) AS BIGINT)
+                  AS pack_id
+              FROM ct ORDER BY doc_id"""
+
   private val qualityScoreSql: String = qualityScoreSqlFrom("documents")
 
   private def qualityScoreSqlFrom(rel: String): String =
@@ -1540,6 +1615,29 @@ object Queries {
             "doc_id", "text", perGroup = 50)
           .orderBy("lang_pred", "lang_rank"),
       Some(domainMixOracleSql)),
+
+    // ── CROWN JEWEL: the ENTIRE training-corpus build oracle-verified
+    //    end-to-end — curate → near-dup collapse → benchmark
+    //    decontamination → shard-packed sequences, one DuckDB replay
+    //    of all four stages chained (corpusBuildOracleSql). ──
+    QueryDef(
+      "q_corpus_build",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val aug = docs.union(docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+        val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select((col("doc_id") + 500000L).as("bench_id"),
+            concat_ws(" ", slice(operators.Dedup.tokens(col("text")), 6, 20))
+              .as("text"))
+        operators.Pipelines.buildTrainingCorpus(aug, "doc_id", "text",
+            bench = Some(bench), keepLangs = Seq("en"), minQuality = 0.91,
+            dedupThreshold = 0.5, contaminationN = 5,
+            packBudget = 512, packShards = 8)
+          .packs.orderBy("doc_id")
+      },
+      Some(corpusBuildOracleSql)),
 
     // ── north star: Z-order (Morton) clustering value — the pure bit
     //    arithmetic [[operators.Layout.writeZOrdered]] range-partitions

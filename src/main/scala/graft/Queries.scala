@@ -196,6 +196,36 @@ object Queries {
                   AS pack_id
               FROM ct ORDER BY doc_id"""
 
+  /** DuckDB replay of [[operators.Resample.ewmaHalf]] (q_ewma): the
+    * weight literals come from the same `math.pow(0.5, j)` doubles and
+    * the CASE/fold shape mirrors the Spark expression term for term,
+    * so the smoothing cannot drift.
+    */
+  private lazy val ewmaOracleSql: String = {
+    val lags = (1 until 8).map(j =>
+      s"lag(value, $j) OVER win AS x$j").mkString(",\n                  ")
+    def term(j: Int): String = {
+      val x = if (j == 0) "value" else s"x$j"
+      s"(CASE WHEN $x IS NOT NULL THEN $x * ${math.pow(0.5, j)} ELSE 0.0 END)"
+    }
+    def wterm(j: Int): String = {
+      val x = if (j == 0) "value" else s"x$j"
+      s"(CASE WHEN $x IS NOT NULL THEN ${math.pow(0.5, j)} ELSE 0.0 END)"
+    }
+    val num = (0 until 8).map(term).mkString(" +\n                ")
+    val den = (0 until 8).map(wterm).mkString(" +\n                ")
+    s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id, value
+                   FROM events),
+              w AS (SELECT user_id, event_id, value,
+                  $lags
+                FROM e
+                WINDOW win AS (PARTITION BY user_id ORDER BY tsn, event_id))
+              SELECT user_id, event_id, value,
+                ($num) /
+                ($den) AS ewma
+              FROM w ORDER BY event_id"""
+  }
+
   private val qualityScoreSql: String = qualityScoreSqlFrom("documents")
 
   private def qualityScoreSqlFrom(rel: String): String =
@@ -1615,6 +1645,44 @@ object Queries {
             "doc_id", "text", perGroup = 50)
           .orderBy("lang_pred", "lang_rank"),
       Some(domainMixOracleSql)),
+
+    // ── north star: VWAP bars — price×volume rounds into a decimal
+    //    accumulator (order-independent), one double divide at the
+    //    end. Volume synthesized deterministically from event_id. ──
+    QueryDef(
+      "q_vwap",
+      (s, dir) =>
+        operators.Resample.vwap(
+            t(s, dir, "events").select(col("user_id"), col("ts"),
+              col("value"),
+              (pmod(col("event_id"), lit(100L)) + 1L).as("vol")),
+            Seq("user_id"), "ts", "value", "vol", 3600000000000L)
+          .orderBy("user_id", "bkt"),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn,
+                event_id % 100 + 1 AS vol, value FROM events)
+              SELECT user_id, tsn // 3600000000000 AS bkt,
+                CAST(sum(CAST(value * vol AS DECIMAL(18,6))) AS DOUBLE)
+                  AS sum_pv,
+                sum(vol) AS sum_vol,
+                count(*) AS n_events,
+                CAST(sum(CAST(value * vol AS DECIMAL(18,6))) AS DOUBLE) /
+                  CAST(sum(vol) AS DOUBLE) AS vwap
+              FROM e GROUP BY user_id, tsn // 3600000000000
+              ORDER BY user_id, bkt""")),
+
+    // ── north star: bounded-lookback EWMA (α = 1/2, depth 8) — the
+    //    2^-j weights are exact binary scalings and the term fold is
+    //    left-associative in both engines, so the smoothing is
+    //    bit-exact. One window shuffle per series. ──
+    QueryDef(
+      "q_ewma",
+      (s, dir) =>
+        operators.Resample.ewmaHalf(
+            t(s, dir, "events").select("user_id", "ts", "event_id", "value"),
+            Seq("user_id"), Seq("ts", "event_id"), "value", depth = 8)
+          .select("user_id", "event_id", "value", "ewma")
+          .orderBy("event_id"),
+      Some(ewmaOracleSql)),
 
     // ── CROWN JEWEL: the ENTIRE training-corpus build oracle-verified
     //    end-to-end — curate → near-dup collapse → benchmark

@@ -46,6 +46,47 @@ object Resample {
           .as("sum_value"))
   }
 
+  /** Volume-weighted average price per tumbling bucket: one hash
+    * aggregation (map-side combined). Price×volume products round into
+    * a decimal accumulator before summing (order-independent), and the
+    * VWAP is ONE double divide of the exact sums — engine-exact.
+    */
+  def vwap(df: DataFrame, keys: Seq[String], timeCol: String,
+      valueCol: String, volCol: String, width: Long): DataFrame =
+    df.withColumn("bkt", expr(s"$timeCol div ${width}L"))
+      .groupBy((keys :+ "bkt").map(col): _*)
+      .agg(
+        sum((col(valueCol) * col(volCol)).cast(DecimalType(18, 6)))
+          .cast(DoubleType).as("sum_pv"),
+        sum(col(volCol)).as("sum_vol"),
+        count(lit(1)).as("n_events"))
+      .withColumn("vwap", col("sum_pv") / col("sum_vol").cast(DoubleType))
+
+  /** Exponentially-weighted moving average with α = 1/2 over the last
+    * `depth` rows per key (a bounded-lookback EWMA — the recurrence
+    * form needs sequential state; the truncated form is the
+    * distributed one, and at α = 1/2 the truncation error is 2^-depth).
+    * Weights 2^-j are EXACT binary scalings and the term fold order is
+    * fixed in the expression, so the value is bit-identical in any
+    * engine. Expression-only; one window shuffle on the keys; series
+    * heads renormalize over the weights actually present.
+    */
+  def ewmaHalf(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
+      valueCol: String, depth: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val terms = (0 until depth).map { j =>
+      val x = if (j == 0) col(valueCol) else lag(col(valueCol), j).over(w)
+      (x, math.pow(0.5, j))
+    }
+    val num = terms.map { case (x, wt) =>
+      when(x.isNotNull, x * lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+    val den = terms.map { case (x, wt) =>
+      when(x.isNotNull, lit(wt)).otherwise(lit(0.0)) }.reduce(_ + _)
+    df.withColumn("ewma", num / den)
+  }
+
   def ohlcv(df: DataFrame, keys: Seq[String], timeCol: String,
       valueCol: String, tieBreak: String, width: Long): DataFrame = {
     val ord = struct(col(timeCol), col(tieBreak))

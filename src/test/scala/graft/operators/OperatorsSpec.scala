@@ -64,6 +64,31 @@ class OperatorsSpec extends AnyFunSuite {
       Row(1, 1L, 5.0, 7.0, 5.0, 7.0, 2L, 12.0)))
   }
 
+  test("vwap: exact weighted average per bucket") {
+    val ticks = Seq(
+      (1, 0L, 10.0, 2L), (1, 5L, 20.0, 6L), // bucket 0: (20+120)/8 = 17.5
+      (1, 12L, 4.0, 1L))                    // bucket 1: 4/1
+      .toDF("k", "ts", "px", "vol")
+    val out = Resample.vwap(ticks, Seq("k"), "ts", "px", "vol", 10L)
+      .select("k", "bkt", "sum_pv", "sum_vol", "n_events", "vwap")
+      .orderBy("bkt").collect().toSeq
+    assert(out == Seq(
+      Row(1, 0L, 140.0, 8L, 2L, 17.5),
+      Row(1, 1L, 4.0, 1L, 1L, 4.0)))
+  }
+
+  test("ewmaHalf: exact binary weights, head renormalization, depth cut") {
+    val ticks = (1L to 10L).map(i => (1, i, i.toDouble)).toDF("k", "ts", "px")
+    val out = Resample.ewmaHalf(ticks, Seq("k"), Seq("ts"), "px", depth = 3)
+      .orderBy("ts").collect().map(_.getDouble(3))
+    // head: just x1 -> 1.0; second: (2 + 1*0.5)/1.5; third+: full depth
+    assert(out(0) == 1.0)
+    assert(out(1) == (2.0 + 0.5) / 1.5)
+    assert(out(2) == (3.0 + 2.0 * 0.5 + 1.0 * 0.25) / 1.75)
+    // depth 3: row 4 ignores x1 entirely
+    assert(out(3) == (4.0 + 3.0 * 0.5 + 2.0 * 0.25) / 1.75)
+  }
+
   test("factorsDF matches driver-side factors incl. tie determinism") {
     val adjRows = Seq((1, 1000000L, 0.25, 4.0), (1, 3000000L, 0.5, 2.0),
       (1, 5000000L, 0.2, 5.0)).toDF("sec", "tm", "px", "vol")

@@ -1646,6 +1646,97 @@ object Queries {
           .orderBy("lang_pred", "lang_rank"),
       Some(domainMixOracleSql)),
 
+    // ── north star: running-max drawdown per series — cumulative max
+    //    window + one subtraction; the classic tick analytic. ──
+    QueryDef(
+      "q_drawdown",
+      (s, dir) => {
+        val e = t(s, dir, "events").select("user_id", "ts", "event_id", "value")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        e.withColumn("peak", max(col("value")).over(w))
+          .withColumn("drawdown", col("peak") - col("value"))
+          .select("user_id", "event_id", "value", "peak", "drawdown")
+          .orderBy("event_id")
+      },
+      Some("""SELECT user_id, event_id, value,
+                max(value) OVER (PARTITION BY user_id
+                  ORDER BY epoch_ns(ts), event_id) AS peak,
+                max(value) OVER (PARTITION BY user_id
+                  ORDER BY epoch_ns(ts), event_id) - value AS drawdown
+              FROM events ORDER BY event_id""")),
+
+    // ── north star: per-series z-score — decimal-exact mean/variance
+    //    from integer-ish sums, one join back, engine-exact ratios. ──
+    QueryDef(
+      "q_zscore",
+      (s, dir) => {
+        val e = t(s, dir, "events").select("user_id", "event_id", "value")
+        val stats = e.groupBy("user_id").agg(
+          count(lit(1)).as("n"),
+          sum(dec6(col("value"))).as("s1"),
+          sum(dec6(col("value")) * dec6(col("value"))).as("s2"))
+        // exact decimal sums cast to double BEFORE any division —
+        // decimal-division rounding rules differ between engines,
+        // double arithmetic on identical inputs does not
+        e.join(stats, "user_id")
+          .withColumn("mean",
+            col("s1").cast(DoubleType) / col("n").cast(DoubleType))
+          .withColumn("var",
+            col("s2").cast(DoubleType) / col("n").cast(DoubleType) -
+              col("mean") * col("mean"))
+          .withColumn("zscore",
+            (col("value") - col("mean")) / sqrt(col("var")))
+          .select("user_id", "event_id", "value", "mean", "zscore")
+          .orderBy("event_id")
+      },
+      Some("""WITH st AS (SELECT user_id, count(*) AS n,
+                  sum(CAST(value AS DECIMAL(18,6))) AS s1,
+                  sum(CAST(value AS DECIMAL(18,6)) *
+                      CAST(value AS DECIMAL(18,6))) AS s2
+                FROM events GROUP BY user_id),
+              sd AS (SELECT user_id, CAST(n AS DOUBLE) AS n,
+                  CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2
+                FROM st)
+              SELECT e.user_id, e.event_id, e.value,
+                sd.s1 / sd.n AS mean,
+                (e.value - sd.s1 / sd.n) /
+                  sqrt(sd.s2 / sd.n - (sd.s1 / sd.n) * (sd.s1 / sd.n))
+                  AS zscore
+              FROM events e JOIN sd ON sd.user_id = e.user_id
+              ORDER BY e.event_id""")),
+
+    // ── north star: batch gap-sessionization — session id = running
+    //    count of gaps > 30 min per user (lag + conditional cumsum);
+    //    the batch sibling of the streaming sessionizer. ──
+    QueryDef(
+      "q_sessionize",
+      (s, dir) => {
+        val e = t(s, dir, "events").select("user_id", "ts", "event_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("ts", "event_id")
+        e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts") - col("prev_ts") > 1800000000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(w))
+          .select("user_id", "event_id", "session_id")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id
+                FROM events),
+              g AS (SELECT user_id, event_id, tsn,
+                  lag(tsn, 1) OVER (PARTITION BY user_id
+                    ORDER BY tsn, event_id) AS prev
+                FROM e)
+              SELECT user_id, event_id,
+                sum(CASE WHEN prev IS NULL OR tsn - prev > 1800000000000
+                    THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+                  AS session_id
+              FROM g ORDER BY event_id""")),
+
     // ── north star: VWAP bars — price×volume rounds into a decimal
     //    accumulator (order-independent), one double divide at the
     //    end. Volume synthesized deterministically from event_id. ──

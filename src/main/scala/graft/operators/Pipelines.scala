@@ -40,15 +40,20 @@ object Pipelines {
       dedupThreshold: Double = 0.6, contaminationN: Int = 13,
       packBudget: Long = 2048, packShards: Int = 64): CorpusBuild = {
     // 1. curate (keeps the smallest id of each exact-duplicate group);
-    //    re-join to the raw docs because later stages need the text
+    //    re-join to the raw docs because later stages need the text.
+    //    kept fans out to EVERY later stage (near-dup mining, the
+    //    anti-join, decontamination, packing) — persist it or the
+    //    curate window recomputes once per consumer
     val curated = Curate.curate(docs, idCol, textCol, keepLangs, minQuality)
     val kept = docs.join(curated.select(col(idCol)), Seq(idCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 2. near-dup pairs on the curated set; the larger id of each
     //    verified pair drops
     val nearDups = Dedup.minhashLSH(kept, idCol, textCol,
       threshold = dedupThreshold)
     val dropIds = nearDups.select(col("id_b").as(idCol)).distinct()
     val afterDedup = kept.join(dropIds, Seq(idCol), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. decontamination (optional): any doc sharing n-grams with the
     //    benchmark set leaves the corpus entirely
     val contaminated = bench.map(b => Curate.decontaminate(afterDedup,

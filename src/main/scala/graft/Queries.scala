@@ -942,6 +942,31 @@ object Queries {
               FROM events b WHERE b.event_type = 'click'
               ORDER BY b.user_id, b.event_id""")),
 
+    // ── as-of FORWARD: earliest right row at-or-after each left time
+    //    (min tiebreak on equal times), same composed union+window
+    //    machinery as backward ──
+    QueryDef(
+      "q_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("value").as("next_purchase"), col("event_id").as("p_eid"))
+        operators.AsOfJoin.forward(clicks, purchases, Seq("user_id"),
+            "ts", "ts", Seq("next_purchase"), rightTieBreak = Seq("p_eid"))
+          .select("user_id", "event_id", "next_purchase")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT b.user_id, b.event_id,
+                (SELECT a.value FROM events a
+                 WHERE a.user_id = b.user_id AND a.event_type = 'purchase'
+                   AND a.ts >= b.ts
+                 ORDER BY a.ts ASC, a.event_id ASC LIMIT 1) AS next_purchase
+              FROM events b WHERE b.event_type = 'click'
+              ORDER BY b.user_id, b.event_id""")),
+
     // ── custom operator, Catalyst-native form: AsOfJoinNode/Exec
     //    (LogicalPlan + SparkStrategy + sort-merge SparkPlan) — same
     //    oracle as the composed q_asof_backward ──

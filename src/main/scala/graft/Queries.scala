@@ -127,8 +127,11 @@ object Queries {
     * pair set — equal to MinHash LSH's output on this data by the
     * q_minhash_dedup full-recall argument, which survives restriction
     * to the curated subset because signatures are per-doc), benchmark
-    * decontamination, and shard-parallel packing. Every stage reuses
-    * the SQL its standalone oracle uses.
+    * decontamination, and shard-parallel packing. The langid/quality
+    * stages reuse the shared SQL generators; the shingle/Jaccard and
+    * dedup-window stages replay the same SHAPE as their standalone
+    * oracles (q_ngram_jaccard, q_corpus_curate) with sources renamed —
+    * keep them in sync when touching either.
     */
   private lazy val corpusBuildOracleSql: String =
     s"""WITH aug AS (SELECT doc_id, text FROM documents
@@ -201,8 +204,10 @@ object Queries {
     * the CASE/fold shape mirrors the Spark expression term for term,
     * so the smoothing cannot drift.
     */
+  private val ewmaDepth = 8
+
   private lazy val ewmaOracleSql: String = {
-    val lags = (1 until 8).map(j =>
+    val lags = (1 until ewmaDepth).map(j =>
       s"lag(value, $j) OVER win AS x$j").mkString(",\n                  ")
     def term(j: Int): String = {
       val x = if (j == 0) "value" else s"x$j"
@@ -212,8 +217,8 @@ object Queries {
       val x = if (j == 0) "value" else s"x$j"
       s"(CASE WHEN $x IS NOT NULL THEN ${math.pow(0.5, j)} ELSE 0.0 END)"
     }
-    val num = (0 until 8).map(term).mkString(" +\n                ")
-    val den = (0 until 8).map(wterm).mkString(" +\n                ")
+    val num = (0 until ewmaDepth).map(term).mkString(" +\n                ")
+    val den = (0 until ewmaDepth).map(wterm).mkString(" +\n                ")
     s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id, value
                    FROM events),
               w AS (SELECT user_id, event_id, value,
@@ -1677,8 +1682,7 @@ object Queries {
       "q_drawdown",
       (s, dir) => {
         val e = t(s, dir, "events").select("user_id", "ts", "event_id", "value")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("ts", "event_id")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         e.withColumn("peak", max(col("value")).over(w))
           .withColumn("drawdown", col("peak") - col("value"))
           .select("user_id", "event_id", "value", "peak", "drawdown")
@@ -1710,8 +1714,13 @@ object Queries {
           .withColumn("var",
             col("s2").cast(DoubleType) / col("n").cast(DoubleType) -
               col("mean") * col("mean"))
+          // degenerate series (constant values → var exactly 0, or a
+          // cancellation-negative var) diverge between engines if left
+          // to 0/0 and sqrt(<0) — Spark NaN vs DuckDB NULL/error — so
+          // BOTH sides define zscore as NULL when var ≤ 0
           .withColumn("zscore",
-            (col("value") - col("mean")) / sqrt(col("var")))
+            when(col("var") > 0.0,
+              (col("value") - col("mean")) / sqrt(col("var"))))
           .select("user_id", "event_id", "value", "mean", "zscore")
           .orderBy("event_id")
       },
@@ -1722,13 +1731,16 @@ object Queries {
                 FROM events GROUP BY user_id),
               sd AS (SELECT user_id, CAST(n AS DOUBLE) AS n,
                   CAST(s1 AS DOUBLE) AS s1, CAST(s2 AS DOUBLE) AS s2
-                FROM st)
+                FROM st),
+              sv AS (SELECT user_id, n, s1,
+                  s2 / n - (s1 / n) * (s1 / n) AS var
+                FROM sd)
               SELECT e.user_id, e.event_id, e.value,
-                sd.s1 / sd.n AS mean,
-                (e.value - sd.s1 / sd.n) /
-                  sqrt(sd.s2 / sd.n - (sd.s1 / sd.n) * (sd.s1 / sd.n))
-                  AS zscore
-              FROM events e JOIN sd ON sd.user_id = e.user_id
+                sv.s1 / sv.n AS mean,
+                CASE WHEN sv.var > 0
+                     THEN (e.value - sv.s1 / sv.n) / sqrt(sv.var)
+                     END AS zscore
+              FROM events e JOIN sv ON sv.user_id = e.user_id
               ORDER BY e.event_id""")),
 
     // ── north star: batch gap-sessionization — session id = running
@@ -1738,8 +1750,7 @@ object Queries {
       "q_sessionize",
       (s, dir) => {
         val e = t(s, dir, "events").select("user_id", "ts", "event_id")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("user_id").orderBy("ts", "event_id")
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
         e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
           .withColumn("new_sess",
             when(col("prev_ts").isNull ||
@@ -1795,7 +1806,8 @@ object Queries {
       (s, dir) =>
         operators.Resample.ewmaHalf(
             t(s, dir, "events").select("user_id", "ts", "event_id", "value"),
-            Seq("user_id"), Seq("ts", "event_id"), "value", depth = 8)
+            Seq("user_id"), Seq("ts", "event_id"), "value",
+            depth = ewmaDepth)
           .select("user_id", "event_id", "value", "ewma")
           .orderBy("event_id"),
       Some(ewmaOracleSql)),

@@ -31,7 +31,15 @@ object Pipelines {
       corpus: DataFrame,
       packs: DataFrame,
       nearDupPairs: DataFrame,
-      contaminated: Option[DataFrame])
+      contaminated: Option[DataFrame],
+      private val cachedIntermediates: Seq[DataFrame] = Nil) {
+    /** Release the pipeline's persisted fan-out intermediates once the
+      * outputs are materialized — long-lived sessions building corpora
+      * repeatedly must not accrue cached plans.
+      */
+    def unpersistIntermediates(): Unit =
+      cachedIntermediates.foreach(_.unpersist())
+  }
 
   def buildTrainingCorpus(docs: DataFrame, idCol: String, textCol: String,
       bench: Option[DataFrame] = None, benchId: String = "bench_id",
@@ -67,6 +75,7 @@ object Pipelines {
     // 4. pack into fixed token budgets, shard-parallel
     val packs = Sampling.packSequences(clean, idCol, textCol, packBudget,
       packShards)
-    CorpusBuild(clean, packs, nearDups, contaminated)
+    CorpusBuild(clean, packs, nearDups, contaminated,
+      cachedIntermediates = Seq(kept, afterDedup))
   }
 }

@@ -73,6 +73,7 @@ object Resample {
     */
   def ewmaHalf(df: DataFrame, keys: Seq[String], orderCols: Seq[String],
       valueCol: String, depth: Int = 8): DataFrame = {
+    require(depth >= 1, s"depth must be positive, got $depth")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(orderCols.map(col): _*)

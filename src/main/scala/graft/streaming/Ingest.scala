@@ -238,6 +238,24 @@ object Ingest {
     * min_by/max_by keep open/close without a sort. Append-mode emits
     * each bar once, when the watermark passes the window end.
     */
+  /** Streaming VWAP bars: tumbling event-time windows emit once the
+    * watermark passes; price×volume and volume sum in the aggregation
+    * state (map-side combined per micro-batch), the VWAP divides at
+    * emit. The streaming sibling of
+    * [[graft.operators.Resample.vwap]].
+    */
+  def streamingVwap(stream: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String], valueCol: String, volCol: String,
+      windowDur: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((keys.map(col) :+ window(col(tsCol), windowDur)): _*)
+      .agg(
+        sum(col(valueCol) * col(volCol)).as("sum_pv"),
+        sum(col(volCol)).as("sum_vol"),
+        count(lit(1)).as("n_events"))
+      .withColumn("vwap", col("sum_pv") / col("sum_vol"))
+
   def streamingOhlcv(stream: DataFrame, tsCol: String, watermark: String,
       keys: Seq[String], valueCol: String, tieBreak: String,
       windowDur: String): DataFrame = {

@@ -48,6 +48,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(out == Seq(Row(1, 10.0, 30.0, 10.0, 20.0, 3L)))
   }
 
+  test("streaming VWAP bars emit on watermark advance with exact weights") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Int, java.sql.Timestamp, Double, Long)]
+    val bars = Ingest.streamingVwap(
+      mem.toDF.toDF("sec", "ts", "px", "vol"),
+      "ts", "10 seconds", Seq("sec"), "px", "vol", "1 minute")
+    val q = bars.writeStream.outputMode("append")
+      .format("memory").queryName("vwap_out").start()
+    def t(s: Int) = new java.sql.Timestamp(s * 1000L)
+    // bucket 0: (10*2 + 20*6) / 8 = 17.5
+    mem.addData((1, t(0), 10.0, 2L), (1, t(30), 20.0, 6L))
+    q.processAllAvailable()
+    mem.addData((1, t(130), 5.0, 1L)) // advance watermark past bucket 0
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql(
+      "SELECT sec, sum_pv, sum_vol, n_events, vwap FROM vwap_out").collect()
+    assert(out.toSeq == Seq(Row(1, 140.0, 8L, 2L, 17.5)))
+  }
+
   test("dedup within watermark drops exact replays") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Int, java.sql.Timestamp, Double)]

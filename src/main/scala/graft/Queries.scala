@@ -1213,6 +1213,47 @@ object Queries {
               WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
               ORDER BY id_a, id_b""")),
 
+    // ── north star: cross-document PARAGRAPH dedup (the C4 move) —
+    //    globally-first occurrence of each normalized paragraph wins,
+    //    docs reassemble from survivors. Boilerplate synthesized by
+    //    appending one shared footer sentence to every third doc. ──
+    QueryDef(
+      "q_para_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+          .withColumn("text", concat(col("text"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              lit(". subscribe to our newsletter for daily updates"))
+              .otherwise(lit(""))))
+        operators.Dedup.paragraphDedup(docs, "doc_id", "text")
+          .withColumn("dedup_md5", md5(col("text_dedup")))
+          .drop("text_dedup")
+          .orderBy("id")
+      },
+      Some("""WITH d AS (SELECT doc_id,
+                text || CASE WHEN doc_id % 3 = 0
+                  THEN '. subscribe to our newsletter for daily updates'
+                  ELSE '' END AS text
+              FROM documents),
+              t AS (SELECT doc_id, string_split(text, '. ') AS arr
+                    FROM d),
+              p AS (SELECT doc_id, g - 1 AS pos, arr[g] AS para
+                    FROM (SELECT doc_id, arr,
+                            unnest(generate_series(1, len(arr))) AS g
+                          FROM t)),
+              h AS (SELECT doc_id, pos, para,
+                      md5(regexp_replace(lower(trim(para)),
+                          '\s+', ' ', 'g')) AS ph
+                    FROM p),
+              r AS (SELECT *, row_number() OVER (PARTITION BY ph
+                      ORDER BY doc_id, pos) AS rn
+                    FROM h)
+              SELECT doc_id AS id, count(*) AS n_paras,
+                sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+                  '. ' ORDER BY pos), '')) AS dedup_md5
+              FROM r GROUP BY doc_id ORDER BY id""")),
+
     // ── north star: INCREMENTAL MinHash dedup — the corpus is indexed
     //    once (banded buckets + shingle inverted index on disk); the
     //    increment broadcasts its buckets against the index scan, so the

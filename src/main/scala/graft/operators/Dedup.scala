@@ -263,6 +263,36 @@ object Dedup {
       .select("id_new", "id_old", "jaccard")
   }
 
+  /** Cross-document PARAGRAPH dedup (the C4 move): split every doc
+    * into paragraphs, keep only the globally-FIRST occurrence of each
+    * normalized paragraph (smallest (doc id, position) wins),
+    * reassemble docs from their surviving paragraphs. Removes the
+    * boilerplate that document-level dedup can't touch — the repeated
+    * footer in a million otherwise-distinct pages.
+    *
+    * Scale shape: explode → ONE shuffle on the paragraph hash (the
+    * first-occurrence window) → one re-aggregation per doc. The
+    * window state per hash is its occurrence list — bounded by
+    * paragraph popularity, not document length. Returns
+    * (id, n_paras, n_kept, text_dedup).
+    */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+      sepPattern: String = "\\. ", sepOut: String = ". "): DataFrame = {
+    val p = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), sepPattern)).as(Seq("pos", "para")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__h").orderBy("id", "pos")
+    p.withColumn("__h", md5(normalized(col("para"))))
+      .withColumn("__rn", row_number().over(w))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__rn") === 1, struct(col("pos"), col("para"))))),
+          s => s.getField("para")), sepOut).as("text_dedup"))
+  }
+
   /** Companion coverage report for [[minhashLSH]]: (band, bucket, size)
     * of buckets the skew guard would drop at `maxBucketSize` — run it to
     * see what candidate mass a cap excludes before trusting the pairs.

@@ -63,6 +63,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 >= 200000L))
   }
 
+  test("paragraph dedup: shared boilerplate survives only in its first doc") {
+    val fixture = Seq(
+      (1L, "unique one. subscribe now. more text one"),
+      (2L, "unique two. subscribe now. more text two"),
+      (3L, "Subscribe   NOW. totally fresh")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(fixture, "doc_id", "text")
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 3L), (2L, 3L, 2L), (3L, 2L, 1L)))
+    // doc 1 keeps the boilerplate (first occurrence); docs 2 and 3 lose
+    // it — doc 3 via the NORMALIZED match (case + whitespace)
+    assert(out(0).getString(3) == "unique one. subscribe now. more text one")
+    assert(out(1).getString(3) == "unique two. more text two")
+    assert(out(2).getString(3) == "totally fresh")
+  }
+
   test("curate: keeps clean english, drops junk/foreign, dedups, redacts") {
     val fixture = Seq(
       (1L, "The cat sat on the mat and it was a good day for the town to gather."),

@@ -79,6 +79,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2).getString(3) == "totally fresh")
   }
 
+  test("paragraph dedup matches an in-memory first-occurrence model on random corpora") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "shared",
+      "footer", "one", "two")
+    (0 until 3).foreach { _ =>
+      val fixture = (0L until 12L).map { id =>
+        val paras = Seq.fill(1 + rnd.nextInt(4))(
+          Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.size)))
+            .mkString(" "))
+        (id, paras.mkString(". "))
+      }
+      val norm = (s: String) => s.trim.toLowerCase.replaceAll("\\s+", " ")
+      val seen = scala.collection.mutable.Set[String]()
+      val model = fixture.map { case (id, text) =>
+        val ps = text.split("\\. ", -1)
+        val kept = ps.filter(p => seen.add(norm(p)))
+        (id, ps.length.toLong, kept.length.toLong, kept.mkString(". "))
+      }
+      val got = Dedup.paragraphDedup(fixture.toDF("doc_id", "text"),
+          "doc_id", "text")
+        .orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      assert(got.toSeq == model)
+    }
+  }
+
   test("curate: keeps clean english, drops junk/foreign, dedups, redacts") {
     val fixture = Seq(
       (1L, "The cat sat on the mat and it was a good day for the town to gather."),

@@ -1249,7 +1249,8 @@ object Queries {
                       ORDER BY doc_id, pos) AS rn
                     FROM h)
               SELECT doc_id AS id, count(*) AS n_paras,
-                sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_kept,
                 md5(coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
                   '. ' ORDER BY pos), '')) AS dedup_md5
               FROM r GROUP BY doc_id ORDER BY id""")),
@@ -1808,10 +1809,11 @@ object Queries {
                     ORDER BY tsn, event_id) AS prev
                 FROM e)
               SELECT user_id, event_id,
-                sum(CASE WHEN prev IS NULL OR tsn - prev > 1800000000000
+                CAST(sum(CASE WHEN prev IS NULL
+                      OR tsn - prev > 1800000000000
                     THEN 1 ELSE 0 END)
                   OVER (PARTITION BY user_id ORDER BY tsn, event_id)
-                  AS session_id
+                  AS BIGINT) AS session_id
               FROM g ORDER BY event_id""")),
 
     // ── north star: VWAP bars — price×volume rounds into a decimal
@@ -1829,11 +1831,11 @@ object Queries {
       Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn,
                 event_id % 100 + 1 AS vol, value FROM events)
               SELECT user_id, tsn // 3600000000000 AS bkt,
-                CAST(sum(CAST(value * vol AS DECIMAL(18,6))) AS DOUBLE)
+                CAST(sum(CAST(value * vol AS DECIMAL(38,6))) AS DOUBLE)
                   AS sum_pv,
-                sum(vol) AS sum_vol,
+                CAST(sum(vol) AS BIGINT) AS sum_vol,
                 count(*) AS n_events,
-                CAST(sum(CAST(value * vol AS DECIMAL(18,6))) AS DOUBLE) /
+                CAST(sum(CAST(value * vol AS DECIMAL(38,6))) AS DOUBLE) /
                   CAST(sum(vol) AS DOUBLE) AS vwap
               FROM e GROUP BY user_id, tsn // 3600000000000
               ORDER BY user_id, bkt""")),
@@ -2269,9 +2271,52 @@ object Queries {
     QueryDef(
       "q_ntile",
       (s, dir) => {
-        val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-        t(s, dir, "orders")
-          .withColumn("quartile", ntile(4).over(w))
+        // Exact ntile(4) WITHOUT a single-partition global window: slice
+        // the sort domain into ~32 range buckets by approx-quantile
+        // BOUNDARY LITERALS (baked into the plan, so the count pass and
+        // the rank pass see byte-identical bucket assignment —
+        // repartitionByRange's sampled boundaries would differ between
+        // executions), rank locally per bucket, then add per-bucket
+        // row-count offsets to get the global rank. The counts are a
+        // bounded (≤ nBucket rows) driver-side stats pass — the same
+        // blessed shape as Layout's min/max collect — so the ntile
+        // bucket formula (first N%4 buckets get one extra row) becomes
+        // an all-literal scan-local expression: two scans, zero global
+        // sorts, no stage ever sees more than its own slice.
+        val sortCols = Seq(col("o_totalprice").asc, col("o_orderkey").asc)
+        val basedf = t(s, dir, "orders").select("o_totalprice", "o_orderkey")
+        val bnds = basedf.stat.approxQuantile("o_totalprice",
+          (1 until 32).map(_ / 32.0).toArray, 0.001).distinct.sorted
+        // bucket id = #boundaries strictly below the price: monotone in
+        // the sort key, ties stay in one bucket, deterministic per plan
+        val pidCol = bnds.map(b =>
+            when(col("o_totalprice") > b, 1).otherwise(0))
+          .reduceOption(_ + _).getOrElse(lit(0))
+        val parts = basedf.withColumn("pid", pidCol)
+        val cnts = parts.groupBy("pid").agg(count(lit(1)).as("cnt"))
+          .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        val total = cnts.map(_._2).sum
+        var acc = 0L
+        val offRows: Seq[org.apache.spark.sql.Row] = cnts.toSeq.map {
+          case (p, c) => val o = acc; acc += c; org.apache.spark.sql.Row(p, o)
+        }
+        val offsDf = s.createDataFrame(
+          java.util.Arrays.asList(offRows: _*),
+          StructType(Seq(StructField("pid", IntegerType, nullable = false),
+            StructField("off", LongType, nullable = false))))
+        val base = total / 4
+        val rem = total % 4
+        val cut = rem * (base + 1) // rows covered by the wider buckets
+        parts
+          .withColumn("lrn", row_number().over(
+            Window.partitionBy("pid").orderBy(sortCols: _*)))
+          .join(broadcast(offsDf), "pid")
+          .withColumn("rn", col("lrn") + col("off"))
+          .withColumn("quartile",
+            when(col("rn") <= cut, expr(s"(rn + ${base}L) div ${base + 1}L"))
+              .otherwise(
+                expr(s"${rem}L + (rn - ${cut}L + ${base}L - 1L) div ${base}L"))
+              .cast("int"))
           .groupBy("quartile")
           .agg(count(lit(1)).as("n"),
             min(col("o_totalprice")).as("min_price"),

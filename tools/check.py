@@ -7,6 +7,19 @@ For each <name> dir under outDir: load the Spark parquet result, run the
 matching oracle SQL from oracle_sql.json in DuckDB over the sf tables,
 sort columns by name + rows by all columns, and compare cell-by-cell
 (exact; floats must be bit-equal after float64 round-trip).
+
+The comparison is TYPE-AWARE, like the driver's hash: for each column
+(sorted by name) the DuckDB-reported type of the Spark parquet result must
+match the oracle relation's type UP TO the driver's value-representation
+equivalence. Empirically (CORRECTNESS_r03 vs the raw types): the driver
+accepts INTEGER-vs-BIGINT and DECIMAL-vs-DOUBLE (both collapse to the same
+value repr when materialized), but rejects HUGEINT-vs-BIGINT (DuckDB's
+uncast sum(INT) is INT128, which materializes as float64 — "3.0" vs "3").
+So types compare by EQUIVALENCE CLASS: {TINYINT..BIGINT} is one class,
+{DECIMAL(p,s), DOUBLE} one class, everything else (HUGEINT included —
+Spark can never produce it) compares exactly. This catches the
+uncast-integer-sum bug that a stringified-cell compare silently erases,
+without flagging differences the driver provably accepts.
 """
 import json, sys, glob, os
 import duckdb
@@ -20,6 +33,31 @@ def norm(rows):
         out.append(tuple(str(v) for v in r))
     out.sort()
     return out
+
+def tclass(t):
+    """Driver-hash equivalence class of a DuckDB type (see module doc)."""
+    s = str(t).upper()
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "INT"
+    if s == "DOUBLE" or s.startswith("DECIMAL"):
+        return "FLOAT64"
+    return s  # HUGEINT, FLOAT, VARCHAR, BOOLEAN, TIMESTAMP...: exact
+
+def type_mismatches(got_rel, exp_rel):
+    """Pairs (col, got_type, exp_type) whose types differ BY CLASS.
+
+    Both relations live in the same DuckDB session, so type names are
+    directly comparable. This is what makes an uncast integer sum
+    (HUGEINT) visible against Spark's BIGINT.
+    """
+    got_t = {c: str(t) for c, t in zip(got_rel.columns, got_rel.types)}
+    exp_t = {c.lower(): str(t) for c, t in zip(exp_rel.columns, exp_rel.types)}
+    bad = []
+    for c, gt in sorted(got_t.items()):
+        et = exp_t.get(c.lower())
+        if et is not None and tclass(gt) != tclass(et):
+            bad.append((c, gt, et))
+    return bad
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
@@ -42,6 +80,13 @@ def main(out_dir, sf_dir):
         if [c.lower() for c in g_cols] != [c.lower() for c in e_cols]:
             print(f"FAIL  {name}: columns {g_cols} vs {e_cols}")
             n_fail += 1
+            continue
+        bad_types = type_mismatches(got_rel, exp_rel)
+        if bad_types:
+            n_fail += 1
+            print(f"FAIL  {name}: column type mismatch")
+            for c, gt, et in bad_types:
+                print(f"      {c}: spark={gt} oracle={et}")
             continue
         got = norm(got_rel.select(", ".join(f'"{c}"' for c in g_cols)).fetchall())
         exp = norm(exp_rel.select(", ".join(f'"{c}"' for c in e_cols)).fetchall())

@@ -309,6 +309,11 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
       (128L * 1024 * 1024).toString).takeWhile(_.isDigit).toLong
     val metas = files.map(f =>
       graft.plans.OrderedParquetScan.FileMeta(f.toString, Files.size(f)))
+    // Reverse scans reverse one whole file's rows on-heap (one file per
+    // partition). Bound that buffer: if any part file outgrew the split
+    // budget (e.g. an oversized compaction), decline the ordered path and
+    // let the caller's explicit-sort fallback — which spills — handle it.
+    if (reverse && metas.exists(_.size > maxSplit)) return None
     val schema = physSchema(td).add(SeqCol, LongType, nullable = true)
     val physFilters = pushed.map(remapFilterToPhys(td, _))
     val df = graft.plans.OrderedParquetScan.read(spark, metas, schema,

@@ -182,9 +182,14 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
   // TTL response cache for selects, keyed (sql, args) — reference
   // server.go:37-40/342-350. Staleness within the TTL is accepted
   // behavior (golden: server_test.go:161-183).
+  // Keyed on a STRUCTURED tuple, not a joined string: a user or db name
+  // containing spaces must never textually alias another principal's key
+  // (that would partially re-open the cross-user cache-serve hole the
+  // user-in-key fix closed).
   private val respCache =
-    TrieMap.empty[(String, Seq[Any]), (Long, Array[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType)]
+    TrieMap.empty[(String, String, String, String, Seq[Any]),
+      (Long, Array[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType)]
 
   /** Like [[execute]] but memoizing SELECT results for `ttlMs`. Results
     * larger than `maxCacheRows` are NOT cached (and cost one bounded
@@ -208,7 +213,7 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     // differently-privileged users without its permission check (the
     // reference keys only sql+args+useJson — an inherited gap, fixed here)
     val who = user.fold("-")(u => "u:" + u.name)
-    val key = (s"$proto $db $who $sql", args)
+    val key = (proto, db, who, sql, args)
     val now = System.currentTimeMillis()
     respCache.get(key).filter(now - _._1 <= ttlMs) match {
       case Some((_, rows, schema)) =>

@@ -225,8 +225,14 @@ object Dedup {
       textCol: String, path: String, shingleSize: Int = 5,
       numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.6): DataFrame = {
+    // No persist here: the returned DataFrame's lifecycle belongs to the
+    // caller, so a persist would leak cached blocks per call in a
+    // long-lived session. The increment shingle table is recomputed per
+    // consuming branch (it is small by definition — the increment, not
+    // the corpus); callers that want caching precompute shingles and
+    // manage the lifecycle via [[minhashDedupFromShingles]], as the
+    // streaming path does.
     val newSh = shingles(newDf, idCol, textCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     minhashDedupFromShingles(newSh, path, numHashes, bands, threshold)
   }
 

@@ -77,12 +77,18 @@ object Layout {
       .head()
     val nBuckets = 1L << bits
     val scaled = cols.zipWithIndex.map { case (c, i) =>
-      val mn = statsRow.getDouble(2 * i)
-      val span = statsRow.getDouble(2 * i + 1) - mn
-      if (span <= 0) lit(0L)
-      else least(lit(nBuckets - 1),
-        floor((col(c).cast("double") - lit(mn)) * lit(nBuckets.toDouble) /
-          lit(span)).cast("bigint"))
+      // empty input or an all-NULL cluster column yields NULL min/max
+      // (a global agg always returns one row) — treat it like a
+      // zero-span column: everything lands in bucket 0
+      if (statsRow.isNullAt(2 * i) || statsRow.isNullAt(2 * i + 1)) lit(0L)
+      else {
+        val mn = statsRow.getDouble(2 * i)
+        val span = statsRow.getDouble(2 * i + 1) - mn
+        if (span <= 0) lit(0L)
+        else least(lit(nBuckets - 1),
+          floor((col(c).cast("double") - lit(mn)) * lit(nBuckets.toDouble) /
+            lit(span)).cast("bigint"))
+      }
     }
     df.withColumn("__z", zValue(scaled, bits))
       .repartitionByRange(nFiles, col("__z"))

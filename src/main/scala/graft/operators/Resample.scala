@@ -50,13 +50,18 @@ object Resample {
     * aggregation (map-side combined). Price×volume products round into
     * a decimal accumulator before summing (order-independent), and the
     * VWAP is ONE double divide of the exact sums — engine-exact.
+    *
+    * The accumulator is Decimal(38,6), not (18,6): the PRODUCT can reach
+    * price×volume magnitudes where 18-digit precision overflows, and
+    * under non-ANSI Spark an overflowing cast becomes NULL and silently
+    * drops the row from sum_pv. 38 digits leaves ~1e31 of headroom.
     */
   def vwap(df: DataFrame, keys: Seq[String], timeCol: String,
       valueCol: String, volCol: String, width: Long): DataFrame =
     df.withColumn("bkt", expr(s"$timeCol div ${width}L"))
       .groupBy((keys :+ "bkt").map(col): _*)
       .agg(
-        sum((col(valueCol) * col(volCol)).cast(DecimalType(18, 6)))
+        sum((col(valueCol) * col(volCol)).cast(DecimalType(38, 6)))
           .cast(DoubleType).as("sum_pv"),
         sum(col(volCol)).as("sum_vol"),
         count(lit(1)).as("n_events"))

@@ -153,18 +153,30 @@ object TextAnalysis {
   def unigramScore(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int = 50000): DataFrame = {
     // the tokenize+explode is the dominant cost and feeds BOTH the
-    // count aggregation and the scoring join — one pass, persisted
+    // count aggregation and the scoring join — persist it for the eager
+    // stats phase below, then UNPERSIST before returning (the returned
+    // DataFrame's lifecycle is the caller's; leaving blocks cached would
+    // leak per call in a long-lived session)
     val toksOf = df.select(col(idCol), explode(toks(col(textCol))).as("tok"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = toksOf.groupBy("tok").agg(count(lit(1)).as("gcount"))
-    // distributed top-K (TakeOrderedAndProject), not a global window
+    // distributed top-K (TakeOrderedAndProject), not a global window;
+    // collected (bounded by vocabSize) so the scoring join below carries
+    // no lineage back through the cached explode — the same bounded-
+    // collect shape as the PQ/IVF codebook samples
     val vocab = counts.orderBy(col("gcount").desc, col("tok").asc)
       .limit(vocabSize)
+    val vocabRows = vocab.collect()
     // corpus token count from the (much smaller) counts table, not a
-    // third pass over the corpus
-    val total = counts.agg(sum(col("gcount"))).head().getLong(0)
+    // third pass over the corpus; coalesce guards the empty corpus
+    val total = counts.agg(coalesce(sum(col("gcount")), lit(0L)))
+      .head().getLong(0)
+    toksOf.unpersist()
+    val spark = df.sparkSession
+    val vocabDf = spark.createDataFrame(
+      java.util.Arrays.asList(vocabRows: _*), vocab.schema)
     val scored = toksOf
-      .join(broadcast(vocab), Seq("tok"), "left")
+      .join(broadcast(vocabDf), Seq("tok"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_toks"),
         // decimal accumulator: a Long sum wraps once doc-tokens ×

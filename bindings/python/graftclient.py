@@ -222,6 +222,7 @@ class Connection(object):
         self._wlock = threading.Lock()
         self._plock = threading.Lock()
         self._pending = {}
+        self._chunks = {}  # ticket -> buffered chunked-response rows
         self._prepared = {}  # sql -> server prepared id
         self._ticket = 0
         self._reader = None
@@ -255,6 +256,17 @@ class Connection(object):
 
     def execute(self, sql, args=[], cache=False):
         return self.execute_async(sql, args, cache).get(self._timeout)
+
+    def execute_chunked(self, sql, args=[], chunk_rows=10000):
+        """SELECT with a CHUNKED response (wire key "5"): the server
+        streams the result as chunk_rows-sized same-ticket frames
+        ({"2": 1} = more follows), so results past its single-frame
+        maxWireRows bound arrive complete. The future completes on the
+        stream's final frame; an error final frame voids the prefix."""
+        if chunk_rows <= 0:
+            raise Error("chunk_rows must be positive")
+        return self._call("run", sql, [_to_wire(a) for a in args] or None,
+                          chunk_rows=chunk_rows).get(self._timeout)
 
     def execute_async(self, sql, args=[], cache=False):
         sql_or_id = sql
@@ -372,7 +384,7 @@ class Connection(object):
     def _call_sync(self, cmd, arg):
         return self._call(cmd, arg).get(self._timeout)
 
-    def _call(self, cmd, sql_or_id, args=None, cache=False):
+    def _call(self, cmd, sql_or_id, args=None, cache=False, chunk_rows=0):
         with self._plock:
             self._ticket += 1
             ticket = self._ticket
@@ -383,6 +395,8 @@ class Connection(object):
             doc["3"] = args
         if cache:
             doc["4"] = 1
+        if chunk_rows > 0:
+            doc["5"] = chunk_rows
         try:
             if self._protocol == "json":
                 body = json.dumps(doc).encode("utf-8")
@@ -425,9 +439,22 @@ class Connection(object):
                     doc = json.loads(body.decode("utf-8"))
                 else:
                     doc = _bson_decode(body)
-                fut = self._pending.pop(doc.get("0", -1), None)
+                ticket = doc.get("0", -1)
+                if doc.get("2"):
+                    # non-final chunk of a chunked SELECT: buffer rows,
+                    # the ticket's future stays pending
+                    rows = doc.get("1")
+                    if isinstance(rows, list):
+                        self._chunks.setdefault(ticket, []).extend(rows)
+                    continue
+                fut = self._pending.pop(ticket, None)
                 if fut is not None:
-                    fut._complete(doc.get("1"))
+                    buf = self._chunks.pop(ticket, None)
+                    res = doc.get("1")
+                    if buf is not None and not isinstance(res, str):
+                        # an error final frame voids the buffered prefix
+                        res = buf + (res if isinstance(res, list) else [])
+                    fut._complete(res)
         except Exception as e:  # noqa: BLE001 — fail all in-flight calls
             if not self._closed:
                 err = Error("Connection lost: %s" % e)

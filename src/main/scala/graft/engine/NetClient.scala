@@ -30,6 +30,10 @@ final class NetClient(host: String, port: Int,
     if (protocol == "json") Wire.decode(body) else Bson.decode(body)
   private val tickets = new AtomicInteger(0)
   private val pending = TrieMap.empty[Int, Promise[Any]]
+  // rows accumulated from chunked-response frames ({"2": 1} = more
+  // follows), completed by the ticket's final frame
+  private val partial =
+    TrieMap.empty[Int, scala.collection.mutable.ArrayBuffer[Any]]
   @volatile private var sock: Socket = _
   @volatile private var out: DataOutputStream = _
   @volatile private var alive = false
@@ -68,13 +72,37 @@ final class NetClient(host: String, port: Int,
             case Some(l: Long) => l.toInt
             case _ => -1
           }
-          pending.remove(ticket).foreach(_.success(doc.getOrElse("1", null)))
+          val more = doc.get("2").exists {
+            case i: Int => i > 0
+            case l: Long => l > 0
+            case _ => false
+          }
+          if (more)
+            // non-final chunk: buffer, the ticket's future stays pending
+            doc.getOrElse("1", null) match {
+              case rows: Seq[_] =>
+                partial.getOrElseUpdate(ticket,
+                  scala.collection.mutable.ArrayBuffer.empty) ++= rows
+              case _ => ()
+            }
+          else {
+            val res = (partial.remove(ticket), doc.getOrElse("1", null)) match {
+              // an error final frame voids the buffered chunks — the
+              // scan failed mid-stream and the prefix is not the result
+              case (Some(_), err: String) => err
+              case (Some(buf), rows: Seq[_]) => buf.toSeq ++ rows
+              case (Some(buf), null) => buf.toSeq
+              case (None, r) => r
+            }
+            pending.remove(ticket).foreach(_.success(res))
+          }
         }
       }
     } catch {
       case NonFatal(e) =>
         alive = false
         val err = OtError("Connection lost: " + e.getMessage)
+        partial.clear()
         pending.keys.toSeq.foreach(k =>
           pending.remove(k).foreach(_.tryFailure(err)))
     }
@@ -90,13 +118,15 @@ final class NetClient(host: String, port: Int,
   }
 
   private def call(cmd: String, sqlOrId: Any,
-      args: Seq[Any] = null, useCache: Boolean = false): Future[Any] = {
+      args: Seq[Any] = null, useCache: Boolean = false,
+      chunkRows: Int = 0): Future[Any] = {
     val ticket = tickets.incrementAndGet()
     val p = Promise[Any]()
     pending.put(ticket, p)
     val doc = Map[String, Any]("0" -> ticket, "1" -> cmd, "2" -> sqlOrId) ++
       Option(args).map("3" -> _) ++
-      (if (useCache) Seq("4" -> 1) else Nil)
+      (if (useCache) Seq("4" -> 1) else Nil) ++
+      (if (chunkRows > 0) Seq("5" -> chunkRows) else Nil)
     val bytes = enc(doc)
     try {
       if (!alive) reconnect()
@@ -163,6 +193,24 @@ final class NetClient(host: String, port: Int,
 
   def execute(sql: String, args: Seq[Any] = Nil): Seq[Seq[Any]] =
     Await.result(executeAsync(sql, args), syncTimeout)
+
+  /** SELECT with a CHUNKED response ([[Wire]] "5" protocol): the server
+    * streams the result as `chunkRows`-sized frames, so results past
+    * the server's single-frame `maxWireRows` bound arrive complete —
+    * the reference's streamed-range-read behavior. The rows future
+    * completes on the stream's final frame.
+    */
+  def executeChunkedAsync(sql: String, args: Seq[Any] = Nil,
+      chunkRows: Int = 10000): Future[Seq[Seq[Any]]] = {
+    implicit val ec = scala.concurrent.ExecutionContext.global
+    require(chunkRows > 0, s"chunkRows must be positive, got $chunkRows")
+    checked(call("run", sql, if (args.isEmpty) null else args,
+      chunkRows = chunkRows)).map(toRows)
+  }
+
+  def executeChunked(sql: String, args: Seq[Any] = Nil,
+      chunkRows: Int = 10000): Seq[Seq[Any]] =
+    Await.result(executeChunkedAsync(sql, args, chunkRows), syncTimeout)
 
   /** Prepare once, run many (reference prepare/preparedId protocol). */
   def prepare(sql: String): Int = syncCall("prepare", sql) match {

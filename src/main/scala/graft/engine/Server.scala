@@ -17,11 +17,22 @@ import scala.util.control.NonFatal
   * public spec). Both codecs share this value model.
   *
   * Request:  {"0": ticket, "1": cmd, "2": sql | preparedId,
-  *            "3": args, "4": useCache}
+  *            "3": args, "4": useCache, "5": chunkRows}
   * Response: {"0": ticket, "1": result}  (error string | rows | id)
   * Heartbeat: a 1-byte frame 'H' from the server after an idle read
   * timeout; the peer answers with an empty frame (server.go:129-132,
   * client/opentick.go:443-446).
+  *
+  * Chunked SELECT (opt-in per request via "5" = max rows per frame):
+  * the server streams the result as several frames with the SAME
+  * ticket — every non-final frame carries {"2": 1} ("more follows"),
+  * the final frame has no "2" and carries the tail rows (or an error
+  * string if the scan failed mid-stream, which voids earlier chunks).
+  * This is the analog of the reference's streamed FDB range reads:
+  * results larger than any single-frame bound arrive complete while
+  * the server holds only one chunk (plus one scan partition) at a
+  * time. Clients that never send "5" see the unchanged single-frame
+  * protocol.
   *
   * Value encoding: numbers/strings/booleans/null as JSON; timestamps as
   * [epochSeconds, nanos] pairs (the reference's placeholder convention,
@@ -98,7 +109,11 @@ object Wire {
   * SELECT responses are bounded by `maxWireRows`: a larger result is an
   * error string, never an unbounded driver collect (the reference is
   * softly bounded by FDB's 5 s transaction limit; this is the explicit
-  * analog).
+  * analog). Requests carrying a "5" chunk size instead STREAM the
+  * result as multiple frames ([[Wire]] chunked protocol): arbitrarily
+  * large results arrive complete while driver memory stays bounded by
+  * one chunk + one scan partition — `maxWireRows` then caps the
+  * per-chunk size, remaining the single-buffer circuit breaker.
   */
 final class GraftServer(engine: Engine, port: Int = 0,
     permissionControl: Boolean = false, idleTimeoutMs: Int = 0,
@@ -195,8 +210,17 @@ final class GraftServer(engine: Engine, port: Int = 0,
               val n = inflight.incrementAndGet()
               inflightHighWater.getAndUpdate(h => math.max(h, n))
               try {
+                // non-final chunk frames for THIS ticket; writeFrame is
+                // synchronized on `out`, so chunks interleave safely
+                // with heartbeats and other tickets' replies
+                val emitChunk: Seq[Seq[Any]] => Unit = rows => {
+                  val m = Map[String, Any]("0" -> ticket, "1" -> rows,
+                    "2" -> 1)
+                  Wire.writeFrame(out,
+                    if (json) Wire.encode(m) else Bson.encode(m))
+                }
                 val (res, newDb, newUser) =
-                  dispatch(doc, db, u, prepared, json)
+                  dispatch(doc, db, u, prepared, json, emitChunk)
                 newDb.foreach(usedDb.set)
                 newUser.foreach(nu => user.set(Some(nu)))
                 val resp = Map[String, Any]("0" -> ticket, "1" -> res)
@@ -218,7 +242,8 @@ final class GraftServer(engine: Engine, port: Int = 0,
     */
   private def dispatch(doc: Map[String, Any], usedDb: String,
       user: Option[User], prepared: ArrayBuffer[String],
-      useJson: Boolean): (Any, Option[String], Option[User]) = {
+      useJson: Boolean,
+      emitChunk: Seq[Seq[Any]] => Unit): (Any, Option[String], Option[User]) = {
     val cmd = doc.getOrElse("1", "") match {
       case s: String => s
       case other => return (s"Invalid command, exepcted string, got $other",
@@ -256,20 +281,36 @@ final class GraftServer(engine: Engine, port: Int = 0,
                 case l: Long => l > 0
                 case _ => false
               }
-              // cached prepared selects (server.go:342-350) resolve
-              // against the CONNECTION's db and keep the ns companions,
-              // exactly like the uncached path; the cache key carries
-              // proto + db
-              val df =
-                if (useCache && cacheTtlMs > 0 && sqlOrId.exists(!_.isInstanceOf[String]))
-                  engine.executeCached(sql, args, cacheTtlMs, user,
-                    proto = if (useJson) "json" else "bson", db = usedDb,
-                    wireNs = true)
-                else engine.executeWireNs(sql, args, user, usedDb)
-              mergeNs(df) match {
-                case Left(err) => (err, None, None)
-                case Right(rows) =>
-                  (if (rows.isEmpty) null else rows, None, None)
+              val chunkRows = doc.get("5") match {
+                case Some(i: Int) if i > 0 => Some(math.min(i, maxWireRows))
+                case Some(l: Long) if l > 0 =>
+                  Some(math.min(l, maxWireRows.toLong).toInt)
+                case _ => None
+              }
+              chunkRows match {
+                case Some(cr) if sql.trim.toLowerCase.startsWith("select") =>
+                  // chunked path: streamed, never cached (a cache entry
+                  // would be the unbounded collect this path exists to
+                  // avoid)
+                  val df = engine.executeWireNs(sql, args, user, usedDb)
+                  (streamChunks(df, cr, emitChunk), None, None)
+                case _ =>
+                  // cached prepared selects (server.go:342-350) resolve
+                  // against the CONNECTION's db and keep the ns
+                  // companions, exactly like the uncached path; the
+                  // cache key carries proto + db
+                  val df =
+                    if (useCache && cacheTtlMs > 0 &&
+                        sqlOrId.exists(!_.isInstanceOf[String]))
+                      engine.executeCached(sql, args, cacheTtlMs, user,
+                        proto = if (useJson) "json" else "bson",
+                        db = usedDb, wireNs = true)
+                    else engine.executeWireNs(sql, args, user, usedDb)
+                  mergeNs(df) match {
+                    case Left(err) => (err, None, None)
+                    case Right(rows) =>
+                      (if (rows.isEmpty) null else rows, None, None)
+                  }
               }
           }
         case "prepare" =>
@@ -377,23 +418,58 @@ final class GraftServer(engine: Engine, port: Int = 0,
     if (collected.length > maxWireRows)
       return Left(s"Result exceeds $maxWireRows rows over the wire; " +
         "add a limit or split the range")
-    val names = df.schema.fieldNames
+    val conv = rowToWire(df.schema)
+    Right(collected.toSeq.map(conv))
+  }
+
+  /** One wire row from one Spark row: every trailing `__ns` remainder
+    * column folds into its timestamp (shared by the collected and the
+    * chunked paths).
+    */
+  private def rowToWire(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Row => Seq[Any] = {
+    val names = schema.fieldNames
     val nsIdx = names.zipWithIndex.collect {
       case (n, i) if n.endsWith("__ns") =>
         n.stripSuffix("__ns") -> i
     }.toMap
-    val mainIdx = names.zipWithIndex.filter(!_._1.endsWith("__ns"))
-    Right(collected.toSeq.map { r =>
-      mainIdx.toSeq.map { case (n, i) =>
-        (r.get(i), nsIdx.get(n)) match {
-          case (t: java.sql.Timestamp, Some(j)) if !r.isNullAt(j) =>
-            val inst = t.toInstant
-            java.time.Instant.ofEpochSecond(inst.getEpochSecond,
-              inst.getNano + r.getInt(j))
-          case (v, _) => v
-        }
+    val mainIdx = names.zipWithIndex.filter(!_._1.endsWith("__ns")).toSeq
+    r => mainIdx.map { case (n, i) =>
+      (r.get(i), nsIdx.get(n)) match {
+        case (t: java.sql.Timestamp, Some(j)) if !r.isNullAt(j) =>
+          val inst = t.toInstant
+          java.time.Instant.ofEpochSecond(inst.getEpochSecond,
+            inst.getNano + r.getInt(j))
+        case (v, _) => v
       }
-    })
+    }
+  }
+
+  /** Stream a SELECT result as chunk frames: `toLocalIterator` pulls one
+    * scan partition at a time (bounded driver memory at ANY result
+    * size — the reference behavior is a streamed FDB range read), rows
+    * group into `chunkRows`-sized frames emitted via `emitChunk` with
+    * the more-flag set, and the LAST chunk is returned so the caller's
+    * normal reply becomes the stream's final frame. A mid-stream scan
+    * failure propagates to dispatch's catch and turns into an error
+    * string final frame — which the client treats as voiding the
+    * already-received chunks.
+    */
+  private def streamChunks(df: org.apache.spark.sql.DataFrame,
+      chunkRows: Int, emitChunk: Seq[Seq[Any]] => Unit): Any = {
+    val conv = rowToWire(df.schema)
+    val grouped = df.toLocalIterator().asScala.map(conv).grouped(chunkRows)
+    // hold one group back so the final group travels on the reply frame
+    var held: Option[Seq[Seq[Any]]] = None
+    while (grouped.hasNext) {
+      val g = grouped.next()
+      held.foreach(emitChunk)
+      held = Some(g)
+    }
+    held match {
+      case None | Some(Nil) => null
+      case Some(rows) => rows
+    }
   }
 
   /** JSON arg → engine value: [sec, nsec] pairs stay Seqs (the engine's

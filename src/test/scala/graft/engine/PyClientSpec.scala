@@ -67,6 +67,9 @@ class PyClientSpec extends AnyFunSuite {
           |               [[i, i * 0.5] for i in range(10)])
           |print(json.dumps(c.execute_ranges(
           |    'select k from pydb.r where k>=? and k<=?', parts)))
+          |print(json.dumps(c.execute_chunked(
+          |    'select k from pydb.r where k>=? and k<=?', [0, 9],
+          |    chunk_rows=3)))
           |c.reload_users()   # creates _meta_.user (local admin)
           |c.create_user('alice', 'pw1')
           |c.update_user('alice', perm={'pydb': 'read'})
@@ -112,10 +115,12 @@ class PyClientSpec extends AnyFunSuite {
       assert(lines(5) == "ERR:Table pydb.nope does not exists")
       // scatter-gather over split ranges: junction dedup, full coverage
       assert(lines(6) == "[[0], [1], [2], [3], [4], [5], [6], [7], [8], [9]]")
+      // chunked SELECT: 10 rows in 3-row frames reassemble in order
+      assert(lines(7) == "[[0], [1], [2], [3], [4], [5], [6], [7], [8], [9]]")
       // user management sugar: create/update/list/login/delete
-      assert(lines(7) == "\"pydb=read\"")
-      assert(lines(8) == "LOGIN-OK")
-      assert(lines(9) == "ERR2:Unknown username")
+      assert(lines(8) == "\"pydb=read\"")
+      assert(lines(9) == "LOGIN-OK")
+      assert(lines(10) == "ERR2:Unknown username")
     } finally {
       Files.deleteIfExists(script)
       server.stop()

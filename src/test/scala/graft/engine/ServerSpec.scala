@@ -190,6 +190,44 @@ class ServerSpec extends AnyFunSuite {
     } finally { c.close(); srv.stop() }
   }
 
+  test("chunked SELECT streams past maxWireRows with bounded frames") {
+    // maxWireRows=10 bounds any SINGLE buffer; the chunked protocol must
+    // deliver a 25x larger result complete, in order, over many frames,
+    // with idle-timeout heartbeats interleaving on the same connection
+    val srv = new GraftServer(engine, port = 0, maxWireRows = 10,
+      idleTimeoutMs = 150)
+    val c = new NetClient("127.0.0.1", srv.boundPort)
+    try {
+      c.execute("create database chk")
+      c.use("chk")
+      c.execute("create table chk.t(k int, v double, primary key(k))")
+      val pid = c.prepare("insert into chk.t values(?, ?)")
+      c.batchInsert(pid, (0 until 250).map(i => Seq[Any](i, i * 1.0)))
+      // the single-frame path still refuses (circuit breaker unchanged)
+      val e = intercept[OtError](
+        c.execute("select * from chk.t where k>=0 and k<=249"))
+      assert(e.msg.startsWith("Result exceeds 10 rows"), e.msg)
+      // the chunked path delivers everything, ordered; a 7-row chunk
+      // size forces 36 frames
+      val rows = c.executeChunked(
+        "select * from chk.t where k>=0 and k<=249", chunkRows = 7)
+      assert(rows.length == 250)
+      assert(rows.map(_.head) == (0 until 250).map(_.toLong))
+      // a requested chunk past maxWireRows is clamped server-side, not
+      // refused: still complete
+      assert(c.executeChunked("select * from chk.t where k>=0 and k<=249",
+        chunkRows = 1000).length == 250)
+      // idle long enough for several server heartbeats, then stream again:
+      // the connection must have stayed alive
+      Thread.sleep(500)
+      assert(c.executeChunked("select v from chk.t where k>=0 and k<=249",
+        chunkRows = 9).map(_.head) == (0 until 250).map(_ * 1.0))
+      // empty results are a clean null final frame
+      assert(c.executeChunked("select * from chk.t where k>=300 and k<=301",
+        chunkRows = 5).isEmpty)
+    } finally { c.close(); srv.stop() }
+  }
+
   test("a timeout mid-frame closes the connection instead of desyncing") {
     val srv = new GraftServer(engine, port = 0, idleTimeoutMs = 200)
     val raw = new java.net.Socket("127.0.0.1", srv.boundPort)

@@ -55,41 +55,55 @@ object Multimodal {
       // per-task reader caches warm
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](binIdx)
-        val img =
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          catch { case _: Exception => null }
-        if (img == null)
-          Row.fromSeq(row.toSeq ++ Seq(null, null, null, null))
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
-          val channels = img.getRaster.getNumBands
-          val feats = new Array[Float](dim)
-          val counts = new Array[Int](dim)
-          var y = 0
-          while (y < h) {
-            val gy = math.min(y * grid / h, grid - 1)
-            var x = 0
-            while (x < w) {
-              val gx = math.min(x * grid / w, grid - 1)
-              val rgb = img.getRGB(x, y)
-              val lum = (((rgb >> 16) & 0xFF) * 299 +
-                ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
-              val cell = gy * grid + gx
-              feats(cell) += (lum / 255.0).toFloat
-              counts(cell) += 1
-              x += 1
-            }
-            y += 1
-          }
-          var i = 0
-          while (i < dim) {
-            if (counts(i) > 0) feats(i) /= counts(i)
-            i += 1
-          }
-          Row.fromSeq(row.toSeq ++ Seq(w, h, channels, feats))
+        imageStats(bytes, 0, bytes.length, grid, dim) match {
+          case Some((w, h, channels, feats)) =>
+            Row.fromSeq(row.toSeq ++ Seq(w, h, channels, feats))
+          case None =>
+            Row.fromSeq(row.toSeq ++ Seq(null, null, null, null))
         }
       }
+    }
+  }
+
+  /** Decode `bytes[off, off+len)` with javax.imageio and mean-pool
+    * luminance over a grid×grid cell layout — the shared feature
+    * extractor behind [[decodeImage]] and [[decodeVideoFrames]].
+    */
+  private def imageStats(bytes: Array[Byte], off: Int, len: Int, grid: Int,
+      dim: Int): Option[(Int, Int, Int, Array[Float])] = {
+    val img =
+      try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes, off, len))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val channels = img.getRaster.getNumBands
+      val feats = new Array[Float](dim)
+      val counts = new Array[Int](dim)
+      var y = 0
+      while (y < h) {
+        val gy = math.min(y * grid / h, grid - 1)
+        var x = 0
+        while (x < w) {
+          val gx = math.min(x * grid / w, grid - 1)
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xFF) * 299 +
+            ((rgb >> 8) & 0xFF) * 587 + (rgb & 0xFF) * 114) / 1000.0
+          val cell = gy * grid + gx
+          feats(cell) += (lum / 255.0).toFloat
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var i = 0
+      while (i < dim) {
+        if (counts(i) > 0) feats(i) /= counts(i)
+        i += 1
+      }
+      Some((w, h, channels, feats))
     }
   }
 
@@ -285,9 +299,11 @@ object Multimodal {
     * video track's pixel dimensions (tkhd 16.16 fixed point) and its
     * sample-entry codec fourcc (stsd). This is the metadata corpus
     * filters key on (duration caps, resolution floors, codec
-    * allow-lists). FRAME decode remains [[stubFrameSample]] — the JVM
-    * ships no video codec. Non-ISO-BMFF bytes yield NULLs (the honest
-    * signal). Same partition-batched contract as [[decodeImage]].
+    * allow-lists). FRAME decode is REAL for MJPEG-family tracks via
+    * [[decodeVideoFrames]]; compressed codecs (H.264+) remain
+    * [[stubFrameSample]] — the JVM ships no inter-frame video codec.
+    * Non-ISO-BMFF bytes yield NULLs (the honest signal). Same
+    * partition-batched contract as [[decodeImage]].
     */
   def parseVideoContainer(df: DataFrame, binCol: String): DataFrame = {
     val outSchema = StructType(df.schema.fields ++ Seq(
@@ -316,13 +332,177 @@ object Multimodal {
     }
   }
 
+  /** The first video trak's sample layout: stsd fourcc + each sample's
+    * absolute (offset, size) in the payload, reconstructed from the
+    * stsz/stsc/stco(co64) tables per ISO 14496-12 §8.5-8.7.
+    */
+  private case class SampleTable(codec: String,
+      samples: IndexedSeq[(Long, Int)])
+
+  /** Demux the first 'vide' trak's sample table. The chunk walk is the
+    * real one: stsc maps chunk runs to samples-per-chunk, stco/co64
+    * give chunk base offsets, and a sample's offset is its chunk base
+    * plus the sizes of the samples before it in that chunk.
+    */
+  private def findVideoSampleTable(bytes: Array[Byte]): Option[SampleTable] = {
+    var result: Option[SampleTable] = None
+    // per-trak box payload ranges (parsed only if the trak is 'vide')
+    var kind: String = null
+    var fourcc: String = null
+    var stsz: (Long, Long) = null
+    var stsc: (Long, Long) = null
+    var stco: (Long, Long) = null
+    var co64: (Long, Long) = null
+    def closeTrak(): Unit = {
+      if (result.isEmpty && kind == "vide" && fourcc != null &&
+          stsz != null && stsc != null && (stco != null || co64 != null))
+        result = buildSampleTable(bytes, fourcc, stsz, stsc, stco, co64)
+      kind = null; fourcc = null; stsz = null; stsc = null
+      stco = null; co64 = null
+    }
+    try {
+      walkBoxes(bytes, 0L, bytes.length.toLong) { (typ, from, to) =>
+        typ match {
+          case "trak" => closeTrak()
+          case "hdlr" if to - from >= 12 =>
+            kind = new String(bytes, from.toInt + 8, 4, "ISO-8859-1")
+          case "stsd" if to - from >= 16 =>
+            fourcc = new String(bytes, from.toInt + 12, 4, "ISO-8859-1").trim
+          case "stsz" => stsz = (from, to)
+          case "stsc" => stsc = (from, to)
+          case "stco" => stco = (from, to)
+          case "co64" => co64 = (from, to)
+          case _ => ()
+        }
+      }
+      closeTrak()
+      result
+    } catch { case _: Exception => None }
+  }
+
+  private def buildSampleTable(bytes: Array[Byte], fourcc: String,
+      stsz: (Long, Long), stsc: (Long, Long), stco: (Long, Long),
+      co64: (Long, Long)): Option[SampleTable] = {
+    // stsz: version/flags(4) sample_size(4) sample_count(4) [sizes...]
+    if (stsz._2 - stsz._1 < 12) return None
+    val uniform = be32(bytes, stsz._1 + 4)
+    val nSamples = be32(bytes, stsz._1 + 8).toInt
+    if (nSamples <= 0) return None
+    def sizeOf(i: Int): Int =
+      if (uniform != 0) uniform.toInt
+      else if (stsz._1 + 12 + (i + 1) * 4L <= stsz._2)
+        be32(bytes, stsz._1 + 12 + i * 4L).toInt
+      else -1
+    // chunk offsets: stco 32-bit or co64 64-bit
+    val (coFrom, coTo, coW) =
+      if (stco != null) (stco._1, stco._2, 4) else (co64._1, co64._2, 8)
+    if (coTo - coFrom < 8) return None
+    val nChunks = be32(bytes, coFrom + 4).toInt
+    def chunkOff(c: Int): Long =
+      if (coW == 4) be32(bytes, coFrom + 8 + c * 4L)
+      else be64(bytes, coFrom + 8 + c * 8L)
+    if (nChunks <= 0 || coFrom + 8 + nChunks.toLong * coW > coTo) return None
+    // stsc: version/flags(4) entry_count(4) then
+    // (first_chunk, samples_per_chunk, sample_description_index) runs
+    if (stsc._2 - stsc._1 < 8) return None
+    val nRuns = be32(bytes, stsc._1 + 4).toInt
+    if (nRuns <= 0 || stsc._1 + 8 + nRuns.toLong * 12 > stsc._2) return None
+    def run(i: Int): (Int, Int) = (
+      be32(bytes, stsc._1 + 8 + i * 12L).toInt, // first_chunk, 1-based
+      be32(bytes, stsc._1 + 8 + i * 12L + 4).toInt) // samples_per_chunk
+    val out = IndexedSeq.newBuilder[(Long, Int)]
+    var s = 0
+    var r = 0
+    var c = 1 // chunks are 1-based
+    while (c <= nChunks && s < nSamples) {
+      while (r + 1 < nRuns && run(r + 1)._1 <= c) r += 1
+      val perChunk = run(r)._2
+      var off = chunkOff(c - 1)
+      var k = 0
+      while (k < perChunk && s < nSamples) {
+        val sz = sizeOf(s)
+        if (sz < 0 || off < 0 || off + sz > bytes.length) return None
+        out += ((off, sz))
+        off += sz
+        s += 1; k += 1
+      }
+      c += 1
+    }
+    val samples = out.result()
+    if (samples.isEmpty) None else Some(SampleTable(fourcc, samples))
+  }
+
+  /** Codec fourccs whose sample data is a self-contained JPEG bitstream
+    * the JDK can decode: MJPEG in its 'jpeg'/'mjpa' QuickTime spelling
+    * and the 'mp4v' entries some MJPEG muxers emit. Anything else
+    * (H.264 'avc1', HEVC 'hvc1', ...) has no JVM codec — those payloads
+    * yield NULL frames, the honest signal, with the codec name still
+    * reported by [[parseVideoContainer]].
+    */
+  private val jpegFourccs = Set("jpeg", "mjpa", "mp4v")
+
+  /** REAL video FRAME decode for codec-free (MJPEG-family) tracks: demux
+    * the first video trak's sample table ([[findVideoSampleTable]] —
+    * true stsz/stsc/stco chunk math, not an offset guess), pick up to
+    * `maxFrames` samples evenly spaced across the track, and decode each
+    * through the same javax.imageio path as [[decodeImage]], emitting
+    * ONE ROW PER FRAME with (frame_idx, sample_idx, width, height,
+    * channels, features). Payloads that aren't ISO-BMFF, have no video
+    * trak, or carry a codec the JVM can't decode emit one row with NULL
+    * frame columns. Per-partition batching as everywhere else; the
+    * explode is bounded by `maxFrames`.
+    */
+  def decodeVideoFrames(df: DataFrame, binCol: String, maxFrames: Int = 4,
+      dim: Int = 16): DataFrame = {
+    val grid = math.sqrt(dim.toDouble).toInt
+    require(grid * grid == dim, s"dim must be a square, got $dim")
+    require(maxFrames >= 1, s"maxFrames must be positive, got $maxFrames")
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("sample_idx", IntegerType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("features", ArrayType(FloatType, containsNull = false),
+        nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        val decoded = findVideoSampleTable(bytes) match {
+          case Some(t) if jpegFourccs(t.codec) =>
+            val n = t.samples.length
+            val take = math.min(maxFrames, n)
+            // evenly spaced sample picks across the track (first..last)
+            val picks = (0 until take).map(i =>
+              if (take == 1) 0 else (i.toLong * (n - 1) / (take - 1)).toInt)
+            picks.zipWithIndex.flatMap { case (sIdx, fIdx) =>
+              val (off, sz) = t.samples(sIdx)
+              imageStats(bytes, off.toInt, sz, grid, dim).map {
+                case (w, h, ch, feats) =>
+                  Row.fromSeq(row.toSeq ++
+                    Seq(fIdx, sIdx, w, h, ch, feats))
+              }
+            }
+          case _ => Nil
+        }
+        if (decoded.nonEmpty) decoded
+        else Iterator.single(Row.fromSeq(row.toSeq ++
+          Seq(null, null, null, null, null, null)))
+      }
+    }
+  }
+
   // ─────────────────────────────────────────────────────────────────
   // STUB decoders — deterministic fakes standing in for codecs the JVM
-  // lacks (video FRAME decode; compressed audio). A production build
-  // replaces the byte math with e.g. a JNI decode; the mapPartitions
-  // batch shape and output schema stay identical. Images use the REAL
-  // [[decodeImage]] above; PCM audio uses the REAL [[decodeAudio]];
-  // video CONTAINER metadata uses the REAL [[parseVideoContainer]].
+  // lacks (inter-frame video codecs like H.264; compressed audio). A
+  // production build replaces the byte math with e.g. a JNI decode; the
+  // mapPartitions batch shape and output schema stay identical. Images
+  // use the REAL [[decodeImage]] above; PCM audio the REAL
+  // [[decodeAudio]]; video CONTAINER metadata the REAL
+  // [[parseVideoContainer]]; MJPEG-track frames the REAL
+  // [[decodeVideoFrames]].
   // ─────────────────────────────────────────────────────────────────
 
   /** "Decode" an image binary into (width, height, channels) +

@@ -173,6 +173,88 @@ class MultimodalSpec extends AnyFunSuite {
     assert((2 to 9).forall(out(1).isNullAt))
   }
 
+  test("REAL MJPEG frame decode: stsz/stsc/stco demux + imageio") {
+    // three 8x8 JPEG frames at distinct gray levels, laid out as TWO
+    // chunks (frames 0-1 then frame 2, with a gap between) so the
+    // demux must walk stsc runs and accumulate sizes within a chunk —
+    // the real ISO 14496-12 sample math, not offset guessing
+    def jpegOf(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(jpegOf(0), jpegOf(128), jpegOf(255))
+    val gap = Array.fill[Byte](5)(9)
+    def hdlr(kind: String) = box("hdlr", Array.fill[Byte](8)(0),
+      kind.getBytes("ISO-8859-1"), Array.fill[Byte](13)(0))
+    def moovWith(off1: Long, off2: Long): Array[Byte] = {
+      val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1),
+        be32(16), "jpeg".getBytes("ISO-8859-1"), Array.fill[Byte](8)(0))
+      val stsz = box("stsz", Array[Byte](0, 0, 0, 0), be32(0), be32(3),
+        be32(frames(0).length), be32(frames(1).length),
+        be32(frames(2).length))
+      val stsc = box("stsc", Array[Byte](0, 0, 0, 0), be32(2),
+        be32(1), be32(2), be32(1), // chunk 1: 2 samples
+        be32(2), be32(1), be32(1)) // chunk 2+: 1 sample
+      val stco = box("stco", Array[Byte](0, 0, 0, 0), be32(2),
+        be32(off1), be32(off2))
+      box("moov", box("trak", box("mdia", hdlr("vide"),
+        box("minf", box("stbl", stsd, stsz, stsc, stco)))))
+    }
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0x200))
+    // stco offsets are absolute: size the moov with placeholders first
+    // (the box sizes don't depend on the offset VALUES), then rebuild
+    val base = ftyp.length + moovWith(0, 0).length + 8
+    val off2 = base + frames(0).length + frames(1).length + gap.length
+    val mp4 = ftyp ++ moovWith(base, off2) ++
+      box("mdat", frames(0) ++ frames(1) ++ gap ++ frames(2))
+    val df = Seq((1L, mp4), (2L, "junk".getBytes)).toDF("id", "v")
+    val rows = Multimodal.decodeVideoFrames(df, "v", maxFrames = 3, dim = 4)
+      .select("id", "frame_idx", "sample_idx", "width", "height",
+        "channels", "features")
+      .orderBy("id", "frame_idx").collect()
+    assert(rows.length == 4, rows.mkString("\n")) // 3 frames + 1 null row
+    val fr = rows.take(3)
+    assert(fr.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(fr.map(_.getInt(2)).toSeq == Seq(0, 1, 2))
+    assert(fr.forall(r => r.getInt(3) == 8 && r.getInt(4) == 8 &&
+      r.getInt(5) == 3))
+    // gray levels survive the lossy round-trip as mean luminance order
+    val lums = fr.map(_.getSeq[Float](6).sum / 4)
+    assert(lums(0) < 0.1f && math.abs(lums(1) - 0.5f) < 0.1f &&
+      lums(2) > 0.9f, lums.mkString(","))
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(6))
+    // even spacing: maxFrames=2 picks the FIRST and LAST samples
+    val two = Multimodal.decodeVideoFrames(
+      Seq((1L, mp4)).toDF("id", "v"), "v", maxFrames = 2, dim = 4)
+      .select("sample_idx").orderBy("sample_idx").collect()
+    assert(two.map(_.getInt(0)).toSeq == Seq(0, 2))
+  }
+
+  test("video frame decode leaves non-MJPEG codecs honestly null") {
+    // the avc1 container from the demux test: sample TABLES absent, so
+    // the fourcc gate never even fires — and a jpeg-fourcc track whose
+    // sample bytes are not JPEG decodes to nothing -> one null row
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0), be32(0), be32(0),
+      be32(1000), be32(5000), Array.fill[Byte](80)(0))
+    def hdlr(kind: String) = box("hdlr", Array.fill[Byte](8)(0),
+      kind.getBytes("ISO-8859-1"), Array.fill[Byte](13)(0))
+    val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1),
+      be32(16), "avc1".getBytes("ISO-8859-1"), Array.fill[Byte](8)(0))
+    val mp4 = box("ftyp", "isom".getBytes("ISO-8859-1"), be32(0x200)) ++
+      box("moov", mvhd, box("trak", box("mdia", hdlr("vide"),
+        box("minf", box("stbl", stsd))))) ++
+      box("mdat", Array.fill[Byte](32)(7))
+    val rows = Multimodal.decodeVideoFrames(
+      Seq((1L, mp4)).toDF("id", "v"), "v")
+      .select("frame_idx", "width", "features").collect()
+    assert(rows.length == 1 && (0 to 2).forall(rows(0).isNullAt))
+  }
+
   test("decoded media features feed similarity search end-to-end") {
     val feats = Multimodal.stubDecodeImage(media, "payload", dim = 16)
       .select($"doc_id", $"features")

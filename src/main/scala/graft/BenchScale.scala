@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up smoke: proves the registry's most expensive queries scale
+  * ~linearly in rows with UNCHANGED plan shape — the local stand-in for
+  * "would this still work at 100 TB" that sf0.01/sf0.1 correctness runs
+  * can't answer.
+  *
+  * Deterministic generators (hash-based, no RNG state) synthesize
+  * `documents` and `events` at a base scale matching sf0.1
+  * (5k docs / 100k events) and at `factor`× that, into two temp dirs
+  * shaped like the driver's sf dirs. The heaviest registry queries that
+  * read only those two tables then run at both scales; for each we
+  * compare wall time (expect ≤ ~linear growth; sorts are n·log n and
+  * candidate joins grow with duplicate structure, so the gate is
+  * time_ratio ≤ 3× the row ratio — a straggler stage or an accidental
+  * all-pairs blows far past that) and the FINAL adaptive plan's shape
+  * signature (shuffle/broadcast/sort-merge node counts — a
+  * broadcast→SMJ flip or a new exchange at scale is exactly the
+  * regression this smoke exists to catch).
+  *
+  * Usage: runMain graft.BenchScale [factor]   (default 10)
+  * Prints one JSON line per query and a summary; exits nonzero on a
+  * plan-shape change or a super-linear blowup.
+  */
+object BenchScale {
+  // the bench-r3 top queries that read only documents/events: corpus
+  // pipeline + dedup families (documents) and bar/session/json families
+  // (events)
+  private val QueryNames = Seq(
+    "q_corpus_build", "q_minhash_incremental", "q_minhash_dedup",
+    "q_ngram_guarded", "q_ngram_jaccard", "q_simhash_pairs",
+    "q_json_extract", "q_repetition", "q_ohlcv_bars", "q_vwap",
+    "q_sessionize")
+
+  private val Vocab = Seq("batch", "part", "spark", "line", "column",
+    "order", "small", "sort", "fast", "value", "scan", "hash", "slow",
+    "group", "agg", "filter", "query", "big", "key", "window", "row",
+    "table", "stream", "merge", "data", "plan", "join", "shard", "index",
+    "cache", "disk", "node", "task", "stage", "block", "range", "limit",
+    "count", "write", "read")
+
+  /** documents: word-soup text from a small vocab (the sf fixtures'
+    * shape), 40-199 words, hash-derived lang/source — byte-identical
+    * on every run at every parallelism.
+    */
+  def makeDocuments(spark: SparkSession, n: Long): DataFrame = {
+    val words = array(Vocab.map(lit): _*)
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(
+        sequence(lit(1), (pmod(xxhash64(col("id")), lit(160L)) + 40L)
+          .cast("int")),
+        j => element_at(words,
+          (pmod(xxhash64(col("id"), j), lit(Vocab.size.toLong)) + 1L)
+            .cast("int")))).as("text"),
+      element_at(array(Seq("en", "zh", "de", "fr", "es").map(lit): _*),
+        (pmod(xxhash64(col("id"), lit(1L)), lit(5L)) + 1L).cast("int"))
+        .as("lang"),
+      concat(lit("src"), pmod(xxhash64(col("id"), lit(2L)), lit(3L)))
+        .as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** events: per-user streams with hash-jittered timestamps — users
+    * scale WITH n so per-user row counts stay constant (the group
+    * cardinality scaling a real corpus has).
+    */
+  def makeEvents(spark: SparkSession, n: Long, nUsers: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) + col("id") * 937L +
+        pmod(xxhash64(col("id")), lit(911L))).as("ts"),
+      pmod(xxhash64(col("id"), lit(3L)), lit(nUsers)).as("user_id"),
+      element_at(
+        array(Seq("click", "view", "buy", "error", "login").map(lit): _*),
+        (pmod(xxhash64(col("id"), lit(4L)), lit(5L)) + 1L).cast("int"))
+        .as("event_type"),
+      round(pmod(xxhash64(col("id"), lit(5L)), lit(10000L)) / 100.0, 2)
+        .as("value"),
+      concat(lit("{\"k\": "), pmod(xxhash64(col("id"), lit(6L)), lit(100L)),
+        lit("}")).as("props"))
+
+  private def writeDir(spark: SparkSession, dir: String, factor: Long): Unit = {
+    makeDocuments(spark, 5000L * factor)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    makeEvents(spark, 100000L * factor, 1000L * factor)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  /** Plan-shape signature of the FINAL adaptive plan: the node kinds
+    * whose count changing at scale means the plan regressed.
+    */
+  private def signature(df: DataFrame): Map[String, Int] = {
+    val p = df.queryExecution.executedPlan.toString
+    Seq("ShuffleQueryStage", "BroadcastHashJoin", "SortMergeJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+      .map(k => k -> k.r.findAllIn(p).length).toMap
+  }
+
+  private def runOne(spark: SparkSession, name: String, dir: String)
+      : (Double, Long, Map[String, Int]) = {
+    val runs = (0 until 2).map { _ =>
+      val df = SparkEntry.queries(name)(spark, dir)
+      val t0 = System.nanoTime()
+      val rows = df.collect().length.toLong
+      val dt = (System.nanoTime() - t0) / 1e9
+      val sig = signature(df) // final: the collect drove AQE to the end
+      spark.catalog.clearCache()
+      (dt, rows, sig)
+    }
+    runs.minBy(_._1)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toLong).getOrElse(10L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.configure(spark)
+    val base = java.nio.file.Files.createTempDirectory("graft-scale-1").toString
+    val big = java.nio.file.Files.createTempDirectory(s"graft-scale-$factor").toString
+    writeDir(spark, base, 1L)
+    writeDir(spark, big, factor)
+    // warm the codegen families once so first-exercise JIT doesn't land
+    // inside a timed run (same reason as Bench's warm-up list)
+    QueryNames.take(3).foreach(n =>
+      SparkEntry.queries(n)(spark, base).write.format("noop")
+        .mode("overwrite").save())
+    var bad = 0
+    val results = QueryNames.map { name =>
+      val (t1, r1, s1) = runOne(spark, name, base)
+      val (tN, rN, sN) = runOne(spark, name, big)
+      val rowRatio = if (r1 > 0) rN.toDouble / r1 else factor.toDouble
+      val timeRatio = tN / math.max(t1, 1e-3)
+      val planOk = s1 == sN
+      // gate: ≤ 3× per data row ratio (generous for n·log n + fixed
+      // overheads), and identical plan signature
+      val timeOk = timeRatio <= 3.0 * math.max(rowRatio, factor.toDouble)
+      if (!planOk || !timeOk) bad += 1
+      println(s"""{"query":"$name","t1_s":${f"$t1%.3f"},""" +
+        s""""t${factor}_s":${f"$tN%.3f"},"rows1":$r1,"rows$factor":$rN,""" +
+        s""""time_ratio":${f"$timeRatio%.2f"},""" +
+        s""""plan_sig_equal":$planOk,"time_ok":$timeOk,""" +
+        s""""sig":"${sN.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+          .mkString(",")}"}""")
+      (name, timeRatio, planOk && timeOk)
+    }
+    val worst = results.maxBy(_._2)
+    println(s"""{"metric":"scale_smoke","factor":$factor,""" +
+      s""""queries":${results.length},"failures":$bad,""" +
+      s""""worst_time_ratio":${f"${worst._2}%.2f"},""" +
+      s""""worst_query":"${worst._1}"}""")
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

@@ -1706,6 +1706,34 @@ object Queries {
                   AS pack_id
               FROM t ORDER BY doc_id""")),
 
+    // ── north star: document chunking — fixed 64-token windows with 16
+    //    tokens of overlap (the RAG/training prep split); expression-only
+    //    scan-local explode, no shuffle at any corpus size ──
+    QueryDef(
+      "q_doc_chunk",
+      (s, dir) =>
+        operators.Sampling.chunkDocuments(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", chunkTokens = 64, overlap = 16)
+          .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)),
+                  '\s+', ' ', 'g'), ' ') AS arr
+              FROM documents),
+              c AS (SELECT doc_id, arr, CAST(len(arr) AS BIGINT) AS n,
+                greatest(CAST(1 AS BIGINT),
+                  CAST(ceil((len(arr) - 16) / 48.0) AS BIGINT)) AS n_chunks
+              FROM t)
+              SELECT doc_id, g - 1 AS chunk_idx,
+                array_to_string(list_slice(arr,
+                  (g - 1) * 48 + 1, (g - 1) * 48 + 64), ' ') AS chunk_text,
+                CAST(least(64, n - (g - 1) * 48) AS BIGINT)
+                  AS n_chunk_tokens
+              FROM (SELECT doc_id, arr, n,
+                      unnest(generate_series(1, n_chunks)) AS g
+                    FROM c)
+              ORDER BY doc_id, chunk_idx""")),
+
     // ── north star: domain/language mixing — top-50 per language by
     //    quality score, deterministic ties; composes langId +
     //    qualityScore, both already oracle-exact ──

@@ -50,6 +50,41 @@ object Sampling {
       .select(col(idCol), col("shard"), col("n_tokens"), col("pack_id"))
   }
 
+  /** Document chunking: split each document into fixed token-budget
+    * chunks with `overlap` tokens of context carried between adjacent
+    * chunks — the retrieval/training prep step that turns documents
+    * into model-sized windows. Chunk k covers tokens
+    * [k·(chunk−overlap), k·(chunk−overlap)+chunk); the last chunk may
+    * be short, and a doc never emits an all-overlap tail (a chunk must
+    * contain at least one NEW token). Expression-only (split +
+    * sequence + explode + slice, whole-stage codegen): a scan-local
+    * row explosion with no shuffle at any corpus size — the downstream
+    * consumer decides how chunks partition.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap must be in [0, chunkTokens), got $overlap")
+    val step = chunkTokens - overlap
+    val toks = split(Dedup.normalized(col(textCol)), " ")
+    // ceil((n - overlap) / step) chunks, minimum 1 for any non-empty doc
+    val nChunks = greatest(lit(1L),
+      ceil((size(toks).cast("long") - overlap).cast("double") / step)
+        .cast("long"))
+    df.withColumn("__toks", toks)
+      .withColumn("chunk_idx",
+        explode(sequence(lit(0L), nChunks - 1L)))
+      .withColumn("chunk_text", concat_ws(" ",
+        slice(col("__toks"), (col("chunk_idx") * step + 1L).cast("int"),
+          lit(chunkTokens))))
+      .withColumn("n_chunk_tokens",
+        least(lit(chunkTokens.toLong),
+          size(col("__toks")).cast("long") - col("chunk_idx") * step))
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"),
+        col("n_chunk_tokens"))
+  }
+
   /** Domain/language mixing: keep the top `perGroup` documents per
     * language by quality score (deterministic ties by id) — the
     * stratified selection step that balances a training mix instead of

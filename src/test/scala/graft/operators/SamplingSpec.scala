@@ -56,6 +56,42 @@ class SamplingSpec extends AnyFunSuite {
       s"the one shuffle must key on shard:\n$plan")
   }
 
+  test("chunkDocuments: full coverage, exact overlap, shuffle-free") {
+    val chunked = Sampling.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 64, overlap = 16)
+    val byDoc = chunked.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .groupBy(_._1)
+    val docToks = docs.collect().map { r =>
+      r.getLong(0) -> r.getString(1).trim.toLowerCase
+        .replaceAll("\\s+", " ").split(" ")
+    }.toMap
+    byDoc.foreach { case (id, chunks) =>
+      val toks = docToks(id)
+      val sorted = chunks.sortBy(_._2)
+      // contiguous chunk ids from 0
+      assert(sorted.map(_._2).sameElements(sorted.indices.map(_.toLong)))
+      sorted.foreach { case (_, idx, text, nToks) =>
+        val start = (idx * 48).toInt
+        val expect = toks.slice(start, start + 64)
+        assert(text == expect.mkString(" "),
+          s"doc $id chunk $idx text mismatch")
+        assert(nToks == expect.length.toLong)
+      }
+      // every token is covered; adjacent chunks share exactly 16 tokens
+      // (except a short final chunk, which shares what remains)
+      val last = sorted.last
+      assert(last._2 * 48 + last._4 == toks.length.toLong,
+        s"doc $id coverage gap")
+      if (sorted.length > 1)
+        assert(sorted.init.forall(_._4 == 64L),
+          s"doc $id non-final chunk not full")
+    }
+    // scan-local: a row explosion must not introduce any exchange
+    val plan = chunked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("domainMix: per-language caps with contiguous deterministic ranks") {
     val mixed = Sampling.domainMix(docs, "doc_id", "text", perGroup = 10)
     val rows = mixed.collect().map(r =>

@@ -321,6 +321,18 @@ class Connection {
     return rowsOf(r);
   }
 
+  // Chunked SELECT (wire key "5"): the server streams the result as
+  // chunkRows-sized same-ticket frames ({"2":1} = more follows), so
+  // results past its single-frame maxWireRows bound arrive complete.
+  // An error final frame voids the buffered prefix and throws.
+  ResultSet ExecuteChunked(const std::string& sql, const Args& args = {},
+                           int chunkRows = 10000) {
+    if (chunkRows <= 0) throw Error("chunkRows must be positive");
+    auto r = call("run", Value{sql}, args.empty() ? nullptr : &args, false,
+                  chunkRows);
+    return rowsOf(r);
+  }
+
   void BatchInsert(const std::string& sql, const Argss& argss) {
     int pid = Prepare(sql);
     int ticket = allocTicket();
@@ -437,7 +449,7 @@ class Connection {
 
   // send one request; returns the "1" node of the matching reply
   detail::JPtr call(const char* cmd, const Value& sqlOrId, const Args* args,
-                    bool cache) {
+                    bool cache, int chunkRows = 0) {
     int ticket = allocTicket();
     std::string payload = "{\"0\":" + std::to_string(ticket) + ",\"1\":\"";
     payload += cmd;
@@ -456,6 +468,7 @@ class Connection {
     }
     payload += ",\"4\":";
     payload += cache ? "1" : "0";
+    if (chunkRows > 0) payload += ",\"5\":" + std::to_string(chunkRows);
     payload += '}';
     writeFrame(payload);
     return checkError(waitReply(ticket));
@@ -481,13 +494,42 @@ class Connection {
         auto t = doc->obj.find("0");
         if (t == doc->obj.end()) continue;
         auto r = doc->obj.find("1");
+        auto more = doc->obj.find("2");
         std::lock_guard<std::mutex> g(mu_);
         int ticket = static_cast<int>(t->second->i);
-        if (abandoned_.erase(ticket) > 0)
+        if (abandoned_.erase(ticket) > 0) {
+          if (more == doc->obj.end()) chunks_.erase(ticket);
           continue;  // caller already timed out — don't leak the reply
-        replies_[ticket] =
-            r == doc->obj.end() ? std::make_shared<detail::JNode>()
-                                : r->second;
+        }
+        if (more != doc->obj.end() && more->second->i > 0) {
+          // non-final chunk of a chunked SELECT: buffer its rows, the
+          // ticket's reply stays pending
+          if (r != doc->obj.end() && r->second->kind == detail::JNode::Arr) {
+            auto& buf = chunks_[ticket];
+            buf.insert(buf.end(), r->second->arr.begin(),
+                       r->second->arr.end());
+          }
+          continue;
+        }
+        detail::JPtr fin = r == doc->obj.end()
+                               ? std::make_shared<detail::JNode>()
+                               : r->second;
+        auto bufIt = chunks_.find(ticket);
+        if (bufIt != chunks_.end()) {
+          // an error-string final frame voids the buffered prefix (the
+          // scan failed mid-stream); otherwise prepend the buffer
+          if (fin->kind != detail::JNode::Str) {
+            auto all = std::make_shared<detail::JNode>();
+            all->kind = detail::JNode::Arr;
+            all->arr = std::move(bufIt->second);
+            if (fin->kind == detail::JNode::Arr)
+              all->arr.insert(all->arr.end(), fin->arr.begin(),
+                              fin->arr.end());
+            fin = all;
+          }
+          chunks_.erase(bufIt);
+        }
+        replies_[ticket] = fin;
         cv_.notify_all();
       }
     } catch (const std::exception& e) {
@@ -553,6 +595,7 @@ class Connection {
   std::mutex mu_;   // tickets, replies, closed flag
   std::condition_variable cv_;
   std::map<int, detail::JPtr> replies_;
+  std::map<int, std::vector<detail::JPtr>> chunks_;  // chunked-run buffers
   std::set<int> abandoned_;  // timed-out tickets whose replies to drop
   bool closed_ = false;
   std::string readError_;

@@ -69,6 +69,21 @@ class CppClientSpec extends AnyFunSuite {
       |  std::this_thread::sleep_for(std::chrono::milliseconds(700));
       |  auto n2 = c->Execute("select * from cppdb.t where sec=2");
       |  std::cout << "N2=" << n2.size() << "\n";
+      |  // chunked SELECT: 12 rows in 5-row frames reassemble in order
+      |  c->Execute("create table cppdb.r(k int, v double,"
+      |             " primary key(k))");
+      |  {
+      |    graft::Argss rows;
+      |    for (int i = 0; i < 12; ++i)
+      |      rows.push_back({int64_t(i), i * 0.5});
+      |    c->BatchInsert("insert into cppdb.r values(?, ?)", rows);
+      |  }
+      |  auto ch = c->ExecuteChunked(
+      |      "select k from cppdb.r where k>=? and k<=?",
+      |      {int64_t(0), int64_t(11)}, 5);
+      |  std::cout << "CHUNK=" << ch.size() << ":"
+      |            << std::get<int64_t>(ch.front()[0]) << ".."
+      |            << std::get<int64_t>(ch.back()[0]) << "\n";
       |  std::cout << "DONE\n";
       |  return 0;
       |}
@@ -106,6 +121,7 @@ class CppClientSpec extends AnyFunSuite {
       assert(lines.exists(_.startsWith("ERR=")), out)
       assert(!lines.contains("NO-ERROR"), out)
       assert(lines.contains("N2=1"), out)
+      assert(lines.contains("CHUNK=12:0..11"), out)
       assert(lines.contains("DONE"), out)
     } finally {
       server.stop()

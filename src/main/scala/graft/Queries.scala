@@ -1127,6 +1127,62 @@ object Queries {
               WHERE CAST(shared AS DOUBLE) / (x.n + y.n - shared) >= 0.5
               ORDER BY id_a, id_b""")),
 
+    // ── north star: connected components over the near-dup pair graph —
+    //    transitive cluster labels (chains (d, d+zz), (d+zz, d+zz+yy)
+    //    merge into ONE cluster of three even when the end-to-end pair
+    //    was never mined). Min-label propagation on Spark; recursive
+    //    reachability CTE in the oracle. ──
+    QueryDef(
+      "q_dedup_components",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val aug = docs
+          .union(docs.select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text")))
+          .union(docs.select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" zz yy")).as("text")))
+        val pairs = operators.Dedup.ngramJaccard(aug, "doc_id", "text",
+          n = 5, threshold = 0.5, maxDocFreq = 0).select("id_a", "id_b")
+        operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz yy' FROM documents),
+              t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM docs),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS g
+                           FROM t)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              prs AS (SELECT id_a, id_b FROM (
+                        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2) p
+                      JOIN sz x ON x.doc_id = p.id_a
+                      JOIN sz y ON y.doc_id = p.id_b
+                      WHERE CAST(shared AS DOUBLE) /
+                        (x.n + y.n - shared) >= 0.5),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                        UNION
+                        SELECT id_b, id_a FROM prs),
+              verts AS (SELECT DISTINCT src AS id FROM edges),
+              reach(v, l) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.l FROM reach r
+                  JOIN edges e ON e.src = r.v)
+              SELECT v AS id, min(l) AS comp FROM reach
+              GROUP BY v ORDER BY id""")),
+
     // ── north star: n-gram Jaccard WITH the max-doc-freq skew guard ON
     //    (the 100 TB configuration — stopword-like shingles dropped
     //    before the pair join). The oracle replicates the guard exactly:
@@ -1706,6 +1762,54 @@ object Queries {
                   AS pack_id
               FROM t ORDER BY doc_id""")),
 
+    // ── north star: stratified sampling — exactly 40 docs per language
+    //    by deterministic hash order (the per-stratum counterpart of
+    //    q_sample_hash's global rate); one rank window on the stratum ──
+    QueryDef(
+      "q_stratified_sample",
+      (s, dir) =>
+        operators.Sampling.stratifiedSample(
+            t(s, dir, "documents").select("doc_id", "lang"),
+            "doc_id", "lang", perGroup = 40)
+          .select("doc_id", "lang", "sample_rank")
+          .orderBy("lang", "sample_rank"),
+      Some("""SELECT doc_id, lang, sample_rank FROM (
+                SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    AS sample_rank
+                FROM documents) sub
+              WHERE sample_rank <= 40
+              ORDER BY lang, sample_rank""")),
+
+    // ── north star: per-doc key terms — the 5 rarest tokens by corpus
+    //    document frequency (idf ORDERING with no floating point: every
+    //    column integer/string, hash-exact in any engine) ──
+    QueryDef(
+      "q_keyterms",
+      (s, dir) =>
+        operators.TextAnalysis.keyTerms(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", k = 5)
+          .orderBy("doc_id", "rank"),
+      Some("""WITH toksq AS (SELECT doc_id,
+                unnest(string_split(regexp_replace(lower(trim(text)),
+                  '\s+', ' ', 'g'), ' ')) AS term
+              FROM documents),
+              tf AS (SELECT doc_id, term,
+                  CAST(count(*) AS BIGINT) AS tf
+                FROM toksq WHERE len(term) >= 3
+                GROUP BY doc_id, term),
+              dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                FROM tf GROUP BY term)
+              SELECT doc_id, term, tf, df, rank FROM (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                  row_number() OVER (PARTITION BY t.doc_id
+                    ORDER BY d.df ASC, t.term ASC) AS rank
+                FROM tf t JOIN dfq d USING (term)) sub
+              WHERE rank <= 5
+              ORDER BY doc_id, rank""")),
+
     // ── north star: document chunking — fixed 64-token windows with 16
     //    tokens of overlap (the RAG/training prep split); expression-only
     //    scan-local explode, no shuffle at any corpus size ──
@@ -2269,6 +2373,44 @@ object Queries {
                     (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
                      FROM orders)
               ORDER BY o_orderkey""")),
+
+    // ── §2.5: exact per-group quartile VALUES by integer rank selection
+    //    (value at rank ceil(p·n), computed as (k·n + 3) div 4 — pure
+    //    integer math, so no percentile-interpolation drift between
+    //    engines); one rank window per group, conditional min-pick ──
+    QueryDef(
+      "q_percentile_rank",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1))
+            .over(Window.partitionBy("o_orderpriority")))
+          .groupBy("o_orderpriority")
+          .agg(
+            min(when(col("rn") === expr("(cnt + 3) div 4"),
+              col("o_totalprice"))).as("p25"),
+            min(when(col("rn") === expr("(2 * cnt + 3) div 4"),
+              col("o_totalprice"))).as("p50"),
+            min(when(col("rn") === expr("(3 * cnt + 3) div 4"),
+              col("o_totalprice"))).as("p75"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority,
+                min(CASE WHEN rn = (cnt + 3) // 4
+                    THEN o_totalprice END) AS p25,
+                min(CASE WHEN rn = (2 * cnt + 3) // 4
+                    THEN o_totalprice END) AS p50,
+                min(CASE WHEN rn = (3 * cnt + 3) // 4
+                    THEN o_totalprice END) AS p75
+              FROM (
+                SELECT o_orderpriority, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+                FROM orders) sub
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // ── §2.5: exact (lower) median via row selection — deterministic,
     //    no interpolation-formula drift between engines ──

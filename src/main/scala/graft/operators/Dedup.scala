@@ -299,6 +299,59 @@ object Dedup {
           s => s.getField("para")), sepOut).as("text_dedup"))
   }
 
+  /** Connected components over a near-dup PAIR set: every id appearing
+    * in `pairs` labels with the minimum id of its transitive cluster —
+    * the accounting step pairwise dedup can't do (pairs (1,2) and (2,3)
+    * are one cluster of three even though (1,3) was never mined).
+    *
+    * Min-label propagation: each round every vertex takes the smallest
+    * label among itself and its neighbors; rounds = cluster DIAMETER,
+    * and near-dup clusters are shallow (a hub doc and its variants), so
+    * convergence is typically 2-4 rounds regardless of corpus size.
+    * Each round is one join + one map-side-combined min — the standard
+    * scalable shape (what GraphX's cc computes, without the GraphX
+    * dependency). Labels localCheckpoint per round: lineage stays one
+    * round deep (no 20-join plan tree), and checkpoint blocks are
+    * GC-cleaned with the returned DataFrame, so nothing leaks across
+    * calls. The final `changed == 0` round certifies the fixpoint.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"),
+          col("comp").as("nbr_comp")), "dst")
+        .groupBy("src").agg(min(col("nbr_comp")).as("min_nbr"))
+        .select(col("src").as("id"), col("min_nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("min_nbr"), col("comp")))
+            .as("comp"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(cluster diameter exceeds the bound — raise maxIter)")
+    labels
+  }
+
   /** Companion coverage report for [[minhashLSH]]: (band, bucket, size)
     * of buckets the skew guard would drop at `maxBucketSize` — run it to
     * see what candidate mass a cap excludes before trusting the pairs.

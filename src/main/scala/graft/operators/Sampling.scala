@@ -50,6 +50,22 @@ object Sampling {
       .select(col(idCol), col("shard"), col("n_tokens"), col("pack_id"))
   }
 
+  /** Stratified fixed-size sampling: exactly `perGroup` documents per
+    * group (fewer when the group is smaller), chosen by content-
+    * independent hash order — an unbiased-but-deterministic draw, the
+    * per-stratum counterpart of [[hashSample]]'s global rate. Ties
+    * break on id, so the selection is total-ordered and reproducible
+    * in any engine. One rank window partitioned by the group key: the
+    * shuffle carries the group hash, strata sample in parallel.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, groupCol: String,
+      perGroup: Int): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= perGroup)
+  }
+
   /** Document chunking: split each document into fixed token-budget
     * chunks with `overlap` tokens of context carried between adjacent
     * chunks — the retrieval/training prep step that turns documents

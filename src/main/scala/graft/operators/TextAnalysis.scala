@@ -194,6 +194,36 @@ object TextAnalysis {
         (col("n_toks").cast(DoubleType) * lit(total.toDouble)))
   }
 
+  /** Per-document key terms: the `k` RAREST distinct tokens by corpus
+    * document frequency (ties by token text) — keyword extraction with
+    * the idf ORDERING but none of idf's floating point, so every output
+    * column (term, tf, df, rank) is integer/string and hash-exact in
+    * any engine; a downstream scorer can apply its own weighting to
+    * the (tf, df) pair.
+    *
+    * Scale shape: one shuffle for the per-(doc, token) counts, one
+    * map-side-combined aggregation over its RESULT for document
+    * frequencies (distinct docs per token = count of (doc, token)
+    * rows), a token-keyed hash join back, and the rank window
+    * partitioned by doc — nothing global, nothing collected.
+    */
+  def keyTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minTokenLen: Int = 3): DataFrame = {
+    val tf = df
+      .select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .filter(length(col("term")) >= minTokenLen)
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("df").asc, col("term").asc)
+    tf.join(dfreq, "term")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("rank"))
+  }
+
   /** Content fingerprints: md5 of normalized text (exact identity) and
     * a 64-bit rolling-window min-hash (winnowing-style robust id: the
     * minimum xxhash64 over all word 4-grams — stable under local edits

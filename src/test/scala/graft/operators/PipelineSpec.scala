@@ -79,6 +79,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2).getString(3) == "totally fresh")
   }
 
+  test("connected components: chains, stars, and deep paths collapse to min labels") {
+    // chain 1-2-3 (needs a propagation round), pair 10-11, star around
+    // 20, reversed pair 31-30, and a diameter-4 path 40..44 (forces
+    // several rounds before the fixpoint certification)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (20L, 22L), (20L, 23L), (31L, 30L), (40L, 41L), (41L, 42L),
+      (42L, 43L), (43L, 44L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expect = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L,
+      30L -> 30L, 31L -> 30L,
+      40L -> 40L, 41L -> 40L, 42L -> 40L, 43L -> 40L, 44L -> 40L)
+    assert(comp == expect, comp.toSeq.sorted.mkString(";"))
+  }
+
   test("paragraph dedup matches an in-memory first-occurrence model on random corpora") {
     val rnd = new scala.util.Random(42)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "shared",

@@ -113,6 +113,36 @@ class StreamingSpec extends AnyFunSuite {
       out(1).getString(2).contains("<EMAIL>"))
   }
 
+  test("streaming document chunking: stateless, batch-identical output") {
+    // chunkDocuments is expression-only, so the SAME operator runs on a
+    // streaming DataFrame with zero state — batch/stream parity is the
+    // point of the scan-local design
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val text = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val chunked = graft.operators.Sampling.chunkDocuments(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      chunkTokens = 10, overlap = 2)
+    val q = chunked.writeStream.outputMode("append")
+      .format("memory").queryName("chunk_out").start()
+    mem.addData((1L, text))
+    q.processAllAvailable()
+    mem.addData((2L, text)) // second micro-batch: no cross-batch state
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql("SELECT doc_id, chunk_idx, chunk_text, " +
+      "n_chunk_tokens FROM chunk_out ORDER BY doc_id, chunk_idx").collect()
+    val batch = graft.operators.Sampling.chunkDocuments(
+      Seq((1L, text), (2L, text)).toDF("doc_id", "text"),
+      "doc_id", "text", chunkTokens = 10, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(out.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    // 25 tokens, step 8 -> ceil((25-2)/8) = 3 chunks at 0/8/16
+    assert(out.count(_.getLong(0) == 1L) == 3)
+    assert(out.filter(_.getLong(0) == 1L).map(_.getLong(3)).toSeq ==
+      Seq(10L, 10L, 9L))
+  }
+
   test("streaming minhash dedup flags near-dups of the indexed corpus per batch") {
     implicit val sq = spark.sqlContext
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")

@@ -1441,6 +1441,56 @@ object Queries {
 
     // ── north star: brute-force cosine top-k over embeddings ──
     QueryDef(
+      "q_int8_quant",
+      (s, dir) =>
+        operators.Similarity.int8Quantize(
+            t(s, dir, "embeddings").filter(col("vec_id") < 200L),
+            "vec_id", "embedding")
+          .withColumn("scale", round(col("scale"), 9))
+          .orderBy("vec_id"),
+      Some("""SELECT vec_id,
+                round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                  e -> abs(e))) / 127.0, 9) AS scale,
+                CASE WHEN list_max(list_transform(
+                    CAST(embedding AS DOUBLE[]), e -> abs(e))) = 0
+                  THEN list_transform(CAST(embedding AS DOUBLE[]),
+                    e -> CAST(0 AS INT))
+                  ELSE list_transform(CAST(embedding AS DOUBLE[]),
+                    e -> CAST(floor(e * 127.0 / list_max(list_transform(
+                      CAST(embedding AS DOUBLE[]), x -> abs(x))) + 0.5)
+                      AS INT))
+                END AS qvec
+              FROM embeddings WHERE vec_id < 200
+              ORDER BY vec_id""")),
+
+    // ── north star: top-k by QUANTIZED integer dot product — both sides
+    //    int8; the score is an exact long, so the whole ANN ranking is
+    //    oracle-checkable cell-for-cell (ties by id) ──
+    QueryDef(
+      "q_int8_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        operators.Similarity.int8TopK(emb, "vec_id", "embedding", q, 20)
+      },
+      Some("""WITH qv AS (SELECT vec_id,
+                CASE WHEN list_max(list_transform(
+                    CAST(embedding AS DOUBLE[]), e -> abs(e))) = 0
+                  THEN list_transform(CAST(embedding AS DOUBLE[]),
+                    e -> CAST(0 AS DOUBLE))
+                  ELSE list_transform(CAST(embedding AS DOUBLE[]),
+                    e -> floor(e * 127.0 / list_max(list_transform(
+                      CAST(embedding AS DOUBLE[]), x -> abs(x))) + 0.5))
+                END AS q FROM embeddings)
+              SELECT s.vec_id,
+                CAST(list_dot_product(s.q,
+                  (SELECT q FROM qv WHERE vec_id = 0)) AS BIGINT) AS qdot
+              FROM qv s
+              ORDER BY qdot DESC, s.vec_id ASC LIMIT 20""")),
+
+    QueryDef(
       "q_cosine_topk",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

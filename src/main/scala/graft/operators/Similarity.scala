@@ -29,6 +29,49 @@ object Similarity {
     dot / (n1 * lit(n2))
   }
 
+  /** Symmetric per-vector int8 scalar quantization: each vector scales
+    * by its own max|e| onto [-127, 127] with half-up rounding
+    * (floor(x·127/max + 0.5) — floor is exact in any IEEE engine, so
+    * the quantized codes are bit-portable, unlike a round() whose
+    * half-tie rule varies). Emits (id, scale, qvec): `scale` = max/127
+    * reconstructs e ≈ q·scale. 4× smaller than float32 and integer
+    * dot products downstream — the standard first rung of the
+    * quantization ladder below [[pqEncode]]'s codebooks. All-zero
+    * vectors quantize to zeros with scale 0. Expression-only: a
+    * scan-local map, no shuffle at any corpus size.
+    */
+  def int8Quantize(df: DataFrame, idCol: String, vecCol: String)
+      : DataFrame = {
+    val mx = array_max(transform(col(vecCol), e => abs(e.cast("double"))))
+    df.select(col(idCol),
+      (mx / 127.0).as("scale"),
+      transform(col(vecCol), e =>
+        when(mx === 0.0, lit(0))
+          .otherwise(floor(e.cast("double") * 127.0 / mx + 0.5)
+            .cast("int"))).as("qvec"))
+  }
+
+  /** Top-k by QUANTIZED dot product: both sides int8-quantized, scored
+    * with an integer dot (≤ 127²·dim, exact in long), ties by id — so
+    * unlike float ANN scores the whole ranking is engine-exact and
+    * oracle-checkable cell-for-cell. One scan + TakeOrdered.
+    */
+  def int8TopK(df: DataFrame, idCol: String, vecCol: String,
+      q: Seq[Double], k: Int): DataFrame = {
+    val qmx = if (q.isEmpty) 0.0 else q.map(math.abs).max
+    val qq: Seq[Int] =
+      if (qmx == 0.0) q.map(_ => 0)
+      else q.map(e => math.floor(e * 127.0 / qmx + 0.5).toInt)
+    val qArr = array(qq.map(lit): _*)
+    int8Quantize(df, idCol, vecCol)
+      .select(col(idCol),
+        aggregate(zip_with(col("qvec"), qArr,
+            (a, b) => a.cast("long") * b),
+          lit(0L), (acc, x) => acc + x).as("qdot"))
+      .orderBy(col("qdot").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Brute-force exact top-k by cosine similarity to `q`, via the native
     * codegen expression ([[graft.functions.CosineToQuery]]) — one scan,
     * one TakeOrdered, no per-row array allocations.

@@ -45,6 +45,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("no registered query plans a global (empty-partition) window") {
+    // an empty partitionSpec moves ALL rows to one task — the straggler
+    // that killed q_ntile's first form. Guard the whole registry so the
+    // next windowed query can't reintroduce one.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (d <- Queries.allDefs) {
+      val plan = d.fn(spark, sf).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"${d.name}: global single-partition window")
+    }
+  }
+
   test("q1_agg values match the known sf0.001 aggregate") {
     val r = Queries.byName("q1_agg")(spark, sf).collect()
     assert(r.length > 0 && r.length <= 8) // few flag/status combos

@@ -2462,6 +2462,59 @@ object Queries {
                 FROM orders) sub
               GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
+    // ── §2.5: winsorized mean — the robust tick-data average: clip each
+    //    group's values to its exact [p05, p95] rank-selected bounds
+    //    (integer rank math, no interpolation), then a decimal-exact
+    //    mean of the clipped values. Two windows on the same partition
+    //    key + one agg; engine-exact end to end. ──
+    QueryDef(
+      "q_winsorized",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        val wAll = Window.partitionBy("o_orderpriority")
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wAll))
+          .withColumn("lo", min(when(
+            col("rn") === expr("(cnt + 19) div 20"),
+            col("o_totalprice"))).over(wAll))
+          .withColumn("hi", min(when(
+            col("rn") === expr("(19 * cnt + 19) div 20"),
+            col("o_totalprice"))).over(wAll))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            max(col("lo")).as("p05"),
+            max(col("hi")).as("p95"),
+            (sum(greatest(col("lo"), least(col("hi"),
+                col("o_totalprice"))).cast(DecimalType(18, 2)))
+              .cast(DoubleType) / count(lit(1)))
+              .as("winsorized_mean"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH r AS (
+                SELECT o_orderpriority, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+                  count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+                FROM orders),
+              b AS (
+                SELECT o_orderpriority,
+                  min(CASE WHEN rn = (cnt + 19) // 20
+                      THEN o_totalprice END) AS lo,
+                  min(CASE WHEN rn = (19 * cnt + 19) // 20
+                      THEN o_totalprice END) AS hi
+                FROM r GROUP BY o_orderpriority)
+              SELECT r.o_orderpriority, count(*) AS n,
+                max(b.lo) AS p05, max(b.hi) AS p95,
+                CAST(sum(CAST(greatest(b.lo, least(b.hi, r.o_totalprice))
+                  AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+                  AS winsorized_mean
+              FROM r JOIN b USING (o_orderpriority)
+              GROUP BY r.o_orderpriority
+              ORDER BY r.o_orderpriority""")),
+
     // ── §2.5: exact (lower) median via row selection — deterministic,
     //    no interpolation-formula drift between engines ──
     QueryDef(

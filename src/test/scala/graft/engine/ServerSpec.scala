@@ -225,6 +225,18 @@ class ServerSpec extends AnyFunSuite {
       // empty results are a clean null final frame
       assert(c.executeChunked("select * from chk.t where k>=300 and k<=301",
         chunkRows = 5).isEmpty)
+      // two chunked streams PIPELINED on one connection: their frames
+      // interleave on the wire, the per-ticket buffers must keep them
+      // apart and both complete in order
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fa = c.executeChunkedAsync(
+        "select k from chk.t where k>=0 and k<=249", chunkRows = 7)
+      val fb = c.executeChunkedAsync(
+        "select v from chk.t where k>=0 and k<=249", chunkRows = 11)
+      val (ra, rb) = scala.concurrent.Await.result(
+        fa.zip(fb), scala.concurrent.duration.Duration("60s"))
+      assert(ra.map(_.head) == (0 until 250).map(_.toLong))
+      assert(rb.map(_.head) == (0 until 250).map(_ * 1.0))
     } finally { c.close(); srv.stop() }
   }
 

@@ -238,6 +238,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(twins.subsetOf(pairs), "identical texts must have distance 0")
   }
 
+  test("int8 quantization: bounded reconstruction error, exact top-1 self-match") {
+    val vecs = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f, 0.75f)),
+      (2L, Array(2.0f, 1.0f, -2.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 0.0f, 0.0f)), // all-zero: scale 0, codes 0
+      (4L, Array(-0.1f, 0.3f, 0.2f, -0.4f))).toDF("vec_id", "embedding")
+    val q = Similarity.int8Quantize(vecs, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Int](2))).sortBy(_._1)
+    val orig = vecs.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble))).sortBy(_._1).toMap
+    q.foreach { case (id, scale, codes) =>
+      assert(codes.forall(c => c >= -127 && c <= 127), s"id $id code range")
+      // dequantization error ≤ scale/2 per element (half-up rounding)
+      codes.zip(orig(id)).foreach { case (c, e) =>
+        assert(math.abs(c * scale - e) <= scale / 2 + 1e-12,
+          s"id $id: code $c * $scale vs $e")
+      }
+      // the max-|e| element must hit ±127 exactly (symmetric scaling)
+      if (scale > 0) assert(codes.map(math.abs).max == 127, s"id $id")
+    }
+    assert(q(2)._2 == 0.0 && q(2)._3.forall(_ == 0)) // zero vector
+    // quantized top-k: the query vector's own row wins (ties by id)
+    val top = Similarity.int8TopK(vecs, "vec_id", "embedding",
+      orig(2L), 2).collect()
+    assert(top.head.getLong(0) == 2L)
+  }
+
   test("knn join: self first, ranks contiguous, candidates within probe radius") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     val out = Similarity.knnJoin(

@@ -1447,19 +1447,26 @@ object Queries {
             t(s, dir, "embeddings").filter(col("vec_id") < 200L),
             "vec_id", "embedding")
           .withColumn("scale", round(col("scale"), 9))
+          // scalarize: the driver's oracle gate hashes cells through
+          // pandas, which cannot sort/factorize raw array cells — every
+          // registry output column must be scalar (gate-enforced by
+          // tools/check.py)
+          .withColumn("qvec",
+            array_join(col("qvec").cast("array<string>"), ","))
           .orderBy("vec_id"),
       Some("""SELECT vec_id,
                 round(list_max(list_transform(CAST(embedding AS DOUBLE[]),
                   e -> abs(e))) / 127.0, 9) AS scale,
-                CASE WHEN list_max(list_transform(
-                    CAST(embedding AS DOUBLE[]), e -> abs(e))) = 0
-                  THEN list_transform(CAST(embedding AS DOUBLE[]),
-                    e -> CAST(0 AS INT))
-                  ELSE list_transform(CAST(embedding AS DOUBLE[]),
-                    e -> CAST(floor(e * 127.0 / list_max(list_transform(
-                      CAST(embedding AS DOUBLE[]), x -> abs(x))) + 0.5)
-                      AS INT))
-                END AS qvec
+                array_to_string(
+                  CASE WHEN list_max(list_transform(
+                      CAST(embedding AS DOUBLE[]), e -> abs(e))) = 0
+                    THEN list_transform(CAST(embedding AS DOUBLE[]),
+                      e -> CAST(0 AS INT))
+                    ELSE list_transform(CAST(embedding AS DOUBLE[]),
+                      e -> CAST(floor(e * 127.0 / list_max(list_transform(
+                        CAST(embedding AS DOUBLE[]), x -> abs(x))) + 0.5)
+                        AS INT))
+                  END, ',') AS qvec
               FROM embeddings WHERE vec_id < 200
               ORDER BY vec_id""")),
 

@@ -311,9 +311,10 @@ object Dedup {
     * Each round is one join + one map-side-combined min — the standard
     * scalable shape (what GraphX's cc computes, without the GraphX
     * dependency). Labels localCheckpoint per round: lineage stays one
-    * round deep (no 20-join plan tree), and checkpoint blocks are
-    * GC-cleaned with the returned DataFrame, so nothing leaks across
-    * calls. The final `changed == 0` round certifies the fixpoint.
+    * round deep (no 20-join plan tree), and each superseded round's
+    * checkpoint blocks are unpersisted eagerly (GC-based cleanup is
+    * "effectively never" inside a long bench/streaming session). The
+    * final `changed == 0` round certifies the fixpoint.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
@@ -341,6 +342,13 @@ object Dedup {
         .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") < col("prev")).count()
+      // free the superseded round's checkpoint blocks NOW — `next` is
+      // already eagerly materialized into its own blocks and `changed`
+      // is counted, so nothing references the old labels; without this
+      // the blocks accrue until the driver GCs the old Dataset, which
+      // in a long session (bench, streaming) is effectively never
+      org.apache.spark.sql.GraftSql.checkpointRdd(labels)
+        .foreach(_.unpersist(blocking = false))
       labels = next
       converged = changed == 0
       iter += 1

@@ -42,13 +42,20 @@ object Similarity {
     */
   def int8Quantize(df: DataFrame, idCol: String, vecCol: String)
       : DataFrame = {
-    val mx = array_max(transform(col(vecCol), e => abs(e.cast("double"))))
-    df.select(col(idCol),
-      (mx / 127.0).as("scale"),
-      transform(col(vecCol), e =>
-        when(mx === 0.0, lit(0))
-          .otherwise(floor(e.cast("double") * 127.0 / mx + 0.5)
-            .cast("int"))).as("qvec"))
+    // `__mx` must be a bound column, NOT the array_max expression inlined
+    // into the transform lambda: lambdas get no subexpression elimination,
+    // so an inlined max re-scans the vector per ELEMENT — O(dim²) per row
+    // (see the same rule at Dedup.shingleArray). With ≥2 references to a
+    // non-cheap column CollapseProject keeps the projections separate and
+    // the max is computed once per row.
+    df.withColumn("__mx",
+        array_max(transform(col(vecCol), e => abs(e.cast("double")))))
+      .select(col(idCol),
+        (col("__mx") / 127.0).as("scale"),
+        transform(col(vecCol), e =>
+          when(col("__mx") === 0.0, lit(0))
+            .otherwise(floor(e.cast("double") * 127.0 / col("__mx") + 0.5)
+              .cast("int"))).as("qvec"))
   }
 
   /** Top-k by QUANTIZED dot product: both sides int8-quantized, scored
@@ -98,10 +105,14 @@ object Similarity {
     * (the plane constants are folded into the generated code).
     */
   def signature(vec: Column, pl: Array[Array[Double]]): Column = {
-    val v = transform(vec, x => x.cast("double"))
+    // cast per ELEMENT inside each plane's lambda rather than binding a
+    // transform(vec, cast) intermediate: an inlined cast-transform is
+    // re-materialized once per PLANE (lambdas get no subexpression
+    // elimination), i.e. nPlanes extra array allocations per row
     val bits = pl.zipWithIndex.map { case (plane, p) =>
       val planeArr = array(plane.map(lit).toSeq: _*)
-      val dot = aggregate(zip_with(v, planeArr, (a, b) => a * b),
+      val dot = aggregate(
+        zip_with(vec, planeArr, (a, b) => a.cast("double") * b),
         lit(0.0), (acc, x) => acc + x)
       when(dot > 0.0, lit(1L << p)).otherwise(lit(0L))
     }
@@ -479,12 +490,17 @@ object Similarity {
       else signature(col(vecCol), planes(nPlanes, dim))
     val b = df.withColumn("lsh_sig", sig)
       .select(col(idCol).as("id"), col(vecCol).as("v"), col("lsh_sig"))
-    val v1 = transform(col("va"), x => x.cast("double"))
-    val v2 = transform(col("vb"), x => x.cast("double"))
-    val dot = aggregate(zip_with(v1, v2, (a, c) => a * c), lit(0.0),
-      (acc, x) => acc + x)
-    val n1 = sqrt(aggregate(transform(v1, x => x * x), lit(0.0), (a, x) => a + x))
-    val n2 = sqrt(aggregate(transform(v2, x => x * x), lit(0.0), (a, x) => a + x))
+    // per-element casts inside the folds (no bound transform(cast)
+    // intermediate): same fold order and arithmetic, zero extra array
+    // materializations per row — see the rule at [[signature]]
+    val dot = aggregate(
+      zip_with(col("va"), col("vb"),
+        (a, c) => a.cast("double") * c.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    def norm(c: Column): Column = sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val n1 = norm(col("va"))
+    val n2 = norm(col("vb"))
     b.as("a").join(b.as("b"),
         col("a.lsh_sig") === col("b.lsh_sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -17,6 +17,20 @@ object GraftSql {
       plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The block-backed RDD beneath a (local)checkpointed Dataset — the
+    * handle iterative algorithms need to FREE superseded rounds:
+    * `Dataset.unpersist` goes through the cache manager, which knows
+    * nothing about checkpoint blocks, so without this each round's
+    * localCheckpoint blocks accrue until the driver GCs the old
+    * Dataset reference.
+    */
+  def checkpointRdd(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case l: execution.LogicalRDD => Some(l.rdd)
+      case _ => None
+    }
+
   def addStrategy(spark: SparkSession,
       strategy: execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental

@@ -266,6 +266,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.head.getLong(0) == 2L)
   }
 
+  test("int8 quantization computes the vector max once per row, not per element") {
+    // the O(dim²) trap: inlining array_max into the transform lambda
+    // re-scans the vector per ELEMENT (lambdas get no subexpression
+    // elimination). The bound `__mx` column must survive CollapseProject:
+    // exactly one array_max in the optimized plan.
+    // non-literal input: a LocalRelation of literals would constant-fold
+    // the whole projection away and hide the plan shape
+    val vecs = spark.range(10).selectExpr("id AS vec_id",
+      "array(CAST(id AS FLOAT), CAST(-id AS FLOAT)) AS embedding")
+    val plan = Similarity.int8Quantize(vecs, "vec_id", "embedding")
+      .queryExecution.optimizedPlan.toString
+    val n = "array_max".r.findAllIn(plan).length
+    assert(n == 1, s"array_max must appear exactly once, got $n:\n$plan")
+    // and the linear-vs-quadratic difference is observable: quantizing
+    // 10k rows at dim 2048 is ~20M element ops (sub-second); the inlined
+    // form would be ~40G (minutes). A loose wall bound separates them
+    // robustly on any machine.
+    val wide = spark.range(10000).selectExpr("id AS vec_id",
+      "transform(sequence(1, 2048), i -> CAST(hash(id, i) % 1000 AS FLOAT) / 1000.0) AS embedding")
+    val t0 = System.nanoTime()
+    Similarity.int8Quantize(wide, "vec_id", "embedding")
+      .selectExpr("sum(qvec[0])").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 30.0, s"dim-2048 quantize took $secs s — quadratic?")
+  }
+
   test("knn join: self first, ranks contiguous, candidates within probe radius") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     val out = Similarity.knnJoin(

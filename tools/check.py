@@ -74,6 +74,18 @@ def main(out_dir, sf_dir):
             print(f"SKIP  {name} (rows-only: {len(got_rel.fetchall())} rows)")
             n_skip += 1
             continue
+        # the driver's gate hashes cells through pandas sort_values, which
+        # dies on non-scalar cells (TypeError: unhashable numpy.ndarray) —
+        # reject array/struct/map output columns HERE before the driver does
+        nested = [(c, str(t)) for c, t in zip(got_rel.columns, got_rel.types)
+                  if "[]" in str(t) or str(t).upper().startswith(("STRUCT", "MAP", "LIST"))]
+        if nested:
+            n_fail += 1
+            print(f"FAIL  {name}: non-scalar output column(s) — the driver "
+                  f"gate cannot hash these; scalarize (array_to_string/md5)")
+            for c, t in nested:
+                print(f"      {c}: {t}")
+            continue
         exp_rel = con.sql(oracle[name])
         g_cols = sorted(got_rel.columns)
         e_cols = sorted(exp_rel.columns)

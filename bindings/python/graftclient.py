@@ -448,14 +448,20 @@ class Connection(object):
                         self._chunks.setdefault(ticket, []).extend(rows)
                     continue
                 fut = self._pending.pop(ticket, None)
+                # drop the ticket's chunk buffer UNCONDITIONALLY: a final
+                # frame for a ticket whose future is already gone (timed
+                # out / cancelled) must not strand its buffered rows
+                buf = self._chunks.pop(ticket, None)
                 if fut is not None:
-                    buf = self._chunks.pop(ticket, None)
                     res = doc.get("1")
                     if buf is not None and not isinstance(res, str):
                         # an error final frame voids the buffered prefix
                         res = buf + (res if isinstance(res, list) else [])
                     fut._complete(res)
         except Exception as e:  # noqa: BLE001 — fail all in-flight calls
+            # partial chunk buffers die with the connection (mirrors the
+            # Scala NetClient, which clears its partial map on loss)
+            self._chunks.clear()
             if not self._closed:
                 err = Error("Connection lost: %s" % e)
                 for t in list(self._pending):

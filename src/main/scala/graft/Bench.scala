@@ -4,8 +4,79 @@ import org.apache.spark.sql.SparkSession
 /** Per-round benchmark: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line (driver contract).
   * Full plans are executed via the `noop` sink (no driver collect).
+  *
+  * Load detection (BENCH_r04 post-mortem): a cheap I/O-bound point-get
+  * canary proved BLIND to CPU/memory-bandwidth contention — the r4
+  * artifact was inflated 2-100x on heavy queries with the canary green.
+  * Three independent detectors now make a poisoned run self-evident:
+  *  1. per-query EXTERNAL cpu fraction — Δ(/proc/stat busy) minus
+  *     Δ(our process cpu), over Δ(total machine cpu): directly measures
+  *     "someone else is eating the box" during each timed run;
+  *  2. a fixed-work CPU-BOUND canary (67M xxhash64 fold across all
+  *     cores) at suite start AND end, compared to a recorded idle
+  *     envelope;
+  *  3. the original point-get canary (still useful for I/O stalls).
+  * `load_suspect` is reported per query and globally.
   */
 object Bench {
+  private val osBean =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+  /** Machine-wide busy cpu-seconds since boot (all cores summed), from
+    * /proc/stat; -1 where /proc is unavailable (non-Linux dev box —
+    * detection degrades gracefully, timings are unaffected).
+    */
+  private def machineBusySecs(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toDouble)
+        val idle = f(3) + (if (f.length > 4) f(4) else 0.0) // idle + iowait
+        (f.sum - idle) / 100.0 // USER_HZ = 100 on mainstream Linux
+      } finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Run `body`, returning (wallSecs, externalCpuFrac, coresUsedBySpark).
+    * externalCpuFrac: fraction of TOTAL machine cpu capacity consumed by
+    * processes other than this JVM while `body` ran — ~0 idle, 0.5+ when
+    * a concurrent build is poisoning the numbers. -1 when undetectable.
+    */
+  private def measured[A](body: => A): (Double, Double, Double) = {
+    val busy0 = machineBusySecs()
+    val cpu0 = osBean.getProcessCpuTime // ns, all threads
+    val t0 = System.nanoTime()
+    body
+    val wall = (System.nanoTime() - t0) / 1e9
+    val selfCpu = (osBean.getProcessCpuTime - cpu0) / 1e9
+    val busy1 = machineBusySecs()
+    val nCores = Runtime.getRuntime.availableProcessors()
+    val capacity = nCores * wall
+    val ext =
+      if (busy0 < 0 || busy1 < 0 || wall <= 0) -1.0
+      else math.max(0.0, (busy1 - busy0 - selfCpu) / capacity)
+    val cores = if (wall > 0) selfCpu / wall else 0.0
+    ((wall * 1000).round / 1000.0, (ext * 1000).round / 1000.0,
+      (cores * 100).round / 100.0)
+  }
+
+  /** Fixed-work CPU-bound canary: fold 67M xxhash64 values across every
+    * core. No I/O, no shuffle — pure cpu + memory bandwidth, exactly the
+    * resource the r4 contention stole. Idle envelope on the driver
+    * machine (local[32]): ~0.15-0.35 s; budget 3x the high end.
+    */
+  private def cpuCanary(spark: SparkSession): Double = {
+    val (wall, _, _) = measured {
+      spark.range(0L, 1L << 26, 1L, 32)
+        // bit_xor, not sum: a sum of 64-bit hashes overflows long under
+        // ANSI mode; xor folds the same work with no overflow
+        .selectExpr("bit_xor(xxhash64(id, id + 1, id + 2)) AS s")
+        .collect()
+    }
+    wall
+  }
+  private val cpuCanaryBudget = 1.05 // 3x the 0.35 s idle high end
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -17,20 +88,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
-    def run(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+    // per-run measurement: (wall, externalCpuFrac, coresUsed); -1 wall on error
+    def runMeasured(name: String): (Double, Double, Double) = {
+      try {
+        val m = measured {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+        }
+        // operators that self-join persist intermediates; drop them so one
+        // query's cache doesn't pressure the next query's memory
+        spark.catalog.clearCache()
+        m
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        (-1.0, -1.0, -1.0)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators that self-join persist intermediates; drop them so one
-      // query's cache doesn't pressure the next query's memory
-      spark.catalog.clearCache()
-      dt
     }
+    def run(name: String): Double = runMeasured(name)._1
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Warm-up: pay JVM/Janino startup before timing. One query is not
     // enough — round-1 showed a ~7 s one-off codegen-compilation hit
@@ -49,28 +123,57 @@ object Bench {
     // queries inflated 3-5x under a concurrent build). The best of two
     // runs is robust to one-sided load spikes; the canary below makes a
     // still-poisoned run self-evident to the reader.
+    // CPU-bound canary at suite START (post-warm-up, so JIT is paid)
+    cpuCanary(spark) // warm the canary's own codegen path
+    val canaryStart = cpuCanary(spark)
     val nRuns = 2
+    // best-of-2 per query, keeping the winning run's load measurements:
+    // machine-load noise poisoned BENCH_r02 AND r04; the best of two is
+    // robust to one-sided spikes, and the per-query external-cpu
+    // fraction makes a still-poisoned number self-evident
     val results = names.map { n =>
-      n -> (0 until nRuns).map(_ => run(n)).filter(_ >= 0)
-        .minOption.getOrElse(-1.0)
+      val runs = (0 until nRuns).map(_ => runMeasured(n)).filter(_._1 >= 0)
+      n -> runs.minByOption(_._1).getOrElse((-1.0, -1.0, -1.0))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
     val (ingestS, scanS) = {
       val runs = (0 until nRuns).map(_ => baselineLoops(spark))
       (runs.map(_._1).min, runs.map(_._2).min)
     }
-    // canary: a point get is ~0.2 s idle at any SF; a multiple of that
-    // budget means the machine was loaded and the numbers are suspect
+    // original canary: a point get is ~0.2 s idle at any SF — still the
+    // right probe for I/O stalls (but blind to cpu contention, r4)
     val canaryBudget = 0.6
     // a failed run (-1 sentinel) must read as SUSPECT, not healthy
     val canary = (0 until nRuns).map(_ => run("q_point_get"))
       .filter(_ >= 0).minOption.getOrElse(-1.0)
+    // CPU-bound canary at suite END: contention that started mid-suite
+    // shows here even if the start was clean
+    val canaryEnd = cpuCanary(spark)
+    // per-query suspicion: >20% of the machine's cpu went to OTHER
+    // processes while the winning run was timed (floor 0.3 s wall —
+    // sub-noise queries can't be meaningfully flagged)
+    val suspectQueries = results.collect {
+      case (n, (w, ext, _)) if w < 0 || (ext > 0.2 && w > 0.3) => n
+    }
+    val cpuCanarySuspect = canaryStart > cpuCanaryBudget ||
+      canaryEnd > cpuCanaryBudget
+    val loadSuspect = canary < 0 || canary > canaryBudget ||
+      cpuCanarySuspect || suspectQueries.nonEmpty
+    val qs = results.map { case (k, (w, _, _)) => "\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
+    val meta = results.map { case (k, (w, ext, cores)) =>
+      s""""$k":{"wall_s":$w,"ext_cpu_frac":$ext,"jvm_cores_used":$cores,""" +
+        s""""suspect":${w < 0 || (ext > 0.2 && w > 0.3)}}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
       s""""queries":$qs,""" +
+      s""""query_load":$meta,""" +
       s""""canary_point_get_s":$canary,"canary_budget_s":$canaryBudget,""" +
-      s""""load_suspect":${canary < 0 || canary > canaryBudget},""" +
+      s""""cpu_canary_start_s":$canaryStart,"cpu_canary_end_s":$canaryEnd,""" +
+      s""""cpu_canary_budget_s":$cpuCanaryBudget,""" +
+      s""""load_suspect_queries":${suspectQueries.sorted
+        .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""load_suspect":$loadSuspect,""" +
       s""""ingest_100k_ohlcv_s":$ingestS,"scan_100k_ohlcv_s":$scanS,""" +
       s""""ingest_rows_per_s":${(100000 / ingestS).toLong},""" +
       s""""scan_rows_per_s":${(100000 / scanS).toLong},"sf":"$sfDir"}""")

@@ -287,8 +287,16 @@ final class GraftServer(engine: Engine, port: Int = 0,
                   Some(math.min(l, maxWireRows.toLong).toInt)
                 case _ => None
               }
+              // a SELECT-shaped statement streams; WITH ... SELECT (CTE)
+              // is SELECT-shaped too — without it a client opting into
+              // chunking would silently fall back to the bounded path
+              // and hit maxWireRows on a big CTE read
+              val selectShaped = {
+                val t = sql.trim.toLowerCase
+                t.startsWith("select") || t.startsWith("with")
+              }
               chunkRows match {
-                case Some(cr) if sql.trim.toLowerCase.startsWith("select") =>
+                case Some(cr) if selectShaped =>
                   // chunked path: streamed, never cached (a cache entry
                   // would be the unbounded collect this path exists to
                   // avoid)

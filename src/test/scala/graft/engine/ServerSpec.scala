@@ -237,6 +237,16 @@ class ServerSpec extends AnyFunSuite {
         fa.zip(fb), scala.concurrent.duration.Duration("60s"))
       assert(ra.map(_.head) == (0 until 250).map(_.toLong))
       assert(rb.map(_.head) == (0 until 250).map(_ * 1.0))
+      // a WITH-prefixed statement is routed to the chunked path (it is
+      // SELECT-shaped); the dialect has no CTEs (reference grammar,
+      // parser.go:9-183), so the parse error must come back as a clean
+      // error final frame — not a maxWireRows refusal, not a hang
+      val we = intercept[OtError](c.executeChunked(
+        "with x as (select 1) select * from x", chunkRows = 5))
+      assert(we.msg.contains("Unexpected token"), we.msg)
+      // and the connection is still usable afterwards
+      assert(c.executeChunked("select k from chk.t where k>=0 and k<=9",
+        chunkRows = 3).length == 10)
     } finally { c.close(); srv.stop() }
   }
 

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * can't answer.
   *
   * Deterministic generators (hash-based, no RNG state) synthesize
-  * `documents` and `events` at a base scale matching sf0.1
-  * (5k docs / 100k events) and at `factor`× that, into two temp dirs
-  * shaped like the driver's sf dirs. The heaviest registry queries that
+  * `documents`, `events` and `embeddings` at a base scale matching
+  * sf0.1 (5k docs / 100k events / 2k dim-64 vectors) and at `factor`×
+  * that — embeddings additionally at dim ×8 (512) for the dim-scaled
+  * vector family — into temp dirs shaped like the driver's sf dirs. The heaviest registry queries that
   * read only those two tables then run at both scales; for each we
   * compare wall time (expect ≤ ~linear growth; sorts are n·log n and
   * candidate joins grow with duplicate structure, so the gate is
@@ -37,6 +38,22 @@ object BenchScale {
     "q_ngram_guarded", "q_ngram_jaccard", "q_simhash_pairs",
     "q_json_extract", "q_repetition", "q_ohlcv_bars", "q_vwap",
     "q_sessionize", "q_dedup_components", "q_doc_chunk", "q_keyterms")
+
+  // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
+  // q_int8_topk at 249.8 s — a scale smoke over embeddings would have
+  // proven that impossible from the artifact alone). Two scaling axes:
+  //  - DIM-scaled (rows ×factor AND dim 64→512): per-row work grows
+  //    ×DimFactor, so an accidentally quadratic-in-dim expression (the
+  //    array_max-inlined-in-lambda trap) blows the ×(factor·DimFactor)
+  //    work gate by another ×DimFactor;
+  //  - ROW-scaled only: q_pq_adc's codebook layout is dim-tied (8
+  //    subvectors × 8 dims), so it scales on the rows axis, which is
+  //    what grows at 100 TB anyway (the codebook is a fixed index
+  //    artifact).
+  private val VectorDimQueries = Seq("q_int8_quant", "q_int8_topk",
+    "q_cosine_topk", "q_knn_join", "q_ann_axis_oracle")
+  private val VectorRowQueries = Seq("q_pq_adc")
+  private val DimFactor = 8L // 64 → 512
 
   // all ≥ 7 chars: the curation chain's quality score weights the
   // alphabetic ratio (letters vs spaces), and q_corpus_build curates at
@@ -124,11 +141,27 @@ object BenchScale {
       concat(lit("{\"k\": "), pmod(xxhash64(col("id"), lit(6L)), lit(100L)),
         lit("}")).as("props"))
 
+  /** embeddings: hash-derived uniform [-1, 1) components — same schema
+    * as the sf dirs (vec_id bigint, embedding float[], label int),
+    * byte-identical on every run at every parallelism.
+    */
+  def makeEmbeddings(spark: SparkSession, n: Long, dim: Int): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        j => ((pmod(xxhash64(col("id"), j), lit(2001L)) - 1000L) / 1000.0)
+          .cast("float")).as("embedding"),
+      pmod(xxhash64(col("id"), lit(9L)), lit(10L)).cast("int").as("label"))
+
   private def writeDir(spark: SparkSession, dir: String, factor: Long): Unit = {
     makeDocuments(spark, 5000L * factor)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     makeEvents(spark, 100000L * factor, 1000L * factor)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // base matches sf0.1's embeddings shape (2k rows, dim 64); the
+    // row-scaled dir keeps dim 64
+    makeEmbeddings(spark, 2000L * factor, 64)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
   private def sig(m: Map[String, Int]): String =
@@ -176,18 +209,31 @@ object BenchScale {
     Tables.configure(spark)
     val base = java.nio.file.Files.createTempDirectory("graft-scale-1").toString
     val big = java.nio.file.Files.createTempDirectory(s"graft-scale-$factor").toString
+    val bigVec = java.nio.file.Files.createTempDirectory("graft-scale-vec").toString
     writeDir(spark, base, 1L)
     writeDir(spark, big, factor)
+    // the dim-scaled embeddings dir: rows ×factor AND dim 64→512
+    makeEmbeddings(spark, 2000L * factor, (64L * DimFactor).toInt)
+      .write.mode("overwrite").parquet(s"$bigVec/embeddings.parquet")
     // warm the codegen families once so first-exercise JIT doesn't land
     // inside a timed run (same reason as Bench's warm-up list)
-    QueryNames.take(3).foreach(n =>
+    (QueryNames.take(3) :+ "q_cosine_topk").foreach(n =>
       SparkEntry.queries(n)(spark, base).write.format("noop")
         .mode("overwrite").save())
     var bad = 0
-    val results = QueryNames.map { name =>
+    // (name, scaled dir, expected WORK ratio): documents/events and the
+    // row-scaled vector queries grow ×factor; the dim-scaled vector
+    // queries grow ×(factor · DimFactor) per the scan's rows×dim work.
+    // Top-k outputs have CONSTANT row counts, so the work ratio — not
+    // the output-row ratio — is the right yardstick for them.
+    val cases =
+      QueryNames.map(n => (n, big, factor.toDouble)) ++
+      VectorRowQueries.map(n => (n, big, factor.toDouble)) ++
+      VectorDimQueries.map(n => (n, bigVec, (factor * DimFactor).toDouble))
+    val results = cases.map { case (name, bigDir, workRatio) =>
       val (t1, r1, s1) = runOne(spark, name, base)
-      val (tN, rN, sN) = runOne(spark, name, big)
-      val rowRatio = if (r1 > 0) rN.toDouble / r1 else factor.toDouble
+      val (tN, rN, sN) = runOne(spark, name, bigDir)
+      val rowRatio = if (r1 > 0) rN.toDouble / r1 else workRatio
       val timeRatio = tN / math.max(t1, 1e-3)
       // hard plan gate: a nested-loop/cartesian join appearing at scale
       // always fails; shuffle-stage growth fails only WITHOUT an
@@ -203,13 +249,15 @@ object BenchScale {
       val shuffleGrowth =
         sN("ShuffleQueryStage") > s1("ShuffleQueryStage") * 1.15 + 2
       val planOk = !pathology && (!shuffleGrowth || strategyFlip)
-      // gate: ≤ 3× per data row ratio (generous for n·log n + fixed
-      // overheads), and no structural pathology
-      val timeOk = timeRatio <= 3.0 * math.max(rowRatio, factor.toDouble)
+      // gate: ≤ 3× per unit of expected work (generous for n·log n +
+      // fixed overheads), and no structural pathology. For the
+      // dim-scaled vector family a quadratic-in-dim expression (the
+      // inlined-array_max trap) overshoots this by another ×DimFactor.
+      val timeOk = timeRatio <= 3.0 * math.max(rowRatio, workRatio)
       if (!planOk || !timeOk) bad += 1
       println(s"""{"query":"$name","t1_s":${f"$t1%.3f"},""" +
         s""""t${factor}_s":${f"$tN%.3f"},"rows1":$r1,"rows$factor":$rN,""" +
-        s""""time_ratio":${f"$timeRatio%.2f"},""" +
+        s""""time_ratio":${f"$timeRatio%.2f"},"work_ratio":$workRatio,""" +
         s""""plan_ok":$planOk,"strategy_flip":$strategyFlip,""" +
         s""""time_ok":$timeOk,""" +
         s""""sig1":"${sig(s1)}","sig$factor":"${sig(sN)}"}""")

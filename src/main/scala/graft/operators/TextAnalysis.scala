@@ -237,4 +237,111 @@ object TextAnalysis {
         coalesce(array_min(transform(grams, g => xxhash64(g))),
           xxhash64(norm)).as("rolling_fp"))
   }
+
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval scorer used to mine domain-relevant training data
+    * from a large corpus (rank the crawl against "what does a math
+    * textbook look like" probes). Robertson/Okapi form with the Lucene
+    * non-negative idf ln(1 + (N - df + 0.5)/(df + 0.5)) and WITHOUT the
+    * rank-preserving (k1+1) numerator constant (the Lucene choice too;
+    * it also keeps every constant in the formula exact in binary64 —
+    * 1.2+1.0 is a round-to-even tie two engines can disagree on). Only
+    * documents containing at least one query term score (BM25 of the
+    * rest is exactly 0).
+    *
+    * Scale shape: tokens filter to the ≤|terms| query terms BEFORE any
+    * aggregation (the explode feeding it is scan-local), doc lengths
+    * are one map-side-combined agg, per-term document frequencies are
+    * a tiny broadcast, and N/avgdl are two scalars off the doc-length
+    * table — no full-vocabulary shuffle anywhere, so corpus size only
+    * enters through the scan.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dl = df.select(col(idCol),
+        size(toks(col(textCol))).cast("long").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val Array(nDocs, sumDl) = dl
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val avgdl = if (nDocs == 0) 1.0 else sumDl.toDouble / nDocs
+    val tf = df.select(col(idCol),
+        explode(toks(col(textCol))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val termScore = idf * col("tf") /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))
+    val out = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .groupBy(col(idCol))
+      .agg(sum(termScore).as("bm25"), count(lit(1)).as("n_terms_hit"))
+    dl.unpersist()
+    out
+  }
+
+  /** Frequency-ranked vocabulary encoding: build the top-`vocabSize`
+    * token vocabulary (ties by token text), assign ids 1..V in rank
+    * order, and re-emit every document as its in-vocabulary token-id
+    * sequence (OOV tokens drop) — the deterministic skeleton of
+    * tokenizer application at corpus scale. Emits
+    * (id, n_ids, ids) with `ids` a space-joined string: id sequences
+    * are list-shaped, and every registry output must be hash-scalar.
+    *
+    * Scale shape: one map-side-combined count shuffle for frequencies,
+    * a bounded driver collect of the vocabulary (≤ vocabSize rows, the
+    * PQ/IVF-codebook pattern), a broadcast join to encode, and one
+    * per-doc aggregation; the token order is restored from positions,
+    * never from shuffle order.
+    */
+  def vocabEncode(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toksOf = df.select(col(idCol),
+      posexplode(toks(col(textCol))).as(Seq("pos", "tok")))
+    val counts = toksOf.groupBy("tok").agg(count(lit(1)).as("freq"))
+    // distributed top-K (TakeOrderedAndProject) + bounded collect; ids
+    // assigned in rank order driver-side — no global window
+    val vocabRows = counts
+      .orderBy(col("freq").desc, col("tok").asc).limit(vocabSize)
+      .collect()
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocabDf = vocabRows.zipWithIndex
+      .map { case (r, i) => (r.getString(0), i + 1L) }.toSeq
+      .toDF("tok", "token_id")
+    toksOf
+      .join(broadcast(vocabDf), Seq("tok"), "inner") // OOV drops
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ids"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("token_id")))),
+            s => s.getField("token_id").cast("string")), " ").as("ids"))
+  }
+
+  /** Per-source boilerplate phrases: word `n`-gram shingles appearing
+    * in at least `minDocs` distinct documents OF THE SAME SOURCE — the
+    * template/navigation text a crawl pipeline strips before training.
+    * Emits (source, shingle, n_docs); the caller picks a removal
+    * threshold per source size.
+    *
+    * Scale shape: shingles are scan-local ([[Dedup.shingles]]'s explode
+    * with per-doc distinct), the count is one map-side-combined shuffle
+    * keyed (source, shingle) — the same cardinality profile as the
+    * minhash banded-bucket build, with no pair join at all.
+    */
+  def boilerplate(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, n: Int = 5, minDocs: Long = 3): DataFrame =
+    df.withColumn("__toks", Dedup.tokens(col(textCol)))
+      .select(col(idCol), col(sourceCol).as("source"),
+        explode(array_distinct(Dedup.shingleArray(col("__toks"), n)))
+          .as("shingle"))
+      .groupBy(col("source"), col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
 }

@@ -292,6 +292,86 @@ class PipelineSpec extends AnyFunSuite {
     assert(secs < 30.0, s"dim-2048 quantize took $secs s — quadratic?")
   }
 
+  test("bm25: only term-hitting docs score, more-hits-shorter-doc ranks higher") {
+    val corpus = Seq(
+      (1L, "spark query engine query query"), // tf(query)=3, short
+      (2L, "a long document about a query and many other things entirely unrelated"),
+      (3L, "nothing relevant here at all"),
+      (4L, "query engine")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25(corpus, "doc_id", "text", Seq("query", "engine"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(_._1)
+    // doc 3 has no query terms: absent (score would be exactly 0)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    val byId = out.map(t => t._1 -> t).toMap
+    // doc 1: high tf + both terms... (1 hits query+engine? 1 has engine
+    // once, query 3x → n_terms_hit 2); doc 2: one hit, long → lowest
+    assert(byId(1L)._3 == 2 && byId(2L)._3 == 1 && byId(4L)._3 == 2)
+    assert(byId(1L)._2 > byId(2L)._2, "tf-rich short doc beats long one-hit doc")
+    assert(byId(4L)._2 > byId(2L)._2, "short two-hit doc beats long one-hit doc")
+    assert(out.forall(_._2 > 0.0), "Lucene idf is non-negative")
+  }
+
+  test("vocab encode: rank-ordered ids, OOV drops, order restored from positions") {
+    val corpus = Seq(
+      (1L, "b a a c b a"),
+      (2L, "a b zzz"),
+      (3L, "c a b")).toDF("doc_id", "text")
+    // freqs: a=5, b=4, c=2, zzz=1 → ids a=1 b=2 c=3 (vocabSize 3; zzz OOV)
+    val out = TextAnalysis.vocabEncode(corpus, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 6L, "2 1 1 3 2 1")))
+    assert(out(1) == ((2L, 2L, "1 2"))) // zzz dropped
+    assert(out(2) == ((3L, 3L, "3 1 2")))
+  }
+
+  test("boilerplate: per-source template shingles surface, cross-source ones don't") {
+    val corpus = (0L until 20L).map { i =>
+      val src = if (i < 10) "sA" else "sB"
+      val header = if (i < 10) "alpha beta gamma delta epsilon zeta"
+      else "one two three four five six"
+      (i, s"$header unique$i word$i tail$i", src)
+    }.toDF("doc_id", "text", "source")
+    val out = TextAnalysis.boilerplate(corpus, "doc_id", "text", "source",
+      n = 5, minDocs = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // each 6-token header has two 5-gram shingles shared by all 10 docs
+    // of its source; shingles bridging into the unique tail never repeat
+    assert(out.length == 4)
+    assert(out.filter(_._1 == "sA").forall(t =>
+      t._3 == 10 && t._2.startsWith("alpha") || t._2.startsWith("beta")))
+    assert(out.count(_._1 == "sA") == 2 && out.count(_._1 == "sB") == 2)
+  }
+
+  test("sign bits pack 32 per word; hamming self-distance 0, flips count exactly") {
+    val dim = 40
+    val base = Array.tabulate(dim)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    // flip 3 known dims, incl. one in the second word (dim 35)
+    val flipped = base.clone()
+    Seq(0, 7, 35).foreach(i => flipped(i) = -flipped(i))
+    val vecs = Seq((1L, base), (2L, flipped)).toDF("vec_id", "embedding")
+    val q = base.map(_.toDouble).toSeq
+    val out = Similarity.hammingTopK(vecs, "vec_id", "embedding", q, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out(0) == ((1L, 0L)), "self-distance is 0 and ranks first")
+    assert(out(1) == ((2L, 3L)), "exactly the 3 flipped sign bits differ")
+  }
+
+  test("weighted sample: monotone in weight, 0 keeps nothing, 1 keeps ~all") {
+    val ids = spark.range(0L, 2000L).selectExpr("id AS doc_id")
+    def kept(w: Double): Set[Long] =
+      Sampling.weightedSample(ids, "doc_id", org.apache.spark.sql.functions.lit(w))
+        .collect().map(_.getLong(0)).toSet
+    val k0 = kept(0.0); val k3 = kept(0.3); val k7 = kept(0.7); val k1 = kept(1.0)
+    assert(k0.isEmpty)
+    assert(k3.subsetOf(k7) && k7.subsetOf(k1), "higher weight keeps a superset")
+    assert(k1.size == 2000, "weight 1 keeps everything (md5 prefix < ffffffff)")
+    // rates land near the weights (hash-uniform)
+    assert(math.abs(k3.size / 2000.0 - 0.3) < 0.05)
+    assert(math.abs(k7.size / 2000.0 - 0.7) < 0.05)
+  }
+
   test("knn join: self first, ranks contiguous, candidates within probe radius") {
     val emb = graft.Tables.load(spark, sf, "embeddings")
     val out = Similarity.knnJoin(

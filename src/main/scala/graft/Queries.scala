@@ -2931,6 +2931,160 @@ object Queries {
                     FROM documents)
               WHERE sample_key < keep_threshold ORDER BY doc_id""")),
 
+    // ── §2.5-adjacent: ordered conversion funnel login→view→buy —
+    //    stage k counts users whose first stage-k event follows their
+    //    first stage-(k-1) event. Three aggregations on the SAME key
+    //    (exchange reuse), stage tables shrink monotonically. ──
+    QueryDef(
+      "q_funnel",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_type"))
+        val s1 = e.filter(col("event_type") === "login")
+          .groupBy("user_id").agg(min(col("ts")).as("t1"))
+        val s2 = e.join(s1, "user_id")
+          .filter(col("event_type") === "view" && col("ts") > col("t1"))
+          .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        val s3 = e.join(s2, "user_id")
+          .filter(col("event_type") === "buy" && col("ts") > col("t2"))
+          .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        s1.agg(count(lit(1)).as("n_login"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_login_view")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_login_view_buy")))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_type
+                FROM events),
+              s1 AS (SELECT user_id, min(tsn) AS t1 FROM e
+                     WHERE event_type = 'login' GROUP BY 1),
+              s2 AS (SELECT e.user_id, min(tsn) AS t2 FROM e
+                     JOIN s1 USING (user_id)
+                     WHERE event_type = 'view' AND tsn > t1 GROUP BY 1),
+              s3 AS (SELECT e.user_id, min(tsn) AS t3 FROM e
+                     JOIN s2 USING (user_id)
+                     WHERE event_type = 'buy' AND tsn > t2 GROUP BY 1)
+              SELECT (SELECT count(*) FROM s1) AS n_login,
+                     (SELECT count(*) FROM s2) AS n_login_view,
+                     (SELECT count(*) FROM s3) AS n_login_view_buy""")),
+
+    // ── §2.5-adjacent: cohort retention — users grouped by first-seen
+    //    day, per-day-offset distinct active users. Integer day math
+    //    (`div`), so every cell is engine-exact. ──
+    QueryDef(
+      "q_retention",
+      (s, dir) => {
+        val dayNs = 86400000000000L
+        val e = t(s, dir, "events")
+          .select(col("user_id"), expr(s"ts div ${dayNs}L").as("day"))
+          .distinct()
+        val cohort = e.groupBy("user_id")
+          .agg(min(col("day")).as("cohort_day"))
+        e.join(cohort, "user_id")
+          .withColumn("day_offset", col("day") - col("cohort_day"))
+          .filter(col("day_offset") <= 3)
+          .groupBy("cohort_day", "day_offset")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH e AS (SELECT DISTINCT user_id,
+                epoch_ns(ts) // 86400000000000 AS day FROM events),
+              c AS (SELECT user_id, min(day) AS cohort_day FROM e
+                    GROUP BY 1)
+              SELECT cohort_day, day - cohort_day AS day_offset,
+                count(*) AS n_users
+              FROM e JOIN c USING (user_id)
+              WHERE day - cohort_day <= 3
+              GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── §2.5-adjacent: gap-filled per-user daily bars — idle days emit
+    //    (0, 0.0) rows between each user's first and last activity. ──
+    QueryDef(
+      "q_gapfill",
+      (s, dir) =>
+        operators.Resample.gapFill(
+            t(s, dir, "events").select("user_id", "ts", "value"),
+            Seq("user_id"), "ts", "value", 86400000000000L)
+          .orderBy("user_id", "bkt"),
+      Some("""WITH e AS (SELECT user_id,
+                epoch_ns(ts) // 86400000000000 AS bkt, value FROM events),
+              agg AS (SELECT user_id, bkt, count(*) AS n_events,
+                        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                          AS sum_value
+                      FROM e GROUP BY 1, 2),
+              span AS (SELECT user_id, min(bkt) AS b0, max(bkt) AS b1
+                       FROM e GROUP BY 1),
+              grid AS (SELECT user_id,
+                         unnest(generate_series(b0, b1)) AS bkt
+                       FROM span)
+              SELECT grid.user_id, grid.bkt,
+                coalesce(n_events, 0) AS n_events,
+                coalesce(sum_value, 0.0) AS sum_value
+              FROM grid LEFT JOIN agg
+                ON agg.user_id = grid.user_id AND agg.bkt = grid.bkt
+              ORDER BY grid.user_id, grid.bkt""")),
+
+    // ── §2.5-adjacent: pivot — event_type counts fanned to columns per
+    //    day (explicit pivot values: no extra distinct job, and the
+    //    output schema is static, as a 100 TB plan needs). ──
+    QueryDef(
+      "q_pivot",
+      (s, dir) => {
+        val types = Seq("click", "view", "buy", "error", "login")
+        val p = t(s, dir, "events")
+          .select(expr("ts div 86400000000000L").as("day"),
+            col("event_type"))
+          .groupBy("day").pivot("event_type", types)
+          .agg(count(lit(1)))
+          .na.fill(0L, types)
+        types.foldLeft(p)((d, ty) => d.withColumnRenamed(ty, s"n_$ty"))
+          .orderBy("day")
+      },
+      Some("""SELECT epoch_ns(ts) // 86400000000000 AS day,
+                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_click,
+                CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_view,
+                CAST(sum(CASE WHEN event_type = 'buy' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_buy,
+                CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_error,
+                CAST(sum(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_login
+              FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // ── north star: content-defined chunking — Rabin-style boundaries
+    //    from the md5 prefix of the 3-token window, portable verbatim;
+    //    boundaries move WITH content, so early edits don't re-chunk
+    //    the whole document. ──
+    QueryDef(
+      "q_cdc_chunk",
+      (s, dir) =>
+        operators.Sampling.cdcChunk(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", n = 3, probHexLt = "04")
+          .orderBy("doc_id", "chunk_id"),
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+              tok AS (SELECT doc_id, toks, i - 1 AS pos
+                      FROM (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks))) AS i
+                            FROM t)),
+              fl AS (SELECT doc_id, pos,
+                       CASE WHEN pos = 0 THEN 1
+                            WHEN pos >= 3 AND
+                              substr(md5(array_to_string(
+                                toks[pos - 2 : pos], ' ')), 1, 2) < '04'
+                              THEN 1
+                            ELSE 0 END AS b
+                     FROM tok),
+              ch AS (SELECT doc_id, pos,
+                       CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos)
+                         AS BIGINT) AS chunk_id
+                     FROM fl)
+              SELECT doc_id, chunk_id, count(*) AS n_tokens,
+                min(pos) AS start_pos
+              FROM ch GROUP BY 1, 2 ORDER BY doc_id, chunk_id""")),
+
     // ── north star: cluster representative selection — the accounting
     //    step AFTER connected components: per near-dup cluster keep the
     //    longest member (ties by smallest id). Integer-only output

@@ -107,4 +107,35 @@ object Resample {
         sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType)
           .as("sum_value"))
   }
+
+  /** Gap-filled per-group time buckets: every bucket between a group's
+    * first and last event emits a row, idle buckets as (0, 0.0) — the
+    * densification step charting/feature pipelines need (a model that
+    * sees only active buckets learns survivor bias). Decimal
+    * accumulator for the value sum (engine-exact), long `div` for the
+    * bucket (exact at any epoch).
+    *
+    * Scale shape: two aggregations on the SAME group keys (the second
+    * exchange reuses the first's partitioning), a scan-local
+    * sequence+explode over the tiny per-group span table for the grid,
+    * and one co-partitioned left join — no global sequence, no
+    * driver-side calendar.
+    */
+  def gapFill(df: DataFrame, keys: Seq[String], timeCol: String,
+      valueCol: String, bucketNs: Long): DataFrame = {
+    val bkt = expr(s"$timeCol div ${bucketNs}L")
+    val keyCols = keys.map(col)
+    val agg = df.groupBy(keyCols :+ bkt.as("bkt"): _*)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol).cast(DecimalType(18, 6))).cast(DoubleType)
+          .as("sum_value"))
+    val grid = df.groupBy(keyCols: _*)
+      .agg(min(bkt).as("__b0"), max(bkt).as("__b1"))
+      .select(keyCols :+
+        explode(sequence(col("__b0"), col("__b1"))).as("bkt"): _*)
+    grid.join(agg, keys :+ "bkt", "left")
+      .select(keyCols ++ Seq(col("bkt"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value")): _*)
+  }
 }

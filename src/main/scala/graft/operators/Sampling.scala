@@ -139,4 +139,40 @@ object Sampling {
       .select(col(idCol), col("lang_pred"), col("quality_score"),
         col("lang_rank"))
   }
+
+  /** Content-defined chunking: a chunk boundary opens BEFORE token p
+    * when the hash of the `n`-token window ENDING at p-1 sorts under
+    * `probHexLt` (first two hex chars of md5; "04" ≈ 1/64 of windows) —
+    * Rabin-style splitting where boundaries move WITH the content, so
+    * an insertion early in a document only re-chunks its neighborhood
+    * instead of shifting every downstream fixed-size chunk (the dedup
+    * stability property fixed-budget [[chunkDocuments]] lacks). The
+    * md5-prefix test is portable to any SQL engine verbatim.
+    * Emits (id, chunk_id, n_tokens, start_pos), chunk ids 1-based,
+    * positions 0-based.
+    *
+    * Scale shape: tokenize + window-gram hashing are scan-local (the
+    * gram array is bound once per row); the only shuffle is the
+    * per-document cumulative-sum window — partitioned by doc id, never
+    * global — and the closing per-chunk aggregation on the same key.
+    */
+  def cdcChunk(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, probHexLt: String = "04"): DataFrame = {
+    val flagged = df
+      .withColumn("__toks", Dedup.tokens(col(textCol)))
+      .withColumn("__grams", Dedup.shingleArray(col("__toks"), n))
+      .select(col(idCol), col("__grams"),
+        posexplode(col("__toks")).as(Seq("pos", "tok")))
+      .withColumn("__boundary",
+        when(col("pos") === 0, 1L)
+          .when(col("pos") >= n &&
+            substring(md5(element_at(col("__grams"),
+              (col("pos") - (n - 1)).cast("int"))), 1, 2) < probHexLt, 1L)
+          .otherwise(0L))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    flagged
+      .withColumn("chunk_id", sum(col("__boundary")).over(w))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(count(lit(1)).as("n_tokens"), min(col("pos")).as("start_pos"))
+  }
 }

@@ -105,4 +105,62 @@ class SamplingSpec extends AnyFunSuite {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+
+  test("cdcChunk: full coverage, contiguous ids, boundaries move with content") {
+    import spark.implicits._
+    val out = Sampling.cdcChunk(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3).toLong))
+    val byDoc = out.groupBy(_._1)
+    val tokCounts = docs.selectExpr("doc_id",
+      "size(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) AS n")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    byDoc.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_._2)
+      // chunk ids contiguous from 1; token coverage exact and disjoint
+      assert(sorted.map(_._2).sameElements(1L to sorted.length))
+      assert(sorted.map(_._3).sum == tokCounts(id), s"doc $id coverage")
+      // each chunk starts where the previous ended
+      sorted.sliding(2).foreach {
+        case Array((_, _, n0, p0), (_, _, _, p1)) => assert(p1 == p0 + n0)
+        case _ =>
+      }
+    }
+    // content-defined stability: shifting a doc by a 200-token prefix
+    // leaves the boundary STRUCTURE of the tail intact (same chunk
+    // sizes after the first post-prefix boundary) — the property
+    // fixed-budget chunking does not have
+    // a doc with interior boundaries (≥3 chunks), so the tail structure
+    // is non-trivial
+    val richId = byDoc.filter(_._2.length >= 3).keys.min
+    val base = docs.filter($"doc_id" === richId).head().getString(1)
+    val prefix = (1 to 200).map(i => s"pfx$i").mkString(" ")
+    val two = Seq((1L, base), (2L, s"$prefix $base")).toDF("doc_id", "text")
+    val c2 = Sampling.cdcChunk(two, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3).toLong))
+    val sizes1 = c2.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val shifted = c2.filter(_._1 == 2L).sortBy(_._2)
+      .dropWhile(_._4 < 201 + 2) // chunks overlapping prefix+bridge grams
+      .map(_._3)
+    assert(shifted.nonEmpty && sizes1.containsSlice(shifted),
+      s"tail chunk sizes survive a prefix shift " +
+        s"(doc $richId: ${sizes1.toSeq} vs shifted ${shifted.toSeq})")
+  }
+
+  test("gapFill: idle buckets emit zeros, span exact, active buckets match agg") {
+    import spark.implicits._
+    val dayNs = 86400000000000L
+    val e = Seq(
+      (1L, 0L * dayNs + 5L, 1.5), (1L, 0L * dayNs + 9L, 2.0),
+      (1L, 3L * dayNs + 1L, 4.25), // days 1-2 idle for user 1
+      (2L, 2L * dayNs, 10.0)).toDF("user_id", "ts", "value")
+    val out = graft.operators.Resample
+      .gapFill(e, Seq("user_id"), "ts", "value", dayNs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 2L, 3.5), (1L, 1L, 0L, 0.0), (1L, 2L, 0L, 0.0),
+      (1L, 3L, 1L, 4.25), (2L, 2L, 1L, 10.0)))
+  }
 }

@@ -37,7 +37,11 @@ object BenchScale {
     "q_corpus_build", "q_minhash_incremental", "q_minhash_dedup",
     "q_ngram_guarded", "q_ngram_jaccard", "q_simhash_pairs",
     "q_json_extract", "q_repetition", "q_ohlcv_bars", "q_vwap",
-    "q_sessionize", "q_dedup_components", "q_doc_chunk", "q_keyterms")
+    "q_sessionize", "q_dedup_components", "q_doc_chunk", "q_keyterms",
+    // round-5 additions: text mining + CDC over documents, analytics
+    // over events
+    "q_bm25", "q_vocab_encode", "q_boilerplate", "q_cdc_chunk",
+    "q_funnel", "q_retention", "q_gapfill", "q_pivot")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

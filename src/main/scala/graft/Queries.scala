@@ -2931,6 +2931,98 @@ object Queries {
                     FROM documents)
               WHERE sample_key < keep_threshold ORDER BY doc_id""")),
 
+    // ── north star: matryoshka two-stage top-k — coarse rank on the
+    //    16-dim prefix (reads 1/4 of the vector bytes), exact rerank of
+    //    the top-100 candidates at full dimension. ──
+    QueryDef(
+      "q_mrl_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val q = emb.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0)
+        operators.Similarity.mrlTopK(emb, "vec_id", "embedding", q,
+            prefixDims = 16, candidates = 100, k = 20)
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+      },
+      Some("""WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS q
+                FROM embeddings WHERE vec_id = 0),
+              cand AS (SELECT vec_id, embedding FROM embeddings, qv
+                       ORDER BY list_cosine_similarity(
+                         CAST(embedding[1:16] AS DOUBLE[]), q[1:16]) DESC,
+                         vec_id ASC LIMIT 100)
+              SELECT vec_id, round(list_cosine_similarity(
+                  CAST(embedding AS DOUBLE[]), (SELECT q FROM qv)), 6)
+                AS cos_sim
+              FROM cand
+              ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT q FROM qv)) DESC, vec_id ASC LIMIT 20""")),
+
+    // ── north star: per-label centroid components — class prototypes
+    //    emitted long-form (label, pos, mean, n), one map-side-combined
+    //    aggregation at labels×dim cardinality. ──
+    QueryDef(
+      "q_centroids_by_label",
+      (s, dir) =>
+        operators.Similarity.labelCentroids(
+            t(s, dir, "embeddings"), "label", "embedding")
+          .withColumn("mean_e", round(col("mean_e"), 6))
+          .orderBy("label", "pos"),
+      Some("""SELECT label, i - 1 AS pos,
+                round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS mean_e,
+                count(*) AS n_vecs
+              FROM (SELECT label, embedding,
+                      unnest(generate_series(1, len(embedding))) AS i
+                    FROM embeddings)
+              GROUP BY 1, 2 ORDER BY label, pos""")),
+
+    // ── north star: directional shingle containment — the near-SUBSET
+    //    detector (truncated re-crawls, excerpt spam) that Jaccard
+    //    misses: half-docs score c≈1.0 on their short side but j≈0.5.
+    //    Integer ratios only: no rounding anywhere. ──
+    QueryDef(
+      "q_containment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        // append truncated (first-half-tokens) twins: near-subsets of
+        // their originals by construction
+        val aug = docs.union(docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat_ws(" ", slice(split(lower(trim(col("text"))), "\\s+"),
+            lit(1), floor(size(split(lower(trim(col("text"))), "\\s+")) / 2)
+              .cast("int"))).as("text")))
+        operators.Dedup.containmentPairs(aug, "doc_id", "text",
+            n = 5, threshold = 0.9, maxDocFreq = 0)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH base AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+              docs AS (SELECT doc_id, toks FROM base
+                       UNION ALL
+                       SELECT doc_id + 100000,
+                         toks[1 : len(toks) // 2] FROM base),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS g
+                           FROM docs)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        count(*) AS shared
+                      FROM sh a JOIN sh b
+                        ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+              SELECT id_a, id_b, shared,
+                CAST(shared AS DOUBLE) / x.n AS c_a,
+                CAST(shared AS DOUBLE) / y.n AS c_b
+              FROM prs
+              JOIN sz x ON x.doc_id = id_a
+              JOIN sz y ON y.doc_id = id_b
+              WHERE greatest(CAST(shared AS DOUBLE) / x.n,
+                             CAST(shared AS DOUBLE) / y.n) >= 0.9
+              ORDER BY id_a, id_b""")),
+
     // ── §2.5-adjacent: ordered conversion funnel login→view→buy —
     //    stage k counts users whose first stage-k event follows their
     //    first stage-(k-1) event. Three aggregations on the SAME key

@@ -61,9 +61,14 @@ object Dedup {
     * dropped (stopword shingles explode the pair join quadratically and
     * contribute little discrimination).
     */
-  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 5, threshold: Double = 0.6,
-      maxDocFreq: Long = 1000): DataFrame = {
+  /** Shared-shingle pair skeleton: (id_a, id_b, shared, n_a, n_b) for
+    * every doc pair sharing ≥1 surviving shingle — the inverted-index
+    * self-join both the Jaccard and containment metrics score over.
+    * Sizes always come from the UNguarded index (the guard only prunes
+    * the candidate join; a doc's true shingle count is unchanged).
+    */
+  private def sharedShingleCounts(df: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDocFreq: Long): DataFrame = {
     // materialize the tokenization once: the inverted index is read three
     // times (sizes + both sides of the pair join); recomputing the regex
     // tokenize + shingle explode per use dominates otherwise
@@ -85,11 +90,35 @@ object Dedup {
         .withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b")
         .withColumnRenamed("n_sh", "n_b"), "id_b")
+  }
+
+  def ngramJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.6,
+      maxDocFreq: Long = 1000): DataFrame =
+    sharedShingleCounts(df, idCol, textCol, n, maxDocFreq)
       .withColumn("jaccard", col("shared").cast(DoubleType) /
         (col("n_a") + col("n_b") - col("shared")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "shared", "jaccard")
-  }
+
+  /** Directional shingle CONTAINMENT: c_a = shared/|A|, c_b = shared/|B|
+    * — the near-SUBSET detector Jaccard misses (a doc quoting half of
+    * another has jaccard ≈ 0.5 but containment ≈ 1.0 on the smaller
+    * side: quote extraction, truncated re-crawls, excerpt spam). Pairs
+    * where either direction clears `threshold` survive. Ratios of exact
+    * integers, so both engines compute identical doubles — no rounding
+    * needed anywhere.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, threshold: Double = 0.9,
+      maxDocFreq: Long = 1000): DataFrame =
+    sharedShingleCounts(df, idCol, textCol, n, maxDocFreq)
+      .withColumn("c_a", col("shared").cast(DoubleType) /
+        col("n_a").cast(DoubleType))
+      .withColumn("c_b", col("shared").cast(DoubleType) /
+        col("n_b").cast(DoubleType))
+      .filter(greatest(col("c_a"), col("c_b")) >= threshold)
+      .select("id_a", "id_b", "shared", "c_a", "c_b")
 
   /** MinHash signature column: array of `numHashes` min-hashes over the
     * doc's shingle set, built with xxhash64(shingle, seed) — pure

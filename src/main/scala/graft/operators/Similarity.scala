@@ -90,6 +90,47 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
 
+  /** Matryoshka-style two-stage top-k: rank ALL vectors by cosine over
+    * only the first `prefixDims` dimensions (MRL-trained embeddings
+    * front-load information, so the prefix is a usable coarse score),
+    * keep the top `candidates`, then rerank those exactly at full
+    * dimension. The coarse pass reads prefixDims/dim of the vector
+    * bytes — at 100 TB that is the difference between scanning 4 TB and
+    * 64 TB for the first stage — and both stages are one scan + one
+    * TakeOrdered with deterministic id tiebreaks, so the whole ranking
+    * replays in any engine.
+    */
+  def mrlTopK(df: DataFrame, idCol: String, vecCol: String,
+      q: Seq[Double], prefixDims: Int, candidates: Int, k: Int)
+      : DataFrame = {
+    val qPre = q.take(prefixDims)
+    df.select(col(idCol), col(vecCol),
+        graft.functions.CosineToQuery(
+          slice(col(vecCol), 1, prefixDims), qPre).as("pre_sim"))
+      .orderBy(col("pre_sim").desc, col(idCol).asc)
+      .limit(candidates)
+      .select(col(idCol),
+        graft.functions.CosineToQuery(col(vecCol), q).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Per-label centroid components: (label, pos, mean_e, n_vecs) — the
+    * class-prototype computation behind centroid classifiers, drift
+    * monitors and IVF-style seeding. Emitted LONG (one row per
+    * dimension), not as an array column: scalar outputs hash in any
+    * gate, and the shape is what a downstream join wants anyway.
+    * One scan-local posexplode + one map-side-combined aggregation
+    * keyed (label, pos) — cardinality labels×dim, no collect.
+    */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String)
+      : DataFrame =
+    df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "e")))
+      .groupBy("label", "pos")
+      .agg(avg(col("e").cast("double")).as("mean_e"),
+        count(lit(1)).as("n_vecs"))
+
   /** Deterministic pseudo-random hyperplanes: plane p, dim d ∈ [-1, 1).
     * Seeded by (p, d) through a 64-bit mix so every executor and every
     * session derives the same planes with no broadcast needed.

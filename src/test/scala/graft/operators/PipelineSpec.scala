@@ -292,6 +292,63 @@ class PipelineSpec extends AnyFunSuite {
     assert(secs < 30.0, s"dim-2048 quantize took $secs s — quadratic?")
   }
 
+  test("mrl top-k: full-candidate run equals exact top-k; coarse pass keeps self") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val q = emb.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0)
+    val n = emb.count().toInt
+    // candidates = corpus size → the rerank sees everything → identical
+    // to brute-force exact top-k, cell for cell
+    val exact = Similarity.cosineTopK(emb, "vec_id", "embedding", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val mrlAll = Similarity.mrlTopK(emb, "vec_id", "embedding", q,
+        prefixDims = 16, candidates = n, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(mrlAll.toSeq == exact.toSeq)
+    // a REAL coarse pass (100 of the corpus) still ranks the query's own
+    // vector first at cosine 1.0 (its prefix cosine is 1.0 too)
+    val mrl = Similarity.mrlTopK(emb, "vec_id", "embedding", q,
+      prefixDims = 16, candidates = 100, k = 10).collect()
+    assert(mrl.head.getLong(0) == 0L)
+    assert(math.abs(mrl.head.getDouble(1) - 1.0) < 1e-9)
+    assert(mrl.length == 10)
+  }
+
+  test("label centroids: exact per-dimension means, labels x dim rows") {
+    val vecs = Seq(
+      (0, Array(1.0f, 3.0f)), (0, Array(3.0f, 5.0f)),
+      (1, Array(-2.0f, 0.0f))).toDF("label", "embedding")
+    val out = Similarity.labelCentroids(vecs, "label", "embedding")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (0, 0, 2.0, 2L), (0, 1, 4.0, 2L), (1, 0, -2.0, 1L), (1, 1, 0.0, 1L)))
+  }
+
+  test("containment finds near-subsets that jaccard misses") {
+    val aug = docs.limit(40).union(docs.limit(40).selectExpr(
+      "doc_id + 100000 AS doc_id",
+      // first half of the tokens: a strict near-subset
+      "concat_ws(' ', slice(split(lower(trim(text)), '\\\\s+'), 1, " +
+        "CAST(floor(size(split(lower(trim(text)), '\\\\s+')) / 2) AS INT)" +
+        ")) AS text"))
+    val cont = Dedup.containmentPairs(aug, "doc_id", "text",
+        n = 5, threshold = 0.9, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3),
+        r.getDouble(4)))
+    val truncPairs = cont.filter { case (a, b, _, _) => b == a + 100000 }
+    assert(truncPairs.length >= 35, s"got ${truncPairs.length}")
+    // every 5-gram of the half-doc is a 5-gram of the original: the
+    // small side's containment is EXACTLY 1.0
+    assert(truncPairs.forall { case (_, _, cA, cB) => math.max(cA, cB) == 1.0 })
+    // jaccard at the same threshold misses them (≈ 0.5 overlap)
+    val jac = Dedup.ngramJaccard(aug, "doc_id", "text", n = 5,
+        threshold = 0.9, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .count { case (a, b) => b == a + 100000 }
+    assert(jac == 0, "jaccard 0.9 must not see half-doc subsets")
+  }
+
   test("bm25: only term-hitting docs score, more-hits-shorter-doc ranks higher") {
     val corpus = Seq(
       (1L, "spark query engine query query"), // tf(query)=3, short

@@ -2931,6 +2931,56 @@ object Queries {
                     FROM documents)
               WHERE sample_key < keep_threshold ORDER BY doc_id""")),
 
+    // ── §2.4: band (interval) join done scalably — pairs of same-user
+    //    events within 1 s of each other. A naive |a-b|<=δ condition
+    //    plans a nested-loop join; the banded form probes ±1 time
+    //    bucket EQUI-joined on (user, bucket), then filters the exact
+    //    band. The spec asserts the plan carries no NLJ/cartesian. ──
+    QueryDef(
+      "q_range_join",
+      (s, dir) => {
+        val e = t(s, dir, "events").select("user_id", "ts", "event_id")
+        operators.Layout.bandedRangeJoin(e, e, Seq("user_id"), "ts",
+            1000000000L)
+          .filter(col("l_event_id") < col("r_event_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("l_user_id")).as("n_users_with_pairs"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id
+                FROM events)
+              SELECT count(*) AS n_pairs,
+                count(DISTINCT a.user_id) AS n_users_with_pairs
+              FROM e a JOIN e b
+                ON a.user_id = b.user_id
+                AND b.tsn BETWEEN a.tsn - 1000000000
+                              AND a.tsn + 1000000000
+                AND a.event_id < b.event_id""")),
+
+    // ── north star: corpus bigram LM — exact counts and one exact
+    //    integer ratio per row (p = c_ab/c_a); the n-gram statistics
+    //    quality filters build on. ──
+    QueryDef(
+      "q_bigram_lm",
+      (s, dir) =>
+        operators.TextAnalysis.bigramLM(
+          t(s, dir, "documents"), "doc_id", "text", topK = 50),
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+              big AS (SELECT array_to_string(toks[g:g+1], ' ') AS bigram
+                      FROM (SELECT toks,
+                              unnest(generate_series(1, len(toks) - 1))
+                                AS g
+                            FROM t)),
+              bc AS (SELECT bigram, count(*) AS c_ab FROM big
+                     GROUP BY 1),
+              uc AS (SELECT w1, count(*) AS c_a
+                     FROM (SELECT unnest(toks) AS w1 FROM t) GROUP BY 1)
+              SELECT bigram, c_ab, c_a,
+                CAST(c_ab AS DOUBLE) / c_a AS p_cond
+              FROM bc JOIN uc ON split_part(bigram, ' ', 1) = w1
+              ORDER BY c_ab DESC, bigram ASC LIMIT 50""")),
+
     // ── north star: matryoshka two-stage top-k — coarse rank on the
     //    16-dim prefix (reads 1/4 of the vector bytes), exact rerank of
     //    the top-100 candidates at full dimension. ──

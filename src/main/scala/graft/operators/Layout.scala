@@ -32,6 +32,36 @@ object Layout {
     * side is replicated `n`× — a hot key spreads over n reducers
     * instead of one straggler. Equivalent rows to a plain inner join.
     */
+  /** Band (interval) join — pairs within `|l.ts - r.ts| <= delta` under
+    * equal `keys` — WITHOUT the broadcast-nested-loop plan Spark gives a
+    * naive non-equi condition. The left side probes its time bucket and
+    * both neighbors (bucket width = delta, so every in-band partner
+    * lands within ±1 bucket), the join is EQUI on (keys, bucket), and
+    * the exact band predicate filters the candidates after. Cost: 3×
+    * duplication of ONE side and one hash shuffle on (keys, bucket) —
+    * versus the quadratic per-key blowup of the NLJ, which is the
+    * difference between a join and an outage at 100 TB. Left columns
+    * get prefix `l_`, right columns `r_`.
+    */
+  def bandedRangeJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], tsCol: String, delta: Long): DataFrame = {
+    require(delta > 0, "delta must be positive")
+    val l = left.columns.foldLeft(left)((d, c) =>
+      d.withColumnRenamed(c, s"l_$c"))
+    val r = right.columns.foldLeft(right)((d, c) =>
+      d.withColumnRenamed(c, s"r_$c"))
+    val probe = l.withColumn("__bkt",
+      explode(array(Seq(-1L, 0L, 1L).map(o =>
+        expr(s"l_$tsCol div ${delta}L") + lit(o)): _*)))
+    val build = r.withColumn("__bkt", expr(s"r_$tsCol div ${delta}L"))
+    val keyConds = keys.map(k => col(s"l_$k") === col(s"r_$k"))
+    val joinCond = (keyConds :+ (probe("__bkt") === build("__bkt")))
+      .reduce(_ && _)
+    probe.join(build, joinCond)
+      .filter(abs(col(s"l_$tsCol") - col(s"r_$tsCol")) <= delta)
+      .drop("__bkt")
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltSource: String, n: Int): DataFrame = {
     val salted = left.withColumn("__salt", pmod(xxhash64(col(saltSource)), lit(n)))

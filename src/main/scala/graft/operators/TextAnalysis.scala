@@ -324,6 +324,36 @@ object TextAnalysis {
             s => s.getField("token_id").cast("string")), " ").as("ids"))
   }
 
+  /** Corpus bigram language model (MLE): top-`topK` bigrams by count
+    * with their conditional probability p(b|a) = c(ab)/c(a) — the
+    * n-gram statistics quality filters and perplexity heuristics build
+    * on. Counts are exact integers and the probability is one exact
+    * integer ratio, so every cell is engine-identical with no rounding.
+    *
+    * Scale shape: two map-side-combined count shuffles (bigrams,
+    * unigrams) and a token-keyed hash join between their RESULTS — both
+    * orders of magnitude smaller than the corpus; the top-K is a
+    * TakeOrdered, never a global sort.
+    */
+  def bigramLM(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 50): DataFrame = {
+    val toksOf = df.withColumn("__toks", Dedup.tokens(col(textCol)))
+    val bigrams = toksOf
+      .select(explode(Dedup.shingleArray(col("__toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("c_ab"))
+    val unigrams = toksOf
+      .select(explode(col("__toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c_a"))
+    bigrams
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(unigrams, "w1")
+      .withColumn("p_cond", col("c_ab").cast(DoubleType) /
+        col("c_a").cast(DoubleType))
+      .orderBy(col("c_ab").desc, col("bigram").asc)
+      .limit(topK)
+      .select("bigram", "c_ab", "c_a", "p_cond")
+  }
+
   /** Per-source boilerplate phrases: word `n`-gram shingles appearing
     * in at least `minDocs` distinct documents OF THE SAME SOURCE — the
     * template/navigation text a crawl pipeline strips before training.

@@ -47,6 +47,29 @@ class LayoutSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("banded range join: equals naive band join, plans NO nested loop") {
+    val e = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
+      .select("user_id", "ts", "event_id").limit(2000)
+    val delta = 1000000000L
+    val banded = Layout.bandedRangeJoin(e, e, Seq("user_id"), "ts", delta)
+      .filter($"l_event_id" < $"r_event_id")
+    // the naive non-equi formulation (ground truth, NLJ plan)
+    val l = e.select($"user_id".as("lu"), $"ts".as("lt"), $"event_id".as("le"))
+    val r = e.select($"user_id".as("ru"), $"ts".as("rt"), $"event_id".as("re"))
+    val naive = l.join(r, $"lu" === $"ru" &&
+        org.apache.spark.sql.functions.abs($"lt" - $"rt") <= delta &&
+        $"le" < $"re")
+      .select($"le", $"re").collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val got = banded.select($"l_event_id", $"r_event_id")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got == naive, s"${got.size} vs ${naive.size} pairs")
+    // the whole point: the banded plan is hash/sort-merge, never a
+    // nested loop or cartesian
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("spark SQL passthrough over engine views") {
     val wh = java.nio.file.Files.createTempDirectory("graft-sv-wh").toString
     val e = new graft.engine.Engine(spark, wh)

@@ -349,6 +349,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(jac == 0, "jaccard 0.9 must not see half-doc subsets")
   }
 
+  test("bigram LM: exact counts, conditional prob is c_ab/c_a, topK ordered") {
+    val corpus = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLM(corpus, "doc_id", "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val byBigram = out.map(t => t._1 -> t).toMap
+    // "the cat": 2 of 3 "the"; "cat sat": 1 of 2 "cat"
+    assert(byBigram("the cat") == (("the cat", 2L, 3L, 2.0 / 3.0)))
+    assert(byBigram("cat sat") == (("cat sat", 1L, 2L, 0.5)))
+    assert(byBigram("the dog") == (("the dog", 1L, 3L, 1.0 / 3.0)))
+    // ordering: count desc then bigram asc
+    assert(out.head._1 == "the cat")
+    assert(out.map(_._2).sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("bm25: only term-hitting docs score, more-hits-shorter-doc ranks higher") {
     val corpus = Seq(
       (1L, "spark query engine query query"), // tf(query)=3, short

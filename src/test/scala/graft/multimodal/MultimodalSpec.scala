@@ -235,6 +235,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(two.map(_.getInt(0)).toSeq == Seq(0, 2))
   }
 
+  test("REAL animated-GIF frame decode: every frame via the JDK gif reader") {
+    // build a 3-frame animated GIF with the JDK's own sequence writer:
+    // frame gray levels 0, 128, 255 at 8x8
+    def frame(gray: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(gray, gray, gray))
+      g.fillRect(0, 0, 8, 8); g.dispose()
+      img
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val w = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    Seq(0, 128, 255).foreach { gLev =>
+      w.writeToSequence(
+        new javax.imageio.IIOImage(frame(gLev), null, null), null)
+    }
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val gif = baos.toByteArray
+    val df = Seq((1L, gif), (2L, "not a gif".getBytes("UTF-8")))
+      .toDF("id", "vid")
+    val out = Multimodal.decodeGifFrames(df, "vid", maxFrames = 3, dim = 4)
+      .orderBy("id", "frame_idx").collect()
+    // row layout: (id, vid, frame_idx, sample_idx, n_frames, w, h, ch, feats)
+    val frames = out.filter(_.getLong(0) == 1L)
+    assert(frames.length == 3)
+    assert(frames.map(_.getInt(2)).toSeq == Seq(0, 1, 2)) // frame_idx
+    assert(frames.map(_.getInt(3)).toSeq == Seq(0, 1, 2)) // sample_idx
+    assert(frames.forall(_.getInt(4) == 3)) // n_frames
+    assert(frames.forall(r => r.getInt(5) == 8 && r.getInt(6) == 8))
+    // mean luminance tracks the frame gray level (GIF palettes quantize,
+    // so compare loosely)
+    val lums = frames.map(_.getSeq[Float](8).head)
+    assert(lums(0) < 0.1f && math.abs(lums(1) - 0.5f) < 0.1f &&
+      lums(2) > 0.9f, lums.toSeq.toString)
+    // evenly-spaced picks when maxFrames < n: 3 frames, take 2 → 0 and 2
+    val two = Multimodal.decodeGifFrames(df.filter($"id" === 1L), "vid",
+      maxFrames = 2, dim = 4).orderBy("frame_idx").collect()
+    assert(two.map(_.getInt(3)).toSeq == Seq(0, 2))
+    // the non-GIF payload is one honest NULL row
+    val bad = out.filter(_.getLong(0) == 2L)
+    assert(bad.length == 1 && bad.head.isNullAt(2) && bad.head.isNullAt(8))
+  }
+
   test("video frame decode leaves non-MJPEG codecs honestly null") {
     // the avc1 container from the demux test: sample TABLES absent, so
     // the fourcc gate never even fires — and a jpeg-fourcc track whose

@@ -146,6 +146,42 @@ object Ingest {
       }
       .start()
 
+  /** STREAMING embedding near-dup detection against a STATIC quantized
+    * corpus, as a TRUE stream-static equi-join (no foreachBatch, no
+    * streaming state): the stream side packs sign bits
+    * ([[graft.operators.Similarity.signBits]] — pure expressions, fully
+    * stream-safe), candidates block on agreement of one 32-bit sign
+    * WORD (near-colinear vectors agree on whole words with high
+    * probability — the Hamming analog of the minhash band), and the
+    * exact integer Hamming distance verifies. Per-batch cost scales
+    * with batch × bucket size, never the corpus. A pair surfaces once
+    * per agreeing word (bounded by dim/32 — dedup downstream if
+    * exactly-once pairs matter; a stateless stream can't distinct).
+    */
+  def streamHammingDedup(stream: DataFrame, static: DataFrame,
+      idCol: String, vecCol: String, dim: Int,
+      maxHamming: Int): DataFrame = {
+    import graft.operators.Similarity.signBits
+    def banded(df: DataFrame, prefix: String): DataFrame =
+      df.select(col(idCol).as(s"${prefix}_id"),
+          signBits(col(vecCol), dim).as(s"${prefix}_bits"))
+        .select(col(s"${prefix}_id"), col(s"${prefix}_bits"),
+          posexplode(col(s"${prefix}_bits"))
+            .as(Seq("word_idx", s"${prefix}_word")))
+    val s = banded(stream, "new")
+    val c = banded(static, "old")
+    val hamming = aggregate(
+      zip_with(col("new_bits"), col("old_bits"),
+        (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    s.join(c, Seq("word_idx")).filter(
+        col("new_word") === col("old_word") &&
+        col("new_id") =!= col("old_id"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select("new_id", "old_id", "hamming")
+  }
+
   /** Session-window aggregation: events within `gap` of each other merge
     * into one session per key; closed sessions emit when the watermark
     * passes (append mode).

@@ -143,6 +143,48 @@ class StreamingSpec extends AnyFunSuite {
       Seq(10L, 10L, 9L))
   }
 
+  test("streaming hamming dedup: stream-static join, batch parity, zero state") {
+    implicit val sq = spark.sqlContext
+    val dim = 40
+    def vec(seed: Int, flips: Int): Array[Float] = {
+      val v = Array.tabulate(dim)(i =>
+        if (((i * 31 + seed * 7) % 5) < 2) 1.0f else -1.0f)
+      (0 until flips).foreach(i => v(i * 3 % dim) = -v(i * 3 % dim))
+      v
+    }
+    // static corpus: 3 vectors; stream: an exact twin of corpus id 10,
+    // a 2-flip near-dup of id 11, and a far vector
+    val corpus = Seq((10L, vec(1, 0)), (11L, vec(2, 0)), (12L, vec(3, 0)))
+      .toDF("vec_id", "embedding")
+    val mem = MemoryStream[(Long, Array[Float])]
+    val flagged = graft.streaming.Ingest.streamHammingDedup(
+      mem.toDF.toDF("vec_id", "embedding"), corpus,
+      "vec_id", "embedding", dim, maxHamming = 3)
+    val q = flagged.writeStream.outputMode("append")
+      .format("memory").queryName("hamm_out").start()
+    mem.addData((100L, vec(1, 0)), (101L, vec(2, 2)))
+    q.processAllAvailable()
+    mem.addData((102L, vec(1, 0).map(-_))) // inverted: far from all
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.sql(
+      "SELECT DISTINCT new_id, old_id, hamming FROM hamm_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch parity: the same transform over the same rows as one batch
+    val batch = graft.streaming.Ingest.streamHammingDedup(
+      Seq((100L, vec(1, 0)), (101L, vec(2, 2)),
+        (102L, vec(1, 0).map(-_))).toDF("vec_id", "embedding"),
+      corpus, "vec_id", "embedding", dim, maxHamming = 3)
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == batch)
+    // the exact twin matched its original at distance 0; the 2-flip
+    // near-dup at distance 2; the inverted vector matched nothing
+    assert(out.contains((100L, 10L, 0L)))
+    assert(out.contains((101L, 11L, 2L)))
+    assert(!out.exists(_._1 == 102L))
+  }
+
   test("streaming minhash dedup flags near-dups of the indexed corpus per batch") {
     implicit val sq = spark.sqlContext
     val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")

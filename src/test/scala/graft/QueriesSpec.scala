@@ -59,6 +59,37 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("no registered query plans an unbounded nested-loop or cartesian join") {
+    // a BroadcastNestedLoopJoin / CartesianProduct over row counts that
+    // scale with the data is the plan that works at sf0.01 and melts at
+    // 100 TB. Condition-free/cross joins pass ONLY when one side is a
+    // grouped aggregate with no grouping columns (exactly one row at
+    // any scale — funnel stage counts, containment-gate superset
+    // counts). The single exemption is the deliberate fixed-dimension
+    // cross-join demo (region x nation = 125 rows).
+    val allowed = Set("q_cross_join")
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.Cross
+    for (d <- Queries.allDefs if !allowed(d.name)) {
+      val plan = d.fn(spark, sf).queryExecution.optimizedPlan
+      val bad = plan.collect {
+        case j: Join if j.condition.isEmpty || j.joinType == Cross =>
+          // condition-free / cross joins are fine ONLY under a
+          // row-bounded side: a grouped aggregate with no grouping
+          // columns yields exactly one row at any scale
+          val bounded = Seq(j.left, j.right).exists {
+            _.collectFirst {
+              case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+                  if a.groupingExpressions.isEmpty => a
+            }.isDefined
+          }
+          if (bounded) None else Some(j)
+      }.flatten
+      assert(bad.isEmpty,
+        s"${d.name}: unbounded cartesian/condition-free join")
+    }
+  }
+
   test("q1_agg values match the known sf0.001 aggregate") {
     val r = Queries.byName("q1_agg")(spark, sf).collect()
     assert(r.length > 0 && r.length <= 8) // few flag/status combos

@@ -3330,7 +3330,299 @@ object Queries {
                         (PARTITION BY comp
                          ORDER BY text_len DESC, id ASC) AS keep_len
                     FROM sized)
-              GROUP BY comp ORDER BY comp"""))
+              GROUP BY comp ORDER BY comp""")),
+
+    // ── scale pattern: bloom-prefiltered join — dim side too big to
+    //    broadcast exactly, but its 2^16-bit bloom bitmap (8 KB, one
+    //    row) broadcasts at any dim cardinality; fact rows failing the
+    //    k probes drop BEFORE the join shuffle. No false negatives ⇒
+    //    rows identical to the plain join the oracle runs. ──
+    QueryDef(
+      "q_bloom_join",
+      (s, dir) =>
+        operators.Layout.bloomPrefilterJoin(
+            t(s, dir, "orders").select("o_orderkey", "o_custkey",
+              "o_totalprice"),
+            "o_custkey",
+            t(s, dir, "customer").filter(col("c_acctbal") > 7500.0)
+              .select("c_custkey", "c_name"),
+            "c_custkey", bits = 1 << 16, hashes = 5)
+          .select("o_orderkey", "o_custkey", "c_name", "o_totalprice")
+          .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, o_custkey, c_name, o_totalprice
+              FROM orders JOIN customer ON c_custkey = o_custkey
+              WHERE c_acctbal > 7500 ORDER BY o_orderkey""")),
+
+    // ── scale pattern: compaction planning for the small-files problem
+    //    — greedy ordered bin packing to ~target-size output files, one
+    //    window cumsum + one aggregation, integer-exact. ──
+    QueryDef(
+      "q_compaction_plan",
+      (s, dir) =>
+        operators.Layout.compactionPlan(
+            t(s, dir, "documents").select("source", "doc_id", "n_chars"),
+            "source", "doc_id", "n_chars", targetBytes = 2000L)
+          .orderBy("source", "bin"),
+      Some("""WITH c AS (SELECT source, doc_id, n_chars,
+                coalesce(CAST(sum(n_chars) OVER (PARTITION BY source
+                  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND 1 PRECEDING) AS BIGINT), 0) AS bef
+                FROM documents)
+              SELECT source, bef // 2000 AS bin, count(*) AS n_files,
+                CAST(sum(n_chars) AS BIGINT) AS bytes,
+                min(doc_id) AS first_file, max(doc_id) AS last_file
+              FROM c GROUP BY source, bin ORDER BY source, bin""")),
+
+    // ── scale pattern: per-key skew diagnostics — the query you run
+    //    BEFORE picking salting/AQE hints; one aggregation plus a
+    //    broadcast single-row total. ──
+    QueryDef(
+      "q_skew_diag",
+      (s, dir) =>
+        operators.Layout.skewDiagnose(
+            t(s, dir, "events").select("user_id"), "user_id",
+            hotFactor = 1.1)
+          .orderBy("user_id"),
+      Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events
+                GROUP BY user_id),
+              t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                count(*) AS n_keys FROM c)
+              SELECT user_id, cnt,
+                CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+                CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) /
+                  CAST(total AS DOUBLE) AS skew,
+                CAST(cnt AS DOUBLE) * CAST(n_keys AS DOUBLE) >
+                  CAST(total AS DOUBLE) * 1.1 AS is_hot
+              FROM c, t ORDER BY user_id""")),
+
+    // ── north star: corpus-wide line-level dedup (CCNet/RefinedWeb
+    //    boilerplate pass) — a per-source header and footer line are
+    //    stamped on every doc (~25 docs/source ≥ minDocs 10), must be
+    //    stripped, and each doc reassembled from surviving lines. ──
+    QueryDef(
+      "q_line_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val aug = docs.select(col("doc_id"),
+          concat(lit("subscribe to "), col("source"), lit(" today"),
+            lit("\n"), col("text"), lit("\n"),
+            lit("copyright "), col("source"),
+            lit(" all rights reserved")).as("text"))
+        operators.TextAnalysis.lineDedup(aug, "doc_id", "text",
+            minDocs = 10)
+          .orderBy("id")
+      },
+      Some("""WITH docs AS (SELECT doc_id,
+                concat('subscribe to ', source, ' today', chr(10), text,
+                  chr(10), 'copyright ', source, ' all rights reserved')
+                  AS text
+                FROM documents),
+              t AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM docs),
+              l AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line
+                    FROM (SELECT doc_id, ls,
+                            unnest(generate_series(1, len(ls))) AS i
+                          FROM t)),
+              c AS (SELECT line AS cline FROM l GROUP BY line
+                    HAVING count(DISTINCT doc_id) >= 10)
+              SELECT doc_id AS id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN cline IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_removed,
+                coalesce(string_agg(CASE WHEN cline IS NULL THEN line END,
+                  chr(10) ORDER BY pos), '') AS clean_text
+              FROM l LEFT JOIN c ON cline = line
+              GROUP BY doc_id ORDER BY id""")),
+
+    // ── north star: edit-distance (Levenshtein) near-dup pairs under
+    //    prefix blocking + length banding — the character-level rung of
+    //    the dedup ladder (catches small in-place edits shingle Jaccard
+    //    dilutes); twins get a 6-char appended suffix, dist 6 ≤ 8. ──
+    QueryDef(
+      "q_editdist_pairs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val aug = docs.union(docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" qq zz")).as("text")))
+        operators.Dedup.editDistancePairs(aug, "doc_id", "text",
+            prefixLen = 16, maxDist = 8)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, concat(text, ' qq zz')
+                FROM documents),
+              d AS (SELECT doc_id AS id, lower(trim(text)) AS t2,
+                      substr(lower(trim(text)), 1, 16) AS blk
+                    FROM docs)
+              SELECT a.id AS id_a, b.id AS id_b,
+                CAST(levenshtein(a.t2, b.t2) AS INTEGER) AS edit_dist
+              FROM d a JOIN d b ON a.blk = b.blk AND a.id < b.id
+                AND abs(length(a.t2) - length(b.t2)) <= 8
+              WHERE levenshtein(a.t2, b.t2) <= 8
+              ORDER BY id_a, id_b""")),
+
+    // ── north star: rolling lag-1 autocorrelation over 20-pair frames
+    //    per user — engineered exactness (decimal frame sums, one fixed
+    //    double Pearson expression, NULL on incomplete/degenerate
+    //    frames); one window shuffle. ──
+    QueryDef(
+      "q_rolling_corr",
+      (s, dir) =>
+        operators.Resample.rollingAutoCorr(
+            t(s, dir, "events").select("user_id", "ts", "event_id",
+              "value"),
+            Seq("user_id"), Seq("ts", "event_id"), "value", window = 20)
+          .select("user_id", "event_id", "value", "autocorr")
+          .orderBy("event_id"),
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn,
+                value FROM events),
+              b AS (SELECT user_id, event_id, tsn, value,
+                      lag(value, 1) OVER (PARTITION BY user_id
+                        ORDER BY tsn, event_id) AS y
+                    FROM e),
+              s AS (SELECT user_id, event_id, value,
+                      count(y) OVER w AS ny,
+                      CAST(sum(CASE WHEN y IS NOT NULL
+                          THEN CAST(value AS DECIMAL(18,6)) END)
+                        OVER w AS DOUBLE) AS sx,
+                      CAST(sum(CASE WHEN y IS NOT NULL
+                          THEN CAST(value AS DECIMAL(18,6)) *
+                            CAST(value AS DECIMAL(18,6)) END)
+                        OVER w AS DOUBLE) AS sxx,
+                      CAST(sum(CAST(y AS DECIMAL(18,6)))
+                        OVER w AS DOUBLE) AS sy,
+                      CAST(sum(CAST(y AS DECIMAL(18,6)) *
+                          CAST(y AS DECIMAL(18,6)))
+                        OVER w AS DOUBLE) AS syy,
+                      CAST(sum(CASE WHEN y IS NOT NULL
+                          THEN CAST(value AS DECIMAL(18,6)) *
+                            CAST(y AS DECIMAL(18,6)) END)
+                        OVER w AS DOUBLE) AS sxy
+                    FROM b
+                    WINDOW w AS (PARTITION BY user_id
+                      ORDER BY tsn, event_id
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+              SELECT user_id, event_id, value,
+                CASE WHEN ny = 20
+                      AND 20.0 * sxx - sx * sx > 0.0
+                      AND 20.0 * syy - sy * sy > 0.0
+                     THEN (20.0 * sxy - sx * sy) /
+                       sqrt((20.0 * sxx - sx * sx) *
+                            (20.0 * syy - sy * sy))
+                     END AS autocorr
+              FROM s ORDER BY event_id""")),
+
+    // ── north star: pairwise correlation matrix over per-user activity
+    //    counts by event type — integer moment sums over a densified
+    //    (user × type) grid, Pearson as one fixed double expression.
+    //    The type list broadcasts as a single collect_set row, so the
+    //    densifying cross join is row-bounded at any scale. ──
+    QueryDef(
+      "q_corr_matrix",
+      (s, dir) => {
+        val e = t(s, dir, "events").select("user_id", "event_type")
+        val users = e.select("user_id").distinct()
+        val typesRow = e.groupBy()
+          .agg(sort_array(collect_set(col("event_type"))).as("__types"))
+        val dense = users.crossJoin(broadcast(typesRow))
+          .select(col("user_id"), explode(col("__types")).as("event_type"))
+          .join(e.groupBy("user_id", "event_type")
+              .agg(count(lit(1)).as("c")),
+            Seq("user_id", "event_type"), "left")
+          .select(col("user_id"), col("event_type"),
+            coalesce(col("c"), lit(0L)).as("c"))
+        val a = dense.select(col("user_id"),
+          col("event_type").as("type_a"), col("c").as("x"))
+        val b = dense.select(col("user_id"),
+          col("event_type").as("type_b"), col("c").as("y"))
+        val m = a.join(b, "user_id").filter(col("type_a") < col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+        val nD = col("n").cast(DoubleType)
+        val vx = nD * col("sxx").cast(DoubleType) -
+          col("sx").cast(DoubleType) * col("sx").cast(DoubleType)
+        val vy = nD * col("syy").cast(DoubleType) -
+          col("sy").cast(DoubleType) * col("sy").cast(DoubleType)
+        m.select(col("type_a"), col("type_b"), col("n"), col("sx"),
+            col("sy"),
+            when(vx > 0.0 && vy > 0.0,
+              (nD * col("sxy").cast(DoubleType) -
+                col("sx").cast(DoubleType) * col("sy").cast(DoubleType)) /
+                sqrt(vx * vy)).as("corr"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""WITH u AS (SELECT DISTINCT user_id FROM events),
+              ty AS (SELECT DISTINCT event_type FROM events),
+              cnt AS (SELECT user_id, event_type, count(*) AS c
+                      FROM events GROUP BY 1, 2),
+              dense AS (SELECT u.user_id, ty.event_type,
+                          coalesce(c, 0) AS c
+                        FROM u CROSS JOIN ty LEFT JOIN cnt
+                          ON cnt.user_id = u.user_id
+                          AND cnt.event_type = ty.event_type),
+              m AS (SELECT a.event_type AS type_a,
+                      b.event_type AS type_b, count(*) AS n,
+                      CAST(sum(a.c) AS BIGINT) AS sx,
+                      CAST(sum(a.c * a.c) AS BIGINT) AS sxx,
+                      CAST(sum(b.c) AS BIGINT) AS sy,
+                      CAST(sum(b.c * b.c) AS BIGINT) AS syy,
+                      CAST(sum(a.c * b.c) AS BIGINT) AS sxy
+                    FROM dense a JOIN dense b
+                      ON a.user_id = b.user_id
+                      AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+              SELECT type_a, type_b, n, sx, sy,
+                CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+                      AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                        CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+                     THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                       sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                          CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                         (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                          CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     END AS corr
+              FROM m ORDER BY type_a, type_b""")),
+
+    // ── north star: interval-overlap concurrency by sweep line — each
+    //    event opens an interval (duration derived from its value);
+    //    +1/−1 boundaries, one keyed running sum. The O(n log n) sweep
+    //    shape instead of an interval self-join. ──
+    QueryDef(
+      "q_concurrency",
+      (s, dir) => {
+        // boundaries in MICROS: the parquet timestamps carry nanos on
+        // the Spark side but DuckDB's TIMESTAMP truncates to micros —
+        // raw-nanos output would hash-mismatch in the last 3 digits
+        val e = t(s, dir, "events").select(col("user_id"), col("event_id"),
+          expr("ts div 1000L").as("t0"),
+          (expr("ts div 1000L") +
+            (floor(col("value")).cast("long") % 600L + 60L) *
+            1000000L).as("t1"))
+        operators.Resample.concurrency(e, Seq("user_id"), "t0", "t1",
+            "event_id")
+          .orderBy("user_id", "t", "delta", "tie")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t0,
+                epoch_us(ts) +
+                  ((CAST(floor(value) AS BIGINT) % 600) + 60) *
+                  1000000 AS t1
+                FROM events),
+              b AS (SELECT user_id, t0 AS t, CAST(1 AS BIGINT) AS delta,
+                      event_id AS tie FROM e
+                    UNION ALL
+                    SELECT user_id, t1, -1, event_id FROM e)
+              SELECT user_id, t, delta, tie,
+                CAST(sum(delta) OVER (PARTITION BY user_id
+                  ORDER BY t, delta, tie) AS BIGINT) AS active
+              FROM b ORDER BY user_id, t, delta, tie"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

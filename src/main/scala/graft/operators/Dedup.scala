@@ -487,4 +487,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Edit-distance (Levenshtein) near-dup pairs, blocked on a shared
+    * normalized text prefix: only documents agreeing on their first
+    * `prefixLen` characters are candidates (near-dups from appended /
+    * trailing edits share prefixes; a prefix block is the cheapest
+    * blocking key there is — one substring, one hash shuffle). A length
+    * band (|len(a)−len(b)| ≤ maxDist, a hard lower bound on edit
+    * distance) prunes candidates BEFORE the O(len²) DP runs, and the DP
+    * itself only runs inside blocks — never all-pairs. Blocking
+    * tradeoff, documented: an edit inside the first `prefixLen` chars
+    * escapes the block (recall, not correctness, and the oracle replays
+    * the same blocking exactly).
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 16, maxDist: Int = 8): DataFrame = {
+    require(prefixLen >= 1, s"prefixLen must be positive, got $prefixLen")
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val d = docs.select(col(idCol).as("id"),
+        lower(trim(col(textCol))).as("t"))
+      .withColumn("blk", substring(col("t"), 1, prefixLen))
+    val a = d.select(col("id").as("id_a"), col("t").as("t_a"), col("blk"))
+    val b = d.select(col("id").as("id_b"), col("t").as("t_b"), col("blk"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b") &&
+        abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")))
+      .filter(col("edit_dist") <= maxDist)
+      .select("id_a", "id_b", "edit_dist")
+  }
 }

@@ -70,6 +70,119 @@ object Layout {
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
 
+  /** Bloom bitmap over `dim`'s `key` values as ONE row holding an
+    * `array<bigint>` of `bits/64` words — `hashes` positions per key
+    * from seeded xxhash64, OR-folded into words by a two-level
+    * aggregation (positions dedup map-side, then per-word `bit_or`).
+    * Pure integer expressions end to end; the single-row result is the
+    * broadcastable form of a dim side too big to broadcast exactly.
+    */
+  def bloomBitmap(dim: DataFrame, key: String, bits: Int,
+      hashes: Int): DataFrame = {
+    require(bits >= 64 && Integer.bitCount(bits) == 1,
+      s"bits must be a power of two >= 64, got $bits")
+    require(hashes >= 1, s"hashes must be positive, got $hashes")
+    val words = bits / 64
+    dim.select(col(key).as("__k")).distinct()
+      .select(explode(array((0 until hashes).map(i =>
+        pmod(xxhash64(col("__k"), lit(i)), lit(bits.toLong))): _*)).as("p"))
+      .distinct()
+      .groupBy(shiftright(col("p"), 6).cast("int").as("w"))
+      .agg(expr("bit_or(shiftleft(1L, cast(p & 63 as int)))").as("bw"))
+      .groupBy()
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bw"))))
+        .as("m"))
+      .select(expr(
+        s"transform(sequence(0, ${words - 1}), i -> coalesce(m[i], 0L))")
+        .as("__bloom"))
+  }
+
+  /** Bloom-prefiltered equi-join: the scale pattern for a fact⋈dim where
+    * the dim side is too large to broadcast EXACTLY but its bloom bitmap
+    * is tiny (2^20 bits = 16 KB regardless of dim row count). Fact rows
+    * failing any of the `hashes` bit probes are dropped BEFORE the
+    * shuffle — at 100 TB that is the difference between shuffling the
+    * whole fact table and shuffling only the (say) 5% that can match.
+    * Bloom filters have no false negatives, so the result after the
+    * exact join is row-identical to the plain join; false positives only
+    * cost a little extra shuffle. Fact and dim key columns must have
+    * distinct names (both survive in the output).
+    */
+  def bloomPrefilterJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, bits: Int = 1 << 20, hashes: Int = 5): DataFrame = {
+    val filtered = bloomFilterProbe(fact, factKey,
+      bloomBitmap(dim, dimKey, bits, hashes), bits, hashes)
+    filtered.join(dim, col(factKey) === dim(dimKey))
+  }
+
+  /** The probe half of [[bloomPrefilterJoin]]: keep only `fact` rows
+    * whose `factKey` passes every bit test against the (single-row)
+    * `bitmap`. Exposed separately so the pruning ratio is testable and
+    * so a precomputed bitmap can be reused across queries.
+    */
+  def bloomFilterProbe(fact: DataFrame, factKey: String, bitmap: DataFrame,
+      bits: Int, hashes: Int): DataFrame = {
+    val probed = (0 until hashes).foldLeft(
+      fact.crossJoin(broadcast(bitmap))) { (d, i) =>
+      d.withColumn(s"__h$i",
+        pmod(xxhash64(col(factKey), lit(i)), lit(bits.toLong)))
+    }
+    val cond = (0 until hashes).map(i =>
+      // element_at is 1-based; word = h >> 6, bit = h & 63
+      expr(s"(shiftright(element_at(__bloom, cast(shiftright(__h$i, 6)" +
+        s" as int) + 1), cast(__h$i & 63 as int)) & 1L) = 1L"))
+      .reduce(_ && _)
+    probed.filter(cond)
+      .drop((0 until hashes).map(i => s"__h$i") :+ "__bloom": _*)
+  }
+
+  /** Greedy ordered compaction plan: walk each group's files in
+    * `orderCol` order, cut a new output bin whenever the running size
+    * crosses `targetBytes` — the standard planner for the small-files
+    * problem (a 100 TB table accumulating streaming micro-batches reads
+    * 100× faster after coalescing to ~target-size files). One window
+    * cumsum + one aggregation, all integer arithmetic; bin id =
+    * bytes-before `div` target.
+    */
+  def compactionPlan(files: DataFrame, groupCol: String, orderCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files
+      .withColumn("__before",
+        coalesce(sum(col(sizeCol).cast("bigint")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"__before div ${targetBytes}L"))
+      .groupBy(col(groupCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(sizeCol).cast("bigint")).as("bytes"),
+        min(col(orderCol)).as("first_file"),
+        max(col(orderCol)).as("last_file"))
+  }
+
+  /** Per-key skew diagnostics: count, share of total, skew factor
+    * (count ÷ perfectly-uniform count) and a hot-key flag at
+    * `hotFactor`×. This is the query you run BEFORE choosing a salted
+    * join or AQE skew hints — one aggregation plus a broadcast of the
+    * single-row total. Integer counts; the ratios are one double
+    * division each (engine-exact).
+    */
+  def skewDiagnose(df: DataFrame, keyCol: String,
+      hotFactor: Double = 2.0): DataFrame = {
+    val counts = df.groupBy(keyCol).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("__total"),
+      count(lit(1)).as("__keys"))
+    counts.crossJoin(broadcast(tot))
+      .select(col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("__total").cast("double"))
+          .as("share"),
+        (col("cnt").cast("double") * col("__keys").cast("double") /
+          col("__total").cast("double")).as("skew"),
+        (col("cnt").cast("double") * col("__keys").cast("double") >
+          col("__total").cast("double") * lit(hotFactor)).as("is_hot"))
+  }
+
   /** Z-order (Morton) value of `cols`: bit `i*k + j` of the result is
     * bit `i` of column `j` — pure integer expressions (whole-stage
     * codegen; any engine replays them). Inputs must already be

@@ -138,4 +138,65 @@ object Resample {
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("sum_value"), lit(0.0)).as("sum_value")): _*)
   }
+
+  /** Rolling lag-1 autocorrelation over the last `window` (x, lag(x))
+    * pairs per series — the momentum/mean-reversion signal of a tick
+    * pipeline, with ENGINEERED exactness per the q_stats_moments rule:
+    * the five moment sums accumulate in DECIMAL over the frame
+    * (order-independent), the Pearson formula is one fixed double
+    * expression over them, and degenerate frames (variance ≤ 0, or
+    * fewer than `window` complete pairs) emit NULL on every engine.
+    * Scale shape: ONE window shuffle on the series keys; the sliding
+    * frame sums are incremental, not per-row rescans.
+    */
+  def rollingAutoCorr(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String], valueCol: String, window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val wf = w.rowsBetween(-(window - 1), 0)
+    val d6 = (c: Column) => c.cast(DecimalType(18, 6))
+    val base = df.withColumn("__y", lag(col(valueCol), 1).over(w))
+    // pair-complete sums: rows whose lag is null contribute nothing
+    val px = when(col("__y").isNotNull, d6(col(valueCol)))
+    val py = when(col("__y").isNotNull, d6(col("__y")))
+    val n = lit(window.toDouble)
+    val sums = base
+      .withColumn("__ny", count(col("__y")).over(wf))
+      .withColumn("__sx", sum(px).over(wf).cast(DoubleType))
+      .withColumn("__sxx", sum(px * px).over(wf).cast(DoubleType))
+      .withColumn("__sy", sum(py).over(wf).cast(DoubleType))
+      .withColumn("__syy", sum(py * py).over(wf).cast(DoubleType))
+      .withColumn("__sxy", sum(px * py).over(wf).cast(DoubleType))
+    val vx = n * col("__sxx") - col("__sx") * col("__sx")
+    val vy = n * col("__syy") - col("__sy") * col("__sy")
+    sums
+      .withColumn("autocorr",
+        when(col("__ny") === window && vx > 0.0 && vy > 0.0,
+          (n * col("__sxy") - col("__sx") * col("__sy")) / sqrt(vx * vy)))
+      .drop("__y", "__ny", "__sx", "__sxx", "__sy", "__syy", "__sxy")
+  }
+
+  /** Interval-overlap (concurrency) profile per series, by sweep line:
+    * each interval [start, end) contributes a +1 boundary at start and
+    * a −1 at end; a running sum over boundaries ordered (time, delta,
+    * tiebreak) yields the number of concurrently-open intervals after
+    * each boundary. Ends sort before starts at equal times (delta −1 <
+    * +1), so touching intervals do not overlap. The classic O(n log n)
+    * sweep as ONE union + ONE keyed window — no interval self-join
+    * (which is quadratic per key at 100 TB).
+    */
+  def concurrency(df: DataFrame, keys: Seq[String], startCol: String,
+      endCol: String, tieBreak: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val bounds = df.select(keyCols ++ Seq(col(startCol).as("t"),
+        lit(1L).as("delta"), col(tieBreak).as("tie")): _*)
+      .unionAll(df.select(keyCols ++ Seq(col(endCol).as("t"),
+        lit(-1L).as("delta"), col(tieBreak).as("tie")): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col("t"), col("delta"), col("tie"))
+    bounds.withColumn("active", sum(col("delta")).over(w))
+  }
 }

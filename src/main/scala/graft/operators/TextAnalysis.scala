@@ -374,4 +374,37 @@ object TextAnalysis {
       .groupBy(col("source"), col("shingle"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+
+  /** Corpus-wide line-level dedup (the CCNet/RefinedWeb boilerplate
+    * pass): drop every line occurring in ≥ `minDocs` DISTINCT documents
+    * (headers, footers, cookie banners), reassemble each document from
+    * its surviving lines in original order. Emits
+    * (id, n_lines, n_removed, clean_text).
+    *
+    * Scale shape: explode is scan-local; the common-line table is one
+    * count-distinct aggregation keyed by line (map-side combined — line
+    * cardinality, not row cardinality); marking is a hash join on the
+    * line; reassembly is one aggregation back on the doc id whose
+    * collect_list is bounded by the document's own line count. No
+    * self-join, no window, nothing all-pairs.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 3): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val common = lines.groupBy("line")
+      .agg(countDistinct(col("id")).as("__n_docs"))
+      .filter(col("__n_docs") >= minDocs)
+      .select(col("line"), lit(true).as("__common"))
+    lines.join(common, Seq("line"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("__common"), 1L).otherwise(0L)).as("n_removed"),
+        // collect_list skips nulls: only surviving lines are gathered,
+        // then restored to document order by their position
+        array_join(transform(array_sort(collect_list(
+            when(col("__common").isNull,
+              struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+  }
 }

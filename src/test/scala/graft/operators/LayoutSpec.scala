@@ -121,6 +121,74 @@ class LayoutSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", saved)
   }
 
+  test("bloom prefilter join: prunes the fact scan, equals the plain join") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val fact = graft.Tables.load(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+    // selective dim: only a fraction of custkeys survive
+    val dim = graft.Tables.load(spark, dir, "customer")
+      .filter($"c_acctbal" > 9000.0).select("c_custkey", "c_name")
+    val bits = 1 << 16
+    val bm = Layout.bloomBitmap(dim, "c_custkey", bits, 5)
+    val bmRow = bm.head().getSeq[Long](0)
+    assert(bmRow.length == bits / 64)
+    assert(bmRow.exists(_ != 0L), "bitmap must have set bits")
+    // the probe actually prunes: far fewer fact rows survive than exist
+    val kept = Layout.bloomFilterProbe(fact, "o_custkey", bm, bits, 5)
+    val nFact = fact.count()
+    val nKept = kept.count()
+    assert(nKept < nFact, s"no pruning: $nKept of $nFact")
+    // no false negatives: result row-identical to the plain join
+    val got = Layout.bloomPrefilterJoin(fact, "o_custkey", dim,
+        "c_custkey", bits, 5)
+      .select("o_orderkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = fact.join(dim, $"o_custkey" === $"c_custkey")
+      .select("o_orderkey", "c_name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want, s"${got.size} vs ${want.size} rows")
+  }
+
+  test("compaction plan: bins are ordered, contiguous, and sized near target") {
+    import org.apache.spark.sql.functions._
+    // files of size 10..400; target 500 -> greedy cut when cumsum crosses
+    val files = spark.range(40)
+      .select(lit("g").as("grp"), $"id".as("f"),
+        (($"id" % 8) * 50 + 10).as("sz"))
+    val plan = Layout.compactionPlan(files, "grp", "f", "sz", 500L)
+      .orderBy("bin").collect()
+    val total = files.agg(sum($"sz")).head().getLong(0)
+    assert(plan.map(_.getAs[Long]("bytes")).sum == total, "bytes conserved")
+    assert(plan.map(_.getAs[Long]("n_files")).sum == 40L, "files conserved")
+    // bins cover the order contiguously: bin i's last_file + 1 == bin
+    // i+1's first_file
+    val ranges = plan.map(r => (r.getAs[Long]("first_file"),
+      r.getAs[Long]("last_file")))
+    for (Array(a, b) <- ranges.sliding(2))
+      assert(a._2 + 1 == b._1, s"gap between $a and $b")
+    // every bin but the last crosses target only by its own last file
+    for (r <- plan.init)
+      assert(r.getAs[Long]("bytes") >= 500L - 400L,
+        s"undersized non-final bin: $r")
+  }
+
+  test("skew diagnostics: shares sum to 1, hot flag matches definition") {
+    import org.apache.spark.sql.functions._
+    // 3 keys: 80/15/5 rows -> key a is hot at 2x uniform (cnt*k > tot*2)
+    val df = spark.range(100)
+      .select(when($"id" < 80, "a").when($"id" < 95, "b")
+        .otherwise("c").as("k"))
+    val out = Layout.skewDiagnose(df, "k", hotFactor = 2.0)
+      .orderBy("k").collect()
+    assert(out.map(_.getAs[Double]("share")).sum == 1.0)
+    val byKey = out.map(r => r.getAs[String]("k") ->
+      (r.getAs[Long]("cnt"), r.getAs[Boolean]("is_hot"))).toMap
+    assert(byKey("a") == (80L, true))   // 80*3 > 100*2
+    assert(byKey("b") == (15L, false))
+    assert(byKey("c") == (5L, false))
+  }
+
   test("zValue interleaves bits exactly") {
     import org.apache.spark.sql.functions._
     // x=0b101 (5), y=0b011 (3) at 3 bits -> z bit (i*2+j) = bit i of

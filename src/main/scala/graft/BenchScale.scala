@@ -41,7 +41,29 @@ object BenchScale {
     // round-5 additions: text mining + CDC over documents, analytics
     // over events
     "q_bm25", "q_vocab_encode", "q_boilerplate", "q_cdc_chunk",
-    "q_funnel", "q_retention", "q_gapfill", "q_pivot")
+    "q_funnel", "q_retention", "q_gapfill", "q_pivot",
+    // round-5 wave 2: line dedup + layout planning over documents,
+    // window analytics + sweep line over events, bloom join over the
+    // synthetic orders/customer pair. q_editdist_pairs is EXCLUDED by
+    // design: its prefix blocks are keyed on the first ~2 words, and
+    // this generator's 1600-word effective vocabulary makes block
+    // populations grow ∝ corpus size (candidate pairs ∝ n²) — a
+    // generator artifact like the shingle-collision note below, not an
+    // engine property; real corpora keep prefix blocks bounded.
+    "q_line_dedup", "q_compaction_plan", "q_skew_diag",
+    "q_rolling_corr", "q_corr_matrix", "q_concurrency", "q_bloom_join",
+    // round-5 wave 3: IR + sequence mining + graph + profiling —
+    // q_pagerank's rounds are FIXED (3), so its cost is 3 edge
+    // shuffles growing ×factor; q_profile is one Expand-widened scan
+    "q_transitions", "q_inverted_index", "q_pagerank", "q_profile",
+    // round-5 wave 4: twap + sketch. q_triangles is EXCLUDED by
+    // design: a co-occurrence projection of THIS uniform generator
+    // densifies toward the complete graph (every supplier meets every
+    // other through some part), so wedge work grows ~quadratically —
+    // a generator artifact like the editdist/shingle notes above;
+    // real co-supply graphs are sparse with power-law tails, which is
+    // the regime the degree orientation is built for.
+    "q_twap", "q_hll_distinct")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have
@@ -157,6 +179,48 @@ object BenchScale {
           .cast("float")).as("embedding"),
       pmod(xxhash64(col("id"), lit(9L)), lit(10L)).cast("int").as("label"))
 
+  /** orders: hash-derived custkey/price over `nCust` customers — both
+    * sides of the bloom join scale together, the worst case for the
+    * constant-size bitmap's selectivity claim.
+    */
+  def makeOrders(spark: SparkSession, n: Long, nCust: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("o_orderkey"),
+      pmod(xxhash64(col("id"), lit(11L)), lit(nCust)).as("o_custkey"),
+      round(pmod(xxhash64(col("id"), lit(12L)), lit(5000000L)) / 100.0, 2)
+        .as("o_totalprice"))
+
+  /** customer: acctbal uniform [0, 10000) so the registered bloom
+    * join's `> 7500` dim filter keeps ~25% of keys at every scale.
+    */
+  def makeCustomer(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("c_custkey"),
+      concat(lit("Customer#"), col("id")).as("c_name"),
+      round(pmod(xxhash64(col("id"), lit(14L)), lit(1000000L)) / 100.0, 2)
+        .as("c_acctbal"))
+
+  /** lineitem: the 5 columns the registry's lineitem queries touch —
+    * orderkeys land on the orders generator's key space so the
+    * pagerank graph join is non-degenerate, suppkeys on a ×shrink
+    * smaller space so the customer↔supplier graph has real hubs.
+    */
+  def makeLineitem(spark: SparkSession, n: Long, nOrders: Long,
+      nSupp: Long): DataFrame =
+    spark.range(n).select(
+      pmod(xxhash64(col("id"), lit(21L)), lit(nOrders)).as("l_orderkey"),
+      pmod(xxhash64(col("id"), lit(22L)), lit(nSupp)).as("l_suppkey"),
+      (pmod(xxhash64(col("id"), lit(23L)), lit(50L)) + 1L)
+        .cast("double").as("l_quantity"),
+      round(pmod(xxhash64(col("id"), lit(24L)), lit(10000000L)) / 100.0, 2)
+        .as("l_extendedprice"),
+      element_at(array(Seq("A", "N", "R").map(lit): _*),
+        (pmod(xxhash64(col("id"), lit(25L)), lit(3L)) + 1L).cast("int"))
+        .as("l_returnflag"),
+      element_at(array(Seq("F", "O").map(lit): _*),
+        (pmod(xxhash64(col("id"), lit(26L)), lit(2L)) + 1L).cast("int"))
+        .as("l_linestatus"))
+
   private def writeDir(spark: SparkSession, dir: String, factor: Long): Unit = {
     makeDocuments(spark, 5000L * factor)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -166,6 +230,14 @@ object BenchScale {
     // row-scaled dir keeps dim 64
     makeEmbeddings(spark, 2000L * factor, 64)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // base matches sf0.1's orders/customer/lineitem shape
+    // (150k / 15k / 600k rows, 1k suppliers)
+    makeOrders(spark, 150000L * factor, 15000L * factor)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    makeCustomer(spark, 15000L * factor)
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    makeLineitem(spark, 600000L * factor, 150000L * factor, 1000L * factor)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
 
   private def sig(m: Map[String, Int]): String =

@@ -3622,7 +3622,325 @@ object Queries {
               SELECT user_id, t, delta, tie,
                 CAST(sum(delta) OVER (PARTITION BY user_id
                   ORDER BY t, delta, tie) AS BIGINT) AS active
-              FROM b ORDER BY user_id, t, delta, tie"""))
+              FROM b ORDER BY user_id, t, delta, tie""")),
+
+    // ── north star: first-order Markov transition matrix over per-user
+    //    event sequences — exact integer step counts, conditional
+    //    probability as one double division. ──
+    QueryDef(
+      "q_transitions",
+      (s, dir) =>
+        operators.Resample.transitions(
+            t(s, dir, "events").select("user_id", "ts", "event_id",
+              "event_type"),
+            Seq("user_id"), Seq("ts", "event_id"), "event_type")
+          .orderBy("prev", "cur"),
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+                event_type FROM events),
+              b AS (SELECT event_type AS cur,
+                      lag(event_type, 1) OVER (PARTITION BY user_id
+                        ORDER BY tsn, event_id) AS prev
+                    FROM e),
+              s AS (SELECT prev, cur, count(*) AS n FROM b
+                    WHERE prev IS NOT NULL GROUP BY 1, 2),
+              t2 AS (SELECT prev, CAST(sum(n) AS BIGINT) AS tot FROM s
+                     GROUP BY 1)
+              SELECT s.prev, s.cur, s.n,
+                CAST(s.n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+              FROM s JOIN t2 USING (prev) ORDER BY prev, cur""")),
+
+    // ── north star: inverted-index build — per-term df/cf and the
+    //    doc-id-ordered "docId:tf" posting string, df-banded against
+    //    hapaxes and stopword rows (the Zipf guard). ──
+    QueryDef(
+      "q_inverted_index",
+      (s, dir) => {
+        // the stopword cap is CORPUS-RELATIVE (a term in >80% of docs
+        // is boilerplate vocabulary at any corpus size) — an absolute
+        // cap tuned to one sf degenerates to an empty index at 10×;
+        // the count() is one bounded scalar driver action
+        val docs = t(s, dir, "documents")
+        val maxDf = math.ceil(0.8 * docs.count()).toLong
+        operators.TextAnalysis.invertedIndex(docs, "doc_id", "text",
+            minDf = 5, maxDf = maxDf)
+          .orderBy("term")
+      },
+      Some("""WITH t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM documents),
+              tf AS (SELECT tok AS term, doc_id, count(*) AS tf
+                     FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                     GROUP BY 1, 2)
+              SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+                string_agg(doc_id || ':' || tf, ' ' ORDER BY doc_id)
+                  AS postings
+              FROM tf GROUP BY term
+              HAVING count(*) BETWEEN 5 AND CAST(ceil(
+                0.8 * (SELECT count(*) FROM documents)) AS BIGINT)
+              ORDER BY term""")),
+
+    // ── engine surface: ANALYZE-style column profiling — one scan for
+    //    all columns' counts/distincts/extrema; min/max split into
+    //    numeric+string pairs so the output is type-stable without
+    //    double→string formatting. ──
+    QueryDef(
+      "q_profile",
+      (s, dir) =>
+        operators.Profile.profile(
+            t(s, dir, "lineitem"),
+            Seq("l_orderkey", "l_quantity", "l_extendedprice",
+              "l_returnflag", "l_linestatus"))
+          .orderBy("column"),
+      Some("""SELECT * FROM (
+                SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
+                  count(*) - count(l_orderkey) AS n_null,
+                  count(DISTINCT l_orderkey) AS n_distinct,
+                  CAST(min(l_orderkey) AS DOUBLE) AS min_num,
+                  CAST(max(l_orderkey) AS DOUBLE) AS max_num,
+                  CAST(NULL AS VARCHAR) AS min_str,
+                  CAST(NULL AS VARCHAR) AS max_str
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+                  count(DISTINCT l_quantity),
+                  CAST(min(l_quantity) AS DOUBLE),
+                  CAST(max(l_quantity) AS DOUBLE), NULL, NULL
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_extendedprice', count(*),
+                  count(*) - count(l_extendedprice),
+                  count(DISTINCT l_extendedprice),
+                  CAST(min(l_extendedprice) AS DOUBLE),
+                  CAST(max(l_extendedprice) AS DOUBLE), NULL, NULL
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+                  count(DISTINCT l_returnflag), NULL, NULL,
+                  min(l_returnflag), max(l_returnflag)
+                FROM lineitem
+                UNION ALL
+                SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+                  count(DISTINCT l_linestatus), NULL, NULL,
+                  min(l_linestatus), max(l_linestatus)
+                FROM lineitem)
+              ORDER BY "column"""")),
+
+    // ── north star: PageRank over the undirected customer↔supplier
+    //    order graph, 3 synchronous rounds — per-edge contributions are
+    //    fixed-order double ops, the per-node accumulation sums
+    //    floor(c·1e12) as exact BIGINT (order-independent AND
+    //    cast-rule-free: a double→DECIMAL cast here loses the
+    //    shortest-repr-vs-binary rounding lottery ~1e-6/term at edge
+    //    count scale — measured, it failed the gate), the update is
+    //    fixed-order double again. The oracle mirrors the exact
+    //    expression order, including the COMPUTED teleport constant
+    //    (1.0 − 0.85)/N — the literal 0.15 parses to a DIFFERENT
+    //    double than the computed difference (round-to-even lore). ──
+    QueryDef(
+      "q_pagerank",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+        operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
+          .orderBy("id")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c,
+                l_suppkey + 1000000 AS p
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+              edges AS (SELECT c AS src, p AS dst FROM pairs
+                        UNION ALL SELECT p, c FROM pairs),
+              nodes AS (SELECT src AS id FROM edges
+                        UNION SELECT dst FROM edges),
+              nc AS (SELECT count(*) AS n FROM nodes),
+              deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od
+                      FROM edges GROUP BY 1),
+              r0 AS (SELECT id, CAST(1.0 AS DOUBLE) / CAST(n AS DOUBLE)
+                       AS rank FROM nodes CROSS JOIN nc),
+              c1 AS (SELECT e.dst AS id,
+                       sum(CAST(floor(r.rank / d.od * 1e12) AS BIGINT)) AS s
+                     FROM edges e JOIN r0 r ON r.id = e.src
+                     JOIN deg d ON d.id = e.src GROUP BY 1),
+              r1 AS (SELECT n.id,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) /
+                         CAST(nc.n AS DOUBLE) +
+                       CAST(0.85 AS DOUBLE) *
+                         (CAST(coalesce(s, 0) AS DOUBLE) / 1e12)
+                       AS rank
+                     FROM nodes n CROSS JOIN nc
+                     LEFT JOIN c1 ON c1.id = n.id),
+              c2 AS (SELECT e.dst AS id,
+                       sum(CAST(floor(r.rank / d.od * 1e12) AS BIGINT)) AS s
+                     FROM edges e JOIN r1 r ON r.id = e.src
+                     JOIN deg d ON d.id = e.src GROUP BY 1),
+              r2 AS (SELECT n.id,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) /
+                         CAST(nc.n AS DOUBLE) +
+                       CAST(0.85 AS DOUBLE) *
+                         (CAST(coalesce(s, 0) AS DOUBLE) / 1e12)
+                       AS rank
+                     FROM nodes n CROSS JOIN nc
+                     LEFT JOIN c2 ON c2.id = n.id),
+              c3 AS (SELECT e.dst AS id,
+                       sum(CAST(floor(r.rank / d.od * 1e12) AS BIGINT)) AS s
+                     FROM edges e JOIN r2 r ON r.id = e.src
+                     JOIN deg d ON d.id = e.src GROUP BY 1),
+              r3 AS (SELECT n.id,
+                       (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) /
+                         CAST(nc.n AS DOUBLE) +
+                       CAST(0.85 AS DOUBLE) *
+                         (CAST(coalesce(s, 0) AS DOUBLE) / 1e12)
+                       AS rank
+                     FROM nodes n CROSS JOIN nc
+                     LEFT JOIN c3 ON c3.id = n.id)
+              SELECT id, rank FROM r3 ORDER BY id""")),
+
+    // ── north star: exact triangle count of the supplier co-supply
+    //    graph (suppliers sharing a part) by degree-ordered wedge join
+    //    — the orientation bounds wedge fan-out at O(√E) per node, the
+    //    power-law survival trick. All-integer output. ──
+    QueryDef(
+      "q_triangles",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val eg = ps.as("a").join(ps.as("b"),
+            col("a.l_partkey") === col("b.l_partkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("sa"),
+            col("b.l_suppkey").as("sb"))
+          .distinct()
+        operators.Graph.triangleCount(eg, "sa", "sb")
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                FROM lineitem),
+              eg AS (SELECT DISTINCT a.l_suppkey AS sa,
+                       b.l_suppkey AS sb
+                     FROM ps a JOIN ps b
+                       ON a.l_partkey = b.l_partkey
+                       AND a.l_suppkey < b.l_suppkey),
+              und AS (SELECT DISTINCT least(sa, sb) AS x,
+                        greatest(sa, sb) AS y
+                      FROM eg WHERE sa <> sb),
+              deg AS (SELECT n, count(*) AS d
+                      FROM (SELECT x AS n FROM und
+                            UNION ALL SELECT y FROM und)
+                      GROUP BY 1),
+              o AS (SELECT
+                      CASE WHEN (dx.d, und.x) < (dy.d, und.y)
+                           THEN und.x ELSE und.y END AS src,
+                      CASE WHEN (dx.d, und.x) < (dy.d, und.y)
+                           THEN und.y ELSE und.x END AS dst,
+                      CASE WHEN (dx.d, und.x) < (dy.d, und.y)
+                           THEN dy.d ELSE dx.d END AS dd
+                    FROM und JOIN deg dx ON dx.n = und.x
+                    JOIN deg dy ON dy.n = und.y),
+              wg AS (SELECT e1.dst AS v, e2.dst AS w
+                     FROM o e1 JOIN o e2
+                       ON e1.src = e2.src
+                       AND (e1.dd, e1.dst) < (e2.dd, e2.dst))
+              SELECT (SELECT count(*) FROM deg) AS n_nodes,
+                     (SELECT count(*) FROM und) AS n_edges,
+                     (SELECT count(*) FROM wg) AS n_wedges,
+                     (SELECT count(*) FROM wg JOIN o
+                        ON o.src = wg.v AND o.dst = wg.w)
+                       AS n_triangles""")),
+
+    // ── north star: hourly TWAP per user — holding-time-weighted mean
+    //    (VWAP's dual); integer cent×nanosecond weighted sums, one
+    //    fixed double quotient. ──
+    QueryDef(
+      "q_twap",
+      (s, dir) =>
+        operators.Resample.twap(
+            // MICROS, not raw nanos: DuckDB timestamps carry µs, so
+            // nano-grained spans would mismatch in the last 3 digits
+            // (the q_concurrency lesson)
+            t(s, dir, "events").select(col("user_id"), col("event_id"),
+              col("value"), expr("ts div 1000L").as("tus")),
+            Seq("user_id"), "tus", "value", "event_id",
+            width = 3600000000L)
+          .orderBy("user_id", "bucket"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                value FROM events),
+              b AS (SELECT user_id, t // 3600000000 AS bucket, t,
+                      event_id, value FROM e),
+              x AS (SELECT user_id, bucket,
+                      coalesce(lead(t, 1) OVER (PARTITION BY user_id,
+                          bucket ORDER BY t, event_id),
+                        (bucket + 1) * 3600000000) - t AS w,
+                      CAST(round(value * 100) AS BIGINT) AS c
+                    FROM b)
+              SELECT user_id, bucket, count(*) AS n_ticks,
+                CAST(sum(w) AS BIGINT) AS span,
+                CAST(sum(c * w) AS DOUBLE) / 100.0 /
+                  CAST(sum(w) AS DOUBLE) AS twap
+              FROM x GROUP BY 1, 2 ORDER BY user_id, bucket""")),
+
+    // ── north star: engine-portable HyperLogLog distinct sketch —
+    //    md5-nibble buckets/ranks (the simhash-oracle trick), register
+    //    sums carried as exact integers (2^(53−rho) in DECIMAL(38,0)),
+    //    so the gate hash-verifies the sketch itself next to the exact
+    //    count. Every constant is CAST to DOUBLE in the oracle (DuckDB
+    //    parses bare decimals as DECIMAL). ──
+    QueryDef(
+      "q_hll_distinct",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        operators.Sketch.hllEstimate(
+            operators.Sketch.hllRegisters(ev.select("user_id"),
+              "user_id"))
+          .crossJoin(ev.agg(countDistinct(col("user_id")).as("n_exact")))
+      },
+      Some("""WITH h AS (SELECT md5(CAST(user_id AS VARCHAR)) AS hex
+                FROM events),
+              nb AS (SELECT
+                       CAST((instr('0123456789abcdef',
+                           substring(hex, 1, 1)) - 1) * 256
+                         + (instr('0123456789abcdef',
+                             substring(hex, 2, 1)) - 1) * 16
+                         + (instr('0123456789abcdef',
+                             substring(hex, 3, 1)) - 1) AS BIGINT)
+                         AS bucket,
+                       ltrim(substring(hex, 4, 13), '0') AS tail
+                     FROM h),
+              r AS (SELECT bucket,
+                      max(CASE WHEN tail = '' THEN 53
+                           ELSE 4 * (13 - length(tail)) +
+                             CASE WHEN instr('0123456789abcdef',
+                                 substring(tail, 1, 1)) - 1 >= 8 THEN 0
+                               WHEN instr('0123456789abcdef',
+                                 substring(tail, 1, 1)) - 1 >= 4 THEN 1
+                               WHEN instr('0123456789abcdef',
+                                 substring(tail, 1, 1)) - 1 >= 2 THEN 2
+                               ELSE 3 END + 1 END) AS register
+                    FROM nb GROUP BY 1),
+              ag AS (SELECT count(*) AS n_buckets,
+                       sum(CAST(power(2.0, 53 - register)
+                         AS DECIMAL(38, 0))) AS scaled
+                     FROM r)
+              SELECT CAST(4096 AS BIGINT) AS m, n_buckets,
+                4096 - n_buckets AS n_empty,
+                CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) +
+                    CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)) *
+                  CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE) /
+                  ((CAST(4096.0 AS DOUBLE) -
+                      CAST(n_buckets AS DOUBLE)) +
+                    CAST(scaled AS DOUBLE) /
+                      CAST(9007199254740992.0 AS DOUBLE)) AS est_raw,
+                CASE WHEN n_buckets < 4096
+                     THEN CAST(4096.0 AS DOUBLE) *
+                       ln(CAST(4096.0 AS DOUBLE) /
+                         (CAST(4096.0 AS DOUBLE) -
+                          CAST(n_buckets AS DOUBLE)))
+                     END AS est_linear,
+                (SELECT count(DISTINCT user_id) FROM events) AS n_exact
+              FROM ag"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Iterative graph analytics over edge DataFrames — the
+  * join-per-round shape (no GraphX dependency, no vertex mirroring):
+  * each round is one hash join on the node id plus one keyed
+  * aggregation, so a round's cost is the cost of a shuffle over the
+  * edge table and the per-round state is freed eagerly (the
+  * [[Dedup.connectedComponents]] checkpoint discipline).
+  */
+object Graph {
+  /** PageRank over a directed edge list, `iterations` synchronous
+    * rounds from a uniform start — ENGINE-EXACT by construction so any
+    * SQL engine replaying the same formula reproduces every bit:
+    * per-edge contributions rank(u)/outdeg(u) are fixed-order scalar
+    * double ops, and the per-node accumulation (the one
+    * order-dependent step) happens on a fixed 1e-12 integer grid —
+    * `floor(c · 1e12)` summed as BIGINT. floor of an identical double
+    * is rule-identical in every engine and integer sums are exact and
+    * order-independent; a double→DECIMAL cast here would NOT be safe
+    * (Spark rounds the shortest decimal repr, DuckDB the exact binary
+    * value — at 14-digit scales they disagree ~1e-6 per term, a
+    * lottery the exact gate loses at edge-count scale). The update
+    * (1−d)/N + d·sum/1e12 is again fixed-order double. Dangling nodes
+    * (no out-edges) leak their mass — the simplified textbook form;
+    * ranks then order nodes identically to the redistributing form on
+    * connected graphs, which is what rank is for.
+    *
+    * Scale shape: `edges` and `outDeg` are computed once and reused
+    * every round (persisted); a round is edges⋈ranks on the source id
+    * (both sides hash-partitioned on it) followed by a map-side-
+    * combined sum on the destination — the classic message-passing
+    * round as two exchanges. Superseded rank checkpoints are freed
+    * each round via [[org.apache.spark.sql.GraftSql.checkpointRdd]].
+    * Rounds are O(diameter)-free: `iterations` is fixed, so total work
+    * is iterations × one edge shuffle regardless of graph shape.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive, got $iterations")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(lvl)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist(lvl)
+    // bounded driver collect: one scalar (node count feeds the teleport
+    // constant — the PQ-sample/vocab-top-K pattern)
+    val n = nodes.count()
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("od")).persist(lvl)
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.join(outDeg, "id").select(col("id").as("src"),
+          floor(col("rank") / col("od") * lit(1e12)).as("c")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("in_sum"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) *
+              (coalesce(col("in_sum"), lit(0L)).cast(DoubleType) /
+                lit(1e12)))
+            .as("rank"))
+        .localCheckpoint(true)
+      org.apache.spark.sql.GraftSql.checkpointRdd(ranks)
+        .foreach(_.unpersist(blocking = false))
+      ranks = next
+    }
+    e.unpersist(); nodes.unpersist(); outDeg.unpersist()
+    ranks
+  }
+
+  /** Exact triangle count of the UNDIRECTED graph under `edges`
+    * (direction and duplicates ignored), by degree-ordered wedge join —
+    * each edge is oriented from its (degree, id)-smaller endpoint, so
+    * every triangle is enumerated exactly once and the wedge fan-out
+    * per node is bounded by its ORIENTED out-degree, which the
+    * orientation caps at O(√E) — the classic trick that makes triangle
+    * counting survive power-law hubs (a celebrity node's O(d²) wedge
+    * explosion lands on the low-degree side instead). Returns one row
+    * (n_nodes, n_edges, n_wedges, n_triangles); all-integer, so any
+    * engine replaying the same orientation reproduces it exactly.
+    *
+    * Scale shape: two hash joins (wedge build on src, closure check on
+    * the (v, w) pair) + exact-integer counts; nothing all-pairs,
+    * nothing collected.
+    */
+  def triangleCount(edges: DataFrame, aCol: String, bCol: String)
+      : DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges
+      .select(least(col(aCol), col(bCol)).as("x"),
+        greatest(col(aCol), col(bCol)).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+      .persist(lvl)
+    val deg = und.select(col("x").as("n"))
+      .unionAll(und.select(col("y").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .persist(lvl)
+    val kx = struct(col("dx"), col("x"))
+    val ky = struct(col("dy"), col("y"))
+    val oriented = und
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+      .select(
+        when(kx < ky, col("x")).otherwise(col("y")).as("src"),
+        when(kx < ky, col("y")).otherwise(col("x")).as("dst"),
+        when(kx < ky, col("dy")).otherwise(col("dx")).as("dd"))
+      .persist(lvl)
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (struct(col("e1.dd"), col("e1.dst")) <
+            struct(col("e2.dd"), col("e2.dst"))))
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w"))
+      .persist(lvl)
+    val closed = wedges.join(
+      oriented.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"))
+    // persists stay live into execution (the simhashPortablePairs
+    // pattern): wedges feeds both the count and the closure join
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(und.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+}

@@ -178,6 +178,77 @@ object Resample {
       .drop("__y", "__ny", "__sx", "__sxx", "__sy", "__syy", "__sxy")
   }
 
+  /** Time-weighted average price (TWAP) per (keys, tumbling bucket):
+    * each tick's value holds from its timestamp until the next tick in
+    * the bucket (the last tick holds to the bucket edge), so
+    * twap = Σ vᵢ·(tᵢ₊₁ − tᵢ) / Σ (tᵢ₊₁ − tᵢ) — the resample that
+    * weights by HOLDING TIME instead of volume (VWAP's dual). The gap
+    * before the bucket's first tick carries no value (standard form).
+    *
+    * ENGINEERED exactness: values are scaled to integer `centScale`ths
+    * first — round(v·centScale) of an identical double is
+    * rule-identical across engines because generated prices sit within
+    * 1e-13 of the grid, never near a .5 boundary — so the weighted
+    * sums are exact BIGINTs (order-independent), and the final quotient
+    * is one fixed-order double expression. Zero-duration ticks (equal
+    * timestamps) carry zero weight and drop out exactly.
+    *
+    * Scale shape: ONE window shuffle on (keys, bucket) for the lead,
+    * then one map-side-combined aggregation — linear, like ohlcv.
+    */
+  def twap(df: DataFrame, keys: Seq[String], timeCol: String,
+      valueCol: String, tieBreak: String, width: Long,
+      centScale: Long = 100L): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    val keyCols = keys.map(col)
+    val bucketed = df.withColumn("__b", expr(s"`$timeCol` div ${width}L"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols :+ col("__b"): _*)
+      .orderBy(col(timeCol), col(tieBreak))
+    bucketed
+      .withColumn("__next",
+        coalesce(lead(col(timeCol), 1).over(w),
+          (col("__b") + 1L) * width))
+      .withColumn("__w", col("__next") - col(timeCol))
+      .withColumn("__c",
+        round(col(valueCol) * centScale, 0).cast("long"))
+      .groupBy(keyCols :+ col("__b").as("bucket"): _*)
+      .agg(count(lit(1)).as("n_ticks"),
+        sum(col("__w")).as("span"),
+        ((sum(col("__c") * col("__w")).cast(DoubleType) /
+          lit(centScale.toDouble)) /
+          sum(col("__w")).cast(DoubleType)).as("twap"))
+  }
+
+  /** First-order Markov transition statistics over per-key ordered
+    * state sequences: count every (prev_state → state) step and its
+    * conditional probability p(cur | prev) = c(prev,cur) / c(prev,·).
+    * The probability is ONE double division over two exact integer
+    * counts — engine-exact. The first event of each key has no
+    * predecessor and contributes no step.
+    *
+    * Scale shape: one window shuffle on the keys for the lag, then one
+    * map-side-combined count on (prev, cur) — state-pair cardinality,
+    * not row cardinality — and a broadcast-sized join against the
+    * per-prev totals (states² rows at most).
+    */
+  def transitions(df: DataFrame, keys: Seq[String],
+      orderCols: Seq[String], stateCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val steps = df
+      .withColumn("__prev", lag(col(stateCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev"), col(stateCol).as("cur"))
+      .agg(count(lit(1)).as("n"))
+    val totals = steps.groupBy("prev").agg(sum(col("n")).as("__tot"))
+    steps.join(broadcast(totals), "prev")
+      .select(col("prev"), col("cur"), col("n"),
+        (col("n").cast(DoubleType) / col("__tot").cast(DoubleType))
+          .as("p"))
+  }
+
   /** Interval-overlap (concurrency) profile per series, by sweep line:
     * each interval [start, end) contributes a +1 boundary at start and
     * a −1 at end; a running sum over boundaries ordered (time, delta,

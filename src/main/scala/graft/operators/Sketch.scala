@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality sketches — the approximate-distinct machinery
+  * a 100 TB profile pass runs instead of exact count(DISTINCT), built
+  * ENGINE-PORTABLY: hash bits come from md5 hex nibbles (any SQL
+  * engine reproduces them — the [[Dedup.simhashPortablePairs]] trick),
+  * and every accumulation is exact-integer or fixed-order double, so
+  * the oracle gate hash-verifies the SKETCH itself, not just a
+  * tolerance band. Spark's own approx_count_distinct gives the same
+  * HLL shape non-portably; this one exists to be bit-reproducible
+  * across engines and mergeable across partitions/days.
+  */
+object Sketch {
+  /** HyperLogLog registers over `keyCol`: bucket = first 3 md5
+    * nibbles (m = 4096 registers), rho = leading-zero count of the
+    * next 13 nibbles (52 bits) + 1, register = max rho per bucket.
+    * One map-side-combined aggregation, ≤ m output rows — THE
+    * mergeable-sketch shape: registers from disjoint corpus slices
+    * (days, partitions) merge by the same groupBy-max.
+    *
+    * The leading-zero count is pure string/CASE logic (count leading
+    * '0' nibbles via ltrim, then a 4-way CASE inside the first nonzero
+    * nibble) — no bin()/log2 whose formatting or rounding could
+    * diverge between engines.
+    */
+  def hllRegisters(df: DataFrame, keyCol: String): DataFrame =
+    hllFromHex(df.select(md5(col(keyCol).cast("string")).as("hex")))
+
+  private[operators] def hllFromHex(hexed: DataFrame): DataFrame = {
+    val nib = (i: Int) =>
+      expr(s"instr('0123456789abcdef', substring(hex, $i, 1)) - 1")
+    hexed
+      .withColumn("bucket",
+        (nib(1) * 256 + nib(2) * 16 + nib(3)).cast("long"))
+      // Scala-API ltrim(col, trimStr): Spark's SQL-string form is the
+      // Hive-legacy ltrim(trimStr, str) — reversed args silently trim
+      // the wrong operand
+      .withColumn("tail", ltrim(substring(col("hex"), 4, 13), "0"))
+      .withColumn("rho",
+        when(col("tail") === "", lit(53L))
+          .otherwise(lit(4L) * (lit(13L) - length(col("tail"))) +
+            when(expr("instr('0123456789abcdef', substring(tail, 1, 1)) - 1") >= 8, 0L)
+              .when(expr("instr('0123456789abcdef', substring(tail, 1, 1)) - 1") >= 4, 1L)
+              .when(expr("instr('0123456789abcdef', substring(tail, 1, 1)) - 1") >= 2, 2L)
+              .otherwise(3L) + 1L))
+      .groupBy("bucket")
+      .agg(max(col("rho")).as("register"))
+  }
+
+  /** Fold registers into the HLL estimate row: raw estimate
+    * α·m²/Σ2^−M_j (absent buckets contribute 2^0), the linear-counting
+    * estimate m·ln(m/V) (the right regime when V = empty registers is
+    * large), and the register/empty counts. The indicator sum is
+    * exact: each 2^−rho is carried as the INTEGER 2^(53−rho) summed in
+    * DECIMAL(38,0) — order-independent, no double-accumulation drift —
+    * then one fixed-order double expression finishes. α is the
+    * standard 0.7213/(1 + 1.079/m); an oracle must mirror the computed
+    * expression, not a folded literal.
+    */
+  def hllEstimate(registers: DataFrame, m: Int = 4096): DataFrame =
+    registers
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("CAST(power(2.0, 53 - register) AS DECIMAL(38, 0))"))
+          .as("scaled"))
+      .select(
+        lit(m).cast("long").as("m"),
+        col("n_buckets"),
+        (lit(m.toLong) - col("n_buckets")).as("n_empty"),
+        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))) *
+          lit(m.toDouble) * lit(m.toDouble) /
+          ((lit(m.toDouble) - col("n_buckets").cast("double")) +
+            col("scaled").cast("double") / lit(9007199254740992.0)))
+          .as("est_raw"),
+        when(col("n_buckets") < m,
+          lit(m.toDouble) *
+            log(lit(m.toDouble) /
+              (lit(m.toDouble) - col("n_buckets").cast("double"))))
+          .as("est_linear"))
+}

@@ -388,6 +388,37 @@ object TextAnalysis {
     * collect_list is bounded by the document's own line count. No
     * self-join, no window, nothing all-pairs.
     */
+  /** Inverted-index build: one row per surviving term with its
+    * document frequency, collection frequency, and the sorted posting
+    * list "docId:tf docId:tf …" — the retrieval-side artifact BM25
+    * scores against, built corpus-wide. A [minDf, maxDf] band drops
+    * hapaxes and stopword rows (the standard Zipf guard: without
+    * maxDf the most common term's posting row is corpus-sized).
+    *
+    * Scale shape: the explode is scan-local, (term, doc) term
+    * frequencies are one map-side-combined aggregation, and the
+    * posting row for a term is bounded by its own document frequency
+    * ≤ maxDf — no unbounded collect_list. Postings are restored to
+    * doc-id order inside the row, never from shuffle order.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      minDf: Long = 2, maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minDf >= 1 && maxDf >= minDf,
+      s"need 1 <= minDf <= maxDf, got [$minDf, $maxDf]")
+    df.select(col(idCol).as("__id"),
+        explode(toks(col(textCol))).as("term"))
+      .groupBy(col("term"), col("__id"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__id"), col("tf")))),
+          s => concat_ws(":", s.getField("__id"), s.getField("tf"))),
+          " ").as("postings"))
+      .filter(col("df").between(minDf, maxDf))
+  }
+
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
       minDocs: Long = 3): DataFrame = {
     val lines = df.select(col(idCol).as("id"),

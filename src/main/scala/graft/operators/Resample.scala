@@ -178,6 +178,40 @@ object Resample {
       .drop("__y", "__ny", "__sx", "__sxx", "__sy", "__syy", "__sxy")
   }
 
+  /** SCD2 run-compression of a per-key state stream: collapse
+    * consecutive equal states into validity intervals
+    * (state, valid_from, valid_to, n_obs) — the slowly-changing-
+    * dimension build a CDC pipeline runs over every snapshot/update
+    * feed. valid_to is the next interval's valid_from (NULL = still
+    * current); n_obs counts the collapsed observations.
+    *
+    * Scale shape: one window shuffle on the keys (change flags + the
+    * running segment id share it), one map-side-combined aggregation
+    * on (keys, segment), and the valid_to lead rides the same keyed
+    * partitioning — nothing quadratic, no self-join. All outputs are
+    * exact integers/originals, engine-replayable.
+    */
+  def scd2(df: DataFrame, keys: Seq[String], timeCol: String,
+      tieBreak: String, stateCol: String): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*)
+      .orderBy(col(timeCol), col(tieBreak))
+    val seg = df
+      .withColumn("__chg",
+        when(lag(col(stateCol), 1).over(w).isNull ||
+          col(stateCol) =!= lag(col(stateCol), 1).over(w), 1L)
+          .otherwise(0L))
+      .withColumn("__seg", sum(col("__chg")).over(w))
+      .groupBy(keyCols :+ col("__seg").as("seg"): _*)
+      .agg(min(col(stateCol)).as("state"), // constant within a segment
+        min(col(timeCol)).as("valid_from"),
+        count(lit(1)).as("n_obs"))
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols: _*).orderBy(col("valid_from"), col("seg"))
+    seg.withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+  }
+
   /** Time-weighted average price (TWAP) per (keys, tumbling bucket):
     * each tick's value holds from its timestamp until the next tick in
     * the bucket (the last tick holds to the bucket edge), so

@@ -79,4 +79,47 @@ object Sketch {
             log(lit(m.toDouble) /
               (lit(m.toDouble) - col("n_buckets").cast("double"))))
           .as("est_linear"))
+
+  /** Count-min sketch of `keyCol` frequencies: `depth` hash rows of
+    * 4096 counters each; row d's bucket for a key is md5 nibbles
+    * [3d+1, 3d+3] (12 bits), so depth ≤ 10 independent-enough rows
+    * come from ONE md5. The sketch is ≤ depth·4096 rows of exact
+    * integer counts — mergeable across slices by (row, bucket) sum,
+    * the same shape that makes it a streaming/distributed heavy-hitter
+    * counter at 100 TB (the exact per-key groupBy it replaces would
+    * shuffle key-cardinality rows; this shuffles ≤ 4096·depth
+    * whatever the key space does).
+    */
+  def countMinSketch(df: DataFrame, keyCol: String,
+      depth: Int = 4): DataFrame = {
+    require(depth >= 1 && depth <= 10, s"depth must be 1..10, got $depth")
+    cmBuckets(df, keyCol, depth)
+      .groupBy("row", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinSketch]]: for each distinct key
+    * in `probes`, min over its `depth` counters — an UPPER bound on
+    * the true count (collisions only add). Join shape: the probe side
+    * explodes to depth rows and hash-joins the ≤ depth·4096-row sketch
+    * (broadcastable at any corpus size), then one min per key.
+    */
+  def countMinEstimate(sketch: DataFrame, probes: DataFrame,
+      keyCol: String, depth: Int = 4): DataFrame =
+    cmBuckets(probes.select(col(keyCol)).distinct(), keyCol, depth)
+      .join(broadcast(sketch), Seq("row", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  private def cmBuckets(df: DataFrame, keyCol: String,
+      depth: Int): DataFrame = {
+    val nib = (i: Int) =>
+      expr(s"instr('0123456789abcdef', substring(hex, $i, 1)) - 1")
+    df.withColumn("hex", md5(col(keyCol).cast("string")))
+      .select(col("*"), posexplode(array((0 until depth).map(d =>
+        (nib(3 * d + 1) * 256 + nib(3 * d + 2) * 16 + nib(3 * d + 3))
+          .cast("long")): _*)).as(Seq("row", "bucket")))
+      .withColumn("row", col("row").cast("long"))
+      .drop("hex")
+  }
 }

@@ -291,6 +291,46 @@ class OperatorsSpec extends AnyFunSuite {
       4096L - est.getAs[Long]("n_buckets"))
   }
 
+  test("scd2: runs collapse, intervals chain, last is open") {
+    val ev = Seq((1, 10L, 1L, "a"), (1, 20L, 2L, "a"), (1, 30L, 3L, "b"),
+      (1, 40L, 4L, "a"), (2, 5L, 5L, "x")).toDF("k", "t", "eid", "st")
+    val out = Resample.scd2(ev, Seq("k"), "t", "eid", "st")
+      .orderBy("k", "seg").collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("seg"),
+        r.getAs[String]("state"), r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")),
+        r.getAs[Long]("n_obs")))
+    assert(out.toSeq == Seq(
+      (1, 1L, "a", 10L, Some(30L), 2L), // a-run of 2 collapses
+      (1, 2L, "b", 30L, Some(40L), 1L),
+      (1, 3L, "a", 40L, None, 1L),      // returning state = NEW interval
+      (2, 1L, "x", 5L, None, 1L)), s"got ${out.toSeq}")
+  }
+
+  test("count-min: estimates are exact-count upper bounds, merge by sum") {
+    val keys = spark.range(3000).select(($"id" % 300).as("k"))
+    val sk = Sketch.countMinSketch(keys, "k")
+    val est = Sketch.countMinEstimate(sk, keys, "k")
+    val exact = keys.groupBy("k").count()
+    val joined = est.join(exact, "k").collect()
+      .map(r => (r.getAs[Long]("est"), r.getAs[Long]("count")))
+    assert(joined.length == 300)
+    // never undercounts; with 300 keys in 4x4096 counters nearly all
+    // estimates are exact
+    assert(joined.forall { case (e, x) => e >= x })
+    assert(joined.count { case (e, x) => e == x } > 250)
+    // mergeability: slice sketches sum into the whole
+    val s1 = Sketch.countMinSketch(keys.filter($"k" < 100), "k")
+    val s2 = Sketch.countMinSketch(keys.filter($"k" >= 100), "k")
+    val merged = s1.unionAll(s2).groupBy("row", "bucket")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+    val w = sk.orderBy("row", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val m = merged.orderBy("row", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(w == m, "merged slice sketches must equal the whole sketch")
+  }
+
   test("factorsDF matches driver-side factors incl. tie determinism") {
     val adjRows = Seq((1, 1000000L, 0.25, 4.0), (1, 3000000L, 0.5, 2.0),
       (1, 5000000L, 0.2, 5.0)).toDF("sec", "tm", "px", "vol")

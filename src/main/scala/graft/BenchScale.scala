@@ -63,7 +63,8 @@ object BenchScale {
     // a generator artifact like the editdist/shingle notes above;
     // real co-supply graphs are sparse with power-law tails, which is
     // the regime the degree orientation is built for.
-    "q_twap", "q_hll_distinct", "q_scd2", "q_countmin")
+    "q_twap", "q_hll_distinct", "q_scd2", "q_countmin",
+    "q_partial_merge")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

@@ -4021,7 +4021,30 @@ object Queries {
                      GROUP BY 1)
               SELECT user_id, est, exact, est - exact AS overcount
               FROM est JOIN ex USING (user_id)
-              ORDER BY user_id"""))
+              ORDER BY user_id""")),
+
+    // ── scale pattern: incremental view maintenance — per-day partial
+    //    aggregates merged into per-user totals; the merge reads
+    //    (days × users) partial rows, never the raw corpus, and the
+    //    DECIMAL sums make two-level addition bit-equal to one-pass
+    //    (the oracle computes the one-pass form directly). ──
+    QueryDef(
+      "q_partial_merge",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"), col("value"),
+          expr("ts div 86400000000000L").as("day"))
+        operators.Incremental.mergeAggs(
+            operators.Incremental.partialAggs(ev, Seq("user_id"), "day",
+              "value"),
+            Seq("user_id"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, count(*) AS n,
+                sum(CAST(value AS DECIMAL(18, 6))) AS sum_v,
+                min(value) AS min_v, max(value) AS max_v,
+                CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) /
+                  CAST(count(*) AS DOUBLE) AS avg_v
+              FROM events GROUP BY user_id ORDER BY user_id"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -47,7 +47,10 @@ object Profile {
         (if (isStr) max(col(c)) else lit(null).cast(StringType))
           .as(s"__maxs_$c"))
     }
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // explicit pruning: the Expand that multiple count(DISTINCT)s plan
+    // duplicates its input ×(k+1) — carrying only the profiled columns
+    // into it matters more than usual column pruning
+    val wide = df.select(cols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     val perCol = cols.map { c =>
       struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
         (col(s"__n_$c") - col(s"__nn_$c")).as("n_null"),

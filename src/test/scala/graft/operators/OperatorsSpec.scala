@@ -331,6 +331,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(w == m, "merged slice sketches must equal the whole sketch")
   }
 
+  test("partial aggs merge to the one-pass aggregate exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = (1L to 300L).map(i =>
+      (i % 7, i % 30, (i % 97).toDouble / 4)).toDF("k", "slice", "v")
+    val merged = Incremental.mergeAggs(
+        Incremental.partialAggs(rows, Seq("k"), "slice", "v"), Seq("k"))
+      .orderBy("k").collect()
+    val direct = rows.groupBy("k")
+      .agg(count(lit(1)).as("n"),
+        sum($"v".cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .as("sum_v"),
+        min($"v").as("min_v"), max($"v").as("max_v"))
+      .withColumn("avg_v", $"sum_v".cast("double") / $"n".cast("double"))
+      .orderBy("k").collect()
+    assert(merged.map(r => (r.getLong(1), r.getDecimal(2).doubleValue,
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq ==
+      direct.map(r => (r.getLong(1), r.getDecimal(2).doubleValue,
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq)
+    // the merge input is slices x keys, not raw rows
+    val partials = Incremental.partialAggs(rows, Seq("k"), "slice", "v")
+    assert(partials.count() < 300L)
+  }
+
   test("factorsDF matches driver-side factors incl. tie determinism") {
     val adjRows = Seq((1, 1000000L, 0.25, 4.0), (1, 3000000L, 0.5, 2.0),
       (1, 5000000L, 0.2, 5.0)).toDF("sec", "tm", "px", "vol")

@@ -143,6 +143,45 @@ class StreamingSpec extends AnyFunSuite {
       Seq(10L, 10L, 9L))
   }
 
+  test("streaming sketch maintenance: count-min and HLL registers equal batch, bounded state") {
+    // the SAME batch operators run on a stream: hashing is stateless
+    // expression work and the aggregation key space is the sketch's
+    // FIXED geometry (depth×4096 counters / 4096 registers), so the
+    // streaming state is O(1) in stream cardinality — the property
+    // that makes sketches the right streaming distinct/frequency
+    // machinery at 100 TB, proven here by complete-mode parity
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val cm = graft.operators.Sketch.countMinSketch(
+      mem.toDF.toDF("k"), "k")
+    val q1 = cm.writeStream.outputMode("complete")
+      .format("memory").queryName("cm_out").start()
+    val hll = graft.operators.Sketch.hllRegisters(
+      mem.toDF.toDF("k"), "k")
+    val q2 = hll.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_out").start()
+    mem.addData(1L to 500L: _*)
+    q1.processAllAvailable(); q2.processAllAvailable()
+    mem.addData(251L to 750L: _*) // overlap: counts add, registers max
+    q1.processAllAvailable(); q2.processAllAvailable()
+    q1.stop(); q2.stop()
+    val keys = ((1L to 500L) ++ (251L to 750L)).toDF("k")
+    val cmBatch = graft.operators.Sketch.countMinSketch(keys, "k")
+      .orderBy("row", "bucket").collect().map(_.toSeq).toSeq
+    val cmStream = spark.sql(
+      "SELECT row, bucket, cnt FROM cm_out ORDER BY row, bucket")
+      .collect().map(_.toSeq).toSeq
+    assert(cmStream == cmBatch, "count-min batch/stream parity")
+    val hllBatch = graft.operators.Sketch.hllRegisters(keys, "k")
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    val hllStream = spark.sql(
+      "SELECT bucket, register FROM hll_out ORDER BY bucket")
+      .collect().map(_.toSeq).toSeq
+    assert(hllStream == hllBatch, "hll batch/stream parity")
+    // state bounded by sketch geometry, not stream size
+    assert(cmStream.length <= 4 * 4096 && hllStream.length <= 4096)
+  }
+
   test("streaming hamming dedup: stream-static join, batch parity, zero state") {
     implicit val sq = spark.sqlContext
     val dim = 40

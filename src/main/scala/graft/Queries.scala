@@ -4044,7 +4044,65 @@ object Queries {
                 min(value) AS min_v, max(value) AS max_v,
                 CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) /
                   CAST(count(*) AS DOUBLE) AS avg_v
-              FROM events GROUP BY user_id ORDER BY user_id"""))
+              FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // ── north star: exact set-similarity join by prefix filtering
+    //    (AllPairs/PPJoin) — every 3-gram-shingle-set Jaccard ≥ 0.8
+    //    pair with NO probabilistic miss; rare-first global ordering
+    //    makes the candidate buckets minimal, and candidate volume
+    //    SHRINKS as the threshold rises (MinHash banding costs the
+    //    same at any threshold). Shingle sets, not token sets: under
+    //    a shared topical vocabulary token sets collapse (everything
+    //    ≥ 0.8-resembles everything — measured 97k pairs and 160 s at
+    //    sf0.1) while shingle space separates unrelated docs. Twins
+    //    append two tokens: shingle Jaccard (T−2)/T. ──
+    QueryDef(
+      "q_setsim_join",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val aug = docs.union(docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" qq zz")).as("text")))
+        operators.Dedup.setSimJoin(aug, "doc_id", "text",
+          threshold = 0.8, ngram = 3)
+      },
+      Some("""WITH docs AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, concat(text, ' qq zz')
+                FROM documents),
+              kt AS (SELECT doc_id, regexp_split_to_array(
+                       lower(trim(text)), '\s+') AS toks
+                     FROM docs),
+              tk AS (SELECT DISTINCT doc_id AS id,
+                       array_to_string(toks[g:g+2], ' ') AS tok
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 2))
+                               AS g
+                           FROM kt)),
+              fr AS (SELECT tok, count(*) AS f FROM tk GROUP BY 1),
+              rk AS (SELECT id, tok,
+                       row_number() OVER (PARTITION BY id
+                         ORDER BY f, tok) AS rn,
+                       count(*) OVER (PARTITION BY id) AS nd
+                     FROM tk JOIN fr USING (tok)),
+              pf AS (SELECT id, tok, nd FROM rk
+                     WHERE rn <= nd - (800000 * nd + 999999) // 1000000
+                       + 1),
+              cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                         a.nd AS na, b.nd AS nb
+                       FROM pf a JOIN pf b
+                         ON a.tok = b.tok AND a.id < b.id),
+              sh AS (SELECT id_a, id_b, na, nb, count(*) AS n_shared
+                     FROM cand
+                     JOIN tk ta ON ta.id = id_a
+                     JOIN tk tb ON tb.id = id_b AND tb.tok = ta.tok
+                     GROUP BY 1, 2, 3, 4)
+              SELECT id_a, id_b, n_shared,
+                CAST(n_shared AS DOUBLE) /
+                  CAST(na + nb - n_shared AS DOUBLE) AS jaccard
+              FROM sh
+              WHERE CAST(n_shared AS DOUBLE) /
+                  CAST(na + nb - n_shared AS DOUBLE) >= 0.8"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

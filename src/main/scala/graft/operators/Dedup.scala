@@ -488,6 +488,81 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Exact set-similarity join by PREFIX FILTERING (the AllPairs/
+    * PPJoin family): find every document pair whose DISTINCT-token
+    * Jaccard ≥ `threshold`, with NO probabilistic miss — the
+    * exact-answer alternative to MinHash that wins at high thresholds.
+    * The theorem: order every doc's tokens by one global
+    * (frequency, token) order; two sets with |A∩B|/|A∪B| ≥ t MUST
+    * share a token within each other's first |d| − ⌈t·|d|⌉ + 1 tokens
+    * — so only those prefix tokens are indexed, and rare-first
+    * ordering makes the candidate buckets the SMALLEST possible ones.
+    *
+    * Scale shape: a global token-frequency table (map-side combined),
+    * one window per doc for ranks, an explode bounded by the prefix
+    * length (≈ (1−t)·|d| + 1 tokens per doc, e.g. 21% of tokens at
+    * t = 0.8), a hash self-join on the prefix token, and exact-count
+    * verification joins keyed (doc, token) — nothing all-pairs, and
+    * candidate volume shrinks as the threshold RISES (MinHash banding
+    * costs the same at every threshold).
+    */
+  def setSimJoin(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, ngram: Int = 1): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // ngram > 1 compares SHINGLE sets — for natural text this is the
+    // right element space: single-token sets collapse under a shared
+    // topical vocabulary (everything resembles everything at 0.8) and
+    // the candidate volume with it; shingle space is large enough that
+    // unrelated documents share ~nothing. The __toks bind matters
+    // (Dedup.scala shingleArray rule: bound column, NOT the expression).
+    val toks = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(
+        if (ngram <= 1) col("__toks")
+        else shingleArray(col("__toks"), ngram)).as("tok"))
+      .distinct().persist(lvl)
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("f"), col("tok"))
+    val ranked = toks.join(freq, "tok")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("nd",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id"))))
+      .persist(lvl)
+    // ⌈t·nd⌉ in SCALED-INTEGER arithmetic: a double ceil here is both
+    // engine-divergent (DuckDB folds 0.8·nd in exact DECIMAL; binary
+    // 0.8·55 = 44.000000000000007 ceils to 45) and a completeness bug
+    // (the over-ceil SHORTENS the prefix below the theorem's minimum,
+    // silently missing boundary-overlap pairs)
+    val tScaled = math.round(threshold * 1e6)
+    val prefix = ranked
+      .filter(col("rn") <=
+        col("nd") - expr(s"($tScaled * nd + 999999) div 1000000") + 1)
+      .select(col("id"), col("tok"), col("nd"))
+    val cand = prefix.select(col("id").as("id_a"), col("tok"),
+        col("nd").as("na"))
+      .join(prefix.select(col("id").as("id_b"), col("tok"),
+        col("nd").as("nb")), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "na", "nb").distinct()
+    val shared = cand
+      .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("tok")),
+        Seq("id_b", "tok"))
+      .groupBy("id_a", "id_b", "na", "nb")
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .withColumn("jaccard",
+        col("n_shared").cast("double") /
+          (col("na") + col("nb") - col("n_shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_shared", "jaccard")
+  }
+
   /** Edit-distance (Levenshtein) near-dup pairs, blocked on a shared
     * normalized text prefix: only documents agreeing on their first
     * `prefixLen` characters are candidates (near-dups from appended /

@@ -354,6 +354,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(partials.count() < 300L)
   }
 
+  test("setSimJoin: equals brute-force Jaccard, no misses at the boundary") {
+    // 40 docs over a 12-token vocab: dense enough that boundary-exact
+    // Jaccards (e.g. 3/5, 2/3) occur, exercising the integer-ceil
+    // prefix math
+    val vocab = "a b c d e f g h i j k l".split(" ")
+    val docs = (0 until 40).map { i =>
+      val toks = (0 until 6).map(j => vocab((i * 7 + j * 5) % 12)).distinct
+      (i.toLong, toks.mkString(" "))
+    }.toDF("id", "text")
+    for (t <- Seq(0.6, 0.8)) {
+      val got = Dedup.setSimJoin(docs, "id", "text", t)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sets = docs.collect()
+        .map(r => r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+      val want = (for {
+        a <- sets.keys; b <- sets.keys if a < b
+        sh = (sets(a) & sets(b)).size
+        if sh.toDouble / (sets(a).size + sets(b).size - sh) >= t
+      } yield (a, b, sh.toLong)).toSet
+      assert(got == want, s"t=$t: got ${got.size}, want ${want.size}; " +
+        s"missing ${want -- got}, extra ${got -- want}")
+    }
+  }
+
   test("factorsDF matches driver-side factors incl. tie determinism") {
     val adjRows = Seq((1, 1000000L, 0.25, 4.0), (1, 3000000L, 0.5, 2.0),
       (1, 5000000L, 0.2, 5.0)).toDF("sec", "tm", "px", "vol")

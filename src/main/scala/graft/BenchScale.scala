@@ -64,7 +64,7 @@ object BenchScale {
     // real co-supply graphs are sparse with power-law tails, which is
     // the regime the degree orientation is built for.
     "q_twap", "q_hll_distinct", "q_scd2", "q_countmin",
-    "q_partial_merge", "q_setsim_join")
+    "q_partial_merge", "q_setsim_join", "q_interval_join")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

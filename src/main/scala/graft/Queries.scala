@@ -4102,7 +4102,43 @@ object Queries {
                   CAST(na + nb - n_shared AS DOUBLE) AS jaccard
               FROM sh
               WHERE CAST(n_shared AS DOUBLE) /
-                  CAST(na + nb - n_shared AS DOUBLE) >= 0.8"""))
+                  CAST(na + nb - n_shared AS DOUBLE) >= 0.8""")),
+
+    // ── scale pattern: point-in-interval join — every 20th event
+    //    opens a value-derived regime interval; each event labels
+    //    itself with the containing interval(s) of its user via
+    //    bucket-replicated EQUI join (no nested loop; the oracle runs
+    //    the naive non-equi join and must agree row-for-row). ──
+    QueryDef(
+      "q_interval_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select(col("user_id"),
+          col("event_id"), expr("ts div 1000L").as("tus"), col("value"))
+        val points = ev.select("user_id", "event_id", "tus")
+        val ivals = ev.filter(col("event_id") % 20 === 0)
+          .select(col("user_id"), col("event_id").as("ival_id"),
+            col("tus").as("ival_start"),
+            (col("tus") +
+              (floor(col("value")).cast("long") % 600L + 60L) *
+              1000000L).as("ival_end"))
+        operators.Layout.intervalJoin(points, ivals, Seq("user_id"),
+            "tus", "ival_start", "ival_end", maxLen = 660000000L)
+          .select(col("p_user_id").as("user_id"),
+            col("p_event_id").as("event_id"), col("i_ival_id").as("ival_id"),
+            col("p_tus").as("tus"), col("i_ival_start").as("ival_start"),
+            col("i_ival_end").as("ival_end"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                value FROM events),
+              iv AS (SELECT user_id, event_id AS ival_id,
+                       tus AS ival_start,
+                       tus + ((CAST(floor(value) AS BIGINT) % 600) + 60)
+                         * 1000000 AS ival_end
+                     FROM e WHERE event_id % 20 = 0)
+              SELECT e.user_id, e.event_id, ival_id, tus,
+                ival_start, ival_end
+              FROM e JOIN iv ON iv.user_id = e.user_id
+                AND ival_start <= e.tus AND e.tus < ival_end"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

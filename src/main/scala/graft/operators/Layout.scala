@@ -62,6 +62,43 @@ object Layout {
       .drop("__bkt")
   }
 
+  /** Point-in-interval join — pairs each `points` row with every
+    * `intervals` row of the same keys whose [start, end) contains its
+    * timestamp — WITHOUT the nested-loop plan a naive
+    * `start <= t AND t < end` gets. Intervals are replicated to every
+    * time bucket they touch (bucket width = `maxLen`, the declared
+    * interval-length bound, so replication ≤ 2 per interval), the
+    * join is EQUI on (keys, bucket), and the exact containment
+    * predicate filters after. This is the "label every tick with its
+    * containing session/regime" join; at 100 TB the bounded
+    * replication + one hash shuffle is the whole story. Correctness
+    * never depends on `maxLen` — an interval is replicated to EVERY
+    * bucket it touches (`sequence(start div w, end div w)`), so longer
+    * intervals just replicate more; size the width to the typical
+    * interval length. Point columns get prefix `p_`, interval columns
+    * `i_`.
+    */
+  def intervalJoin(points: DataFrame, intervals: DataFrame,
+      keys: Seq[String], tsCol: String, startCol: String, endCol: String,
+      maxLen: Long): DataFrame = {
+    require(maxLen > 0, s"maxLen must be positive, got $maxLen")
+    val p = points.columns.foldLeft(points)((d, c) =>
+      d.withColumnRenamed(c, s"p_$c"))
+    val i = intervals.columns.foldLeft(intervals)((d, c) =>
+      d.withColumnRenamed(c, s"i_$c"))
+    val probe = p.withColumn("__bkt", expr(s"p_$tsCol div ${maxLen}L"))
+    val build = i.withColumn("__bkt",
+      explode(expr(s"sequence(i_$startCol div ${maxLen}L, " +
+        s"i_$endCol div ${maxLen}L)")))
+    val keyConds = keys.map(k => col(s"p_$k") === col(s"i_$k"))
+    val joinCond = (keyConds :+ (probe("__bkt") === build("__bkt")))
+      .reduce(_ && _)
+    probe.join(build, joinCond)
+      .filter(col(s"i_$startCol") <= col(s"p_$tsCol") &&
+        col(s"p_$tsCol") < col(s"i_$endCol"))
+      .drop("__bkt")
+  }
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltSource: String, n: Int): DataFrame = {
     val salted = left.withColumn("__salt", pmod(xxhash64(col(saltSource)), lit(n)))

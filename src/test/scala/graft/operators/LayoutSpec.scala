@@ -189,6 +189,34 @@ class LayoutSpec extends AnyFunSuite {
     assert(byKey("c") == (5L, false))
   }
 
+  test("intervalJoin: equals naive non-equi join, no nested-loop plan") {
+    import org.apache.spark.sql.functions._
+    // intervals of mixed lengths incl. one LONGER than maxLen (spans
+    // 3+ buckets — replication must still cover it), touching bucket
+    // edges; points on boundaries (start inclusive, end exclusive)
+    val pts = Seq((1, 1L, 0L), (1, 2L, 50L), (1, 3L, 100L),
+      (1, 4L, 250L), (2, 5L, 50L)).toDF("k", "pid", "t")
+    val ivs = Seq((1, 10L, 0L, 100L), (1, 11L, 40L, 360L),
+      (2, 12L, 50L, 51L)).toDF("k", "iid", "s", "e")
+    val out = Layout.intervalJoin(pts, ivs, Seq("k"), "t", "s", "e",
+      maxLen = 100L)
+    val got = out.select("p_pid", "i_iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = pts.as("p").join(ivs.as("i"),
+        col("p.k") === col("i.k") && col("i.s") <= col("p.t") &&
+          col("p.t") < col("i.e"))
+      .select(col("p.pid"), col("i.iid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"got $got want $want")
+    // boundary semantics: t=0 in [0,100) yes; t=100 not in [0,100);
+    // t=50 in the 1-tick interval [50,51); long interval catches t=250
+    assert(got.contains((1L, 10L)) && !got.contains((3L, 10L)))
+    assert(got.contains((5L, 12L)) && got.contains((4L, 11L)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+  }
+
   test("zValue interleaves bits exactly") {
     import org.apache.spark.sql.functions._
     // x=0b101 (5), y=0b011 (3) at 3 bits -> z bit (i*2+j) = bit i of

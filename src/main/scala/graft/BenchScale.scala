@@ -64,7 +64,19 @@ object BenchScale {
     // real co-supply graphs are sparse with power-law tails, which is
     // the regime the degree orientation is built for.
     "q_twap", "q_hll_distinct", "q_scd2", "q_countmin",
-    "q_partial_merge", "q_setsim_join", "q_interval_join")
+    "q_partial_merge", "q_setsim_join", "q_interval_join",
+    // round-5 wave 5: incremental join maintenance (synthetic
+    // orders/lineitem), multi-level exact distinct, bounded running
+    // total, audience overlap, rolling integer variance, robust stats
+    "q_delta_join", "q_distinct_rollup", "q_cume_distinct",
+    "q_segment_overlap", "q_bollinger", "q_mad",
+    // round-5 wave 6: KMV sketch, robust outliers, sequence islands,
+    // bounded listagg, unpivot
+    "q_kmv_distinct", "q_anomaly_mad", "q_gaps_islands",
+    "q_group_concat", "q_unpivot",
+    // round-5 wave 7: contribution shares, snapshot reconciliation,
+    // weighted median
+    "q_share", "q_snapshot_diff", "q_weighted_median")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have
@@ -189,7 +201,11 @@ object BenchScale {
       col("id").as("o_orderkey"),
       pmod(xxhash64(col("id"), lit(11L)), lit(nCust)).as("o_custkey"),
       round(pmod(xxhash64(col("id"), lit(12L)), lit(5000000L)) / 100.0, 2)
-        .as("o_totalprice"))
+        .as("o_totalprice"),
+      element_at(array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW").map(lit): _*),
+        (pmod(xxhash64(col("id"), lit(13L)), lit(5L)) + 1L).cast("int"))
+        .as("o_orderpriority"))
 
   /** customer: acctbal uniform [0, 10000) so the registered bloom
     * join's `> 7500` dim filter keeps ~25% of keys at every scale.
@@ -201,7 +217,7 @@ object BenchScale {
       round(pmod(xxhash64(col("id"), lit(14L)), lit(1000000L)) / 100.0, 2)
         .as("c_acctbal"))
 
-  /** lineitem: the 5 columns the registry's lineitem queries touch —
+  /** lineitem: the columns the registry's lineitem queries touch —
     * orderkeys land on the orders generator's key space so the
     * pagerank graph join is non-degenerate, suppkeys on a ×shrink
     * smaller space so the customer↔supplier graph has real hubs.
@@ -211,6 +227,12 @@ object BenchScale {
     spark.range(n).select(
       pmod(xxhash64(col("id"), lit(21L)), lit(nOrders)).as("l_orderkey"),
       pmod(xxhash64(col("id"), lit(22L)), lit(nSupp)).as("l_suppkey"),
+      (pmod(xxhash64(col("id"), lit(27L)), lit(7L)) + 1L)
+        .cast("int").as("l_linenumber"),
+      round(pmod(xxhash64(col("id"), lit(28L)), lit(11L)) / 100.0, 2)
+        .as("l_discount"),
+      round(pmod(xxhash64(col("id"), lit(29L)), lit(9L)) / 100.0, 2)
+        .as("l_tax"),
       (pmod(xxhash64(col("id"), lit(23L)), lit(50L)) + 1L)
         .cast("double").as("l_quantity"),
       round(pmod(xxhash64(col("id"), lit(24L)), lit(10000000L)) / 100.0, 2)

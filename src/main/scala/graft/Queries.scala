@@ -50,6 +50,29 @@ object Queries {
       operators.Similarity.ivfBuild(t(s, dir, "embeddings"), "vec_id",
         "embedding", nCells = 16))
 
+  /** events on the cents integer grid — the shared input of the
+    * robust-stats family (`q_mad`, `q_anomaly_mad`): exact 64-bit
+    * arithmetic end-to-end, no float drift.
+    */
+  private def centsEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 100).cast("long").as("iv"))
+
+  /** Exact per-event_type lower median of `vcol` (the q_median
+    * row_number technique), tie-broken by event_id.
+    */
+  private def medianBy(df: DataFrame, vcol: String,
+      out: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col(vcol), col("event_id"))
+    val wc = Window.partitionBy("event_type")
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("rn") === expr("(cnt + 1) div 2"))
+      .select(col("event_type"), col(vcol).as(out))
+  }
+
   /** The 3×-aug near-dup corpus shared by `q_dedup_components` and
     * `q_cluster_reps`: originals plus ' zz' and ' zz yy' twin chains.
     */
@@ -4138,7 +4161,562 @@ object Queries {
               SELECT e.user_id, e.event_id, ival_id, tus,
                 ival_start, ival_end
               FROM e JOIN iv ON iv.user_id = e.user_id
-                AND ival_start <= e.tus AND e.tus < ival_end"""))
+                AND ival_start <= e.tus AND e.tus < ival_end""")),
+
+    // ── scale pattern: cumulative distinct users by day ("users to
+    //    date") WITHOUT a global window — first-seen day per user (one
+    //    dedup), daily new-user counts, then boundedRunningSum's two
+    //    bounded windows + broadcast offset join. The naive form
+    //    (count distinct over an ever-growing frame) is quadratic and
+    //    unshardable; this is two shuffles, both key-parallel. ──
+    QueryDef(
+      "q_cume_distinct",
+      (s, dir) => {
+        val dayNs = 86400000000000L
+        val daily = t(s, dir, "events")
+          .groupBy("user_id")
+          .agg(min(expr(s"ts div ${dayNs}L")).as("day"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_new"))
+        operators.Resample.boundedRunningSum(daily, "day", "n_new",
+          "cume_users")
+      },
+      Some("""WITH f AS (SELECT user_id,
+                  min(epoch_ns(ts) // 86400000000000) AS day
+                FROM events GROUP BY 1),
+              nd AS (SELECT day, count(*) AS n_new FROM f GROUP BY 1)
+              SELECT day, n_new,
+                CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT)
+                  AS cume_users
+              FROM nd""")),
+
+    // ── scale pattern: exact multi-level distinct (ROLLUP day ×
+    //    event_type) WITHOUT Expand — count(DISTINCT) under rollup
+    //    multiplies every input row by the level count before the
+    //    shuffle; instead each level dedups its own (narrower) key
+    //    projection and the union carries NULL group markers. Three
+    //    shuffles of strictly shrinking width vs a 3× row blowup. ──
+    QueryDef(
+      "q_distinct_rollup",
+      (s, dir) => {
+        val dayNs = 86400000000000L
+        val base = t(s, dir, "events")
+          .select(expr(s"ts div ${dayNs}L").as("day"),
+            col("event_type"), col("user_id"))
+          .distinct()
+        val l2 = base.groupBy("day", "event_type")
+          .agg(count(lit(1)).as("n_users"))
+        val l1 = base.select("day", "user_id").distinct()
+          .groupBy("day").agg(count(lit(1)).as("n_users"))
+          .withColumn("event_type", lit(null).cast("string"))
+        val l0 = base.select("user_id").distinct()
+          .agg(count(lit(1)).as("n_users"))
+          .withColumn("day", lit(null).cast("long"))
+          .withColumn("event_type", lit(null).cast("string"))
+        l2.unionByName(l1.select("day", "event_type", "n_users"))
+          .unionByName(l0.select("day", "event_type", "n_users"))
+      },
+      Some("""SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+                count(DISTINCT user_id) AS n_users
+              FROM events GROUP BY ROLLUP(day, event_type)""")),
+
+    // ── scale pattern: incremental view maintenance of an equi-join —
+    //    new orders (key%10=0) and late lineitems (linenumber≥5) land
+    //    as deltas; the view delta is ΔO⋈L ∪ O_old⋈ΔL and the old⋈old
+    //    bulk is never recomputed. Oracle states the same delta
+    //    declaratively (full join filtered to rows touching a delta). ──
+    QueryDef(
+      "q_delta_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_linenumber"), col("l_extendedprice"))
+        operators.Incremental.deltaJoin(
+          o.filter(col("o_orderkey") % 10 =!= 0),
+          o.filter(col("o_orderkey") % 10 === 0),
+          l.filter(col("l_linenumber") < 5),
+          l.filter(col("l_linenumber") >= 5),
+          Seq("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, l_linenumber,
+                l_extendedprice
+              FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              WHERE o.o_orderkey % 10 = 0 OR l.l_linenumber >= 5""")),
+
+    // ── scale pattern: audience-overlap matrix — distinct (user,
+    //    segment) membership, then a self equi-join on user with an
+    //    ordered-pair filter; pair fan-out per user is bounded by the
+    //    segment count squared, never by event volume. Jaccard is one
+    //    IEEE division of exact integers (bit-stable cross-engine). ──
+    QueryDef(
+      "q_segment_overlap",
+      (s, dir) => {
+        val base = t(s, dir, "events")
+          .select(col("user_id"), col("event_type")).distinct()
+        val sizes = base.groupBy("event_type")
+          .agg(count(lit(1)).as("n"))
+        base.as("a")
+          .join(base.as("b"), col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+          .groupBy(col("a.event_type").as("seg_a"),
+            col("b.event_type").as("seg_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(sizes.select(col("event_type").as("seg_a"),
+            col("n").as("n_a")), "seg_a")
+          .join(sizes.select(col("event_type").as("seg_b"),
+            col("n").as("n_b")), "seg_b")
+          .withColumn("jaccard",
+            col("n_shared").cast("double") /
+              (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      },
+      Some("""WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+              sz AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+              p AS (SELECT a.event_type AS seg_a, bb.event_type AS seg_b,
+                      count(*) AS n_shared
+                    FROM b a JOIN b bb ON a.user_id = bb.user_id
+                      AND a.event_type < bb.event_type
+                    GROUP BY 1, 2)
+              SELECT seg_a, seg_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+                CAST(n_shared AS DOUBLE) /
+                  CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+              FROM p JOIN sz sa ON p.seg_a = sa.event_type
+                     JOIN sz sb ON p.seg_b = sb.event_type""")),
+
+    // ── scale pattern: rolling mean/variance bands (Bollinger) on an
+    //    integer grid — values scale to cents, the 20-row frame carries
+    //    integer sum and sum-of-squares, and the variance numerator
+    //    n·Σx² − (Σx)² stays exact in 64-bit (no double cancellation,
+    //    no cross-engine drift); the mean is one exact-integer IEEE
+    //    division. Per-user frames shard on the window key. ──
+    QueryDef(
+      "q_bollinger",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000L").as("tus"),
+            floor(col("value") * 100).cast("long").as("iv"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tus"), col("event_id"))
+          .rowsBetween(-19, Window.currentRow)
+        e.withColumn("n", count(lit(1)).over(w))
+          .withColumn("s_iv", sum(col("iv")).over(w))
+          .withColumn("ss_iv", sum(col("iv") * col("iv")).over(w))
+          .withColumn("var_num",
+            col("n") * col("ss_iv") - col("s_iv") * col("s_iv"))
+          .withColumn("mean_iv",
+            col("s_iv").cast("double") / col("n").cast("double"))
+          .drop("iv", "ss_iv")
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                  CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
+              w AS (SELECT user_id, event_id, tus,
+                      count(*) OVER win AS n,
+                      CAST(sum(iv) OVER win AS BIGINT) AS s_iv,
+                      CAST(sum(iv * iv) OVER win AS BIGINT) AS ss_iv
+                    FROM e WINDOW win AS (PARTITION BY user_id
+                      ORDER BY tus, event_id
+                      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+              SELECT user_id, event_id, tus, n, s_iv,
+                n * ss_iv - s_iv * s_iv AS var_num,
+                CAST(s_iv AS DOUBLE) / CAST(n AS DOUBLE) AS mean_iv
+              FROM w""")),
+
+    // ── robust stats: per-segment median absolute deviation — two
+    //    exact median passes (the q_median row_number technique) with
+    //    the per-segment median broadcast back for the deviation pass.
+    //    Integer grid end-to-end: no interpolation, no float drift. ──
+    QueryDef(
+      "q_mad",
+      (s, dir) => {
+        val e = centsEvents(s, dir)
+        val med = medianBy(e, "iv", "med_iv")
+        val dev = e.join(med, "event_type")
+          .select(col("event_type"), col("event_id"),
+            abs(col("iv") - col("med_iv")).as("dev"))
+        medianBy(dev, "dev", "mad_iv").join(med, "event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+                  CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
+              m AS (SELECT event_type, iv AS med_iv FROM (
+                      SELECT event_type, iv,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY iv, event_id) AS rn,
+                        count(*) OVER (PARTITION BY event_type) AS cnt
+                      FROM e) s
+                    WHERE rn = (cnt + 1) // 2),
+              d AS (SELECT e.event_type, e.event_id,
+                      abs(iv - med_iv) AS dev
+                    FROM e JOIN m USING (event_type))
+              SELECT s.event_type, s.dev AS mad_iv, m.med_iv FROM (
+                  SELECT event_type, dev,
+                    row_number() OVER (PARTITION BY event_type
+                      ORDER BY dev, event_id) AS rn,
+                    count(*) OVER (PARTITION BY event_type) AS cnt
+                  FROM d) s
+                JOIN m ON s.event_type = m.event_type
+              WHERE s.rn = (s.cnt + 1) // 2""")),
+
+    // ── robust outlier detection: flag events whose deviation from
+    //    the per-segment median exceeds 1.5× the MAD — the
+    //    distribution-free z-score. The per-segment (median, MAD) pair
+    //    is a handful of rows broadcast back over the stream; the scan
+    //    itself never sorts. (1.5× rather than the classical 3× so the
+    //    uniform test generator, which has no true outliers, still
+    //    exercises the flag path.) ──
+    QueryDef(
+      "q_anomaly_mad",
+      (s, dir) => {
+        val e = centsEvents(s, dir)
+        val med = medianBy(e, "iv", "med_iv")
+        val dev = e.join(med, "event_type")
+          .select(col("event_type"), col("event_id"), col("iv"),
+            abs(col("iv") - col("med_iv")).as("dev"))
+        val mad = medianBy(
+          dev.select(col("event_type"), col("event_id"),
+            col("dev")), "dev", "mad_iv")
+        dev.join(mad, "event_type")
+          .filter(col("dev") * 2 > col("mad_iv") * 3)
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+                  CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
+              m AS (SELECT event_type, iv AS med_iv FROM (
+                      SELECT event_type, iv,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY iv, event_id) AS rn,
+                        count(*) OVER (PARTITION BY event_type) AS cnt
+                      FROM e) s
+                    WHERE rn = (cnt + 1) // 2),
+              d AS (SELECT e.event_type, e.event_id, e.iv,
+                      abs(iv - med_iv) AS dev
+                    FROM e JOIN m USING (event_type)),
+              mad AS (SELECT event_type, dev AS mad_iv FROM (
+                      SELECT event_type, dev,
+                        row_number() OVER (PARTITION BY event_type
+                          ORDER BY dev, event_id) AS rn,
+                        count(*) OVER (PARTITION BY event_type) AS cnt
+                      FROM d) s
+                    WHERE rn = (cnt + 1) // 2)
+              SELECT d.event_type, event_id, iv, dev, mad_iv
+              FROM d JOIN mad USING (event_type)
+              WHERE dev * 2 > mad_iv * 3""")),
+
+    // ── scale pattern: KMV (bottom-k / Theta) distinct sketch — ≤ k
+    //    rows per segment leave the shuffle whatever user cardinality
+    //    does, the sketch rows merge across slices/engines, and the
+    //    estimate itself is exact-integer arithmetic the oracle
+    //    hash-verifies (the portable-sketch discipline of
+    //    q_hll_distinct/q_countmin, extended to set algebra). ──
+    QueryDef(
+      "q_kmv_distinct",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_type", "user_id")
+        val sk = operators.Sketch.kmvSketch(ev, Seq("event_type"),
+          "user_id", 64)
+        operators.Sketch.kmvEstimate(sk, Seq("event_type"), 64)
+          .join(ev.groupBy("event_type")
+            .agg(countDistinct(col("user_id")).as("n_exact")),
+            "event_type")
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT event_type,
+                  ${operators.Sketch.hex52Sql(
+                    "md5(CAST(user_id AS VARCHAR))")} AS hv
+                FROM events),
+              r AS (SELECT event_type, hv,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY hv) AS rn
+                    FROM h),
+              sk AS (SELECT event_type, count(*) AS n_keep,
+                       max(hv) AS h_k,
+                       CASE WHEN count(*) < 64
+                         THEN CAST(count(*) AS DOUBLE)
+                         ELSE CAST(63 AS DOUBLE) *
+                             CAST(4503599627370496 AS DOUBLE) /
+                           CAST(max(hv) AS DOUBLE) END AS est
+                     FROM r WHERE rn <= 64 GROUP BY 1),
+              ex AS (SELECT event_type,
+                       count(DISTINCT user_id) AS n_exact
+                     FROM events GROUP BY 1)
+              SELECT event_type, n_keep, h_k, est, n_exact
+              FROM sk JOIN ex USING (event_type)""")),
+
+    // ── sequence analytics: gaps-and-islands — runs of consecutive
+    //    event_ids per user via the rank-difference trick (id − rn is
+    //    constant inside a run), one window + one aggregation, both
+    //    sharded on user. The classic "find missing sequence ranges"
+    //    operator for ingest auditing. ──
+    QueryDef(
+      "q_gaps_islands",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("event_id")
+        t(s, dir, "events").select("user_id", "event_id")
+          .withColumn("grp",
+            col("event_id") - row_number().over(w).cast("long"))
+          .groupBy("user_id", "grp")
+          .agg(min(col("event_id")).as("island_start"),
+            max(col("event_id")).as("island_end"),
+            count(lit(1)).as("island_len"))
+          .drop("grp")
+      },
+      Some("""SELECT user_id, min(event_id) AS island_start,
+                max(event_id) AS island_end, count(*) AS island_len
+              FROM (SELECT user_id, event_id,
+                      event_id - row_number() OVER (PARTITION BY user_id
+                        ORDER BY event_id) AS grp
+                    FROM events) s
+              GROUP BY user_id, grp""")),
+
+    // ── SQL surface: ordered group concatenation (listagg) — top-5
+    //    orders per priority, keys joined in (price, key) order. The
+    //    top-5 cut bounds the aggregated string at ANY scale (an
+    //    unbounded listagg is a row-sized-as-the-group anti-pattern);
+    //    array_sort of the collected (price, key) structs makes the
+    //    order deterministic where collect_list alone is not. ──
+    QueryDef(
+      "q_group_concat",
+      (s, dir) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        t(s, dir, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .groupBy("o_orderpriority")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("o_totalprice"),
+              col("o_orderkey")))),
+            x => x("o_orderkey").cast("string")), ",").as("top_keys"))
+      },
+      Some("""SELECT o_orderpriority,
+                string_agg(CAST(o_orderkey AS VARCHAR), ','
+                  ORDER BY o_totalprice, o_orderkey) AS top_keys
+              FROM (SELECT o_orderpriority, o_totalprice, o_orderkey,
+                      row_number() OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                    FROM orders) s
+              WHERE rn <= 5 GROUP BY 1""")),
+
+    // ── SQL surface: UNPIVOT — lineitem's four measure columns melt
+    //    to (measure, val) rows with stack(), a scan-local generator
+    //    (no shuffle, no join; 4× rows out of the same scan). ──
+    QueryDef(
+      "q_unpivot",
+      (s, dir) =>
+        t(s, dir, "lineitem").selectExpr("l_orderkey", "l_linenumber",
+          """stack(4, 'quantity', l_quantity,
+                      'extendedprice', l_extendedprice,
+                      'discount', l_discount,
+                      'tax', l_tax) AS (measure, val)"""),
+      Some("""SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+                l_quantity AS val FROM lineitem
+              UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice',
+                l_extendedprice FROM lineitem
+              UNION ALL SELECT l_orderkey, l_linenumber, 'discount',
+                l_discount FROM lineitem
+              UNION ALL SELECT l_orderkey, l_linenumber, 'tax',
+                l_tax FROM lineitem""")),
+
+    // ── contribution analysis: per-flag revenue share of total — the
+    //    grouped aggregate (bounded rows) crossed with the one-row
+    //    global total, shares as one IEEE division of exact decimals.
+    //    No window, no second scan: the total reuses the grouped
+    //    partials. ──
+    QueryDef(
+      "q_share",
+      (s, dir) => {
+        val by = t(s, dir, "lineitem").groupBy("l_returnflag")
+          .agg(sum(dec2(col("l_extendedprice"))).as("rev"))
+        by.crossJoin(by.agg(sum(col("rev")).as("tot_rev")))
+          .withColumn("share", col("rev").cast("double") /
+            col("tot_rev").cast("double"))
+      },
+      Some("""WITH b AS (SELECT l_returnflag,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+                FROM lineitem GROUP BY 1),
+              t AS (SELECT SUM(rev) AS tot_rev FROM b)
+              SELECT l_returnflag, rev, tot_rev,
+                CAST(rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS share
+              FROM b, t""")),
+
+    // ── warehouse reconciliation: snapshot diff — two table versions
+    //    full-outer-join on the key and classify added / removed /
+    //    changed (unchanged rows drop). ONE hash join on the key at
+    //    any scale; the classification is row-local. The CDC shape for
+    //    auditing a replicated 100 TB table against its source. ──
+    QueryDef(
+      "q_snapshot_diff",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+        val snapOld = o.filter(col("o_orderkey") % 7 =!= 0)
+          .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+        val snapNew = o.filter(col("o_orderkey") % 5 =!= 0)
+          .select(col("o_orderkey"),
+            when(col("o_orderkey") % 3 === 0,
+              col("o_totalprice") + lit(1.0))
+              .otherwise(col("o_totalprice")).as("new_price"))
+        snapOld.join(snapNew, Seq("o_orderkey"), "full_outer")
+          .withColumn("change",
+            when(col("old_price").isNull, "added")
+              .when(col("new_price").isNull, "removed")
+              .when(col("old_price") =!= col("new_price"), "changed"))
+          .filter(col("change").isNotNull)
+      },
+      Some("""WITH old AS (SELECT o_orderkey,
+                  o_totalprice AS old_price
+                FROM orders WHERE o_orderkey % 7 <> 0),
+              new AS (SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 3 = 0
+                    THEN o_totalprice + CAST(1 AS DOUBLE)
+                    ELSE o_totalprice END AS new_price
+                FROM orders WHERE o_orderkey % 5 <> 0)
+              SELECT COALESCE(old.o_orderkey, new.o_orderkey)
+                  AS o_orderkey,
+                old_price, new_price,
+                CASE WHEN old_price IS NULL THEN 'added'
+                  WHEN new_price IS NULL THEN 'removed'
+                  ELSE 'changed' END AS change
+              FROM old FULL OUTER JOIN new
+                ON old.o_orderkey = new.o_orderkey
+              WHERE old_price IS NULL OR new_price IS NULL
+                OR old_price <> new_price""")),
+
+    // ── robust stats: exact weighted median (quantity-weighted price
+    //    cents per returnflag) — running weight along the (price, key)
+    //    order; the first row where 2·running ≥ total is min(price)
+    //    over the satisfying set, so the pick is one aggregation, not
+    //    a second sort. Integer weights and cents end-to-end. ──
+    QueryDef(
+      "q_weighted_median",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+            floor(col("l_extendedprice") * 100).cast("long").as("pc"),
+            col("l_quantity").cast("long").as("wt"),
+            col("l_orderkey"), col("l_linenumber"))
+        val wRun = Window.partitionBy("l_returnflag")
+          .orderBy(col("pc"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy("l_returnflag")
+        li.withColumn("rw", sum(col("wt")).over(wRun))
+          .withColumn("tw", sum(col("wt")).over(wAll))
+          .filter(col("rw") * 2 >= col("tw"))
+          .groupBy("l_returnflag")
+          .agg(min(col("pc")).as("wmed_cents"))
+      },
+      Some("""WITH li AS (SELECT l_returnflag,
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) AS pc,
+                  CAST(l_quantity AS BIGINT) AS wt,
+                  l_orderkey, l_linenumber
+                FROM lineitem),
+              r AS (SELECT l_returnflag, pc,
+                      sum(wt) OVER (PARTITION BY l_returnflag
+                        ORDER BY pc, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS rw,
+                      sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+                    FROM li)
+              SELECT l_returnflag, min(pc) AS wmed_cents
+              FROM r WHERE rw * 2 >= tw GROUP BY 1""")),
+
+    // ── time-series repair: last-observation-carried-forward — every
+    //    5th reading is knocked out and refilled from the latest
+    //    non-null in the same user's ordered frame (IGNORE NULLS
+    //    last_value). One window sharded on user; the fill is
+    //    scan-local. ──
+    QueryDef(
+      "q_locf",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("tus"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000L").as("tus"),
+            when(col("event_id") % 5 === 0, lit(null).cast("double"))
+              .otherwise(col("value")).as("v_sparse"))
+          .withColumn("v_filled",
+            last(col("v_sparse"), ignoreNulls = true).over(w))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+                  CASE WHEN event_id % 5 = 0 THEN NULL
+                    ELSE value END AS v_sparse
+                FROM events)
+              SELECT user_id, event_id, tus, v_sparse,
+                last_value(v_sparse IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY tus, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS v_filled
+              FROM e""")),
+
+    // ── warehouse governance: data-quality audit — four row-local
+    //    rules fold in ONE aggregate over the scan (sum-of-cases plus
+    //    the count-minus-distinct duplicate-PK check) and unpivot to
+    //    (rule, n_violations); the referential rule is one anti join.
+    //    Zero-violation rules still emit their row — an audit that
+    //    silently drops clean rules can't prove it ran them. ──
+    QueryDef(
+      "q_dq_audit",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val rowRules = li.agg(
+            sum(when(col("l_quantity") > 45, 1L).otherwise(0L))
+              .as("qty_gt45"),
+            sum(when(col("l_extendedprice") <= 0, 1L).otherwise(0L))
+              .as("nonpos_price"),
+            sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
+              .otherwise(0L)).as("bad_flag"),
+            (count(lit(1)) - countDistinct(col("l_orderkey"),
+              col("l_linenumber"))).as("dup_pk"))
+          .selectExpr("""stack(4, 'qty_gt45', qty_gt45,
+            'nonpos_price', nonpos_price, 'bad_flag', bad_flag,
+            'dup_pk', dup_pk) AS (rule, n_violations)""")
+        val orphans = li.join(t(s, dir, "orders"),
+            col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+          .select(lit("orphan_fk").as("rule"), col("n_violations"))
+        rowRules.unionByName(orphans)
+      },
+      Some("""SELECT 'qty_gt45' AS rule,
+                CAST(SUM(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_violations FROM lineitem
+              UNION ALL SELECT 'nonpos_price',
+                CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0
+                  END) AS BIGINT) FROM lineitem
+              UNION ALL SELECT 'bad_flag',
+                CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+                  THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+              UNION ALL SELECT 'dup_pk',
+                CAST(count(*) - (SELECT count(*) FROM (
+                    SELECT DISTINCT l_orderkey, l_linenumber
+                    FROM lineitem) d) AS BIGINT) FROM lineitem
+              UNION ALL SELECT 'orphan_fk',
+                CAST(count(*) AS BIGINT)
+              FROM lineitem l LEFT JOIN orders o
+                ON l.l_orderkey = o.o_orderkey
+              WHERE o.o_orderkey IS NULL""")),
+
+    // ── storage planning: zone-map pruning math — per file bucket
+    //    (orderkey div 1000) the (min, max, count) partkey stats a
+    //    parquet footer would carry, and whether a BETWEEN predicate
+    //    could skip the file outright. The stats pass is one
+    //    aggregation; at 100 TB this is the manifest an engine
+    //    consults INSTEAD of opening files. ──
+    QueryDef(
+      "q_zonemap_prune",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(expr("l_orderkey div 1000L").as("file_id"))
+          .agg(min(col("l_partkey")).as("mn"),
+            max(col("l_partkey")).as("mx"),
+            count(lit(1)).as("n_rows"))
+          .withColumn("prunable",
+            col("mx") < 500L || col("mn") > 1500L),
+      Some("""SELECT l_orderkey // 1000 AS file_id,
+                min(l_partkey) AS mn, max(l_partkey) AS mx,
+                count(*) AS n_rows,
+                max(l_partkey) < 500 OR min(l_partkey) > 1500
+                  AS prunable
+              FROM lineitem GROUP BY 1"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

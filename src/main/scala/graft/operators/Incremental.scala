@@ -39,4 +39,19 @@ object Incremental {
         max(col("max_v")).as("max_v"))
       .withColumn("avg_v",
         col("sum_v").cast(DoubleType) / col("n").cast(DoubleType))
+
+  /** Incremental equi-join maintenance: when batches (ΔL, ΔR) land on a
+    * materialized view L ⋈ R, the view's delta is
+    * ΔL ⋈ (R ∪ ΔR)  ∪  L ⋈ ΔR — the standard delta rule, with the
+    * old⋈old term (the 100 TB bulk) never recomputed. Both branches are
+    * plain equi-joins with the delta on one side — broadcastable when
+    * the batch is — so maintenance costs O(|Δ| + matches), not a full
+    * re-join. The branches are disjoint by construction (every ΔL×ΔR
+    * pair lives in the first branch only), so the union needs no dedup.
+    */
+  def deltaJoin(leftOld: DataFrame, leftDelta: DataFrame,
+      rightOld: DataFrame, rightDelta: DataFrame,
+      keys: Seq[String]): DataFrame =
+    leftDelta.join(rightOld.unionByName(rightDelta), keys)
+      .unionByName(leftOld.join(rightDelta, keys))
 }

@@ -304,4 +304,51 @@ object Resample {
       .orderBy(col("t"), col("delta"), col("tie"))
     bounds.withColumn("active", sum(col("delta")).over(w))
   }
+
+  /** Global running total WITHOUT a global window. An empty-partition
+    * window moves every row to one task — the straggler QueriesSpec's
+    * registry-wide guard exists to ban. Instead, a three-level prefix
+    * sum: rows cumulate inside fixed-width blocks of the order key
+    * (window partitioned by block — ≤ `block` rows per task at ANY data
+    * scale), block totals cumulate within super-blocks, super-block
+    * totals cumulate within super²-blocks (with the carry chained down
+    * so super-block edges are exact), and per-block offsets join back
+    * by equi key. Three bounded windows + one broadcast join replace
+    * the unbounded global sort. Exact while the order-key span stays
+    * under block × superBlock² units (defaults: 32 × 4096² days ≈ 1.5M
+    * years of daily keys) — a wall-clock bound, not a data-size bound;
+    * raise the knobs for denser keys.
+    *
+    * @param orderCol unique LONG ordering key (e.g. epoch day)
+    * @param valueCol LONG value to cumulate
+    * @param out      name of the emitted running-total column
+    */
+  def boundedRunningSum(df: DataFrame, orderCol: String, valueCol: String,
+      out: String, block: Long = 32L, superBlock: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withBlk = df.withColumn("__blk", expr(s"$orderCol div ${block}L"))
+    val wIn = Window.partitionBy("__blk").orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wSup = Window.partitionBy("__sblk").orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTop = Window.partitionBy(expr(s"__sblk div ${superBlock}L"))
+      .orderBy(col("__sblk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val blkTotals = withBlk.groupBy("__blk")
+      .agg(sum(col(valueCol)).as("__tot"))
+      .withColumn("__sblk", expr(s"__blk div ${superBlock}L"))
+    val supOffsets = blkTotals.groupBy("__sblk")
+      .agg(sum(col("__tot")).as("__stot"))
+      .withColumn("__soff", sum(col("__stot")).over(wTop) - col("__stot"))
+      .select("__sblk", "__soff")
+    val offsets = blkTotals
+      .withColumn("__cumb", sum(col("__tot")).over(wSup))
+      .join(broadcast(supOffsets), "__sblk")
+      .withColumn("__off", col("__soff") + col("__cumb") - col("__tot"))
+      .select("__blk", "__off")
+    withBlk.withColumn("__cum_in", sum(col(valueCol)).over(wIn))
+      .join(broadcast(offsets), "__blk")
+      .withColumn(out, col("__off") + col("__cum_in"))
+      .drop("__blk", "__cum_in", "__off")
+  }
 }

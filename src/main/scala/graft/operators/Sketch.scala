@@ -111,6 +111,73 @@ object Sketch {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
 
+  /** 52-bit uniform hash from the first 13 md5 nibbles of `hexExpr` —
+    * one SQL string BOTH engines parse identically (no `L` suffixes,
+    * no engine-specific casts), so Spark and the DuckDB oracle share
+    * it verbatim. The value stays under 2^52, hence exact in a
+    * double — the property the KMV estimate's single multiply+divide
+    * needs to be bit-stable cross-engine.
+    */
+  private[graft] def hex52Sql(hexExpr: String): String =
+    (0 until 13).map { i =>
+      val w = 1L << (4 * (12 - i))
+      // per-nibble BIGINT cast: small weights parse as 32-bit INT
+      // literals and nibble*weight would overflow INT arithmetic
+      s"CAST(instr('0123456789abcdef', substring($hexExpr, ${i + 1}, 1)) - 1 AS BIGINT) * $w"
+    }.mkString("(", " + ", ")")
+
+  /** K-minimum-values (bottom-k / Theta-family) distinct sketch per
+    * group: every key hashes to a portable 52-bit value and the sketch
+    * keeps the k smallest DISTINCT values per group — ≤ k rows per
+    * group leave the shuffle whatever the key cardinality does.
+    * Unlike HLL registers, bottom-k sketches support SET ALGEBRA:
+    * union = bottom-k of concatenated sketches ([[kmvMerge]]),
+    * intersection via the inclusion ratio below the union threshold.
+    * Emits (groupCols, hv, rn) with rn the ascending hash rank.
+    */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    kmvBottomK(
+      df.select(groupCols.map(col) :+
+          md5(col(keyCol).cast("string")).as("hex"): _*)
+        .withColumn("hv", expr(hex52Sql("hex"))).drop("hex"),
+      groupCols, k)
+  }
+
+  /** Union of per-slice sketches: bottom-k of their concatenation —
+    * exactly [[kmvSketch]]'s shape over already-hashed rows, so slice
+    * sketches built independently (days, partitions, engines) merge
+    * without touching raw data.
+    */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    kmvBottomK(sketches.select(groupCols.map(col) :+ col("hv"): _*),
+      groupCols, k)
+
+  private def kmvBottomK(hashed: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col("hv"))
+    hashed.distinct()
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Distinct estimate from a [[kmvSketch]]: with fewer than k kept
+    * values the sketch IS the distinct set (exact count); at capacity,
+    * est = (k−1) · 2^52 / h_k — both branches fixed-order arithmetic
+    * on exact integers, so the estimate itself oracle-hashes.
+    */
+  def kmvEstimate(sketch: DataFrame, groupCols: Seq[String],
+      k: Int): DataFrame =
+    sketch.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_keep"), max(col("hv")).as("h_k"))
+      .withColumn("est", when(col("n_keep") < k,
+          col("n_keep").cast("double"))
+        .otherwise(lit((k - 1).toDouble * 4503599627370496.0) /
+          col("h_k").cast("double")))
+
   private def cmBuckets(df: DataFrame, keyCol: String,
       depth: Int): DataFrame = {
     val nib = (i: Int) =>

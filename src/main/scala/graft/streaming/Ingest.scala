@@ -15,6 +15,12 @@ final case class SessState(startMs: Long, lastMs: Long, n: Long, sum: Double)
 final case class Session(user: Long, startMs: Long, endMs: Long, n: Long,
     sumValue: Double)
 
+/** One hashed key for the streaming KMV sketch ([[Ingest.streamingKmv]]). */
+final case class KmvIn(g: String, hv: Long)
+
+/** Per-group bottom-k sketch emitted each micro-batch: `mins` ascending. */
+final case class KmvSketchRow(g: String, mins: Seq[Long])
+
 /** Structured-Streaming ingest — the Spark-native replacement for the
   * reference's async/batch insert protocol (SURVEY.md §2.8): pipelined
   * batches become micro-batches, blind FDB upserts become append-log
@@ -235,6 +241,30 @@ object Ingest {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming KMV distinct sketch: per-group bottom-k hash minima
+    * maintained by mapGroupsWithState in a sorted array of ≤ k longs —
+    * bounded state REGARDLESS of stream length or key cardinality, the
+    * property that makes sketches the right streaming distinct counter
+    * (same discipline as the streamed count-min/HLL parity specs).
+    * Emits the updated sketch every micro-batch (Update mode); the
+    * final emission per group equals the batch
+    * [[graft.operators.Sketch.kmvSketch]] over the same rows, so
+    * stream and batch estimates agree exactly.
+    */
+  def streamingKmv(rows: Dataset[KmvIn], k: Int): Dataset[KmvSketchRow] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.g)
+      .mapGroupsWithState[Array[Long], KmvSketchRow](
+        GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[KmvIn], state: GroupState[Array[Long]]) =>
+          val merged = (state.getOption.getOrElse(Array.empty[Long])
+              .iterator ++ it.map(_.hv))
+            .toArray.distinct.sorted.take(k)
+          state.update(merged)
+          KmvSketchRow(g, merged.toSeq)
       }
   }
 

@@ -391,4 +391,94 @@ class OperatorsSpec extends AnyFunSuite {
       Row(3000000L, 0.1, 10.0, 8.0, 0.125),
       Row(5000000L, 0.2, 5.0, 40.0, 0.025)))
   }
+
+  test("boundedRunningSum: equals naive cumsum across block boundaries") {
+    import org.apache.spark.sql.functions._
+    // sparse keys with gaps straddling block (4) and super-block (4·3)
+    // edges; tiny knobs force the multi-level carry path a global
+    // window hides. Span stays under the block·superBlock² = 36 bound.
+    val rows = Seq(0L -> 1L, 1L -> 2L, 3L -> 5L, 4L -> 1L, 9L -> 7L,
+      12L -> 3L, 13L -> 1L, 25L -> 10L, 33L -> 2L)
+    val df = rows.toDF("day", "v")
+    val out = Resample.boundedRunningSum(df, "day", "v", "cume",
+        block = 4L, superBlock = 3L)
+      .collect().map(r => r.getAs[Long]("day") -> r.getAs[Long]("cume"))
+      .toMap
+    var acc = 0L
+    val want = rows.sortBy(_._1).map { case (d, v) => acc += v; d -> acc }
+    assert(want.forall { case (d, c) => out(d) == c },
+      s"got $out want ${want.toMap}")
+    // no global (empty-partition) window anywhere in the plan
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LW}
+    val glob = Resample.boundedRunningSum(df, "day", "v", "cume", 4L, 3L)
+      .queryExecution.optimizedPlan.collect {
+        case w: LW if w.partitionSpec.isEmpty => w
+      }
+    assert(glob.isEmpty, "boundedRunningSum planned a global window")
+  }
+
+  test("deltaJoin: equals declarative view delta, branches disjoint") {
+    import org.apache.spark.sql.functions._
+    val l = Seq((1, "o1"), (2, "o2"), (3, "o3"), (4, "o4"))
+      .toDF("k", "otag")
+    val r = Seq((1, 10L), (1, 11L), (2, 20L), (3, 30L), (5, 50L))
+      .toDF("k", "rid")
+    val isNewL = col("k") % 2 === 0      // orders 2,4 are the batch
+    val isNewR = col("rid") % 10 === 0   // rids 10,20,30,50 are new
+    val out = Incremental.deltaJoin(
+      l.filter(!isNewL), l.filter(isNewL),
+      r.filter(!isNewR), r.filter(isNewR), Seq("k"))
+    val got = out.collect()
+      .map(x => (x.getAs[Int]("k"), x.getAs[String]("otag"),
+        x.getAs[Long]("rid"))).toSeq
+    val want = l.join(r, "k")
+      .filter(isNewL || col("rid") % 10 === 0)
+      .collect().map(x => (x.getAs[Int]("k"), x.getAs[String]("otag"),
+        x.getAs[Long]("rid"))).toSeq
+    assert(got.sorted == want.sorted, s"got $got want $want")
+    // disjoint branches: unionAll may not double-count ΔL×ΔR pairs
+    assert(got.distinct.size == got.size, "delta branches overlapped")
+  }
+
+  test("kmvSketch: bottom-k exact, slice merge = whole, estimate sane") {
+    import org.apache.spark.sql.functions._
+    val n = 2000
+    val df = (1 to n).map(i => (if (i % 2 == 0) "a" else "b", i.toLong))
+      .toDF("g", "key")
+    val k = 32
+    val sk = Sketch.kmvSketch(df, Seq("g"), "key", k)
+    // ≤ k rows per group, ranks dense 1..k, hashes strictly increasing
+    val byG = sk.collect().map(r => (r.getString(0), r.getLong(2),
+      r.getLong(1))).groupBy(_._1)
+    for ((g, rows) <- byG) {
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).sameElements(1L to k),
+        s"$g: ranks not dense")
+      assert(sorted.map(_._3).sliding(2).forall(p => p(0) < p(1)),
+        s"$g: hashes not increasing")
+    }
+    // merging two slice sketches == sketching the whole
+    val s1 = Sketch.kmvSketch(df.filter($"key" <= n / 2), Seq("g"),
+      "key", k)
+    val s2 = Sketch.kmvSketch(df.filter($"key" > n / 2), Seq("g"),
+      "key", k)
+    val merged = Sketch.kmvMerge(s1.unionByName(s2), Seq("g"), k)
+    assert(merged.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSet ==
+      sk.collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2))).toSet, "slice merge != whole sketch")
+    // estimate within 35% of exact at k=32 (σ ≈ 1/√k ≈ 18%)
+    val est = Sketch.kmvEstimate(sk, Seq("g"), k).collect()
+      .map(r => r.getAs[String]("g") -> r.getAs[Double]("est")).toMap
+    for ((g, e) <- est)
+      assert(math.abs(e - n / 2) / (n / 2.0) < 0.35, s"$g: est $e")
+    // under-capacity groups report the EXACT count
+    val tiny = Sketch.kmvEstimate(
+      Sketch.kmvSketch(df.filter($"key" <= 10), Seq("g"), "key", k),
+      Seq("g"), k).collect()
+    for (r <- tiny) {
+      assert(r.getAs[Long]("n_keep") == 5L)
+      assert(r.getAs[Double]("est") == 5.0)
+    }
+  }
 }

@@ -377,4 +377,35 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(out.contains((7L, 3L, 6.0)))
   }
+
+  test("streaming kmv: bounded bottom-k state equals batch sketch") {
+    implicit val sq = spark.sqlContext
+    val k = 16
+    def hashed(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("hex", md5(col("key").cast("string")))
+      .select(concat(lit("g"), pmod(col("key"), lit(2L))).as("g"),
+        expr(graft.operators.Sketch.hex52Sql("hex")).as("hv"))
+    val mem = MemoryStream[Long]
+    val sk = Ingest.streamingKmv(hashed(mem.toDF.toDF("key")).as[KmvIn], k)
+    val q = sk.writeStream.outputMode("update")
+      .format("memory").queryName("kmv_out").start()
+    mem.addData(1L to 300L: _*)
+    q.processAllAvailable()
+    mem.addData(200L to 600L: _*) // overlap: state dedups re-seen keys
+    q.processAllAvailable()
+    q.stop()
+    // memory sink in update mode appends each emission; the LAST row
+    // per group is the final sketch
+    val rows = spark.sql("SELECT g, mins FROM kmv_out").collect()
+    val got = rows.zipWithIndex.groupBy(_._1.getString(0))
+      .map { case (g, rs) => g -> rs.maxBy(_._2)._1.getSeq[Long](1).toSeq }
+    val batch = graft.operators.Sketch.kmvSketch(
+      ((1L to 300L) ++ (200L to 600L)).toDF("key")
+        .withColumn("g", concat(lit("g"), pmod(col("key"), lit(2L)))),
+      Seq("g"), "key", k)
+      .collect().groupBy(_.getAs[String]("g"))
+      .map { case (g, rs) => g -> rs.map(_.getAs[Long]("hv")).sorted.toSeq }
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.values.forall(_.length == k), "state not at capacity k")
+  }
 }

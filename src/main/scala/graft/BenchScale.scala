@@ -76,7 +76,11 @@ object BenchScale {
     "q_group_concat", "q_unpivot",
     // round-5 wave 7: contribution shares, snapshot reconciliation,
     // weighted median
-    "q_share", "q_snapshot_diff", "q_weighted_median")
+    "q_share", "q_snapshot_diff", "q_weighted_median",
+    // round-5 wave 8: LOCF fill, DQ audit, zone maps, WoW growth,
+    // sketch-pruned heavy hitters
+    "q_locf", "q_dq_audit", "q_zonemap_prune", "q_wow_growth",
+    "q_heavy_hitters", "q_hist_quantile")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have
@@ -205,7 +209,11 @@ object BenchScale {
       element_at(array(Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
           "4-NOT SPECIFIED", "5-LOW").map(lit): _*),
         (pmod(xxhash64(col("id"), lit(13L)), lit(5L)) + 1L).cast("int"))
-        .as("o_orderpriority"))
+        .as("o_orderpriority"),
+      // dates spread over ~2 years from 1992-01-01 (micros epoch)
+      timestamp_micros(lit(694224000000000L) +
+        pmod(xxhash64(col("id"), lit(15L)), lit(730L)) * 86400000000L)
+        .as("o_orderdate"))
 
   /** customer: acctbal uniform [0, 10000) so the registered bloom
     * join's `> 7500` dim filter keeps ~25% of keys at every scale.
@@ -227,6 +235,7 @@ object BenchScale {
     spark.range(n).select(
       pmod(xxhash64(col("id"), lit(21L)), lit(nOrders)).as("l_orderkey"),
       pmod(xxhash64(col("id"), lit(22L)), lit(nSupp)).as("l_suppkey"),
+      pmod(xxhash64(col("id"), lit(31L)), lit(20000L)).as("l_partkey"),
       (pmod(xxhash64(col("id"), lit(27L)), lit(7L)) + 1L)
         .cast("int").as("l_linenumber"),
       round(pmod(xxhash64(col("id"), lit(28L)), lit(11L)) / 100.0, 2)

@@ -4716,7 +4716,111 @@ object Queries {
                 count(*) AS n_rows,
                 max(l_partkey) < 500 OR min(l_partkey) > 1500
                   AS prunable
-              FROM lineitem GROUP BY 1"""))
+              FROM lineitem GROUP BY 1""")),
+
+    // ── period-over-period: weekly revenue growth — the lag comes
+    //    from an equi self-join on (week − 1), NOT a window: the
+    //    weekly aggregate is tiny, the join broadcasts, and no global
+    //    ordering is ever planned (same discipline as
+    //    boundedRunningSum). Growth is one IEEE division of exact
+    //    decimals. ──
+    QueryDef(
+      "q_wow_growth",
+      (s, dir) => {
+        val wk = t(s, dir, "orders")
+          .groupBy(floor(datediff(to_date(col("o_orderdate")),
+            lit("1970-01-01")) / 7).as("week"))
+          .agg(sum(dec2(col("o_totalprice"))).as("rev"))
+        wk.join(wk.select((col("week") + 1).as("week"),
+            col("rev").as("prev_rev")), Seq("week"), "left")
+          .withColumn("growth",
+            (col("rev") - col("prev_rev")).cast("double") /
+              col("prev_rev").cast("double"))
+      },
+      Some("""WITH wk AS (SELECT
+                  (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7
+                    AS week,
+                  SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+                FROM orders GROUP BY 1)
+              SELECT a.week, a.rev, b.rev AS prev_rev,
+                CAST(a.rev - b.rev AS DOUBLE) / CAST(b.rev AS DOUBLE)
+                  AS growth
+              FROM wk a LEFT JOIN wk b ON a.week = b.week + 1""")),
+
+    // ── scale pattern: heavy hitters by prune-then-verify — the
+    //    count-min sketch (≤ depth·4096 rows, broadcast) nominates
+    //    candidates (its estimates are upper bounds, so no true heavy
+    //    hitter is missed), and only candidates get the exact count.
+    //    At 100 TB the exact pass runs on a filtered fraction of the
+    //    key space instead of all of it; `is_hh` records the exact
+    //    verdict so sketch overcounts are visible, not silent. ──
+    QueryDef(
+      "q_heavy_hitters",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("user_id")
+        val thr = ev.agg(expr("count(1) div 160").as("thr"))
+        val cand = operators.Sketch.countMinEstimate(
+            operators.Sketch.countMinSketch(ev, "user_id"), ev,
+            "user_id")
+          .crossJoin(thr).filter(col("est") >= col("thr"))
+        cand.join(ev.groupBy("user_id")
+            .agg(count(lit(1)).as("exact")), "user_id")
+          .withColumn("is_hh", col("exact") >= col("thr"))
+      },
+      Some("""WITH k AS (SELECT user_id,
+                md5(CAST(user_id AS VARCHAR)) AS hex FROM events),
+              p AS (SELECT user_id, d,
+                      (instr('0123456789abcdef',
+                          substring(hex, 3 * d + 1, 1)) - 1) * 256
+                      + (instr('0123456789abcdef',
+                          substring(hex, 3 * d + 2, 1)) - 1) * 16
+                      + (instr('0123456789abcdef',
+                          substring(hex, 3 * d + 3, 1)) - 1) AS bucket
+                    FROM k CROSS JOIN
+                      (SELECT unnest([0, 1, 2, 3]) AS d)),
+              sk AS (SELECT d, bucket, count(*) AS cnt FROM p
+                     GROUP BY 1, 2),
+              probe AS (SELECT DISTINCT user_id, d, bucket FROM p),
+              est AS (SELECT user_id, CAST(min(cnt) AS BIGINT) AS est
+                      FROM probe JOIN sk USING (d, bucket) GROUP BY 1),
+              thr AS (SELECT count(*) // 160 AS thr FROM events),
+              ex AS (SELECT user_id, count(*) AS exact FROM events
+                     GROUP BY 1)
+              SELECT user_id, est, thr, exact, exact >= thr AS is_hh
+              FROM est JOIN ex USING (user_id) CROSS JOIN thr
+              WHERE est >= thr""")),
+
+    // ── scale pattern: grid-histogram quantile sketch — p50/p95/p99
+    //    per segment from ≤ domain/width integer bucket counts; the
+    //    cumulative pass runs over the BUCKET domain, not the raw
+    //    rows, and slices merge by bucket sum. Error ≤ one 16-cent
+    //    grid step, and the estimates themselves oracle-hash (an
+    //    exact per-segment sort at 100 TB is what this replaces). ──
+    QueryDef(
+      "q_hist_quantile",
+      (s, dir) => {
+        val sk = operators.Sketch.histSketch(
+          centsEvents(s, dir).select("event_type", "iv"),
+          Seq("event_type"), "iv", 16L)
+        operators.Sketch.histQuantile(sk, Seq("event_type"), 16L,
+          Seq(500, 950, 990))
+      },
+      Some("""WITH e AS (SELECT event_type,
+                  CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
+              h AS (SELECT event_type, iv // 16 AS bucket,
+                      count(*) AS cnt FROM e GROUP BY 1, 2),
+              c AS (SELECT event_type, bucket,
+                      sum(cnt) OVER (PARTITION BY event_type
+                        ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW) AS rw,
+                      sum(cnt) OVER (PARTITION BY event_type) AS n
+                    FROM h),
+              x AS (SELECT event_type, q_pm, min(bucket) AS qbucket
+                    FROM c CROSS JOIN
+                      (SELECT unnest([500, 950, 990]) AS q_pm)
+                    WHERE rw * 1000 >= q_pm * n GROUP BY 1, 2)
+              SELECT event_type, q_pm, qbucket,
+                (qbucket + 1) * 16 - 1 AS est_hi FROM x"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -178,6 +178,46 @@ object Sketch {
         .otherwise(lit((k - 1).toDouble * 4503599627370496.0) /
           col("h_k").cast("double")))
 
+  /** Fixed-grid histogram quantile sketch: integer bucket counts over
+    * `valueCol div width` — ≤ domain/width rows per group whatever the
+    * row count does, mergeable by (group, bucket) sum across
+    * slices/streams, quantile error ≤ one grid step. The rank-
+    * statistics complement of HLL/count-min/KMV under the same
+    * portability discipline: every accumulation is an integer count,
+    * so the ESTIMATES oracle-hash exactly (a t-digest's float
+    * centroids never would).
+    */
+  def histSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      width: Long): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    df.groupBy(groupCols.map(col) :+
+        expr(s"$valueCol div ${width}L").as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-mille quantile estimates from a [[histSketch]]: the first
+    * bucket whose cumulative count reaches q‰ of the group total;
+    * the estimate is that bucket's inclusive upper edge. The window
+    * runs over the BUCKET domain (bounded by domain/width), never the
+    * raw rows.
+    */
+  def histQuantile(sketch: DataFrame, groupCols: Seq[String],
+      width: Long, qPerMille: Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    sketch.withColumn("rw", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .select(groupCols.map(col) ++ Seq(col("bucket"), col("rw"),
+        col("n"), explode(array(qPerMille.map(lit): _*)).as("q_pm")): _*)
+      .filter(col("rw") * 1000 >= col("q_pm") * col("n"))
+      .groupBy(groupCols.map(col) :+ col("q_pm"): _*)
+      .agg(min(col("bucket")).as("qbucket"))
+      .withColumn("est_hi", (col("qbucket") + 1) * width - 1)
+  }
+
   private def cmBuckets(df: DataFrame, keyCol: String,
       depth: Int): DataFrame = {
     val nib = (i: Int) =>

@@ -481,4 +481,37 @@ class OperatorsSpec extends AnyFunSuite {
       assert(r.getAs[Double]("est") == 5.0)
     }
   }
+
+  test("histSketch: slice merge = whole; quantiles within one grid step") {
+    import org.apache.spark.sql.functions._
+    val width = 10L
+    // skewed values so quantile buckets differ per group
+    val df = (1 to 3000).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val v = if (g == "a") (i % 100).toLong else ((i % 40) * (i % 7)).toLong
+      (g, v, i)
+    }.toDF("g", "v", "i")
+    val whole = Sketch.histSketch(df.select("g", "v"), Seq("g"), "v", width)
+    // mergeable: per-slice sketches sum by (g, bucket) to the whole
+    val merged = Sketch.histSketch(df.filter($"i" <= 1500)
+        .select("g", "v"), Seq("g"), "v", width)
+      .unionByName(Sketch.histSketch(df.filter($"i" > 1500)
+        .select("g", "v"), Seq("g"), "v", width))
+      .groupBy("g", "bucket").agg(sum("cnt").as("cnt"))
+    assert(merged.collect().map(_.toSeq).toSet ==
+      whole.collect().map(_.toSeq).toSet, "slice merge != whole")
+    // estimate vs exact: upper-edge bias, within one grid step above
+    val est = Sketch.histQuantile(whole, Seq("g"), width, Seq(500, 990))
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("q_pm")) ->
+        r.getAs[Long]("est_hi")).toMap
+    val byG = df.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    for (((g, qpm), e) <- est) {
+      val vs = byG(g)
+      val exact = vs((math.ceil(qpm / 1000.0 * vs.length) - 1).toInt
+        .max(0))
+      assert(e >= exact && e - exact < 2 * width,
+        s"$g q$qpm: est $e exact $exact")
+    }
+  }
 }

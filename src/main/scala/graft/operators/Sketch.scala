@@ -138,10 +138,11 @@ object Sketch {
   def kmvSketch(df: DataFrame, groupCols: Seq[String], keyCol: String,
       k: Int): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")
+    // the native codegen twin of hex52Sql — bit-identical values (spec
+    // Hex52Spec), one digest per row instead of 13 hex-substring scans
     kmvBottomK(
       df.select(groupCols.map(col) :+
-          md5(col(keyCol).cast("string")).as("hex"): _*)
-        .withColumn("hv", expr(hex52Sql("hex"))).drop("hex"),
+        graft.functions.Hex52(col(keyCol).cast("string")).as("hv"): _*),
       groupCols, k)
   }
 

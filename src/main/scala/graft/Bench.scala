@@ -88,6 +88,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.configure(spark)
+    // a crash is a FAILURE, not load: recorded here (first exception line)
+    // and reported as failed_queries, never as load suspicion (r5 had 28
+    // crashes masquerading as contention with all three canaries green)
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // per-run measurement: (wall, externalCpuFrac, coresUsed); -1 wall on error
     def runMeasured(name: String): (Double, Double, Double) = {
       try {
@@ -100,6 +104,9 @@ object Bench {
         spark.catalog.clearCache()
         m
       } catch { case e: Throwable =>
+        val firstLine = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.find(_.trim.nonEmpty).getOrElse(e.getClass.getName)
+        failures.getOrElseUpdate(name, firstLine.take(300))
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         (-1.0, -1.0, -1.0)
       }
@@ -150,9 +157,10 @@ object Bench {
     val canaryEnd = cpuCanary(spark)
     // per-query suspicion: >20% of the machine's cpu went to OTHER
     // processes while the winning run was timed (floor 0.3 s wall —
-    // sub-noise queries can't be meaningfully flagged)
+    // sub-noise queries can't be meaningfully flagged). Crashed queries
+    // are NOT suspicious — they are failed_queries, a separate axis.
     val suspectQueries = results.collect {
-      case (n, (w, ext, _)) if w < 0 || (ext > 0.2 && w > 0.3) => n
+      case (n, (w, ext, _)) if ext > 0.2 && w > 0.3 => n
     }
     val cpuCanarySuspect = canaryStart > cpuCanaryBudget ||
       canaryEnd > cpuCanaryBudget
@@ -162,12 +170,22 @@ object Bench {
       .mkString("{", ",", "}")
     val meta = results.map { case (k, (w, ext, cores)) =>
       s""""$k":{"wall_s":$w,"ext_cpu_frac":$ext,"jvm_cores_used":$cores,""" +
-        s""""suspect":${w < 0 || (ext > 0.2 && w > 0.3)}}"""
+        s""""suspect":${ext > 0.2 && w > 0.3}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val failedJson = failures
+      .map { case (n, msg) => s"${jstr(n)}:${jstr(msg)}" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
       s""""queries":$qs,""" +
       s""""query_load":$meta,""" +
+      s""""failed_queries":$failedJson,""" +
       s""""canary_point_get_s":$canary,"canary_budget_s":$canaryBudget,""" +
       s""""cpu_canary_start_s":$canaryStart,"cpu_canary_end_s":$canaryEnd,""" +
       s""""cpu_canary_budget_s":$cpuCanaryBudget,""" +
@@ -178,6 +196,13 @@ object Bench {
       s""""ingest_rows_per_s":${(100000 / ingestS).toLong},""" +
       s""""scan_rows_per_s":${(100000 / scanS).toLong},"sf":"$sfDir"}""")
     spark.stop()
+    // a crash anywhere in the suite must fail the run visibly, AFTER the
+    // JSON line (the driver still gets partial timings to grade)
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[bench] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 
   /** The reference's own benchmark shape (BASELINE.md; reference

@@ -4731,13 +4731,19 @@ object Queries {
           .withColumn("growth",
             (col("rev") - col("prev_rev")).cast("double") /
               col("prev_rev").cast("double"))
+          // registry exactness rule: decimals leave the query as DOUBLE
+          // so Spark's decimal(28,2) vs DuckDB's DECIMAL(38,2) can't
+          // hash-differ on identical values.
+          .withColumn("rev", col("rev").cast("double"))
+          .withColumn("prev_rev", col("prev_rev").cast("double"))
       },
       Some("""WITH wk AS (SELECT
                   (CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 7
                     AS week,
                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
                 FROM orders GROUP BY 1)
-              SELECT a.week, a.rev, b.rev AS prev_rev,
+              SELECT a.week, CAST(a.rev AS DOUBLE) AS rev,
+                CAST(b.rev AS DOUBLE) AS prev_rev,
                 CAST(a.rev - b.rev AS DOUBLE) / CAST(b.rev AS DOUBLE)
                   AS growth
               FROM wk a LEFT JOIN wk b ON a.week = b.week + 1""")),

@@ -1,14 +1,19 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
-  * `events.parquet` stores its `ts` column as parquet TIMESTAMP(NANOS),
-  * which Spark cannot read as TimestampType (µs). We read it with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (set once per session
-  * here) so `ts` surfaces as LongType epoch-nanos; use
-  * [[Tables.tsMicros]] to get comparable epoch-µs.
+  * The engine-visible contract for `events.ts` is LongType epoch-nanos,
+  * regardless of how the driver happened to encode the parquet:
+  *   - TIMESTAMP(NANOS)  → surfaces as LongType via
+  *     `spark.sql.legacy.parquet.nanosAsLong=true` (older testdata);
+  *   - TIMESTAMP_MICROS (isAdjustedToUTC=false → TIMESTAMP_NTZ) →
+  *     normalized here to `unix_micros * 1000` (current testdata).
+  * The session timezone is pinned to UTC so the NTZ→instant cast is
+  * shift-free. Use [[Tables.tsMicros]] to get comparable epoch-µs.
   */
 object Tables {
   val all: Seq[String] = Seq(
@@ -29,6 +34,21 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     configure(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** Enforce the `ts` contract (LongType epoch-nanos) whichever physical
+    * encoding the parquet carries. Long passes through untouched; µs
+    * timestamps (with or without zone) are widened to nanos.
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) =>
+        df.withColumn(
+          "ts", (unix_micros(col("ts").cast(TimestampType)) * lit(1000L)).cast(LongType))
+      case _ => df
+    }
+
+  /** Epoch-µs view of an epoch-nanos `ts` column (integer division). */
+  def tsMicros(ts: Column): Column = (ts / lit(1000L)).cast(LongType)
 }

@@ -339,11 +339,13 @@ object Dedup {
     * convergence is typically 2-4 rounds regardless of corpus size.
     * Each round is one join + one map-side-combined min — the standard
     * scalable shape (what GraphX's cc computes, without the GraphX
-    * dependency). Labels localCheckpoint per round: lineage stays one
-    * round deep (no 20-join plan tree), and each superseded round's
-    * checkpoint blocks are unpersisted eagerly (GC-based cleanup is
-    * "effectively never" inside a long bench/streaming session). The
-    * final `changed == 0` round certifies the fixpoint.
+    * dependency). Labels RELIABLY checkpoint per round
+    * ([[IterCheckpoint]]): lineage stays one round deep (no 20-join
+    * plan tree), state survives executor loss (localCheckpoint blocks
+    * would not), and each superseded round's files are deleted eagerly
+    * (GC-based cleanup is "effectively never" inside a long
+    * bench/streaming session). The final `changed == 0` round
+    * certifies the fixpoint.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
@@ -353,9 +355,9 @@ object Dedup {
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist(lvl)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint(true)
+    var labels = IterCheckpoint(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -364,20 +366,18 @@ object Dedup {
           col("comp").as("nbr_comp")), "dst")
         .groupBy("src").agg(min(col("nbr_comp")).as("min_nbr"))
         .select(col("src").as("id"), col("min_nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = IterCheckpoint(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("min_nbr"), col("comp")))
-            .as("comp"))
-        .localCheckpoint(true)
+            .as("comp")))
       val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
         .filter(col("comp") < col("prev")).count()
-      // free the superseded round's checkpoint blocks NOW — `next` is
-      // already eagerly materialized into its own blocks and `changed`
-      // is counted, so nothing references the old labels; without this
-      // the blocks accrue until the driver GCs the old Dataset, which
+      // free the superseded round NOW — `next` is already eagerly
+      // materialized into its own checkpoint files and `changed` is
+      // counted, so nothing references the old labels; without this
+      // the files accrue until the driver GCs the old Dataset, which
       // in a long session (bench, streaming) is effectively never
-      org.apache.spark.sql.GraftSql.checkpointRdd(labels)
-        .foreach(_.unpersist(blocking = false))
+      IterCheckpoint.free(labels)
       labels = next
       converged = changed == 0
       iter += 1
@@ -532,22 +532,33 @@ object Dedup {
       .withColumn("nd",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("id"))))
-      .persist(lvl)
     // ⌈t·nd⌉ in SCALED-INTEGER arithmetic: a double ceil here is both
     // engine-divergent (DuckDB folds 0.8·nd in exact DECIMAL; binary
     // 0.8·55 = 44.000000000000007 ceils to 45) and a completeness bug
     // (the over-ceil SHORTENS the prefix below the theorem's minimum,
     // silently missing boundary-overlap pairs)
     val tScaled = math.round(threshold * 1e6)
+    // persist the PREFIX, not the full ranked table: it is the only
+    // downstream consumer of the ranking and (1−t)+ε of its size — at
+    // t = 0.8 caching ranked holds 5× the bytes the self-join reads,
+    // and that memory pressure is what made sf0.1 timings swing ±35%
     val prefix = ranked
       .filter(col("rn") <=
         col("nd") - expr(s"($tScaled * nd + 999999) div 1000000") + 1)
       .select(col("id"), col("tok"), col("nd"))
+      .persist(lvl)
     val cand = prefix.select(col("id").as("id_a"), col("tok"),
         col("nd").as("na"))
       .join(prefix.select(col("id").as("id_b"), col("tok"),
         col("nd").as("nb")), "tok")
-      .filter(col("id_a") < col("id_b"))
+      .filter(col("id_a") < col("id_b") &&
+        // LENGTH filter (AllPairs): jaccard = shared/(na+nb−shared)
+        // ≤ min/max, so t·max(na,nb) > min(na,nb) pairs can never
+        // verify — pruning them here (scaled-integer, engine-exact)
+        // shrinks the distinct AND both verification joins without
+        // changing a single surviving row
+        least(col("na"), col("nb")) * lit(1000000L) >=
+          lit(tScaled) * greatest(col("na"), col("nb")))
       .select("id_a", "id_b", "na", "nb").distinct()
     val shared = cand
       .join(toks.select(col("id").as("id_a"), col("tok")), "id_a")

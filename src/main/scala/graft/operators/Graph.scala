@@ -33,8 +33,9 @@ object Graph {
     * every round (persisted); a round is edges⋈ranks on the source id
     * (both sides hash-partitioned on it) followed by a map-side-
     * combined sum on the destination — the classic message-passing
-    * round as two exchanges. Superseded rank checkpoints are freed
-    * each round via [[org.apache.spark.sql.GraftSql.checkpointRdd]].
+    * round as two exchanges. Round state is RELIABLY checkpointed and
+    * superseded rounds freed eagerly via [[IterCheckpoint]] (survives
+    * executor loss; localCheckpoint blocks would not).
     * Rounds are O(diameter)-free: `iterations` is fixed, so total work
     * is iterations × one edge shuffle regardless of graph shape.
     */
@@ -51,24 +52,21 @@ object Graph {
     val n = nodes.count()
     val outDeg = e.groupBy(col("src").as("id"))
       .agg(count(lit(1)).cast("double").as("od")).persist(lvl)
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
-      .localCheckpoint(true)
+    var ranks = IterCheckpoint(nodes.withColumn("rank", lit(1.0 / n)))
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.join(outDeg, "id").select(col("id").as("src"),
           floor(col("rank") / col("od") * lit(1e12)).as("c")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("in_sum"))
-      val next = nodes.join(contrib, Seq("id"), "left")
+      val next = IterCheckpoint(nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) *
               (coalesce(col("in_sum"), lit(0L)).cast(DoubleType) /
                 lit(1e12)))
-            .as("rank"))
-        .localCheckpoint(true)
-      org.apache.spark.sql.GraftSql.checkpointRdd(ranks)
-        .foreach(_.unpersist(blocking = false))
+            .as("rank")))
+      IterCheckpoint.free(ranks)
       ranks = next
     }
     e.unpersist(); nodes.unpersist(); outDeg.unpersist()

@@ -236,6 +236,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3(0) > r3(1) && r3(1) > r3(2), s"ordering: ${r3.toSeq}")
   }
 
+  test("iterative state is reliably checkpointed: survives losing every cached block") {
+    // localCheckpoint state lives ONLY in executor blocks — evicting
+    // them is what an executor loss does on a real cluster, and it is
+    // unrecoverable (lineage is truncated). Reliable checkpoint state
+    // lives in files; blowing away every cached/checkpoint BLOCK must
+    // not change a single label.
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (40L, 41L),
+      (41L, 42L), (42L, 43L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val before = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // the result is file-backed, not block-backed
+    val rdd = org.apache.spark.sql.GraftSql.checkpointRdd(labels)
+    assert(rdd.isDefined && rdd.get.getCheckpointFile.isDefined,
+      "connectedComponents result must be reliably checkpointed (files, not blocks)")
+    // simulate executor loss: drop EVERY persisted block in the session
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val after = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(after == before, "labels changed after losing all cached blocks")
+    // same guarantee for pageRank
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val ranks = Graph.pageRank(edges, "s", "d", iterations = 2)
+    val r0 = ranks.orderBy("id").collect().map(_.getDouble(1)).toSeq
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val r1 = ranks.orderBy("id").collect().map(_.getDouble(1)).toSeq
+    assert(r0 == r1, "ranks changed after losing all cached blocks")
+  }
+
   test("triangleCount: degree orientation counts each triangle once") {
     // K4 on {1,2,3,4} (4 triangles) + pendant 5-1 (none); duplicate and
     // reversed input edges must not change anything

@@ -170,7 +170,8 @@ object BenchScale {
     spark.range(n).select(
       col("id").as("event_id"),
       // NANOSECOND long epoch — the shape Tables.load gives the sf
-      // events table (TIMESTAMP(NANOS) parquet read as LongType).
+      // events table (whatever the parquet encoding, ts surfaces as
+      // LongType epoch-nanos; see Tables.normalizeTs).
       // ~0.94 s stride: the corpus spans more hourly bars as n grows
       (lit(1704067200000000000L) + col("id") * 937000000L +
         pmod(xxhash64(col("id")), lit(911111111L))).as("ts"),

@@ -90,8 +90,8 @@ object Queries {
     * cluster labels are a build-once artifact the accounting queries
     * (`q_cluster_reps`) amortize, while `q_dedup_components` itself
     * times the full mine+fixpoint build FRESH on purpose. The returned
-    * labels are localCheckpoint-backed, so reuse reads blocks, not
-    * lineage.
+    * labels are reliably checkpoint-backed ([[operators.IterCheckpoint]]),
+    * so reuse reads checkpoint files, not lineage.
     */
   private val ccMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String), DataFrame]
@@ -4055,10 +4055,14 @@ object Queries {
             operators.Incremental.partialAggs(ev, Seq("user_id"), "day",
               "value"),
             Seq("user_id"))
+          // registry exactness rule: the DECIMAL merge stays exact
+          // inside the operator; the query edge emits DOUBLE
+          .withColumn("sum_v", col("sum_v").cast("double"))
           .orderBy("user_id")
       },
       Some("""SELECT user_id, count(*) AS n,
-                sum(CAST(value AS DECIMAL(18, 6))) AS sum_v,
+                CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE)
+                  AS sum_v,
                 min(value) AS min_v, max(value) AS max_v,
                 CAST(sum(CAST(value AS DECIMAL(18, 6))) AS DOUBLE) /
                   CAST(count(*) AS DOUBLE) AS avg_v
@@ -4524,12 +4528,16 @@ object Queries {
         by.crossJoin(by.agg(sum(col("rev")).as("tot_rev")))
           .withColumn("share", col("rev").cast("double") /
             col("tot_rev").cast("double"))
+          // registry exactness rule: decimals leave the query as DOUBLE
+          .withColumn("rev", col("rev").cast("double"))
+          .withColumn("tot_rev", col("tot_rev").cast("double"))
       },
       Some("""WITH b AS (SELECT l_returnflag,
                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
                 FROM lineitem GROUP BY 1),
               t AS (SELECT SUM(rev) AS tot_rev FROM b)
-              SELECT l_returnflag, rev, tot_rev,
+              SELECT l_returnflag, CAST(rev AS DOUBLE) AS rev,
+                CAST(tot_rev AS DOUBLE) AS tot_rev,
                 CAST(rev AS DOUBLE) / CAST(tot_rev AS DOUBLE) AS share
               FROM b, t""")),
 

@@ -45,6 +45,20 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("no registered query emits a raw DECIMAL column") {
+    // The registry exactness rule (Queries.scala top doc): decimal
+    // aggregates must CAST AS DOUBLE before leaving the query — Spark's
+    // decimal(28,2) vs DuckDB's DECIMAL(38,2) hash-differ on identical
+    // values (q_wow_growth, round 5's one red row). Schema-only check,
+    // nothing executes.
+    import org.apache.spark.sql.types.DecimalType
+    for (d <- Queries.allDefs) {
+      val bad = d.fn(spark, sf).schema.fields
+        .filter(_.dataType.isInstanceOf[DecimalType]).map(_.name)
+      assert(bad.isEmpty, s"${d.name}: raw DECIMAL columns ${bad.toSeq}")
+    }
+  }
+
   test("no registered query plans a global (empty-partition) window") {
     // an empty partitionSpec moves ALL rows to one task — the straggler
     // that killed q_ntile's first form. Guard the whole registry so the

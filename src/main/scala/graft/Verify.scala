@@ -28,9 +28,14 @@ object Verify {
         // stage and collapses the whole upstream pipeline to one task;
         // repartition keeps computation parallel and only funnels the
         // (single-file) write through the final exchange
-        try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).repartition(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          // operators persist fan-out intermediates; without this the
+          // blocks of all 158 queries accrue across the dump (the same
+          // hygiene Bench applies after every timed run)
+          spark.catalog.clearCache()
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }

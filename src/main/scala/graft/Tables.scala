@@ -29,6 +29,10 @@ object Tables {
     // DuckDB oracle reads identical values.
     c.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     c.set("spark.sql.adaptive.enabled", "true")
+    // time-range predicates over the derived epoch-nanos ts must still
+    // prune parquet row groups (see plans.NanoTsFilterPushdown)
+    org.apache.spark.sql.GraftSql.addOptimization(spark,
+      graft.plans.NanoTsFilterPushdown)
     spark
   }
 

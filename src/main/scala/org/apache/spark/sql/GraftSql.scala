@@ -37,4 +37,16 @@ object GraftSql {
     if (!exp.extraStrategies.contains(strategy))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
+
+  /** Idempotently register a session optimizer rule (the post-hoc
+    * analog of `injectOptimizerRule` for sessions built without
+    * extensions — Verify/Bench/tests all construct plain sessions).
+    */
+  def addOptimization(spark: SparkSession,
+      rule: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan])
+      : Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
 }

@@ -510,6 +510,29 @@ object Queries {
                 AND l_shipdate <  TIMESTAMP '1995-02-01 00:00:00'
               ORDER BY l_orderkey, l_linenumber""")),
 
+    // ── time-range scan over the epoch-nanos ts contract — the
+    //    opentick `tm>=? and tm<=?` shape on the events table. The
+    //    filter compares the DERIVED unix_micros(ts)*1000 column, and
+    //    plans.NanoTsFilterPushdown rewrites it onto the underlying
+    //    timestamp so parquet row-group pruning still fires (spec-gated
+    //    in NanoTsPushdownSpec); the bounds are deliberately
+    //    NON-multiples of 1000 to keep the ceil/floor bound mapping
+    //    honest in the oracle compare. ──
+    QueryDef(
+      "q_ts_range_scan",
+      (s, dir) =>
+        t(s, dir, "events")
+          .filter(col("ts") >= lit(1705363200000000001L) &&
+            col("ts") < lit(1705536000000000001L))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .orderBy("event_id"),
+      Some("""SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type,
+                value
+              FROM events
+              WHERE epoch_ns(ts) >= 1705363200000000001
+                AND epoch_ns(ts) < 1705536000000000001
+              ORDER BY event_id""")),
+
     // opentick `limit -N`: reverse PK scan, descending presentation order.
     QueryDef(
       "q_reverse_limit",

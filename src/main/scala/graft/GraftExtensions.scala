@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new GraftParser(session, delegate))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction(GraftExtensions.cosineToQueryFunction)
+    // same rule Tables.configure registers post-hoc: ts-range filters
+    // over the derived epoch-nanos column must prune parquet scans
+    ext.injectOptimizerRule(_ => graft.plans.NanoTsFilterPushdown)
   }
 }
 

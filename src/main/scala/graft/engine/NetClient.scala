@@ -91,7 +91,10 @@ final class NetClient(host: String, port: Int,
               // scan failed mid-stream and the prefix is not the result
               case (Some(_), err: String) => err
               case (Some(buf), rows: Seq[_]) => buf.toSeq ++ rows
-              case (Some(buf), null) => buf.toSeq
+              // protocol sends rows / error / null on the final frame;
+              // anything else is unreachable — keep the buffered prefix
+              // (total match, no MatchError on a malformed peer)
+              case (Some(buf), _) => buf.toSeq
               case (None, r) => r
             }
             pending.remove(ticket).foreach(_.success(res))

@@ -486,7 +486,7 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     // bulk imports arrive through Spark TimestampType (µs): remainders 0
     val withNs = tsCols(td).foldLeft(df)((d, c) =>
       d.withColumn(nsCol(c), lit(0)))
-      .select(logicalSchemaWithNs(td).fieldNames.map(col): _*)
+      .select(logicalSchemaWithNs(td).fieldNames.toIndexedSeq.map(col): _*)
     val sorted = logicalToPhys(td, withNs)
       .withColumn(SeqCol, lit(seq * 1000000L))
       .repartitionByRange(col(physNames(td).head))

@@ -528,7 +528,7 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
     }
     // argmin via struct-min over (dist, code)
-    least(dists.zipWithIndex.map { case (d, i) =>
+    least(dists.zipWithIndex.toIndexedSeq.map { case (d, i) =>
       struct(d.as("d"), lit(i).as("c"))
     }: _*).getField("c")
   }

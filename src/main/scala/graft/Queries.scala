@@ -2307,6 +2307,130 @@ object Queries {
               GROUP BY d.doc_id, b.bench_id
               ORDER BY d.doc_id, b.bench_id""")),
 
+    // ── north star: SPAN-level substring dedup (Lee et al. shape) —
+    //    stride-10 windows of 20 tokens md5-fingerprinted; a window in
+    //    ≥ 2 distinct docs is a duplicated span; per-doc dup budget.
+    //    The twin-chain corpus guarantees cross-doc spans exist. ──
+    QueryDef(
+      "q_substring_dedup",
+      (s, dir) =>
+        operators.Dedup.dupSpans(twinChainCorpus(s, dir),
+            "doc_id", "text", window = 20, stride = 10)
+          .orderBy("id"),
+      Some("""WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz yy' FROM documents),
+              t AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+')
+                        AS toks
+                    FROM docs),
+              w AS (SELECT doc_id,
+                      md5(array_to_string(toks[g:g+19], ' ')) AS h
+                    FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks) - 19, 10))
+                              AS g
+                          FROM t WHERE len(toks) >= 20)),
+              d AS (SELECT h FROM w
+                    GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+              SELECT w.doc_id AS id,
+                     count(*) AS n_windows,
+                     count(d.h) AS n_dup_windows,
+                     CAST(count(d.h) AS DOUBLE) /
+                       CAST(count(*) AS DOUBLE) AS dup_frac
+              FROM w LEFT JOIN d ON d.h = w.h
+              GROUP BY w.doc_id
+              ORDER BY id""")),
+
+    // ── north star: hashed-feature linear classifier scoring (the
+    //    fastText-style quality gate): weights are a pure function of
+    //    the portable hex52 token hash, accumulation on the integer
+    //    grid, one terminal divide — bit-exact in any engine. ──
+    QueryDef(
+      "q_classifier_score",
+      (s, dir) =>
+        operators.TextAnalysis.classifierScore(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text")
+          .orderBy("id"),
+      Some(s"""WITH tk AS (SELECT doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                    AS tok
+                FROM documents),
+              tf AS (SELECT doc_id, tok, count(*) AS tf
+                     FROM tk GROUP BY 1, 2),
+              wt AS (SELECT doc_id, tf,
+                       (${operators.Sketch.hex52Sql("md5(tok)")} % 2001)
+                         - 1000 AS w1000
+                     FROM tf)
+              SELECT doc_id AS id,
+                     CAST(sum(tf) AS BIGINT) AS n_toks,
+                     CAST(sum(tf * w1000) AS BIGINT) AS sum_w1000,
+                     CAST(sum(tf * w1000) AS DOUBLE) /
+                       (CAST(1000.0 AS DOUBLE) *
+                        CAST(sum(tf) AS DOUBLE)) AS score,
+                     CASE WHEN CAST(sum(tf * w1000) AS DOUBLE) /
+                       (CAST(1000.0 AS DOUBLE) *
+                        CAST(sum(tf) AS DOUBLE)) >= 0
+                       THEN 1 ELSE 0 END AS label
+              FROM wt GROUP BY doc_id
+              ORDER BY id""")),
+
+    // ── north star: TF-weighted cosine near-dup join over the 5-gram
+    //    shingle inverted index — integer dot/norm sums, two IEEE
+    //    sqrts, one divide; df-guard prunes candidates only (scores
+    //    unchanged). Shingle space, not unigrams: this corpus's 31-token
+    //    vocabulary makes the unigram index dense (setSimJoin rule). ──
+    QueryDef(
+      "q_tf_cosine",
+      (s, dir) =>
+        operators.Dedup.tfCosineJoin(twinChainCorpus(s, dir),
+            "doc_id", "text", threshold = 0.9, maxDocFreq = 100,
+            ngram = 5)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz yy' FROM documents),
+              t AS (SELECT doc_id,
+                      regexp_split_to_array(lower(trim(text)), '\s+')
+                        AS toks
+                    FROM docs),
+              tk AS (SELECT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS tok
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4))
+                               AS g
+                           FROM t)),
+              tf AS (SELECT doc_id, tok, count(*) AS tf
+                     FROM tk GROUP BY 1, 2),
+              norms AS (SELECT doc_id, sum(tf * tf) AS n2
+                        FROM tf GROUP BY 1),
+              keep AS (SELECT tok FROM tf
+                       GROUP BY tok HAVING count(*) <= 100),
+              ctf AS (SELECT tf.doc_id, tf.tok, tf.tf
+                      FROM tf JOIN keep USING (tok)),
+              dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                        CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+                      FROM ctf a JOIN ctf b
+                        ON a.tok = b.tok AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+              SELECT id_a, id_b, dot,
+                     CAST(dot AS DOUBLE) /
+                       (sqrt(CAST(x.n2 AS DOUBLE)) *
+                        sqrt(CAST(y.n2 AS DOUBLE))) AS cosine
+              FROM dot
+              JOIN norms x ON x.doc_id = id_a
+              JOIN norms y ON y.doc_id = id_b
+              WHERE CAST(dot AS DOUBLE) /
+                      (sqrt(CAST(x.n2 AS DOUBLE)) *
+                       sqrt(CAST(y.n2 AS DOUBLE))) >= 0.9
+              ORDER BY id_a, id_b""")),
+
     // ── north star: END-TO-END corpus curation — the full C4/Gopher
     //    filter chain (language keep-list → quality threshold → exact
     //    dedup keeping the smallest id → PII redaction + token

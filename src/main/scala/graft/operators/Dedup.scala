@@ -621,4 +621,112 @@ object Dedup {
       .filter(col("edit_dist") >= 0)
       .select("id_a", "id_b", "edit_dist")
   }
+
+  /** Cross-document duplicated-SPAN detection (the substring-dedup
+    * shape of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): slide a `window`-token window with `stride` over
+    * every document, fingerprint each window (md5 of the joined
+    * tokens — engine-portable, unlike murmur), and mark a window
+    * duplicated when the SAME fingerprint appears in ≥ 2 DISTINCT
+    * documents. Returns one row per document (≥ 1 window):
+    * (id, n_windows, n_dup_windows, dup_frac) — the span-level dup
+    * budget document filters act on (doc-level Jaccard misses a long
+    * doc quoting one viral paragraph; this is the detector for it).
+    *
+    * Scale shape: the explode is bounded by n_tokens/stride windows
+    * per doc (window CONTENT is hashed away immediately — no W-token
+    * strings survive the projection); the dup set is one
+    * map-side-combined group-by on the 32-char fingerprint; the
+    * mark-back is a hash join on the same key the group-by just
+    * shuffled on. Nothing all-pairs, no driver state.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 20, stride: Int = 10): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    // __toks bound as a column (shingleArray rule): ≥ 2 references below
+    val wins = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      // the empty-array guard matters: sequence(1, 0) is DESCENDING
+      // [1, 0], not empty (documented on shingleArray)
+      .select(col("id"), explode(
+        when(size(col("__toks")) >= window,
+          transform(
+            sequence(lit(1), size(col("__toks")) - (window - 1),
+              lit(stride)),
+            i => md5(concat_ws(" ", slice(col("__toks"), i, lit(window))))))
+          .otherwise(array().cast("array<string>"))).as("h"))
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("h"))
+      .withColumn("isdup", lit(1L))
+    wins.join(dup, Seq("h"), "left")
+      .groupBy("id")
+      // count(isdup) = non-null marks — the BIGINT shape a count-based
+      // oracle replays (a SUM would widen to HUGEINT in DuckDB)
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("isdup")).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        col("n_dup_windows").cast(DoubleType) /
+          col("n_windows").cast(DoubleType))
+  }
+
+  /** TF-weighted cosine similarity join over the token inverted index —
+    * the WEIGHTED sibling of [[ngramJaccard]] (sets score a 50×-repeated
+    * token the same as one occurrence; term-frequency cosine is what
+    * near-dup detection over templated/boilerplate-heavy corpora
+    * wants). Pairs with cosine ≥ `threshold` survive:
+    * cosine = Σ tf_a·tf_b / (‖a‖·‖b‖).
+    *
+    * Engine-exact by construction: dot products and squared norms are
+    * INTEGER sums (order-free); the only floats are two sqrt calls
+    * (IEEE-correctly-rounded in every engine), one multiply, one
+    * divide — all fixed-order. Skew guard: tokens in more than
+    * `maxDocFreq` docs are pruned from the candidate join only (norms
+    * keep every token: pruning must lose candidates, not change
+    * scores of survivors).
+    */
+  def tfCosineJoin(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.9, maxDocFreq: Long = 1000,
+      ngram: Int = 1): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    // ngram > 1 weights SHINGLE frequencies — for a corpus with a
+    // small shared vocabulary (every token in ~every doc) the unigram
+    // index is dense and the df guard would have to prune everything;
+    // shingle space is sparse enough for the inverted-index join to
+    // stay near-linear (the setSimJoin element-space rule)
+    val el = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), explode(
+        if (ngram <= 1) col("__toks")
+        else shingleArray(col("__toks"), ngram)).as("tok"))
+    // (id, tok, tf) read three times (norms + both join sides): persist
+    val tf = el
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = tf.groupBy("id")
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val candTf = if (maxDocFreq <= 0) tf else
+      tf.join(tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select("tok"), "tok")
+    val dot = candTf.select(col("id").as("id_a"), col("tok"),
+        col("tf").as("tfa"))
+      .join(candTf.select(col("id").as("id_b"), col("tok"),
+        col("tf").as("tfb")), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+    dot
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na2")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb2")), "id_b")
+      .withColumn("cosine",
+        col("dot").cast(DoubleType) /
+          (sqrt(col("na2").cast(DoubleType)) *
+            sqrt(col("nb2").cast(DoubleType))))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "dot", "cosine")
+  }
 }

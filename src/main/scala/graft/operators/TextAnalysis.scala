@@ -438,4 +438,38 @@ object TextAnalysis {
               struct(col("pos"), col("line"))))),
           x => x.getField("line")), "\n").as("clean_text"))
   }
+
+  /** Hashed-feature LINEAR classifier scoring — the fastText-style
+    * quality-classifier pass every corpus pipeline runs (a trained
+    * weight vector, hashed token features, one dot product per doc),
+    * with the weight table derived deterministically from the portable
+    * 52-bit token hash so any engine reproduces the model bit-exactly
+    * (a real deployment broadcasts a trained weight table instead; the
+    * query shape — hash, per-token weight lookup, per-doc accumulate —
+    * is identical). w(tok) = (hex52(tok) mod 2001 − 1000)/1000 ∈
+    * [−1, 1]; score(doc) = Σ tf·w / n_toks; label = score ≥ 0.
+    *
+    * Engine-exact: the accumulation runs on the INTEGER grid
+    * (tf · (hv mod 2001 − 1000) summed as BIGINT — order-free), then
+    * ONE fixed-order divide by 1000·n_toks. A double Σ tf·w here would
+    * be summation-order-dependent and lose the cross-engine hash.
+    *
+    * Scale shape: one explode + one map-side-combined two-level
+    * aggregation, all scan-local until the per-doc group-by; the
+    * "weight table" costs nothing to ship because it is a pure
+    * function of the hash.
+    */
+  def classifierScore(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
+      .withColumn("w1000",
+        pmod(graft.functions.Hex52(col("tok")), lit(2001L)) - lit(1000L))
+      .groupBy("id")
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * col("w1000")).as("sum_w1000"))
+      .withColumn("score",
+        col("sum_w1000").cast(DoubleType) /
+          (lit(1000.0) * col("n_toks").cast(DoubleType)))
+      .withColumn("label", (col("score") >= 0).cast("int"))
 }

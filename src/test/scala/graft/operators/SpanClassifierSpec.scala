@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Goldens for the round-6 corpus operators: windowed substring-span
+  * dedup (Lee et al. shape), TF-cosine inverted-index join, and the
+  * hashed-feature linear classifier score.
+  */
+class SpanClassifierSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dupSpans: cross-doc windows flagged, within-doc-only text clean") {
+    // A and B share tokens 1..25 of 30; C is disjoint. window=10 stride=5
+    // → window starts 1,6,11,16,21; starts 1..16 lie fully inside the
+    // shared prefix (16+9=25), start 21 reads the differing tail.
+    val w = (i: Int) => s"w$i"
+    val a = (1 to 30).map(w).mkString(" ")
+    val b = ((1 to 25).map(w) ++ (1 to 5).map(i => s"x$i")).mkString(" ")
+    val c = (101 to 130).map(i => s"z$i").mkString(" ")
+    val out = Dedup.dupSpans(
+        Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text"),
+        "doc_id", "text", window = 10, stride = 5)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 5L, 4L), (2L, 5L, 4L), (3L, 5L, 0L)))
+  }
+
+  test("dupSpans: docs shorter than the window drop out, no [1,0] ghost") {
+    val out = Dedup.dupSpans(
+        Seq((1L, "a b c"), (2L, "a b c d e f")).toDF("doc_id", "text"),
+        "doc_id", "text", window = 5, stride = 2)
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(2L)) // doc 1: 3 < window
+  }
+
+  test("tfCosineJoin: exact cosines; df guard prunes candidates only") {
+    val docs = Seq((1L, "a a b"), (2L, "a a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    // ungated: identical docs cos=1; (1,3) shares only 'a':
+    // 2/(sqrt(5)*sqrt(2)) ≈ 0.632 — below 0.7
+    val full = Dedup.tfCosineJoin(docs, "doc_id", "text",
+        threshold = 0.7, maxDocFreq = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    // NOT 1.0: cosine is dot/(√n2·√n2) and √5·√5 = 5.000000000000001 —
+    // the fixed-order IEEE value every engine reproduces identically
+    val selfCos = 5.0 / (math.sqrt(5.0) * math.sqrt(5.0))
+    assert(full.toSeq == Seq((1L, 2L, selfCos)))
+    // df guard ≤ 2 drops 'a' (df=3) from the JOIN, but the surviving
+    // (1,2) pair must be scored from FULL norms: dot = tf_b·tf_b = 1,
+    // cosine = 1/(√5·√5) = 0.2 — the guard changed the candidate set,
+    // never a survivor's score
+    val gated = Dedup.tfCosineJoin(docs, "doc_id", "text",
+        threshold = 0.19, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(gated.toSeq ==
+      Seq((1L, 2L, 1L, 1.0 / (math.sqrt(5.0) * math.sqrt(5.0)))))
+  }
+
+  test("tfCosineJoin ngram=2: element space is shingles, not tokens") {
+    // share every unigram but NO bigram → ngram=2 finds nothing
+    // (doc 2's bigrams are "b a", "a c", "c b" — disjoint from
+    // doc 1's "a b", "b c")
+    val docs = Seq((1L, "a b c"), (2L, "b a c b")).toDF("doc_id", "text")
+    val uni = Dedup.tfCosineJoin(docs, "doc_id", "text",
+      threshold = 0.1, maxDocFreq = 0)
+    val bi = Dedup.tfCosineJoin(docs, "doc_id", "text",
+      threshold = 0.1, maxDocFreq = 0, ngram = 2)
+    assert(uni.count() == 1 && bi.count() == 0)
+  }
+
+  test("classifierScore: integer-grid accumulation matches direct model") {
+    val out = TextAnalysis.classifierScore(
+        Seq((7L, "a b a")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    def w1000(tok: String): Long = {
+      val md5hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md5hex.take(13), 16) % 2001L - 1000L
+    }
+    val expectedSum = 2 * w1000("a") + w1000("b")
+    assert(out.getLong(1) == 3L) // n_toks
+    assert(out.getLong(2) == expectedSum)
+    assert(out.getDouble(3) == expectedSum.toDouble / (1000.0 * 3.0))
+    assert(out.getInt(4) == (if (out.getDouble(3) >= 0) 1 else 0))
+  }
+}

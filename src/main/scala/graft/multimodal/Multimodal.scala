@@ -631,4 +631,76 @@ object Multimodal {
       .withColumn("frame_id", col("frame.frame_id"))
       .drop("frame")
   }
+
+  /** REAL perceptual average-hash (aHash) over decoded pixels: mean-pool
+    * luminance to an 8×8 grid, set bit i when cell i is brighter than
+    * the grid mean — the classic 64-bit fingerprint that survives
+    * re-encoding, resizing and mild brightness shifts (all of which
+    * change every byte, so content-id/exact dedup misses them).
+    * Appends (width, height, phash); bytes no codec accepts yield NULLs.
+    * Same partition-batched `mapPartitions` contract as [[decodeImage]].
+    */
+  def imagePHash(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("phash", LongType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](binIdx)
+        imageStats(bytes, 0, bytes.length, 8, 64) match {
+          case Some((w, h, _, feats)) =>
+            var mean = 0.0
+            var i = 0
+            while (i < 64) { mean += feats(i); i += 1 }
+            mean /= 64.0
+            var bits = 0L
+            i = 0
+            while (i < 64) {
+              if (feats(i) > mean) bits |= (1L << i)
+              i += 1
+            }
+            Row.fromSeq(row.toSeq ++ Seq(w, h, bits))
+          case None => Row.fromSeq(row.toSeq ++ Seq(null, null, null))
+        }
+      }
+    }
+  }
+
+  /** Image near-dup pairs by banded pHash self-join — the
+    * [[graft.operators.Dedup.simhashPairs]] shape on the 64-bit aHash:
+    * four 16-bit bands block the join (pigeonhole: hamming ≤ 3 pairs
+    * MUST agree on ≥ 1 band, so the default is recall-complete), then
+    * one `bit_count(xor)` verifies. Undecodable images drop out before
+    * the join. Scale shape: banded buckets, never all-pairs; the
+    * fingerprint table is 1 long per image, so both join sides are
+    * narrow whatever the payload bytes weighed.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] for 4-band recall-completeness, " +
+        s"got $maxHamming")
+    val ph = imagePHash(df.select(col(idCol), col(binCol)), binCol)
+      .filter(col("phash").isNotNull)
+      .select(col(idCol).as("id"), col("phash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = ph.select(col("id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"(phash >> ${b * 16}) & 65535")): _*))
+        .as(Seq("band", "bucket")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.phash").as("ph_a"), col("b.phash").as("ph_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", expr("bit_count(ph_a ^ ph_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

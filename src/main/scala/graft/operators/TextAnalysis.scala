@@ -461,13 +461,18 @@ object TextAnalysis {
     */
   def classifierScore(df: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-      .withColumn("w1000",
-        pmod(graft.functions.Hex52(col("tok")), lit(2001L)) - lit(1000L))
-      .groupBy("id")
-      .agg(sum(col("tf")).as("n_toks"),
-        sum(col("tf") * col("w1000")).as("sum_w1000"))
+    // Σ tf·w ≡ Σ over token INSTANCES of w, so the whole model is one
+    // per-row array fold — ZERO shuffles (no explode/groupBy), which is
+    // the difference between a free filter pass and an extra exchange
+    // over 100 TB of text; it also makes the operator stateless and
+    // therefore directly usable on a stream (see Ingest.streamClassify)
+    df.select(col(idCol).as("id"), toks(col(textCol)).as("__toks"))
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_toks"),
+        aggregate(
+          transform(col("__toks"), t =>
+            pmod(graft.functions.Hex52(t), lit(2001L)) - lit(1000L)),
+          lit(0L), (acc, x) => acc + x).as("sum_w1000"))
       .withColumn("score",
         col("sum_w1000").cast(DoubleType) /
           (lit(1000.0) * col("n_toks").cast(DoubleType)))

@@ -119,6 +119,22 @@ object Ingest {
         regexp_replace(col(textCol), TextAnalysis.emailRe, "<EMAIL>"))
   }
 
+  /** STREAMING classifier gate: score every arriving document with the
+    * hashed-feature linear model and keep those at or above
+    * `minScore`. [[graft.operators.TextAnalysis.classifierScore]] is a
+    * pure per-row array fold (zero shuffles, zero state), so the SAME
+    * operator runs on the stream unchanged — batch and streaming
+    * quality gates cannot drift, and the stream needs no watermark for
+    * it. Emits the scored projection (id, n_toks, sum_w1000, score,
+    * label) for surviving documents.
+    */
+  def streamClassify(stream: DataFrame, idCol: String, textCol: String,
+      minScore: Double): DataFrame = {
+    import graft.operators.TextAnalysis
+    TextAnalysis.classifierScore(stream, idCol, textCol)
+      .filter(col("score") >= minScore)
+  }
+
   /** STREAMING near-dup detection against a persisted
     * [[graft.operators.Dedup.minhashIndexWrite]] corpus index: each
     * micro-batch runs [[graft.operators.Dedup.minhashDedupIncremental]]

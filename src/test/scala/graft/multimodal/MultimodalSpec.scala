@@ -313,4 +313,43 @@ class MultimodalSpec extends AnyFunSuite {
     // the query image itself ranks first with similarity 1.0
     assert(math.abs(topk.head.getDouble(1) - 1.0) < 1e-12)
   }
+
+  test("pHash near-dup: re-encode/resize survive, distinct content does not") {
+    def render(w: Int, h: Int, invert: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // asymmetric two-tone pattern: bright iff left-of-diagonal
+        val bright = (x.toDouble / w + y.toDouble / h) < 0.9
+        img.setRGB(x, y, if (bright ^ invert) 0xFFFFFF else 0x000000)
+      }
+      img
+    }
+    def enc(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val base = render(64, 64, invert = false)
+    val df = Seq(
+      (1L, enc(base, "png")),
+      (2L, enc(base, "jpg")),                       // lossy re-encode
+      (3L, enc(render(32, 32, invert = false), "png")), // resized copy
+      (4L, enc(render(64, 64, invert = true), "png")),  // inverted content
+      (5L, Array[Byte](1, 2, 3)))                   // undecodable
+      .toDF("id", "img")
+    val pairs = Multimodal.imageNearDupPairs(df, "id", "img", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1↔2 (re-encode) and 1↔3, 2↔3 (resize) are near-dups; the inverted
+    // image (its pHash is ~the complement) and the junk row never pair
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // the inverted pattern really is far in hamming, not just missed by
+    // banding: compare fingerprints directly
+    val ph = Multimodal.imagePHash(df, "img")
+      .select("id", "phash").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(ph(5L).isEmpty)
+    assert(java.lang.Long.bitCount(ph(1L).get ^ ph(4L).get) > 32)
+  }
 }

@@ -143,6 +143,32 @@ class StreamingSpec extends AnyFunSuite {
       Seq(10L, 10L, 9L))
   }
 
+  test("streaming classifier gate: batch-identical scores, zero state") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"),
+      (3L, "zeta eta theta iota"))
+    val gated = graft.streaming.Ingest.streamClassify(
+      mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      minScore = Double.MinValue)
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("clf_out").start()
+    docs.foreach { d => mem.addData(d); q.processAllAvailable() }
+    q.stop()
+    val out = spark.sql(
+      "SELECT id, n_toks, sum_w1000, score, label FROM clf_out ORDER BY id")
+      .collect()
+    val batch = graft.operators.TextAnalysis.classifierScore(
+      docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("id").collect()
+    assert(out.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    // the gate actually gates: a threshold above every score keeps none
+    val none = graft.streaming.Ingest.streamClassify(
+      docs.toDF("doc_id", "text"), "doc_id", "text",
+      minScore = 2.0) // scores live in [-1, 1]
+    assert(none.count() == 0)
+  }
+
   test("streaming sketch maintenance: count-min and HLL registers equal batch, bounded state") {
     // the SAME batch operators run on a stream: hashing is stateless
     // expression work and the aggregation key space is the sketch's

@@ -80,7 +80,13 @@ object BenchScale {
     // round-5 wave 8: LOCF fill, DQ audit, zone maps, WoW growth,
     // sketch-pruned heavy hitters
     "q_locf", "q_dq_audit", "q_zonemap_prune", "q_wow_growth",
-    "q_heavy_hitters", "q_hist_quantile")
+    "q_heavy_hitters", "q_hist_quantile",
+    // round-6: span-level substring dedup (window hashes — md5 space,
+    // df stays tiny so the mark-back join is linear), scan-local
+    // classifier scoring (zero shuffles by construction), TF-cosine
+    // over 5-gram shingles (candidate volume Σdf² — linear while the
+    // shingle space outgrows the corpus, same regime as setsim)
+    "q_substring_dedup", "q_classifier_score", "q_tf_cosine")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

@@ -556,6 +556,30 @@ object Queries {
               FROM orders
               ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
 
+    // ── per-GROUP top-k via the bounded partial Aggregator
+    //    (operators.GroupTopK): map-side buffers hold ≤ 2k candidates,
+    //    so no task ever sorts a whole group — the scale answer to the
+    //    row_number() plan the oracle replays. o_totalprice is
+    //    DECIMAL(12,2) < 2^53 so the double cast is lossless. ──
+    QueryDef(
+      "q_grouped_topk",
+      (s, dir) =>
+        operators.GroupTopK.topKPerGroup(
+            t(s, dir, "orders"), Seq("o_custkey"),
+            "o_totalprice", "o_orderkey", k = 2)
+          .withColumnRenamed("key", "o_orderkey")
+          .withColumnRenamed("ord", "price")
+          .orderBy("o_custkey", "rank"),
+      Some("""WITH r AS (SELECT o_custkey, o_orderkey,
+                  CAST(o_totalprice AS DOUBLE) AS price,
+                  CAST(row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY CAST(o_totalprice AS DOUBLE) DESC,
+                             o_orderkey ASC) AS INT) AS rank
+                FROM orders)
+              SELECT o_custkey, rank, o_orderkey, price
+              FROM r WHERE rank <= 2
+              ORDER BY o_custkey, rank""")),
+
     // ── §2.5 aggregation (TPC-H Q1 shape) ──
     QueryDef(
       "q1_agg",

@@ -86,7 +86,11 @@ object BenchScale {
     // classifier scoring (zero shuffles by construction), TF-cosine
     // over 5-gram shingles (candidate volume Σdf² — linear while the
     // shingle space outgrows the corpus, same regime as setsim)
-    "q_substring_dedup", "q_classifier_score", "q_tf_cosine")
+    "q_substring_dedup", "q_classifier_score", "q_tf_cosine",
+    // bounded-buffer grouped top-k over synthetic orders: linear by
+    // construction (map-side discard), the plan gate would catch a
+    // regression back to a Window sort
+    "q_grouped_topk")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

@@ -45,6 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new GraftParser(session, delegate))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction(GraftExtensions.cosineToQueryFunction)
+    ext.injectFunction(GraftExtensions.hex52Function)
     // same rule Tables.configure registers post-hoc: ts-range filters
     // over the derived epoch-nanos column must prune parquet scans
     ext.injectOptimizerRule(_ => graft.plans.NanoTsFilterPushdown)
@@ -124,6 +125,21 @@ object GraftExtensions {
           "cosine_to_query: the query vector must be a constant array")
       }
       CosineToQuery(exprs.head, q)
+    })
+
+  /** `hex52(str)` as a session SQL function: the portable 52-bit
+    * md5-prefix hash (bit-identical to the 13-term substring SQL form
+    * any engine can replay — [[graft.operators.Sketch.hex52Sql]]),
+    * compiled as the native codegen expression [[graft.functions.Hex52]].
+    * The hash behind the KMV sketch and the hashed-feature classifier.
+    */
+  val hex52Function: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("hex52"),
+    new ExpressionInfo(classOf[graft.functions.Hex52].getName, "hex52"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 1, "hex52(str) takes exactly 1 argument")
+      graft.functions.Hex52(exprs.head)
     })
 }
 

@@ -656,6 +656,10 @@ object Dedup {
               lit(stride)),
             i => md5(concat_ws(" ", slice(col("__toks"), i, lit(window))))))
           .otherwise(array().cast("array<string>"))).as("h"))
+      // fingerprints feed the dup group-by AND the mark-back probe:
+      // persist so the tokenize + window-hash explode runs once
+      // (the sharedShingleCounts discipline)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dup = wins.groupBy("h")
       .agg(countDistinct(col("id")).as("ndocs"))
       .filter(col("ndocs") >= 2)

@@ -69,6 +69,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       e.getMessage.contains("unsupported"))
   }
 
+  test("hex52 is a session SQL function matching the portable SQL form") {
+    val r = sql.sql("select hex52('alpha') as h").collect().head.getLong(0)
+    // bit-identical to the first 13 md5 hex nibbles (the Hex52Impl spec)
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r == java.lang.Long.parseLong(md5hex.take(13), 16))
+    intercept[Exception](sql.sql("select hex52('a', 'b')"))
+  }
+
   test("parent session is untouched by the dialect") {
     // the parent has no warehouse conf: dialect syntax stays a parse error
     intercept[Exception](parent.sql("select * from test.test limit -2"))

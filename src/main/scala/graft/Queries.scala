@@ -1294,6 +1294,70 @@ object Queries {
               SELECT v AS id, min(l) AS comp FROM reach
               GROUP BY v ORDER BY id""")),
 
+    // ── north star: INCREMENTAL component maintenance — bridge pairs
+    //    (d, d+1 for d % 25 = 0) arrive against the memoized labeling;
+    //    the merge runs a fixpoint on the touched-COMPONENT graph only
+    //    (≤ 2·|increment| vertices) plus one mapping join, yet must
+    //    equal the oracle's full recompute over mined ∪ bridge edges —
+    //    min-label CC is history-independent, so it does, exactly. ──
+    QueryDef(
+      "q_cc_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id")
+        val bridges = docs
+          .filter(pmod(col("doc_id"), lit(25L)) === 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 1L).as("id_b"))
+          .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"),
+            "semi")
+        operators.Dedup.incrementalComponents(
+            twinChainComponents(s, dir), bridges, "id_a", "id_b")
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz yy' FROM documents),
+              t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM docs),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS g
+                           FROM t)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              prs AS (SELECT id_a, id_b FROM (
+                        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2) p
+                      JOIN sz x ON x.doc_id = p.id_a
+                      JOIN sz y ON y.doc_id = p.id_b
+                      WHERE CAST(shared AS DOUBLE) /
+                        (x.n + y.n - shared) >= 0.5),
+              bridges AS (SELECT d.doc_id AS id_a, d.doc_id + 1 AS id_b
+                          FROM documents d
+                          WHERE d.doc_id % 25 = 0
+                            AND EXISTS (SELECT 1 FROM documents e
+                                        WHERE e.doc_id = d.doc_id + 1)),
+              allp AS (SELECT id_a, id_b FROM prs
+                       UNION SELECT id_a, id_b FROM bridges),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM allp
+                        UNION
+                        SELECT id_b, id_a FROM allp),
+              verts AS (SELECT DISTINCT src AS id FROM edges),
+              reach(v, l) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.l FROM reach r
+                  JOIN edges e ON e.src = r.v)
+              SELECT v AS id, min(l) AS comp FROM reach
+              GROUP BY v ORDER BY id""")),
+
     // ── north star: n-gram Jaccard WITH the max-doc-freq skew guard ON
     //    (the 100 TB configuration — stopword-like shingles dropped
     //    before the pair join). The oracle replicates the guard exactly:
@@ -4527,6 +4591,76 @@ object Queries {
                   FROM d) s
                 JOIN m ON s.event_type = m.event_type
               WHERE s.rn = (s.cnt + 1) // 2""")),
+
+    // ── KMV set algebra: pairwise audience-OVERLAP estimates between
+    //    event-type segments from their bottom-64 sketches alone (the
+    //    union sketch is bottom-k of the concatenation; members seen in
+    //    BOTH sketches estimate Jaccard; intersection ≈ jaccard ×
+    //    union estimate). Exact integer counts + the kmvEstimate divide
+    //    chain → the estimates themselves oracle-hash; exact
+    //    intersections joined alongside for calibration. ──
+    QueryDef(
+      "q_kmv_overlap",
+      (s, dir) => {
+        val ev = t(s, dir, "events").select("event_type", "user_id")
+        val sk = operators.Sketch.kmvSketch(ev, Seq("event_type"),
+          "user_id", 64)
+        val est = operators.Sketch.kmvOverlap(sk, "event_type", 64)
+        val du = ev.distinct()
+        val ex = du.as("x").join(du.as("y"),
+            col("x.user_id") === col("y.user_id") &&
+              col("x.event_type") < col("y.event_type"))
+          .groupBy(col("x.event_type").as("g_a"),
+            col("y.event_type").as("g_b"))
+          .agg(count(lit(1)).as("n_exact_inter"))
+        est.join(ex, Seq("g_a", "g_b")).orderBy("g_a", "g_b")
+      },
+      Some(s"""WITH h AS (SELECT DISTINCT event_type,
+                  ${operators.Sketch.hex52Sql(
+                    "md5(CAST(user_id AS VARCHAR))")} AS hv
+                FROM events),
+              g AS (SELECT DISTINCT event_type FROM h),
+              prs AS (SELECT a.event_type AS g_a, b.event_type AS g_b
+                      FROM g a JOIN g b ON a.event_type < b.event_type),
+              u AS (SELECT g_a, g_b, hv,
+                      max(in_a) AS in_a, max(in_b) AS in_b
+                    FROM (
+                      SELECT p.g_a, p.g_b, h.hv, 1 AS in_a, 0 AS in_b
+                      FROM prs p JOIN h ON h.event_type = p.g_a
+                      UNION ALL
+                      SELECT p.g_a, p.g_b, h.hv, 0, 1
+                      FROM prs p JOIN h ON h.event_type = p.g_b)
+                    GROUP BY 1, 2, 3),
+              r AS (SELECT g_a, g_b, hv, in_a, in_b,
+                      row_number() OVER (PARTITION BY g_a, g_b
+                        ORDER BY hv) AS rn
+                    FROM u),
+              sk AS (SELECT g_a, g_b, count(*) AS n_keep,
+                       max(hv) AS h_k,
+                       CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+                     FROM r WHERE rn <= 64 GROUP BY 1, 2),
+              ue AS (SELECT g_a, g_b, n_keep, h_k, n_both,
+                       CASE WHEN n_keep < 64
+                         THEN CAST(n_keep AS DOUBLE)
+                         ELSE CAST(63 AS DOUBLE) *
+                             CAST(4503599627370496 AS DOUBLE) /
+                           CAST(h_k AS DOUBLE) END AS union_est,
+                       CAST(n_both AS DOUBLE) /
+                         CAST(n_keep AS DOUBLE) AS jaccard_est
+                     FROM sk),
+              du AS (SELECT DISTINCT event_type, user_id FROM events),
+              ex AS (SELECT x.event_type AS g_a, y.event_type AS g_b,
+                       count(*) AS n_exact_inter
+                     FROM du x JOIN du y
+                       ON x.user_id = y.user_id
+                         AND x.event_type < y.event_type
+                     GROUP BY 1, 2)
+              SELECT ue.g_a, ue.g_b, n_keep, h_k, n_both, union_est,
+                     jaccard_est,
+                     jaccard_est * union_est AS inter_est,
+                     n_exact_inter
+              FROM ue JOIN ex ON ex.g_a = ue.g_a AND ex.g_b = ue.g_b
+              ORDER BY ue.g_a, ue.g_b""")),
 
     // ── robust outlier detection: flag events whose deviation from
     //    the per-segment median exceeds 1.5× the MAD — the

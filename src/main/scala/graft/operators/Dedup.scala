@@ -389,6 +389,53 @@ object Dedup {
     labels
   }
 
+  /** Merge NEW near-dup pairs into an EXISTING component labeling
+    * without re-running the fixpoint over the corpus — the production
+    * shape for continuous corpus maintenance (a daily increment mines
+    * pairs against the index; relabeling must not cost a full-corpus
+    * CC). History-independence makes this exact: min-label CC's answer
+    * is "label = min id of the transitive cluster", so merging on the
+    * COMPONENT graph reproduces the full recompute bit-for-bit.
+    *
+    *  1. resolve each new-pair endpoint to its current component
+    *     (ids the labeling has never seen label themselves);
+    *  2. run the fixpoint on the component graph the new pairs induce —
+    *     bounded by 2·|newPairs| vertices, NOT the corpus;
+    *  3. apply the old→new component mapping with one hash join over
+    *     the labels (AQE broadcasts it: the mapping only contains
+    *     components the increment actually touched).
+    * Total cost: a fixpoint over increment-sized data plus one linear
+    * pass — vs. rounds × corpus-shuffle for the rebuild.
+    */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val np = newPairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(lvl)
+    val ids = np.select(col("a").as("id"))
+      .union(np.select(col("b").as("id"))).distinct()
+    val resolved = ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      .persist(lvl)
+    val compPairs = np
+      .join(resolved.select(col("id").as("a"), col("comp").as("ca")), "a")
+      .join(resolved.select(col("id").as("b"), col("comp").as("cb")), "b")
+      .select(col("ca"), col("cb"))
+      .filter(col("ca") =!= col("cb"))
+    // the increment-sized fixpoint; empty when every new pair lands
+    // inside one existing component
+    val mapping = connectedComponents(compPairs, "ca", "cb")
+      .select(col("id").as("old_comp"), col("comp").as("new_comp"))
+    // base = corpus labels ∪ endpoints the labeling had never seen
+    // (their resolved label is themselves or — via the mapping — the
+    // component the increment attached them to)
+    val base = labels.select("id", "comp").unionByName(
+      resolved.join(labels.select("id"), Seq("id"), "left_anti"))
+    base.join(mapping, base("comp") === mapping("old_comp"), "left")
+      .select(col("id"),
+        coalesce(col("new_comp"), col("comp")).as("comp"))
+  }
+
   /** Companion coverage report for [[minhashLSH]]: (band, bucket, size)
     * of buckets the skew guard would drop at `maxBucketSize` — run it to
     * see what candidate mass a cap excludes before trusting the pairs.

@@ -179,6 +179,53 @@ object Sketch {
         .otherwise(lit((k - 1).toDouble * 4503599627370496.0) /
           col("h_k").cast("double")))
 
+  /** Pairwise set-INTERSECTION estimate from per-group KMV sketches —
+    * the set algebra HLL registers cannot do, over sketches alone
+    * (audience overlap between segments without rescanning raw data).
+    * For each unordered group pair: the union sketch is bottom-k of
+    * the two sketches' concatenation; among its members, those present
+    * in BOTH input sketches estimate the Jaccard as n_both/n_keep, and
+    * intersection ≈ jaccard · union-distinct-estimate. Every count is
+    * an exact integer and the estimate is the same fixed-order divide
+    * chain as [[kmvEstimate]], so the ESTIMATES oracle-hash exactly.
+    *
+    * Scale shape: the pair domain is the GROUP domain (segments — a
+    * handful by nature; the g_a < g_b self-join is over the distinct
+    * group list, never over rows); per pair at most 2k sketch rows
+    * enter the rank window. Nothing touches raw keys.
+    */
+  def kmvOverlap(sketches: DataFrame, groupCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 2, s"k must be >= 2, got $k")
+    val gs = sketches.select(col(groupCol)).distinct()
+    val prs = gs.select(col(groupCol).as("g_a"))
+      .join(gs.select(col(groupCol).as("g_b")), col("g_a") < col("g_b"))
+    val a = prs.join(
+      sketches.select(col(groupCol).as("g_a"), col("hv")), "g_a")
+      .select(col("g_a"), col("g_b"), col("hv"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+    val b = prs.join(
+      sketches.select(col(groupCol).as("g_b"), col("hv")), "g_b")
+      .select(col("g_a"), col("g_b"), col("hv"),
+        lit(0).as("in_a"), lit(1).as("in_b"))
+    val u = a.unionByName(b)
+      .groupBy("g_a", "g_b", "hv")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val w = Window.partitionBy("g_a", "g_b").orderBy("hv")
+    u.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy("g_a", "g_b")
+      .agg(count(lit(1)).as("n_keep"), max(col("hv")).as("h_k"),
+        sum((col("in_a") * col("in_b")).cast("long")).as("n_both"))
+      .withColumn("union_est", when(col("n_keep") < k,
+          col("n_keep").cast("double"))
+        .otherwise(lit((k - 1).toDouble * 4503599627370496.0) /
+          col("h_k").cast("double")))
+      .withColumn("jaccard_est",
+        col("n_both").cast("double") / col("n_keep").cast("double"))
+      .withColumn("inter_est", col("jaccard_est") * col("union_est"))
+  }
+
   /** Fixed-grid histogram quantile sketch: integer bucket counts over
     * `valueCol div width` — ≤ domain/width rows per group whatever the
     * row count does, mergeable by (group, bucket) sum across

@@ -511,6 +511,37 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmvOverlap: intersection estimate tracks exact, exact when under capacity") {
+    import org.apache.spark.sql.functions._
+    // groups with ENGINEERED overlap: a = 1..1200, b = 601..1800
+    // (|a∩b| = 600, jaccard = 1/3), c disjoint 10001..10200
+    val df = ((1 to 1200).map(i => ("a", i.toLong)) ++
+      (601 to 1800).map(i => ("b", i.toLong)) ++
+      (10001 to 10200).map(i => ("c", i.toLong))).toDF("g", "key")
+    val k = 64
+    val sk = Sketch.kmvSketch(df, Seq("g"), "key", k)
+    val out = Sketch.kmvOverlap(sk, "g", k).collect()
+      .map(r => (r.getAs[String]("g_a"), r.getAs[String]("g_b")) -> r)
+      .toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val ab = out(("a", "b"))
+    // σ ≈ 1/√k ≈ 12.5%; allow 3σ on the intersection estimate
+    assert(math.abs(ab.getAs[Double]("inter_est") - 600.0) < 600.0 * 0.5,
+      s"a∩b estimate ${ab.getAs[Double]("inter_est")}")
+    assert(math.abs(ab.getAs[Double]("union_est") - 1800.0) < 1800.0 * 0.4)
+    // disjoint pairs: zero members in both sketches → estimate exactly 0
+    assert(out(("a", "c")).getAs[Long]("n_both") == 0L)
+    assert(out(("a", "c")).getAs[Double]("inter_est") == 0.0)
+    // under-capacity groups: the sketch IS the set — overlap is EXACT
+    val small = ((1 to 20).map(i => ("x", i.toLong)) ++
+      (11 to 30).map(i => ("y", i.toLong))).toDF("g", "key")
+    val so = Sketch.kmvOverlap(
+      Sketch.kmvSketch(small, Seq("g"), "key", k), "g", k).collect().head
+    assert(so.getAs[Long]("n_both") == 10L)
+    assert(so.getAs[Double]("union_est") == 30.0)
+    assert(so.getAs[Double]("inter_est") == 10.0)
+  }
+
   test("histSketch: slice merge = whole; quantiles within one grid step") {
     import org.apache.spark.sql.functions._
     val width = 10L

@@ -71,6 +71,30 @@ class SpanClassifierSpec extends AnyFunSuite {
     assert(uni.count() == 1 && bi.count() == 0)
   }
 
+  test("incrementalComponents: equals the full rebuild on any split") {
+    // chains {1-2-3}, {10-11}, {20-21-22}, singles via pairs (30,31)
+    val basePairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (30L, 31L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(basePairs, "a", "b")
+    // increment: merge {10,11} into {1,2,3} via a NEW unseen node 99
+    // bridging both; attach fresh singleton pair (40,41); an
+    // intra-component no-op pair (20,22)
+    val inc = Seq((99L, 3L), (99L, 11L), (40L, 41L), (20L, 22L))
+      .toDF("a", "b")
+    val got = Dedup.incrementalComponents(labels, inc, "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val full = Dedup.connectedComponents(
+        basePairs.unionByName(inc), "a", "b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == full.toSeq)
+    // the merged cluster's label is the global min across BOTH old
+    // components and the bridge node
+    val m = got.toMap
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 99L).forall(m(_) == 1L))
+    assert(m(40L) == 40L && m(41L) == 40L)
+    assert(m(20L) == 20L && m(22L) == 20L) // untouched by the no-op
+  }
+
   test("classifierScore: integer-grid accumulation matches direct model") {
     val out = TextAnalysis.classifierScore(
         Seq((7L, "a b a")).toDF("doc_id", "text"), "doc_id", "text")

@@ -90,7 +90,23 @@ object BenchScale {
     // bounded-buffer grouped top-k over synthetic orders: linear by
     // construction (map-side discard), the plan gate would catch a
     // regression back to a Window sort
-    "q_grouped_topk")
+    "q_grouped_topk",
+    // round-6 wave 2: sequence pattern / bitmap masks / grouping sets
+    // / nearest as-of over events (one or two exchanges over the fact
+    // table each), PMI collocations over documents (vocab bounded at
+    // 40, pair fan-out ≤ vocab²/2 per doc). q_semdedup and q_knn_graph
+    // are EXCLUDED by design: their blocking cells (4096 sign buckets
+    // / 10 labels) are FIXED while generator rows grow, so within-cell
+    // candidate pairs grow ∝ n² — a generator artifact (real
+    // deployments grow the cell count with the corpus: k-means k ∝ n,
+    // labels from a bounded-size clusterer), same family as the
+    // editdist/triangles notes above. q_skyline reads `part`, which
+    // this generator doesn't synthesize.
+    "q_pattern_match", "q_bitmap_index", "q_grouping_sets",
+    "q_asof_nearest", "q_pmi_cooccur",
+    // exact interpolated percentiles over events (partitioned rank
+    // window), RFM quartile segmentation over synthetic orders/customer
+    "q_percentile_cont", "q_rfm")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

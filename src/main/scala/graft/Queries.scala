@@ -5134,7 +5134,407 @@ object Queries {
                       (SELECT unnest([500, 950, 990]) AS q_pm)
                     WHERE rw * 1000 >= q_pm * n GROUP BY 1, 2)
               SELECT event_type, q_pm, qbucket,
-                (qbucket + 1) * 16 - 1 AS est_hi FROM x"""))
+                (qbucket + 1) * 16 - 1 AS est_hi FROM x""")),
+
+    // ── north star: SemDeDup (cluster-scoped semantic dedup) — the
+    //    greedy keep-smallest-id resolution over cell-blocked cosine
+    //    pairs, on the same 1.01-augmented corpus as q_cosine_neardup
+    //    (so duplicates provably exist). One groupBy over the sparse
+    //    pair list — no iteration, no driver state. ──
+    QueryDef(
+      "q_semdedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+        val aug = emb.union(emb.selectExpr(
+          "vec_id + 100000 AS vec_id",
+          "transform(embedding, x -> x * CAST(1.01 AS FLOAT)) AS embedding"))
+        operators.Similarity.semDedup(aug, "vec_id", "embedding",
+            dim = 64, threshold = 0.95, nPlanes = 12, axisBlocking = true)
+          .orderBy("removed")
+      },
+      Some {
+        val sigTerms = (0 until 12).map(p =>
+          s"(CASE WHEN embedding[${p + 1}] > 0 THEN ${1L << p} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH v AS (
+                SELECT vec_id, embedding FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding,
+                                      x -> x * CAST(1.01 AS REAL))
+                FROM embeddings),
+              s AS (SELECT vec_id, embedding, $sigTerms AS sig FROM v),
+              p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                    FROM s a JOIN s b
+                      ON a.sig = b.sig AND a.vec_id < b.vec_id
+                    WHERE list_cosine_similarity(
+                        CAST(a.embedding AS DOUBLE[]),
+                        CAST(b.embedding AS DOUBLE[])) >= 0.95)
+              SELECT id_b AS removed, min(id_a) AS rep,
+                     count(*) AS n_dups
+              FROM p GROUP BY id_b ORDER BY removed"""
+      }),
+
+    // ── north star: partition-local exact k-NN graph — each vector
+    //    linked to its 3 nearest same-label neighbors (IVF shape with
+    //    the label as the cell: the join never leaves a cell). ──
+    QueryDef(
+      "q_knn_graph",
+      (s, dir) =>
+        operators.Similarity.knnGraph(
+            t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+            k = 3)
+          .withColumn("cos_sim", round(col("cos_sim"), 6))
+          .orderBy("src", "knn_rank"),
+      Some("""WITH v AS (SELECT label, vec_id,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              p AS (SELECT a.label AS cell, a.vec_id AS src,
+                      b.vec_id AS dst,
+                      list_cosine_similarity(a.e, b.e) AS cs
+                    FROM v a JOIN v b
+                      ON a.label = b.label AND a.vec_id <> b.vec_id),
+              r AS (SELECT cell, src, dst, cs,
+                      row_number() OVER (PARTITION BY src
+                        ORDER BY cs DESC, dst ASC) AS rn
+                    FROM p)
+              SELECT cell, src, dst, rn AS knn_rank,
+                     round(cs, 6) AS cos_sim
+              FROM r WHERE rn <= 3
+              ORDER BY src, knn_rank""")),
+
+    // ── as-of NEAREST: smallest |Δt| per key, ties toward the earlier
+    //    (backward) right row — one shuffle + one sort serving both
+    //    directional window picks (see AsOfJoin.nearest). ──
+    QueryDef(
+      "q_asof_nearest",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"),
+            col("value").as("near_purchase"), col("event_id").as("p_eid"))
+        operators.AsOfJoin.nearest(clicks, purchases, Seq("user_id"),
+            "ts", "ts", Seq("near_purchase"), rightTieBreak = Seq("p_eid"))
+          .select("user_id", "event_id", "near_purchase")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT b.user_id, b.event_id,
+                (SELECT a.value FROM events a
+                 WHERE a.user_id = b.user_id
+                   AND a.event_type = 'purchase'
+                 ORDER BY abs(epoch_ns(a.ts) - epoch_ns(b.ts)) ASC,
+                   a.ts ASC,
+                   CASE WHEN a.ts <= b.ts THEN -a.event_id
+                        ELSE a.event_id END ASC
+                 LIMIT 1) AS near_purchase
+              FROM events b WHERE b.event_type = 'click'
+              ORDER BY b.user_id, b.event_id""")),
+
+    // ── multi-objective filter: 2-D skyline (Pareto frontier) — parts
+    //    no other part undercuts on price without losing size. The
+    //    two-phase local→global running-max filter replaces the
+    //    quadratic NOT EXISTS the oracle runs (operators.Skyline). ──
+    QueryDef(
+      "q_skyline",
+      (s, dir) => {
+        val parts = t(s, dir, "part").select(col("p_partkey"),
+          floor(col("p_retailprice") * 100).cast("long")
+            .as("price_cents"),
+          col("p_size"))
+        operators.Skyline.skyline2D(parts, "price_cents", "p_size")
+          .select("p_partkey", "price_cents", "p_size")
+          .orderBy("p_partkey")
+      },
+      Some("""WITH p AS (SELECT p_partkey,
+                  CAST(floor(p_retailprice * 100) AS BIGINT)
+                    AS price_cents,
+                  p_size FROM part)
+              SELECT p0.p_partkey, p0.price_cents, p0.p_size
+              FROM p p0
+              WHERE NOT EXISTS (SELECT 1 FROM p q
+                WHERE q.price_cents <= p0.price_cents
+                  AND q.p_size >= p0.p_size
+                  AND (q.price_cents < p0.price_cents
+                       OR q.p_size > p0.p_size))
+              ORDER BY p0.p_partkey""")),
+
+    // ── bitmap index: per-user event-type presence masks by ONE
+    //    bit_or aggregation (map-side combined), then boolean-combo
+    //    audit over the tiny mask domain — the "which users did A and
+    //    B but never C" shape without N passes over the fact table. ──
+    QueryDef(
+      "q_bitmap_index",
+      (s, dir) => {
+        val bit = when(col("event_type") === "click", 1L)
+          .when(col("event_type") === "error", 2L)
+          .when(col("event_type") === "purchase", 4L)
+          .when(col("event_type") === "signup", 8L)
+          .otherwise(16L)
+        t(s, dir, "events")
+          .select(col("user_id"),
+            expr("ts div 86400000000000").as("day"),
+            bit.as("__bit"))
+          .groupBy("user_id", "day")
+          .agg(expr("bit_or(__bit)").as("mask"))
+          .groupBy("mask")
+          .agg(count(lit(1)).as("n_user_days"))
+          .select(col("mask"), col("n_user_days"),
+            (col("mask").bitwiseAND(lit(1L)) > 0).as("has_click"),
+            (col("mask").bitwiseAND(lit(2L)) > 0).as("has_error"),
+            (col("mask").bitwiseAND(lit(4L)) > 0).as("has_purchase"),
+            (col("mask").bitwiseAND(lit(8L)) > 0).as("has_signup"),
+            (col("mask").bitwiseAND(lit(16L)) > 0).as("has_view"))
+          .orderBy("mask")
+      },
+      Some("""WITH b AS (SELECT user_id,
+                  epoch_ns(ts) // 86400000000000 AS day,
+                  bit_or(CASE event_type
+                           WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                           WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                           ELSE 16 END) AS mask
+                FROM events GROUP BY user_id, day)
+              SELECT mask, count(*) AS n_user_days,
+                (mask & 1) > 0 AS has_click,
+                (mask & 2) > 0 AS has_error,
+                (mask & 4) > 0 AS has_purchase,
+                (mask & 8) > 0 AS has_signup,
+                (mask & 16) > 0 AS has_view
+              FROM b GROUP BY mask ORDER BY mask""")),
+
+    // ── GROUPING SETS proper (rollup/cube's free-form sibling):
+    //    three explicit levels in one pass over events, integer-cents
+    //    sums, grouping() flags disambiguating placeholder NULLs. ──
+    QueryDef(
+      "q_grouping_sets",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .withColumn("bucket", pmod(col("user_id"), lit(10L)))
+          .withColumn("vcents", floor(col("value") * 100).cast("long"))
+        e.groupingSets(
+            Seq(Seq(col("event_type"), col("bucket")),
+              Seq(col("event_type")), Seq()),
+            col("event_type"), col("bucket"))
+          .agg(grouping(col("event_type")).cast("int").as("g_et"),
+            grouping(col("bucket")).cast("int").as("g_b"),
+            count(lit(1)).as("n_events"),
+            sum(col("vcents")).as("sum_vcents"))
+          .select("g_et", "g_b", "event_type", "bucket", "n_events",
+            "sum_vcents")
+          .orderBy(col("g_et"), col("g_b"), col("event_type").asc,
+            col("bucket").asc)
+      },
+      Some("""SELECT grouping(event_type) AS g_et,
+                grouping(bucket) AS g_b, event_type, bucket,
+                count(*) AS n_events,
+                CAST(sum(vcents) AS BIGINT) AS sum_vcents
+              FROM (SELECT event_type, user_id % 10 AS bucket,
+                      CAST(floor(value * 100) AS BIGINT) AS vcents
+                    FROM events)
+              GROUP BY GROUPING SETS ((event_type, bucket),
+                                      (event_type), ())
+              ORDER BY g_et, g_b, event_type NULLS FIRST,
+                bucket NULLS FIRST""")),
+
+    // ── MATCH_RECOGNIZE-lite sequence pattern: purchases preceded by
+    //    a signup with NO error in between, per user — the row-number
+    //    trick turns "most recent X before me" into integer window
+    //    maxima (engine-exact, one sort per user partition). ──
+    QueryDef(
+      "q_pattern_match",
+      (s, dir) => {
+        val wOrd = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "events")
+          .select("user_id", "event_id", "ts", "event_type")
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("ls",
+            max(when(col("event_type") === "signup", col("rn")))
+              .over(wPrev))
+          .withColumn("le",
+            max(when(col("event_type") === "error", col("rn")))
+              .over(wPrev))
+          .filter(col("event_type") === "purchase")
+          .withColumn("is_match",
+            col("ls").isNotNull &&
+              (col("le").isNull || col("ls") > col("le")))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_purchases"),
+            sum(col("is_match").cast("long")).as("n_matched"))
+          .orderBy("user_id")
+      },
+      Some("""WITH o AS (SELECT user_id, event_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS rn
+                FROM events),
+              f AS (SELECT user_id, event_type,
+                      max(CASE WHEN event_type = 'signup' THEN rn END)
+                        OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS ls,
+                      max(CASE WHEN event_type = 'error' THEN rn END)
+                        OVER (PARTITION BY user_id ORDER BY rn
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS le
+                    FROM o)
+              SELECT user_id, count(*) AS n_purchases,
+                CAST(sum(CASE WHEN ls IS NOT NULL
+                    AND (le IS NULL OR ls > le)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+              FROM f WHERE event_type = 'purchase'
+              GROUP BY user_id ORDER BY user_id""")),
+
+    // ── north star: collocation mining — PMI ratios for co-occurring
+    //    top-vocab token pairs on the exact integer micro grid (log is
+    //    monotone; no libm in the compare). Bounded vocab broadcast,
+    //    doc-co-partitioned pair join (see TextAnalysis.pmiCooccur). ──
+    QueryDef(
+      "q_pmi_cooccur",
+      (s, dir) =>
+        operators.TextAnalysis.pmiCooccur(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", vocabSize = 40, minPairs = 3L)
+          .orderBy("tok_a", "tok_b"),
+      Some("""WITH tk AS (SELECT DISTINCT doc_id, tok FROM (
+                  SELECT doc_id,
+                    unnest(regexp_split_to_array(lower(trim(text)),
+                      '\s+')) AS tok
+                  FROM documents)
+                WHERE len(tok) > 0),
+              dfq AS (SELECT tok, count(*) AS dfr FROM tk
+                      GROUP BY tok),
+              vocab AS (SELECT tok, dfr FROM dfq
+                        ORDER BY dfr DESC, tok ASC LIMIT 40),
+              vt AS (SELECT tk.doc_id, tk.tok, v.dfr
+                     FROM tk JOIN vocab v USING (tok)),
+              n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tk),
+              p AS (SELECT a.tok AS tok_a, b.tok AS tok_b,
+                      a.dfr AS df_a, b.dfr AS df_b, count(*) AS c_ab
+                    FROM vt a JOIN vt b
+                      ON a.doc_id = b.doc_id AND a.tok < b.tok
+                    GROUP BY 1, 2, 3, 4)
+              SELECT tok_a, tok_b, c_ab, df_a, df_b,
+                c_ab * n_docs * 1000000 // (df_a * df_b)
+                  AS pmi_ratio_micro
+              FROM p, n WHERE c_ab >= 3
+              ORDER BY tok_a, tok_b""")),
+
+    // ── warehouse segmentation: RFM quartiles per market (nation) —
+    //    one pass over orders (map-side-combined per-customer aggs),
+    //    ntile windows PARTITIONED by nation (never global), integer
+    //    cents so the frequency/monetary ranks are engine-exact. ──
+    QueryDef(
+      "q_rfm",
+      (s, dir) => {
+        val per = t(s, dir, "orders").groupBy("o_custkey")
+          .agg(max(col("o_orderdate")).as("recency"),
+            count(lit(1)).as("frequency"),
+            sum(floor(col("o_totalprice") * 100).cast("long"))
+              .as("monetary_cents"))
+        val j = per.join(
+          t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          per("o_custkey") === col("c_custkey"))
+        def nt(order: Column*) = ntile(4).over(
+          Window.partitionBy("c_nationkey").orderBy(order: _*))
+        j.select(col("c_custkey"), col("c_nationkey"),
+            col("frequency"), col("monetary_cents"),
+            nt(col("recency").desc, col("c_custkey")).as("r"),
+            nt(col("frequency").desc, col("c_custkey")).as("f"),
+            nt(col("monetary_cents").desc, col("c_custkey")).as("m"))
+          .withColumn("rfm",
+            col("r") * 100 + col("f") * 10 + col("m"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH per AS (SELECT o_custkey,
+                  max(o_orderdate) AS recency, count(*) AS frequency,
+                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+                FROM orders GROUP BY o_custkey),
+              j AS (SELECT c_custkey, c_nationkey, recency, frequency,
+                      monetary_cents
+                    FROM per JOIN customer ON o_custkey = c_custkey),
+              k AS (SELECT c_custkey, c_nationkey, frequency,
+                      monetary_cents,
+                      ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY recency DESC, c_custkey) AS r,
+                      ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY frequency DESC, c_custkey) AS f,
+                      ntile(4) OVER (PARTITION BY c_nationkey
+                        ORDER BY monetary_cents DESC, c_custkey) AS m
+                    FROM j)
+              SELECT c_custkey, c_nationkey, frequency, monetary_cents,
+                r, f, m, r * 100 + f * 10 + m AS rfm
+              FROM k ORDER BY c_custkey""")),
+
+    // ── exact PERCENTILE_CONT, distributed: per-segment interpolated
+    //    p50/p95 on the cents grid — order statistics by conditional
+    //    minima over a partitioned rank window (no global sort), the
+    //    interpolation mirrored operation-for-operation on both
+    //    engines (one multiply, one add — IEEE-identical). ──
+    QueryDef(
+      "q_percentile_cont",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("iv"), col("event_id"))
+        val wc = Window.partitionBy("event_type")
+        def lo(q: Double) = floor((col("cnt") - 1) * lit(q))
+          .cast("long") + 1
+        def hi(q: Double) = ceil((col("cnt") - 1) * lit(q))
+          .cast("long") + 1
+        def interp(l: String, h: String, q: Double): Column = {
+          val frac = ((col("n") - 1) * lit(q)) -
+            floor((col("n") - 1) * lit(q))
+          col(l).cast("double") +
+            (col(h).cast("double") - col(l).cast("double")) * frac
+        }
+        centsEvents(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wc))
+          .groupBy("event_type")
+          .agg(
+            min(when(col("rn") === lo(0.5), col("iv"))).as("lo50"),
+            min(when(col("rn") === hi(0.5), col("iv"))).as("hi50"),
+            min(when(col("rn") === lo(0.95), col("iv"))).as("lo95"),
+            min(when(col("rn") === hi(0.95), col("iv"))).as("hi95"),
+            max(col("cnt")).as("n"))
+          .select(col("event_type"), col("n"),
+            interp("lo50", "hi50", 0.5).as("p50"),
+            interp("lo95", "hi95", 0.95).as("p95"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+                  CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
+              o AS (SELECT event_type, iv,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY iv, event_id) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS cnt
+                    FROM e),
+              g AS (SELECT event_type,
+                      min(CASE WHEN rn = CAST(floor((cnt - 1) *
+                        CAST(0.5 AS DOUBLE)) AS BIGINT) + 1
+                        THEN iv END) AS lo50,
+                      min(CASE WHEN rn = CAST(ceil((cnt - 1) *
+                        CAST(0.5 AS DOUBLE)) AS BIGINT) + 1
+                        THEN iv END) AS hi50,
+                      min(CASE WHEN rn = CAST(floor((cnt - 1) *
+                        CAST(0.95 AS DOUBLE)) AS BIGINT) + 1
+                        THEN iv END) AS lo95,
+                      min(CASE WHEN rn = CAST(ceil((cnt - 1) *
+                        CAST(0.95 AS DOUBLE)) AS BIGINT) + 1
+                        THEN iv END) AS hi95,
+                      max(cnt) AS n
+                    FROM o GROUP BY event_type)
+              SELECT event_type, n,
+                CAST(lo50 AS DOUBLE) +
+                  (CAST(hi50 AS DOUBLE) - CAST(lo50 AS DOUBLE)) *
+                  ((n - 1) * CAST(0.5 AS DOUBLE) -
+                   floor((n - 1) * CAST(0.5 AS DOUBLE))) AS p50,
+                CAST(lo95 AS DOUBLE) +
+                  (CAST(hi95 AS DOUBLE) - CAST(lo95 AS DOUBLE)) *
+                  ((n - 1) * CAST(0.95 AS DOUBLE) -
+                   floor((n - 1) * CAST(0.95 AS DOUBLE))) AS p95
+              FROM g ORDER BY event_type"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

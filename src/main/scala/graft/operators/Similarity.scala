@@ -594,4 +594,60 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select("id_a", "id_b", "cos_sim")
   }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
+    * by cluster-scoped embedding cosine. Vectors are blocked into cells
+    * ([[cosineNearDupPairs]]'s signature blocking — the paper's k-means
+    * clusters, replaced by sign-signature cells so the blocking itself
+    * is engine-replicable), pairs within a cell with cosine >=
+    * `threshold` are semantic duplicates, and the paper's greedy
+    * keep-one rule resolves each duplicate to the smallest id it
+    * collides with: a row is REMOVED iff some smaller-id neighbor
+    * passes the threshold; its representative is its smallest such
+    * neighbor.
+    *
+    * Returns (removed, rep, n_dups): one row per removed vector. Rows
+    * absent from the result are the kept set. Scale shape: the pair
+    * join never leaves a cell, the greedy rule is one groupBy over the
+    * (sparse) pair list — no iteration, no driver state.
+    */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      threshold: Double = 0.95, nPlanes: Int = 12,
+      axisBlocking: Boolean = false): DataFrame =
+    cosineNearDupPairs(df, idCol, vecCol, dim, threshold, nPlanes,
+        axisBlocking)
+      .groupBy(col("id_b").as("removed"))
+      .agg(min(col("id_a")).as("rep"), count(lit(1)).as("n_dups"))
+
+  /** Partition-local exact k-NN GRAPH: for every row, its `k` nearest
+    * same-`partCol` neighbors by exact cosine (desc, id-asc ties) —
+    * the semantic-clustering / SemDeDup-preprocessing shape ("link each
+    * point within its cluster"). The self-join is co-partitioned on the
+    * cell key, so at 100 TB each cell meets only itself (one shuffle by
+    * cell, candidate count bounded by the largest cell, never corpus ×
+    * corpus); the per-source top-k is a bounded window over candidates.
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+      partCol: String, k: Int): DataFrame = {
+    // graft.functions.CosinePair: one codegen'd primitive loop per
+    // pair (bit-equal to the zip_with/aggregate fold, which is
+    // interpreted and allocates per row) — the verify stage of the
+    // cell self-join stays inside whole-stage codegen
+    val b = df.select(col(partCol).as("cell"), col(idCol).as("id"),
+      col(vecCol).as("v"))
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.cell").as("cell"), col("a.id").as("src"),
+        col("b.id").as("dst"),
+        graft.functions.CosinePair(col("a.v"), col("b.v"))
+          .as("cos_sim"))
+      .filter(col("cos_sim").isNotNull)
+    // bounded per-(cell,src) top-k — map-side discard instead of a
+    // full sort of every cell's pair fan-out (GroupTopK's tie rule,
+    // ord DESC / key ASC, IS the (cos desc, dst asc) contract)
+    GroupTopK.topKPerGroup(pairs, Seq("cell", "src"), "cos_sim",
+        "dst", k)
+      .select(col("cell"), col("src"), col("key").as("dst"),
+        col("rank").as("knn_rank"), col("ord").as("cos_sim"))
+  }
 }

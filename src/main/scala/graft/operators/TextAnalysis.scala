@@ -477,4 +477,45 @@ object TextAnalysis {
         col("sum_w1000").cast(DoubleType) /
           (lit(1000.0) * col("n_toks").cast(DoubleType)))
       .withColumn("label", (col("score") >= 0).cast("int"))
+
+  /** Collocation mining by PMI over document co-occurrence: for pairs
+    * of top-`vocabSize` tokens appearing in >= `minPairs` common docs,
+    * the pointwise-mutual-information RATIO P(a,b)/(P(a)·P(b)) =
+    * c_ab·N/(df_a·df_b) on the integer micro grid (×1e6, floor
+    * division) — the log is monotone, so ranking/thresholding on the
+    * exact integer ratio equals ranking on PMI with none of libm's
+    * cross-engine drift.
+    *
+    * Scale shape: doc-distinct tokens (array_distinct before the
+    * explode), document frequencies as one map-side-combined count,
+    * the bounded vocab (≤ vocabSize rows) BROADCAST back, and the
+    * pair join co-partitioned on doc_id — candidates are capped at
+    * vocabSize²/2 per doc, never corpus × corpus.
+    */
+  def pmiCooccur(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int = 40, minPairs: Long = 3L): DataFrame = {
+    val dt = df
+      .withColumn("__toks", Dedup.tokens(col(textCol)))
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(col("__toks"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val dfreq = dt.groupBy("tok").agg(count(lit(1)).as("dfr"))
+    val vocab = dfreq.orderBy(col("dfr").desc, col("tok").asc)
+      .limit(vocabSize)
+    val vt = dt.join(broadcast(vocab), "tok")
+      .select(col("doc"), col("tok"), col("dfr"))
+    val nDocs = broadcast(
+      dt.agg(count_distinct(col("doc")).as("n_docs")))
+    vt.as("a").join(vt.as("b"),
+        col("a.doc") === col("b.doc") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
+        col("a.dfr").as("df_a"), col("b.dfr").as("df_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairs)
+      .crossJoin(nDocs)
+      .withColumn("pmi_ratio_micro",
+        expr("c_ab * n_docs * 1000000L div (df_a * df_b)"))
+      .select("tok_a", "tok_b", "c_ab", "df_a", "df_b",
+        "pmi_ratio_micro")
+  }
 }

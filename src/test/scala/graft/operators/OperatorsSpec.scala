@@ -574,4 +574,86 @@ class OperatorsSpec extends AnyFunSuite {
         s"$g q$qpm: est $e exact $exact")
     }
   }
+
+  test("asof nearest: closer side wins, backward wins distance ties") {
+    val out = AsOfJoin.nearest(left, right, Seq("k"), "t", "rt",
+        Seq("v"), rightTieBreak = Seq("eid"))
+      .orderBy("k", "t").collect().toSeq
+    assert(out == Seq(
+      Row(1, 10L, "a", 101.0), // Δ=0 backward; greatest eid at equal rt
+      Row(1, 20L, "b", 200.0), // next Δ=5 beats prev Δ=10
+      Row(1, 30L, "c", 200.0), // only prev exists
+      Row(2, 15L, "d", null)))
+    // exact distance tie: prev (backward) wins
+    val lt = Seq((1, 17L)).toDF("k", "t")
+    val rt = Seq((1, 10L, 1.0, 1L), (1, 24L, 2.0, 2L))
+      .toDF("k", "rt", "v", "eid")
+    val tie = AsOfJoin.nearest(lt, rt, Seq("k"), "t", "rt", Seq("v"),
+      rightTieBreak = Seq("eid")).collect()
+    assert(tie.head.getAs[Double]("v") == 1.0)
+  }
+
+  test("skyline2D: equals brute-force dominance, frontier dups survive") {
+    val rows = Seq((1, 1L, 5L), (2, 2L, 7L), (3, 2L, 7L), (4, 3L, 6L),
+      (5, 1L, 4L), (6, 4L, 9L)).toDF("id", "x", "y")
+    val got = Skyline.skyline2D(rows, "x", "y")
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(got == Seq(1, 2, 3, 6)) // B and its duplicate C both kept
+
+    // 200 hash-scattered points vs the quadratic definition
+    val pts = (0 until 200).map(i =>
+      (i, ((i * 37) % 50).toLong, ((i * 91) % 40).toLong))
+    val df = pts.toDF("id", "x", "y")
+    val want = pts.filter { case (_, x, y) =>
+      !pts.exists { case (_, qx, qy) =>
+        qx <= x && qy >= y && (qx < x || qy > y)
+      }
+    }.map(_._1).sorted
+    val got2 = Skyline.skyline2D(df, "x", "y")
+      .select("id").as[Int].collect().sorted.toSeq
+    assert(got2 == want)
+  }
+
+  test("semDedup: removed iff a smaller-id neighbor passes threshold") {
+    val emb = Seq(
+      (1L, Array(1f, 1f, 1f, 1f)),
+      (2L, Array(1.01f, 1.01f, 1.01f, 1.01f)), // colinear with 1
+      (3L, Array(1f, 2f, 1f, 2f)), // same cell, cos ≈ 0.949 < 0.95
+      (4L, Array(-1f, -1f, -1f, -1f)), // different cell
+      (5L, Array(2f, 2f, 2f, 2f))) // colinear with 1 AND 2
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semDedup(emb, "vec_id", "embedding", dim = 4,
+        threshold = 0.95, nPlanes = 4, axisBlocking = true)
+      .orderBy("removed").collect().toSeq
+    assert(out == Seq(Row(2L, 1L, 1L), Row(5L, 1L, 2L)))
+  }
+
+  test("knnGraph: within-cell ranks match brute-force cosine") {
+    val emb = Seq(
+      (1L, 0, Array(1f, 0f)), (2L, 0, Array(1f, 0.1f)),
+      (3L, 0, Array(0f, 1f)), (9L, 1, Array(1f, 1f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.knnGraph(emb, "vec_id", "embedding", "label",
+        k = 2)
+      .select("src", "dst", "knn_rank").orderBy("src", "knn_rank")
+      .collect().toSeq
+    assert(out == Seq(
+      Row(1L, 2L, 1), Row(1L, 3L, 2),
+      Row(2L, 1L, 1), Row(2L, 3L, 2),
+      Row(3L, 2L, 1), Row(3L, 1L, 2))) // lone cell-1 point: no edges
+  }
+
+  test("pmiCooccur: doc-frequency pairs and integer PMI grid") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta"),
+      (3L, "alpha gamma"), (4L, "beta gamma delta"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCooccur(docs, "doc_id", "text",
+        vocabSize = 10, minPairs = 2L)
+      .orderBy("tok_a", "tok_b").collect().toSeq
+    // c_ab=2, N=4, df=3 each: 2*4*1e6 / 9 = 888888 (floor)
+    assert(out == Seq(
+      Row("alpha", "beta", 2L, 3L, 3L, 888888L),
+      Row("alpha", "gamma", 2L, 3L, 3L, 888888L),
+      Row("beta", "gamma", 2L, 3L, 3L, 888888L)))
+  }
 }

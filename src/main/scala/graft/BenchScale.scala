@@ -106,7 +106,12 @@ object BenchScale {
     "q_asof_nearest", "q_pmi_cooccur",
     // exact interpolated percentiles over events (partitioned rank
     // window), RFM quartile segmentation over synthetic orders/customer
-    "q_percentile_cont", "q_rfm")
+    "q_percentile_cont", "q_rfm",
+    // integer-CUSUM changepoint + point-in-time feature join + funnel
+    // latency histogram, all over events (partitioned windows / asof
+    // merges — linear). q_tpch_q5 reads supplier/nation/region, which
+    // this generator doesn't synthesize.
+    "q_changepoint", "q_feature_join", "q_funnel_time")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

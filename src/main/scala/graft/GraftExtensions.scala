@@ -46,6 +46,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction(GraftExtensions.cosineToQueryFunction)
     ext.injectFunction(GraftExtensions.hex52Function)
+    ext.injectFunction(GraftExtensions.cosinePairFunction)
     // same rule Tables.configure registers post-hoc: ts-range filters
     // over the derived epoch-nanos column must prune parquet scans
     ext.injectOptimizerRule(_ => graft.plans.NanoTsFilterPushdown)
@@ -140,6 +141,22 @@ object GraftExtensions {
     (exprs: Seq[Expression]) => {
       require(exprs.length == 1, "hex52(str) takes exactly 1 argument")
       graft.functions.Hex52(exprs.head)
+    })
+
+  /** `cosine_pair(a, b)` as a session SQL function: exact pairwise
+    * cosine of two vector COLUMNS (neither constant), compiled as the
+    * native codegen expression [[graft.functions.CosinePair]] — the
+    * verify primitive of k-NN graphs and embedding near-dup joins.
+    */
+  val cosinePairFunction: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) = (
+    FunctionIdentifier("cosine_pair"),
+    new ExpressionInfo(classOf[graft.functions.CosinePair].getName,
+      "cosine_pair"),
+    (exprs: Seq[Expression]) => {
+      require(exprs.length == 2,
+        "cosine_pair(a, b) takes exactly 2 arguments")
+      graft.functions.CosinePair(exprs(0), exprs(1))
     })
 }
 

@@ -5534,7 +5534,190 @@ object Queries {
                   (CAST(hi95 AS DOUBLE) - CAST(lo95 AS DOUBLE)) *
                   ((n - 1) * CAST(0.95 AS DOUBLE) -
                    floor((n - 1) * CAST(0.95 AS DOUBLE))) AS p95
-              FROM g ORDER BY event_type"""))
+              FROM g ORDER BY event_type""")),
+
+    // ── the TPC-H Q5 shape: 6-way join (region→nation→{customer,
+    //    supplier}→orders→lineitem) with the LOCAL-supplier condition
+    //    (c_nationkey = s_nationkey) and a date-window filter —
+    //    Catalyst's join-reorder + broadcast showcase: the three dim
+    //    tables broadcast, the two fact tables shuffle once each, and
+    //    revenue stays on the integer micro-cents grid (cents ×
+    //    (100−disc%)) so the sum is order-independent. ──
+    QueryDef(
+      "q_tpch_q5",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+            .as("rev_mc"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >=
+              lit("1996-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+          .select("o_orderkey", "o_custkey")
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val n = t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        val r = t(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(sum(col("rev_mc")).as("revenue_mc"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue_mc").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_mc,
+                count(*) AS n_items
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                  AND c_nationkey = s_nationkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY n_name
+              ORDER BY revenue_mc DESC, n_name""")),
+
+    // ── change-point detection by CUSUM, entirely on the integer
+    //    grid: n·prefix_i − i·total ≡ n·Σ_{j≤i}(x_j − μ) (the scaled
+    //    cumulative deviation — no float μ anywhere), argmax |·| per
+    //    segment with a min-position tiebreak. One partitioned sort,
+    //    one bounded max join. ──
+    QueryDef(
+      "q_changepoint",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("iv"), col("event_id"))
+        val wSeq = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val wAll = Window.partitionBy("event_type")
+        val base = t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("ts"),
+            floor(col("value") * 100).cast("long").as("iv"))
+          .withColumn("rn", row_number().over(wSeq))
+          .withColumn("prefix", sum(col("iv")).over(
+            wSeq.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("total", sum(col("iv")).over(wAll))
+          .withColumn("a",
+            abs(col("n") * col("prefix") - col("rn") * col("total")))
+        val mx = base.groupBy("event_type")
+          .agg(max(col("a")).as("mx"))
+        base.join(mx, Seq("event_type"))
+          .filter(col("a") === col("mx"))
+          .groupBy(col("event_type"), col("mx").as("cusum_abs"))
+          .agg(min(col("rn")).as("cp_pos"), max(col("n")).as("n"))
+          .select("event_type", "n", "cp_pos", "cusum_abs")
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id, ts,
+                  CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
+              b AS (SELECT event_type,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS rn,
+                      sum(iv) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS prefix,
+                      count(*) OVER (PARTITION BY event_type) AS n,
+                      sum(iv) OVER (PARTITION BY event_type) AS total
+                    FROM e),
+              a AS (SELECT event_type, rn, n,
+                      abs(n * prefix - rn * total) AS a FROM b),
+              m AS (SELECT event_type, max(a) AS mx FROM a
+                    GROUP BY event_type)
+              SELECT a.event_type, CAST(max(a.n) AS BIGINT) AS n,
+                CAST(min(a.rn) AS BIGINT) AS cp_pos,
+                CAST(m.mx AS BIGINT) AS cusum_abs
+              FROM a JOIN m ON a.event_type = m.event_type
+                AND a.a = m.mx
+              GROUP BY a.event_type, m.mx
+              ORDER BY a.event_type""")),
+
+    // ── feature-store POINT-IN-TIME join: each purchase gets the
+    //    latest click value AND the latest view value at-or-before it
+    //    (no leakage from the future) — two chained as-of merges, each
+    //    one shuffle on user_id. ──
+    QueryDef(
+      "q_feature_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "event_id", "ts")
+        def feat(tpe: String, out: String) =
+          ev.filter(col("event_type") === tpe)
+            .select(col("user_id"), col("ts"), col("value").as(out),
+              col("event_id").as(s"${out}_eid"))
+        val step1 = operators.AsOfJoin.backward(purchases,
+          feat("click", "last_click"), Seq("user_id"), "ts", "ts",
+          Seq("last_click"), rightTieBreak = Seq("last_click_eid"))
+        operators.AsOfJoin.backward(step1,
+            feat("view", "last_view"), Seq("user_id"), "ts", "ts",
+            Seq("last_view"), rightTieBreak = Seq("last_view_eid"))
+          .select("user_id", "event_id", "last_click", "last_view")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT b.user_id, b.event_id,
+                (SELECT a.value FROM events a
+                 WHERE a.user_id = b.user_id
+                   AND a.event_type = 'click' AND a.ts <= b.ts
+                 ORDER BY a.ts DESC, a.event_id DESC LIMIT 1)
+                  AS last_click,
+                (SELECT a.value FROM events a
+                 WHERE a.user_id = b.user_id
+                   AND a.event_type = 'view' AND a.ts <= b.ts
+                 ORDER BY a.ts DESC, a.event_id DESC LIMIT 1)
+                  AS last_view
+              FROM events b WHERE b.event_type = 'purchase'
+              ORDER BY b.user_id, b.event_id""")),
+
+    // ── funnel TIME-TO-CONVERT: signup → purchase latency histogram
+    //    (hour buckets on exact nano arithmetic) — the latency
+    //    distribution behind q_funnel's conversion counts. ──
+    QueryDef(
+      "q_funnel_time",
+      (s, dir) => {
+        val wPrev = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        t(s, dir, "events")
+          .select("user_id", "event_id", "ts", "event_type")
+          .withColumn("last_signup_ts",
+            max(when(col("event_type") === "signup", col("ts")))
+              .over(wPrev))
+          .filter(col("event_type") === "purchase" &&
+            col("last_signup_ts").isNotNull)
+          .withColumn("hours",
+            expr("(ts - last_signup_ts) div 3600000000000"))
+          .groupBy("hours")
+          .agg(count(lit(1)).as("n_conversions"))
+          .orderBy("hours")
+      },
+      Some("""WITH f AS (SELECT user_id, event_id, event_type,
+                  epoch_ns(ts) AS tns,
+                  max(CASE WHEN event_type = 'signup'
+                    THEN epoch_ns(ts) END) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS ls
+                FROM events)
+              SELECT (tns - ls) // 3600000000000 AS hours,
+                count(*) AS n_conversions
+              FROM f WHERE event_type = 'purchase' AND ls IS NOT NULL
+              GROUP BY hours ORDER BY hours"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -18,6 +18,11 @@ object Functions {
         require(exprs.length == 1, "hex52(str) takes 1 argument")
         Hex52(exprs.head)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_pair", { exprs: Seq[Expression] =>
+        require(exprs.length == 2, "cosine_pair(a, b) takes 2 arguments")
+        CosinePair(exprs(0), exprs(1))
+      }, "built-in")
   }
 
   private def buildCosine(exprs: Seq[Expression]): Expression = {

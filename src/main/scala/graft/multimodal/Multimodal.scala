@@ -703,4 +703,41 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** Scene-cut KEYFRAME detection over decoded frame features — the
+    * frame-sampling step of a video training pipeline ("keep one frame
+    * per scene, not one per timestamp"). Works on ANY frame source
+    * here ([[decodeGifFrames]], [[decodeVideoFrames]], stub decoders):
+    * per frame, an aHash over the pooled-luminance grid (bit i set iff
+    * feats[i] > the frame's own mean — brightness-shift tolerant, like
+    * [[imagePHash]] but expression-only, no second decode); per video,
+    * a lag window compares consecutive hashes and flags a keyframe
+    * where the Hamming distance jumps ≥ `threshold` (scene cut) —
+    * frame 0 is always a keyframe.
+    *
+    * Fully declarative: the hash is a fixed `dim`-term CASE sum, the
+    * cut test one `bit_count(xor)` against `lag` — everything stays in
+    * whole-stage codegen, ONE shuffle on the video id. Rows with NULL
+    * features (undecodable payloads) are dropped.
+    */
+  def keyframes(frames: DataFrame, idCol: String, frameIdxCol: String,
+      featCol: String, dim: Int = 16, threshold: Int = 4): DataFrame = {
+    require(dim >= 1 && dim <= 63, s"dim must be in [1, 63], got $dim")
+    val mean = aggregate(col(featCol), lit(0.0),
+      (a, x) => a + x.cast("double")) / size(col(featCol)).cast("double")
+    val hash = (0 until dim).map(p =>
+      when(element_at(col(featCol), p + 1).cast("double") >
+        col("__mean"), lit(1L << p)).otherwise(lit(0L))).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(frameIdxCol)
+    frames.filter(col(featCol).isNotNull)
+      .withColumn("__mean", mean)
+      .withColumn("fhash", hash)
+      .withColumn("__prev", lag(col("fhash"), 1).over(w))
+      .withColumn("dist_prev", expr("bit_count(fhash ^ __prev)"))
+      .withColumn("is_keyframe",
+        col("__prev").isNull || col("dist_prev") >= threshold)
+      .select(col(idCol), col(frameIdxCol), col("fhash"),
+        col("dist_prev"), col("is_keyframe"))
+  }
 }

@@ -51,4 +51,13 @@ class CosinePairSpec extends AnyFunSuite {
     assert(math.abs(v.asInstanceOf[Double] - 0.6) < 1e-12)
     assert(CosinePair(arr(0.0, 0.0), arr(1.0, 0.0)).eval(null) == null)
   }
+
+  test("registered SQL function works from spark.sql text") {
+    Functions.register(spark)
+    Seq((1L, Array(0.6, 0.8), Array(1.0, 0.0)))
+      .toDF("id", "a", "b").createOrReplaceTempView("cp_v")
+    val r = spark.sql("SELECT cosine_pair(a, b) AS c FROM cp_v")
+      .head().getDouble(0)
+    assert(math.abs(r - 0.6) < 1e-12)
+  }
 }

@@ -352,4 +352,57 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ph(5L).isEmpty)
     assert(java.lang.Long.bitCount(ph(1L).get ^ ph(4L).get) > 32)
   }
+
+  test("keyframes: scene cuts flagged, steady frames not") {
+    val frames = Seq(
+      (1L, 0, Some(Array(10f, 0f, 10f, 0f))), // hash 0b0101
+      (1L, 1, Some(Array(10f, 0f, 10f, 0.5f))), // same bits → no cut
+      (1L, 2, Some(Array(0f, 10f, 0f, 10f))), // inverted → cut (d=4)
+      (2L, 0, Some(Array(1f, 2f, 3f, 4f))), // lone frame → keyframe
+      (3L, 0, None)) // undecodable → dropped
+      .toDF("vid_id", "frame_idx", "features")
+    val out = Multimodal.keyframes(frames, "vid_id", "frame_idx",
+        "features", dim = 4, threshold = 2)
+      .orderBy("vid_id", "frame_idx").collect()
+    assert(out.length == 4)
+    val kf = out.map(r => (r.getLong(0), r.getInt(1)) ->
+      r.getAs[Boolean]("is_keyframe")).toMap
+    assert(kf((1L, 0)) && !kf((1L, 1)) && kf((1L, 2)) && kf((2L, 0)))
+    val h = out.map(r => (r.getLong(0), r.getInt(1)) ->
+      r.getAs[Long]("fhash")).toMap
+    assert(h((1L, 0)) == 5L && h((1L, 1)) == 5L && h((1L, 2)) == 10L)
+  }
+
+  test("keyframes end-to-end on a real animated GIF: cut at the scene change") {
+    // 4 frames: two with black-left/white-right, two inverted — the
+    // scene change lands at frame 2
+    def frame(invert: Boolean): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(if (invert) java.awt.Color.WHITE else java.awt.Color.BLACK)
+      g.fillRect(0, 0, 4, 8)
+      g.setColor(if (invert) java.awt.Color.BLACK else java.awt.Color.WHITE)
+      g.fillRect(4, 0, 4, 8)
+      g.dispose(); img
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val w = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    Seq(false, false, true, true).foreach { inv =>
+      w.writeToSequence(
+        new javax.imageio.IIOImage(frame(inv), null, null), null)
+    }
+    w.endWriteSequence(); w.dispose(); ios.close()
+    val df = Seq((7L, baos.toByteArray)).toDF("id", "vid")
+    val decoded = Multimodal.decodeGifFrames(df, "vid", maxFrames = 4,
+      dim = 4)
+    val out = Multimodal.keyframes(decoded, "id", "frame_idx",
+        "features", dim = 4, threshold = 2)
+      .orderBy("frame_idx").collect()
+      .map(r => r.getInt(1) -> r.getAs[Boolean]("is_keyframe")).toMap
+    assert(out == Map(0 -> true, 1 -> false, 2 -> true, 3 -> false))
+  }
 }

@@ -111,7 +111,17 @@ object BenchScale {
     // latency histogram, all over events (partitioned windows / asof
     // merges — linear). q_tpch_q5 reads supplier/nation/region, which
     // this generator doesn't synthesize.
-    "q_changepoint", "q_feature_join", "q_funnel_time")
+    "q_changepoint", "q_feature_join", "q_funnel_time",
+    // round-6 wave 3: keyness/diversity over documents (two-level
+    // aggregations), chi-square + effective-area downsampling over
+    // events (partitioned windows), minhash calibration (same
+    // inverted-index pair join as q_ngram_jaccard plus 16 hex52 min
+    // aggregates). q_kcore is EXCLUDED by design: this generator's
+    // co-purchase graph densifies with scale (every customer meets
+    // every supplier — the q_triangles note), so shell sizes are a
+    // generator artifact; real purchase graphs stay sparse.
+    "q_keyness", "q_diversity", "q_chi2", "q_downsample_lttb",
+    "q_minhash_calibration")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

@@ -5717,7 +5717,292 @@ object Queries {
               SELECT (tns - ls) // 3600000000000 AS hours,
                 count(*) AS n_conversions
               FROM f WHERE event_type = 'purchase' AND ls IS NOT NULL
-              GROUP BY hours ORDER BY hours"""))
+              GROUP BY hours ORDER BY hours""")),
+
+    // ── graph: bounded k-CORE peeling on the co-purchase graph —
+    //    three synchronized shell deletions (degree < 8), unrolled
+    //    into one declarative plan: degree count + two semi-joins per
+    //    round, no driver actions between rounds. ──
+    QueryDef(
+      "q_kcore",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+        operators.Graph.kcorePeel(edges, "src", "dst", k = 8,
+            rounds = 3)
+          .orderBy("node")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c,
+                  l_suppkey + 1000000 AS p
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+              e0 AS (SELECT c AS src, p AS dst FROM pairs
+                     UNION ALL SELECT p, c FROM pairs),
+              k1 AS (SELECT src FROM e0 GROUP BY src
+                     HAVING count(*) >= 8),
+              e1 AS (SELECT e.src, e.dst FROM e0 e
+                     JOIN k1 a ON e.src = a.src
+                     JOIN k1 b ON e.dst = b.src),
+              k2 AS (SELECT src FROM e1 GROUP BY src
+                     HAVING count(*) >= 8),
+              e2 AS (SELECT e.src, e.dst FROM e1 e
+                     JOIN k2 a ON e.src = a.src
+                     JOIN k2 b ON e.dst = b.src),
+              k3 AS (SELECT src FROM e2 GROUP BY src
+                     HAVING count(*) >= 8),
+              e3 AS (SELECT e.src, e.dst FROM e2 e
+                     JOIN k3 a ON e.src = a.src
+                     JOIN k3 b ON e.dst = b.src)
+              SELECT src AS node, count(*) AS degree FROM e3
+              GROUP BY src ORDER BY node""")),
+
+    // ── sketch-quality audit: portable-minhash calibration — the
+    //    k=16 hex52 minhash estimate NEXT TO the exact shingle
+    //    Jaccard per candidate pair, everything on the integer micro
+    //    grid (the estimate itself is oracle-replayed, which the
+    //    xxhash64 production signature can't be). ──
+    QueryDef(
+      "q_minhash_calibration",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val aug = docs.union(docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+        operators.Dedup.minhashCalibration(aug, "doc_id", "text",
+            n = 5, k = 16, minShared = 2L)
+          .orderBy("id_a", "id_b")
+      },
+      Some {
+        val mhTerms = (0 until 16).map(s =>
+          s"min(${operators.Sketch.hex52Sql(s"md5(s || '#$s')")}) " +
+            s"AS mh$s").mkString(", ")
+        val estTerms = (0 until 16).map(s =>
+          s"(CASE WHEN ma.mh$s = mb.mh$s THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH aug AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents),
+              tk AS (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)),
+                         '\\s+') AS toks FROM aug),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4))
+                               AS g
+                           FROM tk)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              mh AS (SELECT doc_id, $mhTerms FROM sh GROUP BY doc_id),
+              p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS shared
+                    FROM sh a JOIN sh b
+                      ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2 HAVING count(*) >= 2),
+              j AS (SELECT id_a, id_b, shared,
+                      x.n + y.n - shared AS uni,
+                      shared * 1000000 // (x.n + y.n - shared)
+                        AS jaccard_micro
+                    FROM p JOIN sz x ON x.doc_id = id_a
+                    JOIN sz y ON y.doc_id = id_b),
+              w AS (SELECT j.*, $estTerms AS est_matches
+                    FROM j JOIN mh ma ON ma.doc_id = j.id_a
+                    JOIN mh mb ON mb.doc_id = j.id_b)
+              SELECT id_a, id_b, shared, uni, jaccard_micro,
+                est_matches, est_matches * 1000000 // 16 AS est_micro,
+                abs(est_matches * 1000000 // 16 - jaccard_micro)
+                  AS err_micro
+              FROM w ORDER BY id_a, id_b"""
+      }),
+
+    // ── corpus comparison: KEYNESS — tokens over-represented in one
+    //    language slice vs the whole corpus (relative-frequency ratio
+    //    tf_g·N_corpus / (tf_corpus·N_g) on the integer micro grid;
+    //    the log-odds transform is monotone, so ranking on the exact
+    //    ratio IS keyness ranking). Top 5 per language. ──
+    QueryDef(
+      "q_keyness",
+      (s, dir) => {
+        val tk = t(s, dir, "documents")
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .select(col("lang"), explode(col("__toks")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val perLang = tk.groupBy("lang", "tok")
+          .agg(count(lit(1)).as("tf_g"))
+        val langTotals = tk.groupBy("lang")
+          .agg(count(lit(1)).as("n_g"))
+        val corpus = tk.groupBy("tok").agg(count(lit(1)).as("tf_c"))
+        val total = tk.agg(count(lit(1)).as("n_c"))
+        val w = Window.partitionBy("lang")
+          .orderBy(col("keyness_micro").desc, col("tok").asc)
+        perLang.filter(col("tf_g") >= 3)
+          .join(langTotals, "lang")
+          .join(corpus, "tok")
+          .crossJoin(broadcast(total))
+          .withColumn("keyness_micro",
+            expr("tf_g * n_c * 1000000L div (tf_c * n_g)"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 5)
+          .select("lang", "rk", "tok", "tf_g", "tf_c", "keyness_micro")
+          .orderBy("lang", "rk")
+      },
+      Some("""WITH tk AS (SELECT lang, tok FROM (
+                  SELECT lang,
+                    unnest(regexp_split_to_array(lower(trim(text)),
+                      '\s+')) AS tok
+                  FROM documents) WHERE len(tok) > 0),
+              pl AS (SELECT lang, tok, count(*) AS tf_g FROM tk
+                     GROUP BY 1, 2),
+              lt AS (SELECT lang, count(*) AS n_g FROM tk GROUP BY 1),
+              cp AS (SELECT tok, count(*) AS tf_c FROM tk GROUP BY 1),
+              tot AS (SELECT count(*) AS n_c FROM tk),
+              k AS (SELECT pl.lang, pl.tok, tf_g, tf_c,
+                      tf_g * n_c * 1000000 // (tf_c * n_g)
+                        AS keyness_micro
+                    FROM pl JOIN lt ON pl.lang = lt.lang
+                    JOIN cp ON pl.tok = cp.tok CROSS JOIN tot
+                    WHERE tf_g >= 3),
+              r AS (SELECT *, row_number() OVER (PARTITION BY lang
+                      ORDER BY keyness_micro DESC, tok ASC) AS rk
+                    FROM k)
+              SELECT lang, rk, tok, tf_g, tf_c, keyness_micro
+              FROM r WHERE rk <= 5 ORDER BY lang, rk""")),
+
+    // ── data-mixture audit: lexical DIVERSITY per source — Simpson
+    //    repeat-rate Σnᵢ(nᵢ−1)/(N(N−1)) and type-token ratio, both as
+    //    exact integer micro ratios (no logs → no libm): the "is this
+    //    domain template spam?" metric over the whole corpus in one
+    //    two-level aggregation. ──
+    QueryDef(
+      "q_diversity",
+      (s, dir) => {
+        val tk = t(s, dir, "documents")
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .select(col("source"), explode(col("__toks")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        tk.groupBy("source", "tok").agg(count(lit(1)).as("n_i"))
+          .groupBy("source")
+          .agg(sum(col("n_i")).as("n_toks"),
+            count(lit(1)).as("n_types"),
+            sum(col("n_i") * (col("n_i") - 1)).as("rep"))
+          .withColumn("simpson_micro",
+            expr("rep * 1000000L div (n_toks * (n_toks - 1))"))
+          .withColumn("ttr_micro",
+            expr("n_types * 1000000L div n_toks"))
+          .select("source", "n_toks", "n_types", "simpson_micro",
+            "ttr_micro")
+          .orderBy("source")
+      },
+      Some("""WITH tk AS (SELECT source, tok FROM (
+                  SELECT source,
+                    unnest(regexp_split_to_array(lower(trim(text)),
+                      '\s+')) AS tok
+                  FROM documents) WHERE len(tok) > 0),
+              c AS (SELECT source, tok, count(*) AS n_i FROM tk
+                    GROUP BY 1, 2),
+              g AS (SELECT source,
+                      CAST(sum(n_i) AS BIGINT) AS n_toks,
+                      count(*) AS n_types,
+                      CAST(sum(n_i * (n_i - 1)) AS BIGINT) AS rep
+                    FROM c GROUP BY 1)
+              SELECT source, n_toks, n_types,
+                rep * 1000000 // (n_toks * (n_toks - 1))
+                  AS simpson_micro,
+                n_types * 1000000 // n_toks AS ttr_micro
+              FROM g ORDER BY source""")),
+
+    // ── statistical audit: χ² INDEPENDENCE of event_type × value
+    //    band — per-cell contributions (o·N − r·c)²·1000/(N·r·c) on
+    //    the integer milli grid (exact in any engine; the χ² total is
+    //    their sum). The "is value distribution uniform across event
+    //    types?" check a feature pipeline runs before trusting a
+    //    column. ──
+    QueryDef(
+      "q_chi2",
+      (s, dir) => {
+        val e = centsEvents(s, dir)
+          .select(col("event_type"), expr("iv div 5000").as("vband"))
+        val o = e.groupBy("event_type", "vband")
+          .agg(count(lit(1)).as("o"))
+        val r = e.groupBy("event_type").agg(count(lit(1)).as("r_tot"))
+        val c = e.groupBy("vband").agg(count(lit(1)).as("c_tot"))
+        val n = e.agg(count(lit(1)).as("n_tot"))
+        o.join(r, "event_type").join(c, "vband")
+          .crossJoin(broadcast(n))
+          .withColumn("exp_micro",
+            expr("r_tot * c_tot * 1000000L div n_tot"))
+          .withColumn("term_milli",
+            expr("(o * n_tot - r_tot * c_tot) * " +
+              "(o * n_tot - r_tot * c_tot) * 1000L div " +
+              "(n_tot * r_tot * c_tot)"))
+          .select("event_type", "vband", "o", "exp_micro", "term_milli")
+          .orderBy("event_type", "vband")
+      },
+      Some("""WITH e AS (SELECT event_type,
+                  CAST(floor(value * 100) AS BIGINT) // 5000 AS vband
+                FROM events),
+              o AS (SELECT event_type, vband, count(*) AS o
+                    FROM e GROUP BY 1, 2),
+              r AS (SELECT event_type, count(*) AS r_tot FROM e
+                    GROUP BY 1),
+              c AS (SELECT vband, count(*) AS c_tot FROM e GROUP BY 1),
+              n AS (SELECT count(*) AS n_tot FROM e)
+              SELECT event_type, vband, o,
+                r_tot * c_tot * 1000000 // n_tot AS exp_micro,
+                (o * n_tot - r_tot * c_tot) *
+                  (o * n_tot - r_tot * c_tot) * 1000 //
+                  (n_tot * r_tot * c_tot) AS term_milli
+              FROM o JOIN r USING (event_type) JOIN c USING (vband)
+                CROSS JOIN n
+              ORDER BY event_type, vband""")),
+
+    // ── time-series DOWNSAMPLING by effective triangle area (LTOB,
+    //    the parallel member of the largest-triangle family): per
+    //    event_type, every 100-point bucket keeps its visually most
+    //    important point, endpoints always survive — pure BIGINT
+    //    cross products (see Resample.downsampleEffectiveArea). ──
+    QueryDef(
+      "q_downsample_lttb",
+      (s, dir) =>
+        operators.Resample.downsampleEffectiveArea(
+            centsEvents(s, dir)
+              .join(t(s, dir, "events").select("event_id", "ts"),
+                "event_id"),
+            Seq("event_type"), Seq("ts", "event_id"), "iv",
+            bucketSize = 100)
+          .orderBy("event_type", "pos"),
+      Some("""WITH e AS (SELECT event_type, event_id, ts,
+                  CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
+              b AS (SELECT event_type, iv,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS pos,
+                      lag(iv) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS yp,
+                      lead(iv) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id) AS yn
+                    FROM e),
+              sc AS (SELECT event_type, pos, iv, yp, yn,
+                       abs((pos - 1) * (iv - yn) + pos * (yn - yp) +
+                         (pos + 1) * (yp - iv)) AS area2,
+                       (pos - 1) // 100 AS bucket
+                     FROM b),
+              ep AS (SELECT event_type, pos, iv, area2 FROM sc
+                     WHERE yp IS NULL OR yn IS NULL),
+              win AS (SELECT event_type, pos, iv, area2 FROM (
+                        SELECT *, row_number() OVER (
+                          PARTITION BY event_type, bucket
+                          ORDER BY area2 DESC, pos ASC) AS rk
+                        FROM sc
+                        WHERE yp IS NOT NULL AND yn IS NOT NULL)
+                      WHERE rk = 1)
+              SELECT event_type, pos, iv, area2 FROM ep
+              UNION ALL
+              SELECT event_type, pos, iv, area2 FROM win
+              ORDER BY event_type, pos"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

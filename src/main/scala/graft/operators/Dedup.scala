@@ -120,6 +120,59 @@ object Dedup {
       .filter(greatest(col("c_a"), col("c_b")) >= threshold)
       .select("id_a", "id_b", "shared", "c_a", "c_b")
 
+  /** Portable-minhash CALIBRATION audit: for every candidate pair
+    * sharing >= `minShared` shingles, the k-permutation minhash
+    * Jaccard ESTIMATE (matching positions / k) next to the EXACT
+    * shingle Jaccard — the sketch-accuracy report a pipeline owner
+    * reads before trusting banded LSH over 100 TB ("how wrong is the
+    * signature at my threshold?"). Hashes are the portable hex52
+    * (md5-prefix), so unlike the xxhash64 production signature
+    * ([[minhashSignature]]) every value — estimate included — is
+    * replayable in any SQL engine, which makes the calibration itself
+    * oracle-checkable. Everything integer: estimate in micro units via
+    * floor division, exact Jaccard as shared·1e6 div union.
+    *
+    * Scale shape: one shingle explode feeding the size/minhash
+    * aggregations and the inverted-index pair join (all map-side
+    * combined); signatures are k longs per doc, joined only for
+    * surviving candidates.
+    */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, k: Int = 16, minShared: Long = 2L): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val sh = shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mhAggs = (0 until k).map(s =>
+      min(graft.functions.Hex52(concat(col("shingle"), lit("#" + s))))
+        .as(s"mh$s"))
+    val mh = sh.groupBy("id").agg(mhAggs.head, mhAggs.tail: _*)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val est = (0 until k).map(s =>
+      when(col(s"ma.mh$s") === col(s"mb.mh$s"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("uni", col("n_a") + col("n_b") - col("shared"))
+      .withColumn("jaccard_micro", expr("shared * 1000000L div uni"))
+      .join(mh.as("ma"), col("id_a") === col("ma.id"))
+      .join(mh.as("mb"), col("id_b") === col("mb.id"))
+      .withColumn("est_matches", est)
+      .withColumn("est_micro",
+        expr(s"CAST(est_matches AS BIGINT) * 1000000L div $k"))
+      .withColumn("err_micro", abs(col("est_micro") -
+        col("jaccard_micro")))
+      .select("id_a", "id_b", "shared", "uni", "jaccard_micro",
+        "est_matches", "est_micro", "err_micro")
+  }
+
   /** MinHash signature column: array of `numHashes` min-hashes over the
     * doc's shingle set, built with xxhash64(shingle, seed) — pure
     * expressions, evaluated in one projection.

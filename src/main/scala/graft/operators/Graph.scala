@@ -126,4 +126,45 @@ object Graph {
       .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** Bounded k-CORE peeling: `rounds` synchronized rounds of deleting
+    * every node of degree < k (with its edges) from an undirected
+    * graph given as a symmetrized edge list (both directions present,
+    * so degree = out-degree). After enough rounds this IS the k-core
+    * (a round that deletes nothing is a fixpoint); a small fixed
+    * `rounds` is the bounded-latency variant — each round deletes the
+    * whole current shell, and real graphs' core numbers stabilize in
+    * a handful of shells.
+    *
+    * Scale shape: a round is one map-side-combined degree count plus
+    * two semi-joins of the edge list against the (shrinking) survivor
+    * set — all hash-partitioned on the node id, no windows, no driver
+    * state. Each round's edge list is cut from its lineage via
+    * [[IterCheckpoint]] (superseded rounds freed eagerly): without the
+    * cut, round r's plan re-derives every earlier round — the degree
+    * count AND both semi-joins re-expand the whole prefix, so work
+    * grows geometrically in `rounds` instead of linearly.
+    * Returns surviving (node, degree) — degree within the core.
+    */
+  def kcorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k,rounds >= 1, got $k,$rounds")
+    var e = IterCheckpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select("src")
+      val next = IterCheckpoint(
+        e.join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"),
+            "left_semi"))
+      IterCheckpoint.free(e)
+      e = next
+    }
+    val out = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("degree"))
+    // the final round's checkpoint files back `out` lazily; they are
+    // released with the session temp dir (bounded: one round's edges)
+    out
+  }
 }

@@ -351,4 +351,62 @@ object Resample {
       .withColumn(out, col("__off") + col("__cum_in"))
       .drop("__blk", "__cum_in", "__off")
   }
+
+  /** Time-series DOWNSAMPLING by effective triangle area (the
+    * one-bucket variant of Steinarsson's largest-triangle family —
+    * LTOB): per series, each interior point scores twice the area of
+    * the triangle it forms with its immediate neighbors (a point on
+    * the straight line between its neighbors scores 0 and can be
+    * dropped without changing the drawn shape); each fixed-size bucket
+    * keeps its highest-scoring point (min-position tiebreak), and
+    * series endpoints always survive. The LTTB variant ranks against
+    * the PREVIOUSLY SELECTED point — a sequential dependency no
+    * parallel engine should buy; one-bucket scores depend only on
+    * lag/lead, so the whole pass is one partitioned sort.
+    *
+    * INTEGER-exact: positions are the per-series rank (not raw epoch
+    * nanos — keeps the cross products far from overflow), values ride
+    * an integer grid, and 2·area = |x₋(y−y₊) + x(y₊−y₋) + x₊(y₋−y)|
+    * is pure BIGINT arithmetic.
+    *
+    * @param seriesCols partition key of each series
+    * @param orderCols  total order within a series
+    * @param valueCol   LONG value column (pre-gridded)
+    * @param bucketSize points per bucket (keeps ~1/bucketSize)
+    */
+  def downsampleEffectiveArea(df: DataFrame, seriesCols: Seq[String],
+      orderCols: Seq[String], valueCol: String,
+      bucketSize: Int): DataFrame = {
+    require(bucketSize >= 1, s"bucketSize must be positive, got $bucketSize")
+    val Window = org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+    val scored = df
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumn("__yp", lag(col(valueCol), 1).over(w))
+      .withColumn("__yn", lead(col(valueCol), 1).over(w))
+      .withColumn("__xp", col("pos") - 1)
+      .withColumn("__xn", col("pos") + 1)
+      .withColumn("area2",
+        abs(col("__xp") * (col(valueCol) - col("__yn")) +
+          col("pos") * (col("__yn") - col("__yp")) +
+          col("__xn") * (col("__yp") - col(valueCol))))
+      .withColumn("__bucket", expr(s"(pos - 1) div $bucketSize"))
+    // endpoints (no neighbor on one side) always survive; interior
+    // points compete within their bucket on (area2 desc, pos asc)
+    val outCols = seriesCols.map(col) :+ col("pos") :+ col(valueCol) :+
+      col("area2")
+    val endpoints = scored
+      .filter(col("__yp").isNull || col("__yn").isNull)
+      .select(outCols: _*)
+    val wB = Window
+      .partitionBy((seriesCols.map(col) :+ col("__bucket")): _*)
+      .orderBy(col("area2").desc, col("pos").asc)
+    val interior = scored
+      .filter(col("__yp").isNotNull && col("__yn").isNotNull)
+      .withColumn("__rk", row_number().over(wB))
+      .filter(col("__rk") === 1)
+      .select(outCols: _*)
+    endpoints.union(interior)
+  }
 }

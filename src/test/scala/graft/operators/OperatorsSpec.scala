@@ -643,6 +643,52 @@ class OperatorsSpec extends AnyFunSuite {
       Row(3L, 2L, 1), Row(3L, 1L, 2))) // lone cell-1 point: no edges
   }
 
+  test("downsampleEffectiveArea: endpoints kept, spike beats collinear run") {
+    val series = Seq((1, 10L, 0L), (1, 20L, 1L), (1, 30L, 2L),
+      (1, 40L, 100L), (1, 50L, 4L), (1, 60L, 5L))
+      .toDF("sid", "t", "v")
+    val out = Resample.downsampleEffectiveArea(series, Seq("sid"),
+        Seq("t"), "v", bucketSize = 10)
+      .orderBy("pos").collect()
+    // one bucket: both endpoints + the spike (2A=194 beats 97/97/0)
+    assert(out.map(_.getAs[Long]("pos")).toSeq == Seq(1L, 4L, 6L))
+    assert(out(1).getAs[Long]("area2") == 194L)
+    // the collinear point (pos 2, area 0) was droppable and dropped
+  }
+
+  test("kcorePeel: converges to the exact k-core, shells peel in order") {
+    // path a-b-c-d plus triangle e-f-g: 2-core = the triangle only
+    val und = Seq(("a", "b"), ("b", "c"), ("c", "d"),
+      ("e", "f"), ("f", "g"), ("g", "e"))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val core = Graph.kcorePeel(edges, "src", "dst", k = 2, rounds = 3)
+      .orderBy("node").collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(core.toSeq == Seq("e" -> 2L, "f" -> 2L, "g" -> 2L))
+    // one round only peels the outermost shell: 'a' and 'd' go (deg 1),
+    // 'b'/'c' survive round 1 though they die in round 2
+    val r1 = Graph.kcorePeel(edges, "src", "dst", k = 2, rounds = 1)
+      .select("node").as[String].collect().toSet
+    assert(r1 == Set("b", "c", "e", "f", "g"))
+  }
+
+  test("minhashCalibration: exact twins estimate 16/16, integers consistent") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight"),
+      (2L, "one two three four five six seven eight"), // exact twin
+      (3L, "completely different words appear in this document here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashCalibration(docs, "doc_id", "text", n = 5,
+        k = 16, minShared = 2L)
+      .collect()
+    assert(out.length == 1) // only the twin pair shares shingles
+    val r = out.head
+    assert(r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(r.getAs[Long]("shared") == 4L && r.getAs[Long]("uni") == 4L)
+    assert(r.getAs[Long]("jaccard_micro") == 1000000L)
+    assert(r.getAs[Int]("est_matches") == 16) // identical shingle sets
+    assert(r.getAs[Long]("err_micro") == 0L)
+  }
+
   test("pmiCooccur: doc-frequency pairs and integer PMI grid") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta"),
       (3L, "alpha gamma"), (4L, "beta gamma delta"))

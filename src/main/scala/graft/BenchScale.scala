@@ -121,7 +121,12 @@ object BenchScale {
     // every supplier — the q_triangles note), so shell sizes are a
     // generator artifact; real purchase graphs stay sparse.
     "q_keyness", "q_diversity", "q_chi2", "q_downsample_lttb",
-    "q_minhash_calibration")
+    "q_minhash_calibration",
+    // round-6 wave 4: feature hashing + novelty over documents, path
+    // trigrams over events, basket rules over synthetic
+    // orders/lineitem (pair fan-out bounded by basket size)
+    "q_hashing_trick", "q_ngram_novelty", "q_path_mining",
+    "q_market_basket")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have
@@ -136,7 +141,11 @@ object BenchScale {
   //    artifact).
   private val VectorDimQueries = Seq("q_int8_quant", "q_int8_topk",
     "q_cosine_topk", "q_knn_join", "q_ann_axis_oracle")
-  private val VectorRowQueries = Seq("q_pq_adc")
+  private val VectorRowQueries = Seq("q_pq_adc",
+    // recall eval: fixed 10-query exact scan + 256-bucket signature
+    // probes — both linear on the rows axis (the codebook/query set
+    // is a fixed artifact, like PQ's)
+    "q_ann_recall")
   private val DimFactor = 8L // 64 → 512
 
   // all ≥ 7 chars: the curation chain's quality score weights the
@@ -217,8 +226,12 @@ object BenchScale {
       (lit(1704067200000000000L) + col("id") * 937000000L +
         pmod(xxhash64(col("id")), lit(911111111L))).as("ts"),
       pmod(xxhash64(col("id"), lit(3L)), lit(nUsers)).as("user_id"),
+      // the sf testdata's exact type domain, so type-filtered queries
+      // (funnel, pattern match, asof, funnel-latency) exercise real
+      // matches here too
       element_at(
-        array(Seq("click", "view", "buy", "error", "login").map(lit): _*),
+        array(Seq("click", "view", "purchase", "error", "signup")
+          .map(lit): _*),
         (pmod(xxhash64(col("id"), lit(4L)), lit(5L)) + 1L).cast("int"))
         .as("event_type"),
       round(pmod(xxhash64(col("id"), lit(5L)), lit(10000L)) / 100.0, 2)
@@ -264,6 +277,8 @@ object BenchScale {
     spark.range(n).select(
       col("id").as("c_custkey"),
       concat(lit("Customer#"), col("id")).as("c_name"),
+      pmod(xxhash64(col("id"), lit(16L)), lit(25L)).cast("int")
+        .as("c_nationkey"),
       round(pmod(xxhash64(col("id"), lit(14L)), lit(1000000L)) / 100.0, 2)
         .as("c_acctbal"))
 

@@ -3353,7 +3353,7 @@ object Queries {
                              CAST(shared AS DOUBLE) / y.n) >= 0.9
               ORDER BY id_a, id_b""")),
 
-    // ── §2.5-adjacent: ordered conversion funnel login→view→buy —
+    // ── §2.5-adjacent: ordered conversion funnel signup→view→purchase —
     //    stage k counts users whose first stage-k event follows their
     //    first stage-(k-1) event. Three aggregations on the SAME key
     //    (exchange reuse), stage tables shrink monotonically. ──
@@ -3362,31 +3362,31 @@ object Queries {
       (s, dir) => {
         val e = t(s, dir, "events")
           .select(col("user_id"), col("ts"), col("event_type"))
-        val s1 = e.filter(col("event_type") === "login")
+        val s1 = e.filter(col("event_type") === "signup")
           .groupBy("user_id").agg(min(col("ts")).as("t1"))
         val s2 = e.join(s1, "user_id")
           .filter(col("event_type") === "view" && col("ts") > col("t1"))
           .groupBy("user_id").agg(min(col("ts")).as("t2"))
         val s3 = e.join(s2, "user_id")
-          .filter(col("event_type") === "buy" && col("ts") > col("t2"))
+          .filter(col("event_type") === "purchase" && col("ts") > col("t2"))
           .groupBy("user_id").agg(min(col("ts")).as("t3"))
-        s1.agg(count(lit(1)).as("n_login"))
-          .crossJoin(s2.agg(count(lit(1)).as("n_login_view")))
-          .crossJoin(s3.agg(count(lit(1)).as("n_login_view_buy")))
+        s1.agg(count(lit(1)).as("n_signup"))
+          .crossJoin(s2.agg(count(lit(1)).as("n_signup_view")))
+          .crossJoin(s3.agg(count(lit(1)).as("n_signup_view_purchase")))
       },
       Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_type
                 FROM events),
               s1 AS (SELECT user_id, min(tsn) AS t1 FROM e
-                     WHERE event_type = 'login' GROUP BY 1),
+                     WHERE event_type = 'signup' GROUP BY 1),
               s2 AS (SELECT e.user_id, min(tsn) AS t2 FROM e
                      JOIN s1 USING (user_id)
                      WHERE event_type = 'view' AND tsn > t1 GROUP BY 1),
               s3 AS (SELECT e.user_id, min(tsn) AS t3 FROM e
                      JOIN s2 USING (user_id)
-                     WHERE event_type = 'buy' AND tsn > t2 GROUP BY 1)
-              SELECT (SELECT count(*) FROM s1) AS n_login,
-                     (SELECT count(*) FROM s2) AS n_login_view,
-                     (SELECT count(*) FROM s3) AS n_login_view_buy""")),
+                     WHERE event_type = 'purchase' AND tsn > t2 GROUP BY 1)
+              SELECT (SELECT count(*) FROM s1) AS n_signup,
+                     (SELECT count(*) FROM s2) AS n_signup_view,
+                     (SELECT count(*) FROM s3) AS n_signup_view_purchase""")),
 
     // ── §2.5-adjacent: cohort retention — users grouped by first-seen
     //    day, per-day-offset distinct active users. Integer day math
@@ -3450,7 +3450,7 @@ object Queries {
     QueryDef(
       "q_pivot",
       (s, dir) => {
-        val types = Seq("click", "view", "buy", "error", "login")
+        val types = Seq("click", "view", "purchase", "error", "signup")
         val p = t(s, dir, "events")
           .select(expr("ts div 86400000000000L").as("day"),
             col("event_type"))
@@ -3465,12 +3465,12 @@ object Queries {
                   AS BIGINT) AS n_click,
                 CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_view,
-                CAST(sum(CASE WHEN event_type = 'buy' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_buy,
+                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchase,
                 CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
                   AS BIGINT) AS n_error,
-                CAST(sum(CASE WHEN event_type = 'login' THEN 1 ELSE 0 END)
-                  AS BIGINT) AS n_login
+                CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_signup
               FROM events GROUP BY 1 ORDER BY 1""")),
 
     // ── north star: content-defined chunking — Rabin-style boundaries
@@ -6002,7 +6002,335 @@ object Queries {
               SELECT event_type, pos, iv, area2 FROM ep
               UNION ALL
               SELECT event_type, pos, iv, area2 FROM win
-              ORDER BY event_type, pos"""))
+              ORDER BY event_type, pos""")),
+
+    // ── north star: the HASHING TRICK — feature-hash documents into a
+    //    16-bucket signed bag-of-words (long format: one row per
+    //    (doc, bucket), so the gate sees scalars). Pure hex52
+    //    expressions, ONE aggregation, exact integer weights — the
+    //    classifier-featurization bridge from text to vectors. ──
+    QueryDef(
+      "q_hashing_trick",
+      (s, dir) => {
+        val tk = t(s, dir, "documents")
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .select(col("doc_id"), explode(col("__toks")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        tk.withColumn("bucket",
+            pmod(graft.functions.Hex52(col("tok")), lit(16L)))
+          .withColumn("sgn",
+            when(pmod(graft.functions.Hex52(
+              concat(col("tok"), lit("!"))), lit(2L)) === 0, 1L)
+              .otherwise(-1L))
+          .groupBy("doc_id", "bucket")
+          .agg(sum(col("sgn")).as("w"), count(lit(1)).as("n_toks"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, tok FROM (
+                  SELECT doc_id,
+                    unnest(regexp_split_to_array(lower(trim(text)),
+                      '\\s+')) AS tok
+                  FROM documents) WHERE len(tok) > 0),
+              h AS (SELECT doc_id,
+                      ${operators.Sketch.hex52Sql("md5(tok)")} % 16
+                        AS bucket,
+                      CASE WHEN ${operators.Sketch.hex52Sql(
+                        "md5(tok || '!')")} % 2 = 0
+                        THEN 1 ELSE -1 END AS sgn
+                    FROM tk)
+              SELECT doc_id, bucket, CAST(sum(sgn) AS BIGINT) AS w,
+                count(*) AS n_toks
+              FROM h GROUP BY 1, 2 ORDER BY doc_id, bucket""")),
+
+    // ── clickstream PATH MINING: top consecutive event-type trigrams
+    //    — two lead windows per user partition, one count, one
+    //    TakeOrdered (no global window, no session state). ──
+    QueryDef(
+      "q_path_mining",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+        t(s, dir, "events")
+          .select("user_id", "event_id", "ts", "event_type")
+          .withColumn("t1", lead(col("event_type"), 1).over(w))
+          .withColumn("t2", lead(col("event_type"), 2).over(w))
+          .filter(col("t1").isNotNull && col("t2").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("t1"),
+            col("t2")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path").asc)
+          .limit(20)
+      },
+      Some("""WITH p AS (SELECT event_type ||  '>' || t1 || '>' || t2
+                  AS path
+                FROM (SELECT event_type,
+                        lead(event_type, 1) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS t1,
+                        lead(event_type, 2) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS t2
+                      FROM events)
+                WHERE t1 IS NOT NULL AND t2 IS NOT NULL)
+              SELECT path, count(*) AS n FROM p GROUP BY path
+              ORDER BY n DESC, path ASC LIMIT 20""")),
+
+    // ── eval harness: ANN RECALL@10 — the axis-signature ANN's top-10
+    //    against the exact brute-force top-10 for each of 10 query
+    //    vectors. The exact side is one corpus scan with 10 codegen
+    //    cosine expressions (bounded query collect, the IVF-codebook
+    //    precedent) — no cross join; the ANN side is the probed
+    //    signature join of q_knn_join. Recall lands on the integer
+    //    micro grid, so the accuracy REPORT is itself oracle-exact. ──
+    QueryDef(
+      "q_ann_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+          .select("vec_id", "embedding").collect()
+          .map(r => r.getLong(0) ->
+            r.getSeq[Float](1).map(_.toDouble).toSeq)
+          .sortBy(_._1)
+        val wq = Window.partitionBy("query_id")
+          .orderBy(col("cs").desc, col("neighbor_id").asc)
+        val exact = emb.select(col("vec_id").as("neighbor_id"),
+            posexplode(array(qs.map { case (_, q) =>
+              graft.functions.CosineToQuery(col("embedding"), q)
+            }: _*)).as(Seq("qpos", "cs")))
+          .withColumn("query_id", col("qpos").cast("long"))
+          .withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 10)
+          .select("query_id", "neighbor_id")
+        val ann = operators.Similarity.knnJoin(
+            emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+            emb, "vec_id", "embedding", k = 10, nPlanes = 8,
+            probe = true)
+          .select("query_id", "neighbor_id")
+        val nAnn = ann.groupBy("query_id")
+          .agg(count(lit(1)).as("n_ann"))
+        exact.join(ann, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+          .join(nAnn, "query_id")
+          .withColumn("recall_micro",
+            expr("n_hit * 1000000L div 10"))
+          .select("query_id", "n_ann", "n_hit", "recall_micro")
+          .orderBy("query_id")
+      },
+      Some {
+        val sigTerms = (0 until 8).map(p =>
+          s"(CASE WHEN embedding[${p + 1}] > 0 THEN ${1L << p} ELSE 0 END)")
+          .mkString(" + ")
+        val maskList = (0L +: (0 until 8).map(p => 1L << p))
+          .mkString(", ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                  $sigTerms AS sig
+                FROM embeddings),
+              q AS (SELECT vec_id AS query_id, e AS qe, sig FROM v
+                    WHERE vec_id < 10),
+              ex AS (SELECT query_id, r.vec_id AS neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                         ORDER BY list_cosine_similarity(r.e, q.qe)
+                           DESC, r.vec_id ASC) AS rn
+                     FROM q, v r),
+              exact10 AS (SELECT query_id, neighbor_id FROM ex
+                          WHERE rn <= 10),
+              probes AS (SELECT query_id, qe, xor(sig, m.m) AS probe
+                         FROM q, (SELECT unnest([$maskList]) AS m) m),
+              scored AS (SELECT p.query_id, r.vec_id AS neighbor_id,
+                           list_cosine_similarity(r.e, p.qe) AS cs
+                         FROM probes p JOIN v r ON r.sig = p.probe),
+              ann AS (SELECT query_id, neighbor_id FROM (
+                        SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, neighbor_id ASC) AS rn
+                        FROM scored) WHERE rn <= 10),
+              na AS (SELECT query_id, count(*) AS n_ann FROM ann
+                     GROUP BY 1),
+              h AS (SELECT e.query_id, count(*) AS n_hit
+                    FROM exact10 e JOIN ann a
+                      ON a.query_id = e.query_id
+                      AND a.neighbor_id = e.neighbor_id
+                    GROUP BY 1)
+              SELECT h.query_id, n_ann, n_hit,
+                n_hit * 1000000 // 10 AS recall_micro
+              FROM h JOIN na ON h.query_id = na.query_id
+              ORDER BY h.query_id"""
+      }),
+
+    // ── MARKET-BASKET rules: supplier co-occurrence within orders —
+    //    support/confidence/lift on the integer micro grid (the
+    //    association-rule classics, log-free). One within-basket pair
+    //    join (bounded by basket size), two broadcast-joined count
+    //    tables, top 20 rules by joint support. ──
+    QueryDef(
+      "q_market_basket",
+      (s, dir) => {
+        val items = t(s, dir, "lineitem")
+          .select(col("l_orderkey").as("basket"),
+            col("l_suppkey").as("item"))
+          .distinct()
+        val n = items.select("basket").distinct()
+          .agg(count(lit(1)).as("n_baskets"))
+        val ic = items.groupBy("item").agg(count(lit(1)).as("c_i"))
+        val pairs = items.as("a").join(items.as("b"),
+            col("a.basket") === col("b.basket") &&
+              col("a.item") < col("b.item"))
+          .groupBy(col("a.item").as("item_a"),
+            col("b.item").as("item_b"))
+          .agg(count(lit(1)).as("c_ab"))
+        pairs
+          .join(ic.select(col("item").as("item_a"),
+            col("c_i").as("c_a")), "item_a")
+          .join(ic.select(col("item").as("item_b"),
+            col("c_i").as("c_b")), "item_b")
+          .crossJoin(broadcast(n))
+          .withColumn("conf_micro",
+            expr("c_ab * 1000000L div c_a"))
+          .withColumn("lift_micro",
+            expr("c_ab * n_baskets * 1000000L div (c_a * c_b)"))
+          .select("item_a", "item_b", "c_ab", "c_a", "c_b",
+            "conf_micro", "lift_micro")
+          .orderBy(col("c_ab").desc, col("item_a"), col("item_b"))
+          .limit(20)
+      },
+      Some("""WITH items AS (SELECT DISTINCT l_orderkey AS basket,
+                  l_suppkey AS item FROM lineitem),
+              n AS (SELECT count(DISTINCT basket) AS n_baskets
+                    FROM items),
+              ic AS (SELECT item, count(*) AS c_i FROM items
+                     GROUP BY 1),
+              p AS (SELECT a.item AS item_a, b.item AS item_b,
+                      count(*) AS c_ab
+                    FROM items a JOIN items b
+                      ON a.basket = b.basket AND a.item < b.item
+                    GROUP BY 1, 2)
+              SELECT item_a, item_b, c_ab, x.c_i AS c_a, y.c_i AS c_b,
+                c_ab * 1000000 // x.c_i AS conf_micro,
+                c_ab * n_baskets * 1000000 // (x.c_i * y.c_i)
+                  AS lift_micro
+              FROM p JOIN ic x ON x.item = item_a
+                JOIN ic y ON y.item = item_b CROSS JOIN n
+              ORDER BY c_ab DESC, item_a, item_b LIMIT 20""")),
+
+    // ── curation NOVELTY score: per doc (in doc_id order), the share
+    //    of its 5-gram shingles never seen in any earlier doc —
+    //    first-seen = one min(doc_id) per shingle, novelty an exact
+    //    integer ratio. The "is the crawl still adding content?"
+    //    curve, cheap enough to run on every increment. ──
+    QueryDef(
+      "q_ngram_novelty",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val sh = operators.Dedup.shingles(docs, "doc_id", "text", 5)
+        val firstSeen = sh.groupBy("shingle")
+          .agg(min(col("id")).as("first_doc"))
+        sh.join(firstSeen, "shingle")
+          .groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("id") === col("first_doc"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_micro",
+            expr("n_novel * 1000000L div n_shingles"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+                  regexp_split_to_array(lower(trim(text)), '\s+')
+                    AS toks FROM documents),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4))
+                               AS g FROM tk)),
+              fs AS (SELECT s, min(doc_id) AS first_doc FROM sh
+                     GROUP BY 1)
+              SELECT sh.doc_id, count(*) AS n_shingles,
+                CAST(sum(CASE WHEN sh.doc_id = fs.first_doc
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+                CAST(sum(CASE WHEN sh.doc_id = fs.first_doc
+                  THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*)
+                  AS novelty_micro
+              FROM sh JOIN fs ON sh.s = fs.s
+              GROUP BY sh.doc_id ORDER BY doc_id""")),
+
+    // ── eval harness: DEDUP PRECISION/RECALL — the portable-minhash
+    //    decision (estimate >= 0.5) scored against exact Jaccard over
+    //    all candidate pairs, as integer TP/FP/FN counts + micro
+    //    ratios: the go/no-go number before trusting the sketch's
+    //    threshold at 100 TB. floor-division thresholds are exact
+    //    (est_micro >= 500000 ⟺ est_matches >= k/2). ──
+    QueryDef(
+      "q_dedup_eval",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val aug = docs.union(docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+        operators.Dedup.minhashCalibration(aug, "doc_id", "text",
+            n = 5, k = 16, minShared = 1L)
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("est_micro") >= 500000 &&
+              col("jaccard_micro") >= 500000, 1L).otherwise(0L))
+              .as("tp"),
+            sum(when(col("est_micro") >= 500000 &&
+              col("jaccard_micro") < 500000, 1L).otherwise(0L))
+              .as("fp"),
+            sum(when(col("est_micro") < 500000 &&
+              col("jaccard_micro") >= 500000, 1L).otherwise(0L))
+              .as("fn"))
+          .withColumn("precision_micro",
+            expr("tp * 1000000L div (tp + fp)"))
+          .withColumn("recall_micro",
+            expr("tp * 1000000L div (tp + fn)"))
+      },
+      Some {
+        val mhTerms = (0 until 16).map(s =>
+          s"min(${operators.Sketch.hex52Sql(s"md5(s || '#$s')")}) " +
+            s"AS mh$s").mkString(", ")
+        val estTerms = (0 until 16).map(s =>
+          s"(CASE WHEN ma.mh$s = mb.mh$s THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH aug AS (SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents),
+              tk AS (SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)),
+                         '\\s+') AS toks FROM aug),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4))
+                               AS g
+                           FROM tk)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              mh AS (SELECT doc_id, $mhTerms FROM sh GROUP BY doc_id),
+              p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                      count(*) AS shared
+                    FROM sh a JOIN sh b
+                      ON a.s = b.s AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+              j AS (SELECT id_a, id_b, shared,
+                      shared * 1000000 // (x.n + y.n - shared)
+                        AS jaccard_micro
+                    FROM p JOIN sz x ON x.doc_id = id_a
+                    JOIN sz y ON y.doc_id = id_b),
+              w AS (SELECT j.*,
+                      ($estTerms) * 1000000 // 16 AS est_micro
+                    FROM j JOIN mh ma ON ma.doc_id = j.id_a
+                    JOIN mh mb ON mb.doc_id = j.id_b),
+              agg AS (SELECT count(*) AS n_pairs,
+                CAST(sum(CASE WHEN est_micro >= 500000
+                    AND jaccard_micro >= 500000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN est_micro >= 500000
+                    AND jaccard_micro < 500000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN est_micro < 500000
+                    AND jaccard_micro >= 500000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS fn
+                FROM w)
+              SELECT n_pairs, tp, fp, fn,
+                tp * 1000000 // (tp + fp) AS precision_micro,
+                tp * 1000000 // (tp + fn) AS recall_micro
+              FROM agg"""
+      })
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

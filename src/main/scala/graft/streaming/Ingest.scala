@@ -18,6 +18,20 @@ final case class Session(user: Long, startMs: Long, endMs: Long, n: Long,
 /** One hashed key for the streaming KMV sketch ([[Ingest.streamingKmv]]). */
 final case class KmvIn(g: String, hv: Long)
 
+/** One event for the streaming pattern matcher
+  * ([[Ingest.streamPatternMatch]]).
+  */
+final case class PatEvent(user: Long, ts: java.sql.Timestamp,
+    eventId: Long, eventType: String)
+
+/** Pattern-matcher state per user: the (epochMs, eventId) order key of
+  * the most recent signup / error seen; −1 sentinels = none yet.
+  */
+final case class PatState(sTs: Long, sId: Long, eTs: Long, eId: Long)
+
+/** One purchase judged by [[Ingest.streamPatternMatch]]. */
+final case class PatMatch(user: Long, eventId: Long, isMatch: Boolean)
+
 /** Per-group bottom-k sketch emitted each micro-batch: `mins` ascending. */
 final case class KmvSketchRow(g: String, mins: Seq[Long])
 
@@ -257,6 +271,47 @@ object Ingest {
             }
             closed.result().iterator
           }
+      }
+  }
+
+  /** Streaming MATCH_RECOGNIZE-lite: q_pattern_match's
+    * signup→purchase-with-no-error-between rule as an incremental
+    * stateful operator — per user, state is just the ORDER KEY
+    * ((epochMs, eventId) lexicographic) of the latest signup and
+    * latest error (four longs, bounded by the user population; no
+    * event buffer, no timeout needed), and each arriving purchase is
+    * judged against it immediately. Events inside a micro-batch are
+    * applied in (ts, eventId) order, so the judgment matches the batch
+    * window exactly whenever per-user arrival respects event order at
+    * batch granularity (the append-log replay case); a purchase at the
+    * same timestamp as a signup sees it only if the signup's eventId
+    * is smaller — the batch query's strict "preceding rows" frame.
+    */
+  def streamPatternMatch(events: Dataset[PatEvent]): Dataset[PatMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user)
+      .flatMapGroupsWithState[PatState, PatMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[PatEvent], state: GroupState[PatState]) =>
+          var st = state.getOption.getOrElse(PatState(-1L, -1L, -1L, -1L))
+          val out = Seq.newBuilder[PatMatch]
+          for (e <- it.toSeq.sortBy(ev => (ev.ts.getTime, ev.eventId))) {
+            val t = e.ts.getTime
+            e.eventType match {
+              case "purchase" =>
+                val matched = st.sTs >= 0 &&
+                  (st.eTs < 0 ||
+                    st.sTs > st.eTs ||
+                    (st.sTs == st.eTs && st.sId > st.eId))
+                out += PatMatch(user, e.eventId, matched)
+              case "signup" => st = PatState(t, e.eventId, st.eTs, st.eId)
+              case "error" => st = PatState(st.sTs, st.sId, t, e.eventId)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
       }
   }
 

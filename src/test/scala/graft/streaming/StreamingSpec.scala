@@ -479,4 +479,39 @@ class StreamingSpec extends AnyFunSuite {
       assert(want.exists(_(1) == 1000L) && !want.exists(_(0) == 3L))
     } finally q.stop()
   }
+
+  test("streaming pattern match: batch-parity across micro-batches") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val judged = Ingest.streamPatternMatch(
+      mem.toDF.toDF("user", "ts", "eventId", "eventType")
+        .as[graft.streaming.PatEvent])
+    val q = judged.writeStream.outputMode("append")
+      .format("memory").queryName("pat_out").start()
+    def t(s: Int) = new java.sql.Timestamp(s * 1000L)
+    try {
+      // batch 1: user 1 signs up then errors; the purchase in batch 2
+      // must see the error that arrived in the EARLIER batch (state
+      // crosses micro-batches)
+      mem.addData((1L, t(0), 1L, "signup"), (1L, t(5), 2L, "error"),
+        (2L, t(1), 3L, "signup"))
+      q.processAllAvailable()
+      mem.addData(
+        (1L, t(10), 4L, "purchase"), // error after signup → no match
+        (1L, t(11), 5L, "signup"),
+        (1L, t(12), 6L, "purchase"), // fresh signup → match
+        (2L, t(10), 7L, "purchase"), // signup, no error → match
+        // same-ts tiebreak: signup eventId 9 > purchase order position?
+        // purchase id 8 at t=20 with signup id 9 at t=20: the signup
+        // sorts AFTER the purchase (same ts, larger id) → not visible
+        (3L, t(20), 8L, "purchase"), (3L, t(20), 9L, "signup"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user, eventId, isMatch FROM pat_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(2))
+        .toMap
+      assert(got == Map((1L, 4L) -> false, (1L, 6L) -> true,
+        (2L, 7L) -> true, (3L, 8L) -> false))
+    } finally q.stop()
+  }
 }

@@ -126,7 +126,24 @@ object BenchScale {
     // trigrams over events, basket rules over synthetic
     // orders/lineitem (pair fan-out bounded by basket size)
     "q_hashing_trick", "q_ngram_novelty", "q_path_mining",
-    "q_market_basket")
+    "q_market_basket",
+    // round-6 wave 5: argmax/mode/OLS over events (one or two
+    // exchanges each), length-band curation over documents
+    // (partitioned rank window), recursive org-chain over synthetic
+    // customers (log₂ n broadcast-scale rounds — expect ~log-linear,
+    // well inside the 3× gate). q_tpch_q3/q10 and q_bucket_join are
+    // excluded: the generator synthesizes no c_mktsegment/nation, and
+    // the bucket write is a layout build, not a query.
+    "q_argmax", "q_mode", "q_regr_fit", "q_length_band", "q_org_chain",
+    // round-6 wave 6: corpus dup-rate (global hash count + rollup),
+    // DAU/WAU (distinct day×user then a ≤7-day band join), gap
+    // medians + attribution (partitioned windows over events)
+    "q_dup_rate_by_source", "q_dau_wau", "q_interarrival",
+    "q_attribution",
+    // round-6 wave 7: Benford digits + Pareto concentration over
+    // synthetic orders/customer, Tukey-fence outliers + hourly
+    // seasonality over events — each a rollup or partitioned window
+    "q_benford", "q_pareto", "q_iqr_outliers", "q_hourly_profile")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

@@ -103,6 +103,38 @@ object Queries {
       operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
     })
 
+  /** Bucketed twin tables for `q_bucket_join`, built once per (session,
+    * dir) — the [[ivfIndexFor]] pattern again: bucketed layout is a
+    * persisted artifact (at 100 TB you bucket the fact/dim ONCE and
+    * every subsequent join on the bucket key runs shuffle-free), so
+    * queries amortize the build. Both sides bucketed by custkey into
+    * the same bucket count + sorted in-bucket, so the sort-merge join
+    * needs neither an Exchange nor a Sort on either side (LayoutSpec
+    * gates the plan shape).
+    */
+  private val bucketMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), (String, String)]
+  def bucketedCustOrders(s: SparkSession, dir: String): (String, String) =
+    bucketMemo.computeIfAbsent((System.identityHashCode(s), dir), _ => {
+      val tag = java.lang.Long.toHexString(
+        java.util.UUID.randomUUID().getMostSignificantBits)
+      val (ct, ot) = (s"graft_bkt_cust_$tag", s"graft_bkt_ord_$tag")
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-bucket").toString
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/cust").saveAsTable(ct)
+      Tables.load(s, dir, "orders")
+        .select(col("o_custkey"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/ord").saveAsTable(ot)
+      (ct, ot)
+    })
+
   /** DuckDB replay of [[operators.TextAnalysis.langId]], generated from
     * the SAME stopword profiles so the two can't drift: per-language
     * distinct-stopword hit counts over the normalized token array, then
@@ -6330,7 +6362,631 @@ object Queries {
                 tp * 1000000 // (tp + fp) AS precision_micro,
                 tp * 1000000 // (tp + fn) AS recall_micro
               FROM agg"""
-      })
+      }),
+
+    // ── argmax/argmin as deterministic window top-1 (SQL `max_by`
+    //    with an explicit tie-break instead of the unspecified one):
+    //    per event_type, the single highest-value event. One
+    //    partitioned sort, no join. ──
+    QueryDef(
+      "q_argmax",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("value").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("event_id").as("top_event"),
+            col("ts").as("top_ts"), col("value").as("top_value"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, event_id AS top_event,
+                epoch_ns(ts) AS top_ts, value AS top_value
+              FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY value DESC, event_id DESC) AS rn
+                    FROM events)
+              WHERE rn = 1 ORDER BY event_type""")),
+
+    // ── mode (most frequent value) on the deci-unit integer grid,
+    //    smallest-bucket tie-break — count-then-top-1, the two-phase
+    //    shape that map-side combines at any scale. ──
+    QueryDef(
+      "q_mode",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("cnt").desc, col("bucket").asc)
+        t(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * 10).cast("long").as("bucket"))
+          .groupBy("event_type", "bucket")
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("event_type"), col("bucket").as("mode_bucket"),
+            col("cnt").as("mode_count"))
+          .orderBy("event_type")
+      },
+      Some("""WITH c AS (SELECT event_type,
+                  CAST(floor(value * 10) AS BIGINT) AS bucket,
+                  count(*) AS cnt
+                FROM events GROUP BY 1, 2)
+              SELECT event_type, bucket AS mode_bucket,
+                cnt AS mode_count
+              FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY cnt DESC, bucket ASC) AS rn FROM c)
+              WHERE rn = 1 ORDER BY event_type""")),
+
+    // ── per-group OLS regression (value vs time) from exact integer
+    //    moment sums: x = hours since the group's first event, y =
+    //    cents; n,Σx,Σy,Σxy,Σx² stay on the 64-bit grid (order-
+    //    independent), and only the final slope/intercept ratios are
+    //    IEEE doubles — one aggregation, no per-row float state. ──
+    QueryDef(
+      "q_regr_fit",
+      (s, dir) => {
+        val wt = Window.partitionBy("event_type")
+        val xy = t(s, dir, "events")
+          .select(col("event_type"), col("ts"),
+            floor(col("value") * 100).cast("long").as("cy"))
+          .withColumn("mn", min(col("ts")).over(wt))
+          .withColumn("x", expr("(ts - mn) div 3600000000000"))
+          .select(col("event_type"), col("x"), col("cy"))
+        xy.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("cy")).as("sy"),
+            sum(col("x") * col("cy")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("slope",
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")))
+          .withColumn("icept",
+            (col("sy").cast("double") -
+              col("slope") * col("sx").cast("double")) /
+            col("n").cast("double"))
+          .select("event_type", "n", "slope", "icept")
+          .orderBy("event_type")
+      },
+      Some("""WITH b AS (SELECT event_type, epoch_ns(ts) AS tsn,
+                  CAST(floor(value * 100) AS BIGINT) AS cy FROM events),
+              m AS (SELECT event_type, min(tsn) AS mn FROM b
+                    GROUP BY 1),
+              x AS (SELECT b.event_type,
+                      (tsn - mn) // 3600000000000 AS x, cy
+                    FROM b JOIN m ON b.event_type = m.event_type),
+              g AS (SELECT event_type, count(*) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(cy) AS BIGINT) AS sy,
+                      CAST(sum(x * cy) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx
+                    FROM x GROUP BY 1)
+              SELECT event_type, n,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+                (CAST(sy AS DOUBLE) -
+                  ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) *
+                  CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS icept
+              FROM g ORDER BY event_type""")),
+
+    // ── recursive hierarchy walk (the WITH RECURSIVE shape): every
+    //    customer's ancestor chain under manager(k) = k div 2 down to
+    //    root 0, accumulating depth + chain balance through TABLE
+    //    joins per level (the manager row must exist). Spark has no
+    //    recursive CTE, so the fixpoint is an explicit loop — log₂(N)
+    //    rounds, state reliably checkpointed every 6 rounds
+    //    ([[operators.IterCheckpoint]]) so lineage stays bounded on a
+    //    real cluster. ──
+    QueryDef(
+      "q_org_chain",
+      (s, dir) => {
+        val cents = t(s, dir, "customer")
+          .select(col("c_custkey").as("node"),
+            floor(col("c_acctbal") * 100).cast("long").as("cents"))
+        var active = cents.select(col("node").as("id"),
+          col("node").as("cur"), lit(0L).as("depth"), lit(0L).as("acc"))
+        var done: DataFrame = null
+        var rounds = 0
+        var n = active.count()
+        while (n > 0) {
+          rounds += 1
+          val stepped = active
+            .join(cents, active("cur") === cents("node"))
+            .select(col("id"), col("cur"), col("depth"),
+              (col("acc") + col("cents")).as("acc"))
+          val fin = stepped.filter(col("cur") === 0L)
+            .select(col("id"), col("depth"), col("acc").as("chain_cents"))
+          done = if (done == null) fin else done.union(fin)
+          val next = stepped.filter(col("cur") > 0L)
+            .select(col("id"), expr("cur div 2").as("cur"),
+              (col("depth") + 1L).as("depth"), col("acc"))
+          active =
+            if (rounds % 6 == 0) operators.IterCheckpoint(next) else next
+          n = active.count()
+        }
+        done.orderBy("id")
+      },
+      Some("""WITH RECURSIVE ch AS (
+                SELECT c_custkey AS id, c_custkey AS cur, 0 AS depth
+                FROM customer
+                UNION ALL
+                SELECT id, cur // 2, depth + 1 FROM ch WHERE cur > 0)
+              SELECT ch.id, CAST(max(ch.depth) AS BIGINT) AS depth,
+                CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT))
+                  AS BIGINT) AS chain_cents
+              FROM ch JOIN customer c ON ch.cur = c.c_custkey
+              GROUP BY ch.id ORDER BY ch.id""")),
+
+    // ── the TPC-H Q3 shape (shipping-priority top-10): segment-
+    //    filtered customers × date-split orders/lineitem, revenue on
+    //    the integer micro-cents grid, TakeOrderedAndProject for the
+    //    global top-10 (no full sort at scale). ──
+    QueryDef(
+      "q_tpch_q3",
+      (s, dir) => {
+        val cutoff = lit("1998-01-01").cast(TimestampType)
+        val c = t(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") < cutoff)
+          .select("o_orderkey", "o_custkey", "o_orderdate",
+            "o_orderpriority")
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > cutoff)
+          .select(col("l_orderkey"),
+            (floor(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+              .as("rev_mc"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"),
+            unix_micros(col("o_orderdate").cast(TimestampType))
+              .as("odate_us"),
+            col("o_orderpriority"))
+          .agg(sum(col("rev_mc")).as("revenue_mc"))
+          .select("l_orderkey", "revenue_mc", "odate_us",
+            "o_orderpriority")
+          .orderBy(col("revenue_mc").desc, col("l_orderkey").asc)
+          .limit(10)
+      },
+      Some("""SELECT l_orderkey,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_mc,
+                epoch_us(o_orderdate) AS odate_us, o_orderpriority
+              FROM customer
+                JOIN orders ON c_custkey = o_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+              WHERE c_mktsegment = 'BUILDING'
+                AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+              GROUP BY l_orderkey, odate_us, o_orderpriority
+              ORDER BY revenue_mc DESC, l_orderkey ASC
+              LIMIT 10""")),
+
+    // ── the TPC-H Q10 shape (returned-item reporting, top-20
+    //    customers by lost revenue in a quarter): fact-fact join
+    //    shuffles once per side, nation broadcast, integer micro-
+    //    cents revenue, TakeOrderedAndProject top-20. ──
+    QueryDef(
+      "q_tpch_q10",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"),
+            (floor(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+              .as("rev_mc"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >=
+              lit("1996-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1996-07-01").cast(TimestampType))
+          .select("o_orderkey", "o_custkey")
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            floor(col("c_acctbal") * 100).cast("long").as("acct_cents"))
+        val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "acct_cents", "n_name")
+          .agg(sum(col("rev_mc")).as("revenue_mc"))
+          .select("c_custkey", "c_name", "revenue_mc", "acct_cents",
+            "n_name")
+          .orderBy(col("revenue_mc").desc, col("c_custkey").asc)
+          .limit(20)
+      },
+      Some("""SELECT c_custkey, c_name,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_mc,
+                CAST(floor(c_acctbal * 100) AS BIGINT) AS acct_cents,
+                n_name
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+              GROUP BY c_custkey, c_name, acct_cents, n_name
+              ORDER BY revenue_mc DESC, c_custkey ASC
+              LIMIT 20""")),
+
+    // ── bucketed co-located join: both sides pre-bucketed by custkey
+    //    into the same bucket count + in-bucket sorted
+    //    ([[bucketedCustOrders]]), so the sort-merge join runs with NO
+    //    exchange and NO sort on either side — the layout answer to
+    //    "this fact-dim join shuffles both sides at 100 TB". LayoutSpec
+    //    gates the plan (exactly one Exchange: the final group-by). ──
+    QueryDef(
+      "q_bucket_join",
+      (s, dir) => {
+        val (ct, ot) = bucketedCustOrders(s, dir)
+        s.table(ot).hint("merge")
+          .join(s.table(ct), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(sum(col("cents")).as("rev_cents"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+                CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents,
+                count(*) AS n_orders
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ── per-language length-band curation (the percentile-filter
+    //    stage of a corpus pipeline): keep documents whose n_chars
+    //    rank sits in (5%, 95%] of their language, all in integer
+    //    rank arithmetic (20·rn > cnt ∧ 20·rn ≤ 19·cnt — no float
+    //    percentiles), then account the survivors by (lang, source). ──
+    QueryDef(
+      "q_length_band",
+      (s, dir) => {
+        val w = Window.partitionBy("lang")
+          .orderBy(col("n_chars").asc, col("doc_id").asc)
+        val wc = Window.partitionBy("lang")
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wc))
+          .filter(col("rn") * 20 > col("cnt") &&
+            col("rn") * 20 <= col("cnt") * 19)
+          .groupBy("lang", "source")
+          .agg(count(lit(1)).as("kept"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang", "source")
+      },
+      Some("""WITH r AS (SELECT lang, source, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY n_chars ASC, doc_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS cnt
+                FROM documents)
+              SELECT lang, source, count(*) AS kept,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              FROM r
+              WHERE rn * 20 > cnt AND rn * 20 <= cnt * 19
+              GROUP BY lang, source ORDER BY lang, source""")),
+
+    // ── corpus-health accounting: exact-duplicate rate per source
+    //    (docs whose full-text hash repeats ANYWHERE in the corpus).
+    //    Global hash-count then a group-by — the cheap daily metric a
+    //    100 TB corpus pipeline reports before/after dedup. ──
+    QueryDef(
+      "q_dup_rate_by_source",
+      (s, dir) => {
+        val h = t(s, dir, "documents")
+          .select(col("source"), md5(col("text")).as("h"))
+        val cnt = h.groupBy("h").agg(count(lit(1)).as("n_same"))
+        h.join(cnt, "h")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("n_same") > 1, 1L).otherwise(0L))
+              .as("n_dup"))
+          .withColumn("dup_rate_micro",
+            expr("n_dup * 1000000L div n_docs"))
+          .orderBy("source")
+      },
+      Some("""WITH h AS (SELECT source, md5(text) AS h FROM documents),
+              c AS (SELECT h, count(*) AS n_same FROM h GROUP BY 1)
+              SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup,
+                CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000 // count(*) AS dup_rate_micro
+              FROM h JOIN c USING (h)
+              GROUP BY source ORDER BY source""")),
+
+    // ── DAU / trailing-7-day WAU / stickiness, entirely on the
+    //    integer day grid: distinct (day, user) once, then a bounded
+    //    ≤7-day band join for the trailing window — day×user volume,
+    //    never event×event. ──
+    QueryDef(
+      "q_dau_wau",
+      (s, dir) => {
+        val du = t(s, dir, "events")
+          .select(expr("ts div 86400000000000").as("day"),
+            col("user_id"))
+          .distinct()
+        val days = du.select(col("day").as("d")).distinct()
+        val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+        val wau = days
+          .join(du, col("day") >= col("d") - 6 && col("day") <= col("d"))
+          .select(col("d"), col("user_id")).distinct()
+          .groupBy("d").agg(count(lit(1)).as("wau"))
+        dau.join(wau, col("day") === col("d"))
+          .withColumn("stickiness_micro",
+            expr("dau * 1000000L div wau"))
+          .select("day", "dau", "wau", "stickiness_micro")
+          .orderBy("day")
+      },
+      Some("""WITH du AS (SELECT DISTINCT
+                  epoch_ns(ts) // 86400000000000 AS day, user_id
+                FROM events),
+              days AS (SELECT DISTINCT day AS d FROM du),
+              dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+              wau AS (SELECT d, count(DISTINCT user_id) AS wau
+                      FROM days JOIN du
+                        ON du.day >= d - 6 AND du.day <= d
+                      GROUP BY 1)
+              SELECT day, dau, wau,
+                dau * 1000000 // wau AS stickiness_micro
+              FROM dau JOIN wau ON day = d ORDER BY day""")),
+
+    // ── inter-arrival analysis: consecutive-event gaps per type on
+    //    the integer nanosecond grid (lag window), with the exact
+    //    lower-median gap (rank technique — no float percentiles). ──
+    QueryDef(
+      "q_interarrival",
+      (s, dir) => {
+        val wSeq = Window.partitionBy("event_type")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val gaps = t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("ts"))
+          .withColumn("gap", col("ts") - lag(col("ts"), 1).over(wSeq))
+          .filter(col("gap").isNotNull)
+        val wG = Window.partitionBy("event_type")
+          .orderBy(col("gap").asc, col("event_id").asc)
+        val wAll = Window.partitionBy("event_type")
+        gaps
+          .withColumn("rn", row_number().over(wG))
+          .withColumn("cnt", count(lit(1)).over(wAll))
+          .groupBy("event_type")
+          .agg(max(col("cnt")).as("n_gaps"),
+            min(col("gap")).as("min_gap"),
+            min(when(col("rn") === expr("(cnt + 1) div 2"), col("gap")))
+              .as("med_gap"),
+            max(col("gap")).as("max_gap"))
+          .orderBy("event_type")
+      },
+      Some("""WITH g AS (SELECT event_type, event_id,
+                  epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                    PARTITION BY event_type
+                    ORDER BY epoch_ns(ts) ASC, event_id ASC) AS gap
+                FROM events),
+              r AS (SELECT event_type, gap,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY gap ASC, event_id ASC) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS cnt
+                    FROM g WHERE gap IS NOT NULL)
+              SELECT event_type, max(cnt) AS n_gaps,
+                min(gap) AS min_gap,
+                min(CASE WHEN rn = (cnt + 1) // 2 THEN gap END)
+                  AS med_gap,
+                max(gap) AS max_gap
+              FROM r GROUP BY event_type ORDER BY event_type""")),
+
+    // ── first/last-touch attribution: each user's entry and exit
+    //    event type (deterministic rank over ts,event_id), cohorted
+    //    into (first_touch, last_touch) cells with conversion counts
+    //    — two partitioned window passes, one small group-by. ──
+    QueryDef(
+      "q_attribution",
+      (s, dir) => {
+        val wAsc = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val wDesc = Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t(s, dir, "events")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("rn_f", row_number().over(wAsc))
+          .withColumn("rn_l", row_number().over(wDesc))
+          // groupBy(user_id) reuses the windows' hashpartitioning —
+          // the per-user rollup adds NO exchange; only the tiny
+          // (touch, touch) rollup shuffles after
+          .groupBy("user_id")
+          .agg(
+            max(when(col("rn_f") === 1, col("event_type")))
+              .as("first_touch"),
+            max(when(col("rn_l") === 1, col("event_type")))
+              .as("last_touch"),
+            max(when(col("event_type") === "purchase", 1L)
+              .otherwise(0L)).as("conv"))
+          .groupBy("first_touch", "last_touch")
+          .agg(count(lit(1)).as("users"),
+            sum(col("conv")).as("converted"))
+          .orderBy("first_touch", "last_touch")
+      },
+      Some("""WITH r AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_ns(ts) ASC, event_id ASC) AS rn_f,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_ns(ts) DESC, event_id DESC) AS rn_l
+                FROM events),
+              a AS (SELECT user_id,
+                      max(CASE WHEN rn_f = 1 THEN event_type END)
+                        AS first_touch,
+                      max(CASE WHEN rn_l = 1 THEN event_type END)
+                        AS last_touch,
+                      max(CASE WHEN event_type = 'purchase' THEN 1
+                        ELSE 0 END) AS conv
+                    FROM r GROUP BY user_id)
+              SELECT first_touch, last_touch, count(*) AS users,
+                CAST(sum(conv) AS BIGINT) AS converted
+              FROM a GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ── Benford first-digit audit (fraud/DQ screen): leading digit of
+    //    the cents amount by pure integer arithmetic (iv div
+    //    10^(digits-1) — no string-to-float), 9-row rollup + 1-row
+    //    scalar broadcast for shares. ──
+    QueryDef(
+      "q_benford",
+      (s, dir) => {
+        val iv = t(s, dir, "orders")
+          .select(floor(col("o_totalprice") * 100).cast("long").as("iv"))
+          .filter(col("iv") > 0)
+          .withColumn("digit", expr(
+            "iv div cast(pow(10, length(cast(iv as string)) - 1) as long)"))
+        val byD = iv.groupBy("digit").agg(count(lit(1)).as("n"))
+        byD.crossJoin(byD.agg(sum(col("n")).as("total")))
+          .withColumn("share_micro", expr("n * 1000000L div total"))
+          .select("digit", "n", "share_micro")
+          .orderBy("digit")
+      },
+      Some("""WITH v AS (SELECT CAST(floor(o_totalprice * 100) AS BIGINT)
+                  AS iv FROM orders
+                WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > 0),
+              d AS (SELECT iv // CAST(pow(10,
+                      length(CAST(iv AS VARCHAR)) - 1) AS BIGINT)
+                      AS digit FROM v),
+              g AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+              SELECT digit, n, n * 1000000 // total AS share_micro
+              FROM g, t ORDER BY digit""")),
+
+    // ── Pareto concentration: per market segment, how many top
+    //    customers cover 80% of revenue — rank + running sum inside
+    //    the segment partition (integer cents; 5·cum ≥ 4·total avoids
+    //    float thresholds). The "how skewed is this key" planning
+    //    number behind broadcast/salting decisions at 100 TB. ──
+    QueryDef(
+      "q_pareto",
+      (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .select(col("o_custkey"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("o_custkey").agg(sum(col("cents")).as("rev"))
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("rev").desc, col("o_custkey").asc)
+        val wSeg = Window.partitionBy("c_mktsegment")
+        rev
+          .withColumn("rnk", row_number().over(w))
+          .withColumn("cum", sum(col("rev")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("total", sum(col("rev")).over(wSeg))
+          .withColumn("n_cust", count(lit(1)).over(wSeg))
+          .filter(col("cum") * 5 >= col("total") * 4)
+          .groupBy("c_mktsegment")
+          .agg(max(col("n_cust")).as("n_customers"),
+            min(col("rnk")).as("top80_n"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH rev AS (SELECT o_custkey,
+                  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev
+                FROM orders GROUP BY 1),
+              j AS (SELECT c_mktsegment, o_custkey, rev
+                    FROM rev JOIN customer ON o_custkey = c_custkey),
+              r AS (SELECT c_mktsegment, rev,
+                      row_number() OVER (PARTITION BY c_mktsegment
+                        ORDER BY rev DESC, o_custkey ASC) AS rnk,
+                      sum(rev) OVER (PARTITION BY c_mktsegment
+                        ORDER BY rev DESC, o_custkey ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+                      sum(rev) OVER (PARTITION BY c_mktsegment) AS total,
+                      count(*) OVER (PARTITION BY c_mktsegment) AS n_cust
+                    FROM j)
+              SELECT c_mktsegment, max(n_cust) AS n_customers,
+                min(rnk) AS top80_n
+              FROM r WHERE cum * 5 >= total * 4
+              GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ── Tukey-fence outliers on exact quartiles: q1/q3 by the rank
+    //    technique, fences at q1−1.5·IQR / q3+1.5·IQR kept integral
+    //    (2·iv vs 5·q1−3·q3) — the robust screen that, unlike z-scores,
+    //    a few extreme points can't drag. ──
+    QueryDef(
+      "q_iqr_outliers",
+      (s, dir) => {
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("iv").asc, col("event_id").asc)
+        val wAll = Window.partitionBy("event_type")
+        val ranked = centsEvents(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wAll))
+        val q = ranked.groupBy("event_type")
+          .agg(max(col("cnt")).as("n"),
+            min(when(col("rn") === expr("(cnt + 3) div 4"), col("iv")))
+              .as("q1"),
+            min(when(col("rn") === expr("(3 * cnt + 3) div 4"),
+              col("iv"))).as("q3"))
+        centsEvents(s, dir).join(q, "event_type")
+          .filter(col("iv") * 2 < col("q1") * 5 - col("q3") * 3 ||
+            col("iv") * 2 > col("q3") * 5 - col("q1") * 3)
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n"), max(col("q1")).as("q1"),
+            max(col("q3")).as("q3"),
+            count(lit(1)).as("n_outliers"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+                  CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
+              r AS (SELECT event_type, iv,
+                      row_number() OVER (PARTITION BY event_type
+                        ORDER BY iv ASC, event_id ASC) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS cnt
+                    FROM e),
+              q AS (SELECT event_type, max(cnt) AS n,
+                      min(CASE WHEN rn = (cnt + 3) // 4 THEN iv END)
+                        AS q1,
+                      min(CASE WHEN rn = (3 * cnt + 3) // 4 THEN iv END)
+                        AS q3
+                    FROM r GROUP BY 1)
+              SELECT e.event_type, max(q.n) AS n, max(q1) AS q1,
+                max(q3) AS q3, count(*) AS n_outliers
+              FROM e JOIN q ON e.event_type = q.event_type
+              WHERE iv * 2 < q1 * 5 - q3 * 3
+                 OR iv * 2 > q3 * 5 - q1 * 3
+              GROUP BY e.event_type ORDER BY e.event_type""")),
+
+    // ── hour-of-day seasonality profile: per (event_type, UTC hour)
+    //    counts and within-type shares — integer day arithmetic on
+    //    the nanos grid, one two-key rollup plus a partitioned
+    //    window (no global window, no scalar collect). ──
+    QueryDef(
+      "q_hourly_profile",
+      (s, dir) => {
+        val wT = Window.partitionBy("event_type")
+        t(s, dir, "events")
+          .select(col("event_type"),
+            expr("(ts div 3600000000000) % 24").as("hour"))
+          .groupBy("event_type", "hour")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("type_total", sum(col("n")).over(wT))
+          .withColumn("share_micro",
+            expr("n * 1000000L div type_total"))
+          .select("event_type", "hour", "n", "share_micro")
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH g AS (SELECT event_type,
+                  (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+                  count(*) AS n
+                FROM events GROUP BY 1, 2)
+              SELECT event_type, hour, n,
+                n * 1000000 // CAST(sum(n) OVER (
+                  PARTITION BY event_type) AS BIGINT) AS share_micro
+              FROM g ORDER BY event_type, hour"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

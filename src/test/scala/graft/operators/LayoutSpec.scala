@@ -34,6 +34,25 @@ class LayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("q_bucket_join plans one exchange total (group-by only, join co-located)") {
+    val dir = "/root/testdata/sf0.001"
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.Queries.byName("q_bucket_join")(spark, dir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      // the plan string carries both the AQE initial and final plans, so
+      // count by exchange KEY: the group-by key may shuffle (final agg),
+      // the join keys must not (that's what the bucketed layout buys)
+      assert(!plan.contains("hashpartitioning(o_custkey") &&
+        !plan.contains("hashpartitioning(c_custkey"),
+        s"bucketed join must not shuffle on the join key:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan must use the bucketed layout:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("salted join returns exactly the plain-join rows") {
     val dir = "/root/testdata/sf0.001"
     val o = graft.Tables.load(spark, dir, "orders")

@@ -143,7 +143,14 @@ object BenchScale {
     // round-6 wave 7: Benford digits + Pareto concentration over
     // synthetic orders/customer, Tukey-fence outliers + hourly
     // seasonality over events — each a rollup or partitioned window
-    "q_benford", "q_pareto", "q_iqr_outliers", "q_hourly_profile")
+    "q_benford", "q_pareto", "q_iqr_outliers", "q_hourly_profile",
+    // round-6 wave 8: stream-disorder audit over events (one
+    // partitioned running-max window), LSH band health over documents
+    // (the minhash signature aggregation + two rollups). q_tpch_q14/
+    // q_tpch_q18 are excluded: no synthetic part table, and the
+    // synthetic basket shape (≤7 items) never clears Q18's 250-qty
+    // having threshold — a 0-row smoke proves nothing.
+    "q_late_arrivals", "q_lsh_band_stats")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have
@@ -162,7 +169,10 @@ object BenchScale {
     // recall eval: fixed 10-query exact scan + 256-bucket signature
     // probes — both linear on the rows axis (the codebook/query set
     // is a fixed artifact, like PQ's)
-    "q_ann_recall")
+    "q_ann_recall",
+    // MRR eval: fixed 10-query set broadcast against the corpus —
+    // two linear passes (exact cosine + quantized dot) per row
+    "q_mrr")
   private val DimFactor = 8L // 64 → 512
 
   // all ≥ 7 chars: the curation chain's quality score weights the

@@ -6986,7 +6986,280 @@ object Queries {
               SELECT event_type, hour, n,
                 n * 1000000 // CAST(sum(n) OVER (
                   PARTITION BY event_type) AS BIGINT) AS share_micro
-              FROM g ORDER BY event_type, hour"""))
+              FROM g ORDER BY event_type, hour""")),
+
+    // ── the TPC-H Q14 shape (promotion revenue share): month-windowed
+    //    lineitem × broadcast part, conditional micro-cents aggregate,
+    //    share in integer micro units — the filter reaches the parquet
+    //    scan, the dim broadcast skips the fact shuffle entirely. ──
+    QueryDef(
+      "q_tpch_q14",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >=
+              lit("1997-09-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1997-10-01").cast(TimestampType))
+          .select(col("l_partkey"),
+            (floor(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+              .as("rev_mc"))
+        val p = t(s, dir, "part").select("p_partkey", "p_type")
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type").startsWith("PROMO"), col("rev_mc"))
+              .otherwise(0L)).as("promo_rev_mc"),
+            sum(col("rev_mc")).as("total_rev_mc"))
+          .withColumn("promo_share_micro",
+            expr("promo_rev_mc * 1000000L div total_rev_mc"))
+      },
+      Some("""SELECT
+                CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS BIGINT) AS promo_rev_mc,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS total_rev_mc,
+                CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS BIGINT) * 1000000 //
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS promo_share_micro
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""")),
+
+    // ── stream-disorder audit (how big must the watermark be?): per
+    //    event_type, out-of-orderness = running-max(ts) in ARRIVAL
+    //    order (event_id) minus own ts; counts events more than 5
+    //    minutes late plus the worst disorder seen. The number that
+    //    sizes `withWatermark` before a streaming job drops data. ──
+    QueryDef(
+      "q_late_arrivals",
+      (s, dir) => {
+        val wArr = Window.partitionBy("event_type")
+          .orderBy(col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, dir, "events")
+          .select(col("event_type"), col("event_id"), col("ts"))
+          .withColumn("disorder", max(col("ts")).over(wArr) - col("ts"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("disorder") > 300000000000L, 1L)
+              .otherwise(0L)).as("n_late"),
+            max(col("disorder")).as("max_disorder_ns"))
+          .orderBy("event_type")
+      },
+      Some("""WITH d AS (SELECT event_type,
+                  max(epoch_ns(ts)) OVER (PARTITION BY event_type
+                    ORDER BY event_id ASC
+                    ROWS UNBOUNDED PRECEDING) - epoch_ns(ts)
+                    AS disorder
+                FROM events)
+              SELECT event_type, count(*) AS n,
+                CAST(sum(CASE WHEN disorder > 300000000000
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                max(disorder) AS max_disorder_ns
+              FROM d GROUP BY event_type ORDER BY event_type""")),
+
+    // ── LSH band health report: bucket-size distribution of the
+    //    4×4 portable-minhash banding (buckets, multi-doc buckets,
+    //    worst bucket, candidate-pair volume Σ c·(c−1)/2 per band) —
+    //    the skew diagnostic that predicts whether banded dedup's
+    //    bucket joins explode BEFORE running them over 100 TB. Same
+    //    hex52/md5 signature as the calibration audit, so the whole
+    //    report replays in any SQL engine. ──
+    QueryDef(
+      "q_lsh_band_stats",
+      (s, dir) => {
+        val sh = operators.Dedup.shingles(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", 5)
+        val mhAggs = (0 until 16).map(i =>
+          min(graft.functions.Hex52(
+            concat(col("shingle"), lit("#" + i)))).as(s"mh$i"))
+        val mh = sh.groupBy("id").agg(mhAggs.head, mhAggs.tail: _*)
+        val bands = (0 to 3).map { b =>
+          mh.select(lit(b.toLong).as("band"),
+            concat_ws("|",
+              (0 to 3).map(j => col(s"mh${4 * b + j}")): _*).as("bkey"))
+        }.reduce(_ union _)
+        bands.groupBy("band", "bkey").agg(count(lit(1)).as("c"))
+          .groupBy("band")
+          .agg(count(lit(1)).as("n_buckets"),
+            max(col("c")).as("max_bucket"),
+            sum(when(col("c") > 1, 1L).otherwise(0L))
+              .as("buckets_multi"),
+            sum(expr("c * (c - 1) div 2")).as("cand_pairs"))
+          .orderBy("band")
+      },
+      Some {
+        val mhTerms = (0 until 16).map(i =>
+          s"min(${operators.Sketch.hex52Sql(s"md5(s || '#$i')")}) " +
+            s"AS mh$i").mkString(", ")
+        val bandRows = (0 to 3).map { b =>
+          val key = (0 to 3).map(j => s"CAST(mh${4 * b + j} AS VARCHAR)")
+            .mkString(" || '|' || ")
+          s"SELECT $b AS band, $key AS bkey FROM mh"
+        }.mkString(" UNION ALL ")
+        s"""WITH tk AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+')
+                  AS toks FROM documents),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4))
+                               AS g FROM tk)),
+              mh AS (SELECT doc_id, $mhTerms FROM sh GROUP BY doc_id),
+              b AS ($bandRows),
+              c AS (SELECT band, bkey, count(*) AS c FROM b
+                    GROUP BY 1, 2)
+              SELECT band, count(*) AS n_buckets, max(c) AS max_bucket,
+                CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS buckets_multi,
+                CAST(sum(c * (c - 1) // 2) AS BIGINT) AS cand_pairs
+              FROM c GROUP BY band ORDER BY band"""
+      }),
+
+    // ── the TPC-H Q18 shape (large-volume customers): aggregate-then-
+    //    filter on the fact table FIRST (the having-join order that
+    //    shrinks the join input to the qualifying 1%), then join
+    //    orders/customer, top-100. Quantities on the cents grid. ──
+    QueryDef(
+      "q_tpch_q18",
+      (s, dir) => {
+        val big = t(s, dir, "lineitem")
+          .groupBy("l_orderkey")
+          .agg(sum(floor(col("l_quantity") * 100).cast("long"))
+            .as("sum_qty_c"))
+          .filter(col("sum_qty_c") > 25000L)
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            unix_micros(col("o_orderdate").cast(TimestampType))
+              .as("odate_us"),
+            floor(col("o_totalprice") * 100).cast("long")
+              .as("total_cents"))
+        val c = t(s, dir, "customer").select("c_custkey", "c_name")
+        big.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .select("c_name", "c_custkey", "o_orderkey", "odate_us",
+            "total_cents", "sum_qty_c")
+          .orderBy(col("total_cents").desc, col("o_orderkey").asc)
+          .limit(100)
+      },
+      Some("""WITH big AS (SELECT l_orderkey,
+                  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                    AS BIGINT) AS sum_qty_c
+                FROM lineitem GROUP BY 1
+                HAVING sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                  > 25000)
+              SELECT c_name, c_custkey, o_orderkey,
+                epoch_us(o_orderdate) AS odate_us,
+                CAST(floor(o_totalprice * 100) AS BIGINT)
+                  AS total_cents,
+                sum_qty_c
+              FROM big
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+              ORDER BY total_cents DESC, o_orderkey ASC
+              LIMIT 100""")),
+
+    // ── eval harness: MEAN-RECIPROCAL-RANK of int8 quantized
+    //    retrieval — for each of 10 benchmark queries, where does the
+    //    exact-cosine nearest neighbor land in the quantized-dot
+    //    ranking? Rank by COUNTING better rows (join + aggregate),
+    //    never a global sort; the query set is a fixed broadcast
+    //    artifact, so the whole eval is one linear corpus pass per
+    //    side at any scale. Quantized dots are exact BIGINTs; rr in
+    //    integer micro units. ──
+    QueryDef(
+      "q_mrr",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>")
+            .as("v"))
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val exact = emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .withColumn("cos", functions.CosinePair(col("v"), col("qv")))
+        val wQ = Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val truth = exact.withColumn("rn", row_number().over(wQ))
+          .filter(col("rn") === 1)
+          .select(col("qid").as("t_qid"), col("vec_id").as("truth_id"))
+        // int8 symmetric quantization (absmax OUTSIDE the lambda —
+        // the r4 O(dim²) trap)
+        val i8 = emb.withColumn("am",
+            array_max(transform(col("v"), e => abs(e))))
+          .withColumn("s", when(col("am") === 0,
+              transform(col("v"), _ => lit(0.0)))
+            .otherwise(transform(col("v"),
+              e => floor(e * 127.0 / col("am") + 0.5))))
+          .select(col("vec_id"), col("s"))
+        val qi8 = i8.join(broadcast(qs.select("qid")),
+            col("vec_id") === col("qid"))
+          .select(col("qid"), col("s").as("qs"))
+        val qd = i8.join(broadcast(qi8), col("vec_id") =!= col("qid"))
+          .withColumn("qdot", aggregate(
+            zip_with(col("s"), col("qs"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x).cast("long"))
+          .select("qid", "vec_id", "qdot")
+        val td = qd.join(truth,
+            col("qid") === col("t_qid") &&
+              col("vec_id") === col("truth_id"))
+          .select(col("t_qid"), col("truth_id"), col("qdot").as("tdot"))
+        qd.join(broadcast(td), col("qid") === col("t_qid"))
+          .groupBy(col("qid"), col("truth_id"))
+          .agg((sum(when(col("qdot") > col("tdot") ||
+              (col("qdot") === col("tdot") &&
+                col("vec_id") < col("truth_id")), 1L)
+            .otherwise(0L)) + 1L).as("truth_rank"))
+          .withColumn("rr_micro", expr("1000000L div truth_rank"))
+          .orderBy("qid")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[])
+                  AS v FROM embeddings),
+              q AS (SELECT vec_id AS qid, v AS qv FROM v
+                    WHERE vec_id < 10),
+              ex AS (SELECT qid, vec_id,
+                       list_cosine_similarity(v.v, q.qv) AS cos
+                     FROM q, v WHERE vec_id <> qid),
+              tr AS (SELECT qid, vec_id AS truth_id
+                     FROM (SELECT *, row_number() OVER (
+                             PARTITION BY qid
+                             ORDER BY cos DESC, vec_id ASC) AS rn
+                           FROM ex)
+                     WHERE rn = 1),
+              i8 AS (SELECT vec_id,
+                       CASE WHEN list_max(list_transform(v,
+                           e -> abs(e))) = 0
+                         THEN list_transform(v,
+                           e -> CAST(0 AS DOUBLE))
+                         ELSE list_transform(v, e -> floor(e * 127.0 /
+                           list_max(list_transform(v, x -> abs(x)))
+                           + 0.5))
+                       END AS s FROM v),
+              qd AS (SELECT q.qid, i.vec_id,
+                       CAST(list_dot_product(i.s, iq.s) AS BIGINT)
+                         AS qdot
+                     FROM q JOIN i8 iq ON iq.vec_id = q.qid
+                       JOIN i8 i ON i.vec_id <> q.qid),
+              td AS (SELECT qd.qid, tr.truth_id, qd.qdot AS tdot
+                     FROM qd JOIN tr ON qd.qid = tr.qid
+                       AND qd.vec_id = tr.truth_id),
+              r AS (SELECT qd.qid, td.truth_id,
+                      CAST(sum(CASE WHEN qd.qdot > td.tdot
+                          OR (qd.qdot = td.tdot
+                            AND qd.vec_id < td.truth_id)
+                        THEN 1 ELSE 0 END) AS BIGINT) + 1
+                        AS truth_rank
+                    FROM qd JOIN td ON qd.qid = td.qid
+                    GROUP BY 1, 2)
+              SELECT qid, truth_id, truth_rank,
+                1000000 // truth_rank AS rr_micro
+              FROM r ORDER BY qid"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -150,7 +150,14 @@ object BenchScale {
     // q_tpch_q18 are excluded: no synthetic part table, and the
     // synthetic basket shape (≤7 items) never clears Q18's 250-qty
     // having threshold — a 0-row smoke proves nothing.
-    "q_late_arrivals", "q_lsh_band_stats")
+    "q_late_arrivals", "q_lsh_band_stats",
+    // round-6 wave 9: bipartite degree profile over synthetic
+    // orders/lineitem/customer (distinct + two rollups + a rank
+    // window), per-language complexity sums over documents.
+    // q_mutual_nn is EXCLUDED like q_knn_graph/q_semdedup: the 10
+    // fixed label cells make within-cell pairs ∝ n² on this
+    // generator (real corpora grow the cell count with the data).
+    "q_degree_stats", "q_text_complexity")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

@@ -7259,7 +7259,136 @@ object Queries {
                     GROUP BY 1, 2)
               SELECT qid, truth_id, truth_rank,
                 1000000 // truth_rank AS rr_micro
-              FROM r ORDER BY qid"""))
+              FROM r ORDER BY qid""")),
+
+    // ── mutual nearest neighbors (the SemDeDup-family "best friend"
+    //    primitive): pairs where each is the other's top-1 in its
+    //    label cell — derived from the same blocked kNN graph
+    //    (label-partitioned candidates, never corpus×corpus), one
+    //    self-join for mutuality. ──
+    QueryDef(
+      "q_mutual_nn",
+      (s, dir) => {
+        val nn = operators.Similarity.knnGraph(
+            t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+            k = 1)
+          .select(col("src"), col("dst"), col("cos_sim"))
+        nn.as("a").join(nn.as("b"),
+            col("a.src") === col("b.dst") &&
+              col("a.dst") === col("b.src") &&
+              col("a.src") < col("a.dst"))
+          .select(col("a.src").as("id_a"), col("a.dst").as("id_b"),
+            round(col("a.cos_sim"), 6).as("cos_sim"))
+          .orderBy("id_a")
+      },
+      Some("""WITH v AS (SELECT label, vec_id,
+                  CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+              p AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                      list_cosine_similarity(a.e, b.e) AS cs
+                    FROM v a JOIN v b
+                      ON a.label = b.label AND a.vec_id <> b.vec_id),
+              r AS (SELECT src, dst, cs,
+                      row_number() OVER (PARTITION BY src
+                        ORDER BY cs DESC, dst ASC) AS rn
+                    FROM p),
+              nn AS (SELECT src, dst, cs FROM r WHERE rn = 1)
+              SELECT a.src AS id_a, a.dst AS id_b,
+                round(a.cs, 6) AS cos_sim
+              FROM nn a JOIN nn b
+                ON a.src = b.dst AND a.dst = b.src AND a.src < a.dst
+              ORDER BY a.src""")),
+
+    // ── bipartite degree diagnostics (customer↔supplier via order
+    //    lines): per nation, node count, max / exact-median / p90
+    //    degree by the rank technique — the sparsity report that says
+    //    whether a graph algorithm's wedge/join work is safe to run
+    //    at full scale. ──
+    QueryDef(
+      "q_degree_stats",
+      (s, dir) => {
+        val edges = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey")
+          .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select("o_custkey", "l_suppkey").distinct()
+        val deg = edges.groupBy("o_custkey")
+          .agg(count(lit(1)).as("deg"))
+          .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+            col("o_custkey") === col("c_custkey"))
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("deg").asc, col("o_custkey").asc)
+        val wN = Window.partitionBy("c_nationkey")
+        deg
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(wN))
+          .groupBy("c_nationkey")
+          .agg(max(col("cnt")).as("n_nodes"),
+            max(col("deg")).as("max_deg"),
+            min(when(col("rn") === expr("(cnt + 1) div 2"), col("deg")))
+              .as("med_deg"),
+            min(when(col("rn") === expr("(9 * cnt + 9) div 10"),
+              col("deg"))).as("p90_deg"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH e AS (SELECT DISTINCT o_custkey, l_suppkey
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+              d AS (SELECT o_custkey, count(*) AS deg FROM e
+                    GROUP BY 1),
+              j AS (SELECT c_nationkey, o_custkey, deg
+                    FROM d JOIN customer ON o_custkey = c_custkey),
+              r AS (SELECT c_nationkey, o_custkey, deg,
+                      row_number() OVER (PARTITION BY c_nationkey
+                        ORDER BY deg ASC, o_custkey ASC) AS rn,
+                      count(*) OVER (PARTITION BY c_nationkey) AS cnt
+                    FROM j)
+              SELECT c_nationkey, max(cnt) AS n_nodes,
+                max(deg) AS max_deg,
+                min(CASE WHEN rn = (cnt + 1) // 2 THEN deg END)
+                  AS med_deg,
+                min(CASE WHEN rn = (9 * cnt + 9) // 10 THEN deg END)
+                  AS p90_deg
+              FROM r GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ── text complexity profile per language: average word length
+    //    and long-word ratio in integer micro units from exploded
+    //    token sums (map-side combined; no float averages), the
+    //    readability cut a multilingual curation pipeline applies per
+    //    language, not globally. ──
+    QueryDef(
+      "q_text_complexity",
+      (s, dir) => {
+        val tk = t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"),
+            explode(operators.Dedup.tokens(col("text"))).as("tok"))
+          .filter(length(col("tok")) > 0)
+        tk.groupBy("lang")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_words"),
+            sum(length(col("tok")).cast("long")).as("sum_chars"),
+            sum(when(length(col("tok")) >= 8, 1L).otherwise(0L))
+              .as("n_long"))
+          .withColumn("avg_word_len_micro",
+            expr("sum_chars * 1000000L div n_words"))
+          .withColumn("long_ratio_micro",
+            expr("n_long * 1000000L div n_words"))
+          .orderBy("lang")
+      },
+      Some("""WITH tk0 AS (SELECT lang, doc_id,
+                  unnest(regexp_split_to_array(lower(trim(text)),
+                    '\s+')) AS tok FROM documents),
+              tk AS (SELECT lang, doc_id, tok FROM tk0
+                     WHERE length(tok) > 0)
+              SELECT lang, count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_words,
+                CAST(sum(length(tok)) AS BIGINT) AS sum_chars,
+                CAST(sum(CASE WHEN length(tok) >= 8 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_long,
+                CAST(sum(length(tok)) AS BIGINT) * 1000000 // count(*)
+                  AS avg_word_len_micro,
+                CAST(sum(CASE WHEN length(tok) >= 8 THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000 // count(*) AS long_ratio_micro
+              FROM tk GROUP BY lang ORDER BY lang"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -157,7 +157,11 @@ object BenchScale {
     // q_mutual_nn is EXCLUDED like q_knn_graph/q_semdedup: the 10
     // fixed label cells make within-cell pairs ∝ n² on this
     // generator (real corpora grow the cell count with the data).
-    "q_degree_stats", "q_text_complexity")
+    "q_degree_stats", "q_text_complexity",
+    // round-6 wave 10: lag-1 autocorrelation over events (one
+    // partitioned lag window + a six-sum rollup). q_tpch_q6/q19 are
+    // excluded: no synthetic part table / l_shipdate.
+    "q_autocorr")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

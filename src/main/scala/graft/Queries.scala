@@ -7388,7 +7388,135 @@ object Queries {
                   AS avg_word_len_micro,
                 CAST(sum(CASE WHEN length(tok) >= 8 THEN 1 ELSE 0 END)
                   AS BIGINT) * 1000000 // count(*) AS long_ratio_micro
-              FROM tk GROUP BY lang ORDER BY lang"""))
+              FROM tk GROUP BY lang ORDER BY lang""")),
+
+    // ── the TPC-H Q6 shape (forecast revenue change): pure
+    //    filter-and-sum, no join — every predicate (year window,
+    //    discount band, quantity cap) must reach the parquet scan;
+    //    revenue = cents × discount-% on the integer grid. ──
+    QueryDef(
+      "q_tpch_q6",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >=
+              lit("1997-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+            col("l_quantity") < 24.0)
+          .select((floor(col("l_extendedprice") * 100).cast("long") *
+            floor(col("l_discount") * 100).cast("long")).as("rev_mc"),
+            floor(col("l_discount") * 100).cast("long").as("disc_c"))
+          .filter(col("disc_c") >= 5L && col("disc_c") <= 7L)
+          .agg(sum(col("rev_mc")).as("revenue_mc"),
+            count(lit(1)).as("n_items")),
+      Some("""SELECT
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  CAST(floor(l_discount * 100) AS BIGINT)) AS BIGINT)
+                  AS revenue_mc,
+                count(*) AS n_items
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                AND l_quantity < 24.0
+                AND CAST(floor(l_discount * 100) AS BIGINT) BETWEEN 5
+                  AND 7""")),
+
+    // ── the TPC-H Q19 shape (discounted revenue, disjunctive
+    //    predicates): three OR'd brand/size/quantity bands across the
+    //    lineitem×part join — the disjunction stays ABOVE the join
+    //    but each conjunct's prunable half (brand/size; quantity)
+    //    pushes to its own scan side. ──
+    QueryDef(
+      "q_tpch_q19",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_c"),
+            (floor(col("l_extendedprice") * 100).cast("long") *
+              (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+              .as("rev_mc"))
+        val p = t(s, dir, "part").select("p_partkey", "p_brand",
+          "p_size")
+        val branch1 = col("p_brand") === "Brand#1" &&
+          col("p_size").between(1, 15) &&
+          col("qty_c").between(100L, 1100L)
+        val branch2 = col("p_brand") === "Brand#2" &&
+          col("p_size").between(1, 10) &&
+          col("qty_c").between(1000L, 2000L)
+        val branch3 = col("p_brand") === "Brand#3" &&
+          col("p_size").between(1, 25) &&
+          col("qty_c").between(2000L, 3000L)
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .filter(branch1 || branch2 || branch3)
+          .agg(sum(col("rev_mc")).as("revenue_mc"),
+            count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_mc,
+                count(*) AS n_items
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                  AND CAST(floor(l_quantity * 100) AS BIGINT)
+                    BETWEEN 100 AND 1100)
+                 OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+                  AND CAST(floor(l_quantity * 100) AS BIGINT)
+                    BETWEEN 1000 AND 2000)
+                 OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+                  AND CAST(floor(l_quantity * 100) AS BIGINT)
+                    BETWEEN 2000 AND 3000)""")),
+
+    // ── lag-1 autocorrelation per series, exact integer moments
+    //    (consecutive cents pairs via a partitioned lag window),
+    //    Pearson r from DOUBLE-cast sums only at the very end — the
+    //    "is this series momentum or noise" screen. ──
+    QueryDef(
+      "q_autocorr",
+      (s, dir) => {
+        val wSeq = Window.partitionBy("event_type")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val pairs = t(s, dir, "events")
+          .select(col("event_type"), col("ts"), col("event_id"),
+            floor(col("value") * 100).cast("long").as("y"))
+          .withColumn("x", lag(col("y"), 1).over(wSeq))
+          .filter(col("x").isNotNull)
+        pairs.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("r1",
+            (col("n").cast("double") * col("sxy").cast("double") -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("n").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+          .select("event_type", "n", "r1")
+          .orderBy("event_type")
+      },
+      Some("""WITH p AS (SELECT event_type,
+                  lag(CAST(floor(value * 100) AS BIGINT)) OVER (
+                    PARTITION BY event_type
+                    ORDER BY epoch_ns(ts) ASC, event_id ASC) AS x,
+                  CAST(floor(value * 100) AS BIGINT) AS y
+                FROM events),
+              g AS (SELECT event_type, count(*) AS n,
+                      CAST(sum(x) AS BIGINT) AS sx,
+                      CAST(sum(y) AS BIGINT) AS sy,
+                      CAST(sum(x * y) AS BIGINT) AS sxy,
+                      CAST(sum(x * x) AS BIGINT) AS sxx,
+                      CAST(sum(y * y) AS BIGINT) AS syy
+                    FROM p WHERE x IS NOT NULL GROUP BY 1)
+              SELECT event_type, n,
+                (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                  CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                 sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                  CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r1
+              FROM g ORDER BY event_type"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

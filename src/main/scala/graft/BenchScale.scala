@@ -161,7 +161,12 @@ object BenchScale {
     // round-6 wave 10: lag-1 autocorrelation over events (one
     // partitioned lag window + a six-sum rollup). q_tpch_q6/q19 are
     // excluded: no synthetic part table / l_shipdate.
-    "q_autocorr")
+    "q_autocorr",
+    // round-6 wave 11: balanced per-class sampling over documents
+    // (one rank window on a portable hash). q_tpch_q15 (l_shipdate)
+    // and q_ref_integrity (nation/part) read columns/tables this
+    // generator doesn't synthesize.
+    "q_balanced_sample")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have
@@ -401,6 +406,12 @@ object BenchScale {
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toLong).getOrElse(10L)
+    // optional 2nd arg: comma-separated query-name filter (local
+    // iteration aid — smoke only the names given; the full list
+    // otherwise)
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").map(_.trim).toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -429,10 +440,11 @@ object BenchScale {
     // queries grow ×(factor · DimFactor) per the scan's rows×dim work.
     // Top-k outputs have CONSTANT row counts, so the work ratio — not
     // the output-row ratio — is the right yardstick for them.
-    val cases =
+    val cases = (
       QueryNames.map(n => (n, big, factor.toDouble)) ++
       VectorRowQueries.map(n => (n, big, factor.toDouble)) ++
       VectorDimQueries.map(n => (n, bigVec, (factor * DimFactor).toDouble))
+    ).filter { case (n, _, _) => only.forall(_.contains(n)) }
     val results = cases.map { case (name, bigDir, workRatio) =>
       val (t1, r1, s1) = runOne(spark, name, base)
       val (tN, rN, sN) = runOne(spark, name, bigDir)

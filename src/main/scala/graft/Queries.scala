@@ -7516,7 +7516,154 @@ object Queries {
                   CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
                  sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
                   CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r1
-              FROM g ORDER BY event_type"""))
+              FROM g ORDER BY event_type""")),
+
+    // ── the TPC-H Q15 shape (top supplier(s) by period revenue):
+    //    revenue rollup per supplier, then keep every supplier tying
+    //    the maximum — the scalar max is a 1-row aggregate broadcast,
+    //    not a window over a single global partition. ──
+    QueryDef(
+      "q_tpch_q15",
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >=
+              lit("1997-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1997-04-01").cast(TimestampType))
+          .groupBy("l_suppkey")
+          .agg(sum(floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+            .as("revenue_mc"))
+        rev.crossJoin(rev.agg(max(col("revenue_mc")).as("max_rev")))
+          .filter(col("revenue_mc") === col("max_rev"))
+          .join(t(s, dir, "supplier").select("s_suppkey", "s_name"),
+            col("l_suppkey") === col("s_suppkey"))
+          .select("s_suppkey", "s_name", "revenue_mc")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH rev AS (SELECT l_suppkey,
+                  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+                    AS BIGINT) AS revenue_mc
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+                GROUP BY 1),
+              m AS (SELECT max(revenue_mc) AS max_rev FROM rev)
+              SELECT s_suppkey, s_name, revenue_mc
+              FROM rev JOIN supplier ON l_suppkey = s_suppkey
+              WHERE revenue_mc = (SELECT max_rev FROM m)
+              ORDER BY s_suppkey""")),
+
+    // ── referential-integrity audit: orphan/childless counts across
+    //    the whole star (lineitem→orders, orders→customer,
+    //    customer→nation, lineitem→part/supplier, orders with no
+    //    lines) as one fixed report — each check an anti-join
+    //    distinct-count, unioned; the FK health scan a warehouse runs
+    //    after every load. ──
+    QueryDef(
+      "q_ref_integrity",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val p = t(s, dir, "part")
+        val su = t(s, dir, "supplier")
+        def check(name: String, violations: DataFrame): DataFrame =
+          violations.agg(count(lit(1)).as("violations"))
+            .select(lit(name).as("check"), col("violations"))
+        check("lineitem_orphan_order",
+            li.select("l_orderkey").distinct()
+              .join(o.select("o_orderkey"),
+                col("l_orderkey") === col("o_orderkey"), "left_anti"))
+          .union(check("order_orphan_customer",
+            o.select("o_custkey").distinct()
+              .join(c.select("c_custkey"),
+                col("o_custkey") === col("c_custkey"), "left_anti")))
+          .union(check("customer_orphan_nation",
+            c.select("c_nationkey").distinct()
+              .join(n.select("n_nationkey"),
+                col("c_nationkey") === col("n_nationkey"),
+                "left_anti")))
+          .union(check("lineitem_orphan_part",
+            li.select("l_partkey").distinct()
+              .join(p.select("p_partkey"),
+                col("l_partkey") === col("p_partkey"), "left_anti")))
+          .union(check("lineitem_orphan_supplier",
+            li.select("l_suppkey").distinct()
+              .join(su.select("s_suppkey"),
+                col("l_suppkey") === col("s_suppkey"), "left_anti")))
+          .union(check("order_without_lines",
+            o.select("o_orderkey")
+              .join(li.select("l_orderkey").distinct(),
+                col("o_orderkey") === col("l_orderkey"), "left_anti")))
+          .orderBy("check")
+      },
+      Some("""SELECT 'lineitem_orphan_order' AS "check", count(*)
+                AS violations
+              FROM (SELECT DISTINCT l_orderkey FROM lineitem
+                    WHERE l_orderkey NOT IN
+                      (SELECT o_orderkey FROM orders))
+              UNION ALL
+              SELECT 'order_orphan_customer', count(*)
+              FROM (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_custkey NOT IN
+                      (SELECT c_custkey FROM customer))
+              UNION ALL
+              SELECT 'customer_orphan_nation', count(*)
+              FROM (SELECT DISTINCT c_nationkey FROM customer
+                    WHERE c_nationkey NOT IN
+                      (SELECT n_nationkey FROM nation))
+              UNION ALL
+              SELECT 'lineitem_orphan_part', count(*)
+              FROM (SELECT DISTINCT l_partkey FROM lineitem
+                    WHERE l_partkey NOT IN
+                      (SELECT p_partkey FROM part))
+              UNION ALL
+              SELECT 'lineitem_orphan_supplier', count(*)
+              FROM (SELECT DISTINCT l_suppkey FROM lineitem
+                    WHERE l_suppkey NOT IN
+                      (SELECT s_suppkey FROM supplier))
+              UNION ALL
+              SELECT 'order_without_lines', count(*)
+              FROM (SELECT o_orderkey FROM orders
+                    WHERE o_orderkey NOT IN
+                      (SELECT l_orderkey FROM lineitem))
+              ORDER BY 1""")),
+
+    // ── balanced class sampling (the ML-prep counterpart of
+    //    stratified fractions): exactly min(k, |class|) docs per
+    //    (lang) class, chosen by deterministic hash order — one
+    //    partitioned rank window, reproducible on any cluster
+    //    layout. Report the per-class kept counts + char mass. ──
+    QueryDef(
+      "q_balanced_sample",
+      (s, dir) => {
+        // Knuth multiplicative scramble — portable across engines
+        // (unlike xxhash64 vs DuckDB's hash()), deterministic on any
+        // cluster layout
+        val w = Window.partitionBy("lang")
+          .orderBy(expr("pmod(doc_id * 2654435761, 4294967296)").asc,
+            col("doc_id").asc)
+        t(s, dir, "documents")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 40)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("kept"),
+            sum(col("n_chars")).as("sum_chars"),
+            min(col("doc_id")).as("min_doc"))
+          .orderBy("lang")
+      },
+      Some("""WITH r AS (SELECT lang, doc_id, n_chars,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY (doc_id * 2654435761) % 4294967296 ASC,
+                      doc_id ASC) AS rn
+                FROM documents)
+              SELECT lang, count(*) AS kept,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_doc
+              FROM r WHERE rn <= 40
+              GROUP BY lang ORDER BY lang"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -140,10 +140,11 @@ object BenchScale {
     // medians + attribution (partitioned windows over events)
     "q_dup_rate_by_source", "q_dau_wau", "q_interarrival",
     "q_attribution",
-    // round-6 wave 7: Benford digits + Pareto concentration over
-    // synthetic orders/customer, Tukey-fence outliers + hourly
-    // seasonality over events — each a rollup or partitioned window
-    "q_benford", "q_pareto", "q_iqr_outliers", "q_hourly_profile",
+    // round-6 wave 7: Benford digits over synthetic orders, Tukey-
+    // fence outliers + hourly seasonality over events — each a rollup
+    // or partitioned window. q_pareto is excluded: it segments by
+    // c_mktsegment, which this generator doesn't synthesize.
+    "q_benford", "q_iqr_outliers", "q_hourly_profile",
     // round-6 wave 8: stream-disorder audit over events (one
     // partitioned running-max window), LSH band health over documents
     // (the minhash signature aggregation + two rollups). q_tpch_q14/

@@ -167,7 +167,13 @@ object BenchScale {
     // (one rank window on a portable hash). q_tpch_q15 (l_shipdate)
     // and q_ref_integrity (nation/part) read columns/tables this
     // generator doesn't synthesize.
-    "q_balanced_sample")
+    "q_balanced_sample",
+    // round-6 wave 12: Q22 inactivity cohort over synthetic
+    // orders/customer (scalar broadcast + anti join), similar-docs
+    // top-3 over documents (same candidate regime as
+    // q_ngram_jaccard). q_tpch_q4 reads l_shipdate, which this
+    // generator doesn't synthesize.
+    "q_tpch_q22", "q_similar_docs")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

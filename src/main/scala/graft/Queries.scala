@@ -7663,7 +7663,139 @@ object Queries {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_doc
               FROM r WHERE rn <= 40
-              GROUP BY lang ORDER BY lang"""))
+              GROUP BY lang ORDER BY lang""")),
+
+    // ── the TPC-H Q4 shape (order-priority checking): EXISTS as a
+    //    left-semi join with a mixed equi + non-equi condition (hash
+    //    on the orderkey, the date inequality evaluated on matches),
+    //    then a small priority rollup. ──
+    QueryDef(
+      "q_tpch_q4",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >=
+              lit("1996-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
+          .select("o_orderkey", "o_orderpriority", "o_orderdate")
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(li, col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"), "left_semi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+              FROM orders
+              WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── the TPC-H Q22 shape (global sales opportunity): customers
+    //    above the average positive balance with no RECENT orders
+    //    (the date guard keeps the cohort non-empty on this data; the
+    //    reference Q22 uses no-orders-ever) — the above-average test
+    //    is DIVISION-FREE (acct·n > total, exact 64-bit cross-
+    //    multiplication), the inactivity test an anti join, rolled up
+    //    per nation. ──
+    QueryDef(
+      "q_tpch_q22",
+      (s, dir) => {
+        val pos = t(s, dir, "customer")
+          .filter(col("c_acctbal") > 0.0)
+          .select(col("c_custkey"), col("c_nationkey"),
+            floor(col("c_acctbal") * 100).cast("long").as("acct_cents"))
+        val tot = pos.agg(sum(col("acct_cents")).as("total_cents"),
+          count(lit(1)).as("n_pos"))
+        pos.crossJoin(broadcast(tot))
+          .filter(col("acct_cents") * col("n_pos") > col("total_cents"))
+          .join(t(s, dir, "orders")
+              .filter(col("o_orderdate") >=
+                lit("2000-01-01").cast(TimestampType))
+              .select("o_custkey").distinct(),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_cust"),
+            sum(col("acct_cents")).as("sum_cents"))
+          .orderBy("c_nationkey")
+      },
+      Some("""WITH pos AS (SELECT c_custkey, c_nationkey,
+                  CAST(floor(c_acctbal * 100) AS BIGINT) AS acct_cents
+                FROM customer WHERE c_acctbal > 0.0),
+              t AS (SELECT CAST(sum(acct_cents) AS BIGINT)
+                      AS total_cents, count(*) AS n_pos FROM pos)
+              SELECT c_nationkey, count(*) AS n_cust,
+                CAST(sum(acct_cents) AS BIGINT) AS sum_cents
+              FROM pos
+              WHERE acct_cents * (SELECT n_pos FROM t) >
+                  (SELECT total_cents FROM t)
+                AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                  WHERE o_orderdate >=
+                    TIMESTAMP '2000-01-01 00:00:00')
+              GROUP BY c_nationkey ORDER BY c_nationkey""")),
+
+    // ── "similar documents" report: per document, its top-3 nearest
+    //    neighbors by shingle Jaccard — the prefix-filtered candidate
+    //    pairs of the dedup family, symmetrized and ranked per source
+    //    doc (never corpus×corpus; the rank is a partitioned window
+    //    over candidates only). ──
+    QueryDef(
+      "q_similar_docs",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val aug = docs.union(docs.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text")))
+        val pairs = operators.Dedup.ngramJaccard(aug, "doc_id", "text",
+            n = 5, threshold = 0.2, maxDocFreq = 0)
+          .select("id_a", "id_b", "jaccard")
+        val sym = pairs.union(pairs.select(col("id_b").as("id_a"),
+          col("id_a").as("id_b"), col("jaccard")))
+        val w = Window.partitionBy("id_a")
+          .orderBy(col("jaccard").desc, col("id_b").asc)
+        sym.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("id_a").as("src"), col("id_b").as("nbr"),
+            col("rank"), col("jaccard"))
+          .orderBy("src", "rank")
+      },
+      Some("""WITH docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents),
+              t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM docs),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4))
+                               AS g FROM t)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh
+                     GROUP BY doc_id),
+              pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2),
+              j AS (SELECT id_a, id_b,
+                      CAST(shared AS DOUBLE) / (x.n + y.n - shared)
+                        AS jaccard
+                    FROM pairs JOIN sz x ON x.doc_id = id_a
+                    JOIN sz y ON y.doc_id = id_b
+                    WHERE CAST(shared AS DOUBLE) /
+                      (x.n + y.n - shared) >= 0.2),
+              sym AS (SELECT id_a, id_b, jaccard FROM j
+                      UNION ALL
+                      SELECT id_b, id_a, jaccard FROM j),
+              r AS (SELECT id_a, id_b, jaccard,
+                      row_number() OVER (PARTITION BY id_a
+                        ORDER BY jaccard DESC, id_b ASC) AS rank
+                    FROM sym)
+              SELECT id_a AS src, id_b AS nbr, rank, jaccard
+              FROM r WHERE rank <= 3 ORDER BY src, rank"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

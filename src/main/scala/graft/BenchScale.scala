@@ -173,7 +173,11 @@ object BenchScale {
     // top-3 over documents (same candidate regime as
     // q_ngram_jaccard). q_tpch_q4 reads l_shipdate, which this
     // generator doesn't synthesize.
-    "q_tpch_q22", "q_similar_docs")
+    "q_tpch_q22", "q_similar_docs",
+    // round-6 wave 13: Q13 custdist over synthetic customer/orders
+    // (left join + double aggregate). q_tpch_q9/q16 read part, which
+    // this generator doesn't synthesize.
+    "q_tpch_q13")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

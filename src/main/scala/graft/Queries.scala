@@ -7795,7 +7795,115 @@ object Queries {
                         ORDER BY jaccard DESC, id_b ASC) AS rank
                     FROM sym)
               SELECT id_a AS src, id_b AS nbr, rank, jaccard
-              FROM r WHERE rank <= 3 ORDER BY src, rank"""))
+              FROM r WHERE rank <= 3 ORDER BY src, rank""")),
+
+    // ── the TPC-H Q9 shape (product-type profit): profit = revenue −
+    //    quantity·retail-cost on the integer micro-cents grid across
+    //    lineitem×part×supplier×nation×orders, rolled up by supplier
+    //    nation × order year. Part filtered by name prefix BEFORE the
+    //    join; nation broadcast. ──
+    QueryDef(
+      "q_tpch_q9",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity") * 100).cast("long").as("qty_c"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+            .as("rev_mc"))
+        val p = t(s, dir, "part")
+          .filter(col("p_type").startsWith("PROMO"))
+          .select(col("p_partkey"),
+            floor(col("p_retailprice") * 100).cast("long")
+              .as("retail_c"))
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          year(col("o_orderdate").cast(TimestampType)).as("o_year"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("n_name", "o_year")
+          .agg(sum(col("rev_mc") - col("qty_c") * col("retail_c"))
+            .as("profit_mc"))
+          .orderBy(col("n_name").asc, col("o_year").desc)
+      },
+      Some("""SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+                CAST(sum(
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT)) -
+                  CAST(floor(l_quantity * 100) AS BIGINT) *
+                  CAST(floor(p_retailprice * 100) AS BIGINT))
+                  AS BIGINT) AS profit_mc
+              FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN orders ON l_orderkey = o_orderkey
+              WHERE p_type LIKE 'PROMO%'
+              GROUP BY n_name, o_year
+              ORDER BY n_name ASC, o_year DESC""")),
+
+    // ── the TPC-H Q13 shape (customer order-count distribution):
+    //    LEFT outer join so zero-order customers survive with count
+    //    0, then the distribution of counts — the double-aggregate
+    //    histogram every growth dashboard runs. ──
+    QueryDef(
+      "q_tpch_q13",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select("c_custkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select("o_orderkey", "o_custkey")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""WITH co AS (SELECT c_custkey, count(o_orderkey)
+                  AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey)
+              SELECT c_count, count(*) AS custdist
+              FROM co GROUP BY c_count
+              ORDER BY custdist DESC, c_count DESC""")),
+
+    // ── the TPC-H Q16 shape (parts/supplier relationship): distinct
+    //    supplier counts per (brand, type-prefix, size) with a brand
+    //    exclusion, using the lineitem link as the partsupp relation
+    //    — the exclusion pushes to the part scan, the distinct rides
+    //    the (partkey, suppkey) pair projection. ──
+    QueryDef(
+      "q_tpch_q16",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .select("l_partkey", "l_suppkey").distinct()
+        val p = t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#1" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+          .select(col("p_partkey"), col("p_brand"),
+            substring(col("p_type"), 1, 6).as("p_type6"), col("p_size"))
+        ps.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy("p_brand", "p_type6", "p_size")
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+            col("p_type6").asc, col("p_size").asc)
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                FROM lineitem)
+              SELECT p_brand, substring(p_type, 1, 6) AS p_type6,
+                p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+              FROM ps JOIN part ON l_partkey = p_partkey
+              WHERE p_brand <> 'Brand#1'
+                AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+              GROUP BY p_brand, p_type6, p_size
+              ORDER BY supplier_cnt DESC, p_brand ASC, p_type6 ASC,
+                p_size ASC"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -177,7 +177,12 @@ object BenchScale {
     // round-6 wave 13: Q13 custdist over synthetic customer/orders
     // (left join + double aggregate). q_tpch_q9/q16 read part, which
     // this generator doesn't synthesize.
-    "q_tpch_q13")
+    "q_tpch_q13",
+    // round-6 wave 14: Q17's division-free correlated-average test
+    // over synthetic lineitem (two passes of the fact table, one
+    // join). q_tpch_q2/q7/q9/q16 and q_late_shipments read part/
+    // nation/l_shipdate, which this generator doesn't synthesize.
+    "q_tpch_q17")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

@@ -7903,7 +7903,170 @@ object Queries {
                 AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
               GROUP BY p_brand, p_type6, p_size
               ORDER BY supplier_cnt DESC, p_brand ASC, p_type6 ASC,
-                p_size ASC"""))
+                p_size ASC""")),
+
+    // ── the TPC-H Q2 shape (minimum-cost supplier): per qualifying
+    //    part, the supplier offering the lowest price (correlated min
+    //    as a partitioned rank window over the lineitem link, ties to
+    //    the smallest suppkey), decorated with supplier/nation. ──
+    QueryDef(
+      "q_tpch_q2",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+          .filter(col("p_size").between(10, 20) &&
+            col("p_type") === "STANDARD")
+          .select("p_partkey", "p_brand", "p_size")
+        val offers = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            floor(col("l_extendedprice") * 100).cast("long")
+              .as("price_c"))
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        val w = Window.partitionBy("p_partkey")
+          .orderBy(col("price_c").asc, col("l_suppkey").asc)
+        offers.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .join(t(s, dir, "supplier")
+            .select("s_suppkey", "s_name", "s_nationkey"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(t(s, dir, "nation")
+            .select("n_nationkey", "n_name")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("p_partkey", "p_brand", "s_name", "n_name", "price_c")
+          .orderBy("p_partkey")
+      },
+      Some("""WITH p AS (SELECT p_partkey, p_brand FROM part
+                WHERE p_size BETWEEN 10 AND 20
+                  AND p_type = 'STANDARD'),
+              o AS (SELECT l_partkey, l_suppkey,
+                      CAST(floor(l_extendedprice * 100) AS BIGINT)
+                        AS price_c
+                    FROM lineitem JOIN p ON l_partkey = p_partkey),
+              r AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+                      ORDER BY price_c ASC, l_suppkey ASC) AS rn
+                    FROM o)
+              SELECT l_partkey AS p_partkey, p_brand, s_name, n_name,
+                price_c
+              FROM r
+                JOIN p ON r.l_partkey = p.p_partkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+              WHERE rn = 1 ORDER BY p_partkey""")),
+
+    // ── the TPC-H Q7 shape (volume shipping between two nations):
+    //    supplier nation × customer nation flows for one ordered
+    //    pair in both directions, by ship year — two broadcast
+    //    nation decorations, fact tables shuffle once each. ──
+    QueryDef(
+      "q_tpch_q7",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_suppkey"),
+          year(col("l_shipdate").cast(TimestampType)).as("l_year"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+            .as("rev_mc"))
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val su = t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+        val n = t(s, dir, "nation").select("n_nationkey", "n_name")
+        val joined = li
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n.select(col("n_nationkey").as("sn_key"),
+            col("n_name").as("supp_nation"))),
+            col("s_nationkey") === col("sn_key"))
+          .join(broadcast(n.select(col("n_nationkey").as("cn_key"),
+            col("n_name").as("cust_nation"))),
+            col("c_nationkey") === col("cn_key"))
+        joined.filter(
+            (col("supp_nation") === "NATION_18" &&
+              col("cust_nation") === "NATION_19") ||
+            (col("supp_nation") === "NATION_19" &&
+              col("cust_nation") === "NATION_18"))
+          .groupBy("supp_nation", "cust_nation", "l_year")
+          .agg(sum(col("rev_mc")).as("revenue_mc"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT n1.n_name AS supp_nation,
+                n2.n_name AS cust_nation,
+                CAST(year(l_shipdate) AS INT) AS l_year,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_mc
+              FROM lineitem
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+                 OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+              GROUP BY supp_nation, cust_nation, l_year
+              ORDER BY supp_nation, cust_nation, l_year""")),
+
+    // ── the TPC-H Q17 shape (small-quantity-order revenue): lines
+    //    below 20% of their part's average quantity — the correlated
+    //    average is DIVISION-FREE (qty·5·n < Σqty, exact 64-bit),
+    //    computed once per part and joined back. ──
+    QueryDef(
+      "q_tpch_q17",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_c"),
+            floor(col("l_extendedprice") * 100).cast("long")
+              .as("price_c"))
+        val avgQ = li.groupBy(col("l_partkey").as("ap_key"))
+          .agg(count(lit(1)).as("n_lines"),
+            sum(col("qty_c")).as("sum_qty_c"))
+        li.join(avgQ, col("l_partkey") === col("ap_key"))
+          .filter(col("qty_c") * 5L * col("n_lines") <
+            col("sum_qty_c"))
+          .agg(sum(col("price_c")).as("revenue_c"),
+            count(lit(1)).as("n_small"))
+      },
+      Some("""WITH a AS (SELECT l_partkey AS ap_key, count(*)
+                  AS n_lines,
+                  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                    AS BIGINT) AS sum_qty_c
+                FROM lineitem GROUP BY 1)
+              SELECT CAST(sum(CAST(floor(l_extendedprice * 100)
+                  AS BIGINT)) AS BIGINT) AS revenue_c,
+                count(*) AS n_small
+              FROM lineitem JOIN a ON l_partkey = ap_key
+              WHERE CAST(floor(l_quantity * 100) AS BIGINT) * 5 *
+                n_lines < sum_qty_c""")),
+
+    // ── the TPC-H Q12 shape (late shipments by priority): lines
+    //    shipped more than 30 days after their order date, counted
+    //    per priority with the urgent/other split — interval
+    //    arithmetic on the timestamp grid, one fact-fact join. ──
+    QueryDef(
+      "q_late_shipments",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        o.join(li, col("o_orderkey") === col("l_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_lines"),
+            sum(when(col("l_shipdate") >
+              col("o_orderdate") + expr("INTERVAL 30 DAYS"), 1L)
+              .otherwise(0L)).as("n_late"))
+          .withColumn("late_micro",
+            expr("n_late * 1000000L div n_lines"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+                CAST(sum(CASE WHEN l_shipdate >
+                  o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_late,
+                CAST(sum(CASE WHEN l_shipdate >
+                  o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000 // count(*) AS late_micro
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

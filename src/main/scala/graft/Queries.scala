@@ -8066,7 +8066,105 @@ object Queries {
                   o_orderdate + INTERVAL 30 DAY THEN 1 ELSE 0 END)
                   AS BIGINT) * 1000000 // count(*) AS late_micro
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-              GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+              GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // ── the TPC-H Q8 shape (national market share): the target
+    //    nation's slice of regional revenue per order year — numerator
+    //    as a conditional sum INSIDE the same rollup (no second pass),
+    //    share in integer micro units. ──
+    QueryDef(
+      "q_tpch_q8",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+          col("l_partkey"), col("l_suppkey"),
+          (floor(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - floor(col("l_discount") * 100).cast("long")))
+            .as("rev_mc"))
+        val p = t(s, dir, "part")
+          .filter(col("p_type") === "STANDARD").select("p_partkey")
+        val o = t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_custkey"),
+          year(col("o_orderdate").cast(TimestampType)).as("o_year"))
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val n = t(s, dir, "nation")
+          .select("n_nationkey", "n_regionkey")
+        val r = t(s, dir, "region")
+          .filter(col("r_name") === "ASIA").select("r_regionkey")
+        val su = t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey")
+            .as("supp_nkey"))
+        li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(c, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .groupBy("o_year")
+          .agg(sum(when(col("supp_nkey") === 7, col("rev_mc"))
+            .otherwise(0L)).as("nation_rev_mc"),
+            sum(col("rev_mc")).as("total_rev_mc"))
+          .withColumn("share_micro",
+            expr("nation_rev_mc * 1000000L div total_rev_mc"))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                CAST(sum(CASE WHEN s_nationkey = 7 THEN
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS BIGINT) AS nation_rev_mc,
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS total_rev_mc,
+                CAST(sum(CASE WHEN s_nationkey = 7 THEN
+                  CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT))
+                  ELSE 0 END) AS BIGINT) * 1000000 //
+                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  (100 - CAST(floor(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS share_micro
+              FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+              WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+              GROUP BY o_year ORDER BY o_year""")),
+
+    // ── the TPC-H Q11 shape (important stock): parts whose supply
+    //    value (lineitem link as partsupp) exceeds 1.5× the average
+    //    part's — the reference's fixed-fraction cutoff is scale-
+    //    dependent, an above-average multiple is the same shape at
+    //    any SF. The threshold test is a DIVISION-FREE cross-
+    //    multiplication against a 1-row scalar broadcast. ──
+    QueryDef(
+      "q_tpch_q11",
+      (s, dir) => {
+        val value = t(s, dir, "lineitem")
+          .select(col("l_partkey"),
+            floor(col("l_extendedprice") * 100).cast("long")
+              .as("price_c"))
+          .groupBy("l_partkey")
+          .agg(sum(col("price_c")).as("value_c"))
+        val tot = value.agg(sum(col("value_c")).as("total_c"),
+          count(lit(1)).as("n_parts"))
+        value.crossJoin(broadcast(tot))
+          .filter(col("value_c") * col("n_parts") * 2L >
+            col("total_c") * 3L)
+          .select("l_partkey", "value_c")
+          .orderBy(col("value_c").desc, col("l_partkey").asc)
+      },
+      Some("""WITH v AS (SELECT l_partkey,
+                  CAST(sum(CAST(floor(l_extendedprice * 100)
+                    AS BIGINT)) AS BIGINT) AS value_c
+                FROM lineitem GROUP BY 1),
+              t AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+                      count(*) AS n_parts FROM v)
+              SELECT l_partkey, value_c FROM v
+              WHERE value_c * (SELECT n_parts FROM t) * 2 >
+                (SELECT total_c FROM t) * 3
+              ORDER BY value_c DESC, l_partkey ASC"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -182,12 +182,13 @@ object BenchScale {
     // over synthetic lineitem (two passes of the fact table, one
     // join). q_tpch_q2/q7/q9/q16 and q_late_shipments read part/
     // nation/l_shipdate, which this generator doesn't synthesize.
-    "q_tpch_q17",
-    // round-6 wave 15: Q11's above-average stock cutoff over
-    // synthetic lineitem (rollup + scalar broadcast; the 1.5x-average
-    // threshold is scale-free by construction). q_tpch_q8 reads
-    // part/nation/region, which this generator doesn't synthesize.
-    "q_tpch_q11")
+    "q_tpch_q17")
+    // q_tpch_q8 reads part/nation/region, which this generator
+    // doesn't synthesize. q_tpch_q11 is excluded by design: its
+    // above-average cutoff goes 0-row here because this generator's
+    // per-part value spread tightens with rows-per-part (CLT on
+    // uniform hashes) — real catalogs keep power-law part values,
+    // which is the regime the threshold is built for.
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

@@ -8164,7 +8164,289 @@ object Queries {
               SELECT l_partkey, value_c FROM v
               WHERE value_c * (SELECT n_parts FROM t) * 2 >
                 (SELECT total_c FROM t) * 3
-              ORDER BY value_c DESC, l_partkey ASC"""))
+              ORDER BY value_c DESC, l_partkey ASC""")),
+
+    // ── the TPC-H Q20 shape (potential part promotion): suppliers
+    //    holding excess stock of qualifying parts. The testdata has no
+    //    partsupp table, so availability is DERIVED the way Q16 derives
+    //    supplier links: partsupp := lineitem grouped by (part, supp),
+    //    ps_availqty := all-time quantity, the correlated "half of one
+    //    year's shipments" threshold the 1996 slice of the same rollup
+    //    — one aggregation feeds both sides, the comparison is
+    //    DIVISION-FREE on the quantity-cents grid (avail > 2·ship96 ≡
+    //    availqty > 0.5·shipped). Part filter broadcast, supplier
+    //    membership a left-semi join. ──
+    QueryDef(
+      "q_tpch_q20",
+      (s, dir) => {
+        val qty = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"),
+            floor(col("l_quantity") * 100).cast("long").as("qty_c"),
+            col("l_shipdate"))
+        val ps = qty.groupBy("l_partkey", "l_suppkey")
+          .agg(sum(col("qty_c")).as("avail_c"),
+            sum(when(col("l_shipdate") >=
+                  lit("1996-01-01").cast(TimestampType) &&
+                col("l_shipdate") <
+                  lit("1997-01-01").cast(TimestampType),
+              col("qty_c")).otherwise(0L)).as("ship96_c"))
+        val redParts = t(s, dir, "part")
+          .filter(col("p_name").startsWith("red"))
+          .select("p_partkey")
+        val excess = ps
+          .join(broadcast(redParts),
+            col("l_partkey") === col("p_partkey"))
+          .filter(col("ship96_c") > 0L &&
+            col("avail_c") > col("ship96_c") * 2L)
+          .select("l_suppkey").distinct()
+        t(s, dir, "supplier").select("s_suppkey", "s_name")
+          .join(excess, col("s_suppkey") === col("l_suppkey"),
+            "left_semi")
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH ps AS (SELECT l_partkey, l_suppkey,
+                  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT))
+                    AS BIGINT) AS avail_c,
+                  CAST(sum(CASE WHEN l_shipdate >=
+                        TIMESTAMP '1996-01-01 00:00:00'
+                      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+                    THEN CAST(floor(l_quantity * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS ship96_c
+                FROM lineitem GROUP BY 1, 2),
+              excess AS (SELECT DISTINCT l_suppkey FROM ps
+                JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'red%' AND ship96_c > 0
+                  AND avail_c > ship96_c * 2)
+              SELECT s_suppkey, s_name FROM supplier
+              WHERE s_suppkey IN (SELECT l_suppkey FROM excess)
+              ORDER BY s_suppkey""")),
+
+    // ── the TPC-H Q21 shape (suppliers who kept orders waiting): the
+    //    EXISTS / NOT-EXISTS pair over sibling lineitems of the same
+    //    order — a left-semi then a left-anti join, both hash joins on
+    //    the orderkey with the supplier-inequality evaluated on
+    //    matches (never a nested loop). The testdata has no commit/
+    //    receipt dates, so lateness is DERIVED on the integer grid
+    //    ((orderkey+lineno) mod 45 > lineno mod 30 — deterministic,
+    //    engine-portable, ~66% selective), preserving the exact join
+    //    topology of the reference query. ──
+    QueryDef(
+      "q_tpch_q21",
+      (s, dir) => {
+        val l = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"),
+            ((col("l_orderkey") + col("l_linenumber")) % 45L >
+              col("l_linenumber") % 30).as("late"))
+        val f = t(s, dir, "orders")
+          .filter(col("o_orderstatus") === "F").select("o_orderkey")
+        val l1 = l.filter(col("late"))
+          .join(f, col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_suppkey")
+        val sib = l.select(col("l_orderkey").as("sib_okey"),
+          col("l_suppkey").as("sib_skey"), col("late").as("sib_late"))
+        val waited = l1
+          .join(sib, col("l_orderkey") === col("sib_okey") &&
+            col("l_suppkey") =!= col("sib_skey"), "left_semi")
+          .join(sib.filter(col("sib_late")),
+            col("l_orderkey") === col("sib_okey") &&
+              col("l_suppkey") =!= col("sib_skey"), "left_anti")
+        waited
+          .join(t(s, dir, "supplier").select("s_suppkey", "s_name"),
+            col("l_suppkey") === col("s_suppkey"))
+          .groupBy("s_suppkey", "s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_suppkey").asc)
+      },
+      Some("""WITH l AS (SELECT l_orderkey, l_suppkey,
+                  ((l_orderkey + l_linenumber) % 45 >
+                    (l_linenumber % 30)) AS late
+                FROM lineitem),
+              f AS (SELECT o_orderkey FROM orders
+                WHERE o_orderstatus = 'F')
+              SELECT s_suppkey, s_name, count(*) AS numwait
+              FROM l l1
+                JOIN f ON l1.l_orderkey = f.o_orderkey
+                JOIN supplier ON l1.l_suppkey = s_suppkey
+              WHERE l1.late
+                AND EXISTS (SELECT 1 FROM l l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+                AND NOT EXISTS (SELECT 1 FROM l l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+              GROUP BY s_suppkey, s_name
+              ORDER BY numwait DESC, s_suppkey ASC""")),
+
+    // ── DSIR-style data selection (Xie et al. 2023, "Data Selection
+    //    for Language Models via Importance Resampling"): score every
+    //    raw document by how target-like its hashed-unigram profile is.
+    //    The paper's hashed n-gram LM ratio, re-expressed exactly: token
+    //    features hash into 4096 buckets (portable 52-bit md5 prefix —
+    //    bounded state at ANY corpus size, the reason DSIR hashes at
+    //    all), add-one-smoothed per-bucket rates for the target slice
+    //    (source src0) vs the rest, and the per-doc importance is the
+    //    token-sum of rate differences on the integer micro grid (linear
+    //    naive-Bayes pooling — log-free, so both engines agree bit-for-
+    //    bit; the one double division at the edge is a single correctly-
+    //    rounded IEEE op). The 4096-row weight table BROADCASTS back
+    //    onto the token stream — at 100 TB the only shuffle is the
+    //    per-doc aggregation. ──
+    QueryDef(
+      "q_dsir_select",
+      (s, dir) => {
+        val tk = t(s, dir, "documents")
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .select(col("doc_id"), col("source"), col("lang"),
+            explode(col("__toks")).as("tok"))
+          .filter(length(col("tok")) > 0)
+          .withColumn("bucket",
+            pmod(graft.functions.Hex52(col("tok")), lit(4096L)))
+        val bc = tk.groupBy("bucket")
+          .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
+              .as("cnt_t"),
+            count(lit(1)).as("cnt_all"))
+          .withColumn("cnt_r", col("cnt_all") - col("cnt_t"))
+        val tot = bc.agg(sum(col("cnt_t")).as("n_t"),
+          sum(col("cnt_r")).as("n_r"))
+        val wts = bc.crossJoin(broadcast(tot))
+          .withColumn("w_micro",
+            expr("((cnt_t + 1) * 1000000L div (n_t + 4096)) - " +
+              "((cnt_r + 1) * 1000000L div (n_r + 4096))"))
+          .select("bucket", "w_micro")
+        tk.join(broadcast(wts), "bucket")
+          .groupBy("doc_id", "source", "lang")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(col("w_micro")).as("score_micro"))
+          .withColumn("spt", col("score_micro").cast("double") /
+            col("n_toks").cast("double"))
+          .orderBy(col("spt").desc, col("doc_id").asc)
+          .limit(25)
+          .select("doc_id", "source", "lang", "n_toks", "score_micro",
+            "spt")
+      },
+      Some(s"""WITH tk AS (SELECT doc_id, source, lang, tok FROM (
+                  SELECT doc_id, source, lang,
+                    unnest(regexp_split_to_array(lower(trim(text)),
+                      '\\s+')) AS tok
+                  FROM documents) WHERE len(tok) > 0),
+              tb AS (SELECT doc_id, source, lang,
+                      ${operators.Sketch.hex52Sql("md5(tok)")} % 4096
+                        AS bucket
+                    FROM tk),
+              bc AS (SELECT bucket,
+                      CAST(sum(CASE WHEN source = 'src0' THEN 1
+                        ELSE 0 END) AS BIGINT) AS cnt_t,
+                      count(*) AS cnt_all
+                    FROM tb GROUP BY 1),
+              b2 AS (SELECT bucket, cnt_t, cnt_all - cnt_t AS cnt_r
+                    FROM bc),
+              tot AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS n_t,
+                        CAST(sum(cnt_r) AS BIGINT) AS n_r FROM b2),
+              w AS (SELECT bucket,
+                      ((cnt_t + 1) * 1000000 // (n_t + 4096)) -
+                        ((cnt_r + 1) * 1000000 // (n_r + 4096))
+                        AS w_micro
+                    FROM b2 CROSS JOIN tot),
+              sc AS (SELECT doc_id, source, lang, count(*) AS n_toks,
+                      CAST(sum(w_micro) AS BIGINT) AS score_micro
+                    FROM tb JOIN w USING (bucket) GROUP BY 1, 2, 3)
+              SELECT doc_id, source, lang, n_toks, score_micro,
+                CAST(score_micro AS DOUBLE) / CAST(n_toks AS DOUBLE)
+                  AS spt
+              FROM sc ORDER BY spt DESC, doc_id ASC LIMIT 25""")),
+
+    // ── link prediction by COMMON-NEIGHBOR count: candidate pairs are
+    //    the open wedges of the sampled co-supply graph (two suppliers
+    //    sharing a neighbor but no edge) — generated through middles
+    //    with degree ≤ 128 (the standard wedge cap: work per middle is
+    //    d², so the cap bounds the 100 TB skew the same way the LSH
+    //    bucket cap does), scored by counting shared neighbors (pure
+    //    integer), existing edges removed by an anti join, top-20 via
+    //    TakeOrderedAndProject. ──
+    QueryDef(
+      "q_link_predict",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 50 === 0)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val eg = ps.as("a").join(ps.as("b"),
+            col("a.l_partkey") === col("b.l_partkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("x"),
+            col("b.l_suppkey").as("y"))
+          .distinct()
+        val e = eg.select(col("x").as("m"), col("y").as("v"))
+          .union(eg.select(col("y").as("m"), col("x").as("v")))
+        val deg = e.groupBy("m").agg(count(lit(1)).as("d"))
+        val ec = e.join(deg.filter(col("d") <= 128).select("m"), "m")
+        val wg = ec.as("e1").join(ec.as("e2"),
+            col("e1.m") === col("e2.m") && col("e1.v") < col("e2.v"))
+          .select(col("e1.v").as("a"), col("e2.v").as("b"))
+          .groupBy("a", "b")
+          .agg(count(lit(1)).as("cn"))
+        wg.join(eg, col("a") === col("x") && col("b") === col("y"),
+            "left_anti")
+          .orderBy(col("cn").desc, col("a").asc, col("b").asc)
+          .limit(20)
+          .select("a", "b", "cn")
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+                FROM lineitem WHERE l_orderkey % 50 = 0),
+              eg AS (SELECT DISTINCT a.l_suppkey AS x,
+                       b.l_suppkey AS y
+                     FROM ps a JOIN ps b
+                       ON a.l_partkey = b.l_partkey
+                       AND a.l_suppkey < b.l_suppkey),
+              e AS (SELECT x AS m, y AS v FROM eg
+                    UNION ALL SELECT y, x FROM eg),
+              deg AS (SELECT m, count(*) AS d FROM e GROUP BY 1),
+              ec AS (SELECT e.m, e.v FROM e JOIN deg ON e.m = deg.m
+                     WHERE deg.d <= 128),
+              wg AS (SELECT e1.v AS a, e2.v AS b, count(*) AS cn
+                     FROM ec e1 JOIN ec e2
+                       ON e1.m = e2.m AND e1.v < e2.v
+                     GROUP BY 1, 2)
+              SELECT a, b, cn FROM wg
+              WHERE NOT EXISTS (SELECT 1 FROM eg
+                WHERE eg.x = wg.a AND eg.y = wg.b)
+              ORDER BY cn DESC, a ASC, b ASC LIMIT 20""")),
+
+    // ── epoch mixing with a DETERMINISTIC global shuffle: per-source
+    //    integer upsampling factors (hash-derived 1–3, the "wiki × 3"
+    //    mixture knob), copies materialized by sequence+explode (scan-
+    //    local, no join), and every copy's training position is the
+    //    portable 52-bit hash of (doc_id, copy) — the reproducible
+    //    global shuffle a distributed trainer needs (no RNG state, no
+    //    global sort to ASSIGN positions; ranking here is only the
+    //    top-20 schedule head via TakeOrderedAndProject). ──
+    QueryDef(
+      "q_epoch_mix",
+      (s, dir) => {
+        t(s, dir, "documents").select("doc_id", "source")
+          .withColumn("factor",
+            pmod(graft.functions.Hex52(col("source")), lit(3L)) + 1L)
+          .withColumn("cp", explode(expr("sequence(1L, factor)")))
+          .withColumn("pos", graft.functions.Hex52(
+            concat(col("doc_id").cast("string"), lit(":"),
+              col("cp").cast("string"))))
+          .orderBy(col("pos").asc, col("doc_id").asc)
+          .limit(20)
+          .select("pos", "doc_id", "cp", "source", "factor")
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source,
+                  ${operators.Sketch.hex52Sql("md5(source)")} % 3 + 1
+                    AS factor
+                FROM documents),
+              x AS (SELECT doc_id, source, factor,
+                      unnest(generate_series(1, factor)) AS cp
+                    FROM d),
+              p AS (SELECT doc_id, source, factor, cp,
+                      ${operators.Sketch.hex52Sql(
+                        "md5(CAST(doc_id AS VARCHAR) || ':' || " +
+                          "CAST(cp AS VARCHAR))")} AS pos
+                    FROM x)
+              SELECT pos, doc_id, cp, source, factor FROM p
+              ORDER BY pos ASC, doc_id ASC LIMIT 20"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

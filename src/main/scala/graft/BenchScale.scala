@@ -182,7 +182,17 @@ object BenchScale {
     // over synthetic lineitem (two passes of the fact table, one
     // join). q_tpch_q2/q7/q9/q16 and q_late_shipments read part/
     // nation/l_shipdate, which this generator doesn't synthesize.
-    "q_tpch_q17")
+    "q_tpch_q17",
+    // round-6 wave 15 (session 4): DSIR importance scoring + epoch
+    // mixing over documents — a token stream against a 4096-row
+    // broadcast weight table, and a scan-local sequence+explode with
+    // one TakeOrdered; both linear by construction. q_link_predict is
+    // EXCLUDED like q_triangles: the uniform co-supply projection
+    // densifies toward the complete graph, so open-wedge counts are a
+    // generator artifact, not an engine property. q_tpch_q20/q21 read
+    // part/l_shipdate/o_orderstatus/supplier, which this generator
+    // doesn't synthesize.
+    "q_dsir_select", "q_epoch_mix")
     // q_tpch_q8 reads part/nation/region, which this generator
     // doesn't synthesize. q_tpch_q11 is excluded by design: its
     // above-average cutoff goes 0-row here because this generator's

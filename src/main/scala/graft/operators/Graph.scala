@@ -167,4 +167,35 @@ object Graph {
     // released with the session temp dir (bounded: one round's edges)
     out
   }
+
+  /** Link prediction by COMMON-NEIGHBOR count: candidate pairs are the
+    * open wedges of an undirected graph (two nodes sharing a neighbor
+    * but no edge), scored by how many neighbors they share — pure
+    * integer, so any engine replays it exactly.
+    *
+    * `edges` is one row per undirected edge with aCol < bCol (the
+    * canonical form the dedup/triangle operators use). Wedges are
+    * generated only through middles with degree ≤ `degCap`: work per
+    * middle is d², so the cap bounds the hub-skew blowup at 100 TB the
+    * same way the LSH bucket-size cap does (dropped hubs are the
+    * standard approximation — a hub's wedge set is quadratic and
+    * near-meaningless for prediction). Existing edges are removed by
+    * an anti join; output is (a, b, cn), a < b.
+    */
+  def linkPredict(edges: DataFrame, aCol: String, bCol: String,
+      degCap: Int = 128): DataFrame = {
+    val eg = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+      .distinct()
+    val e = eg.select(col("x").as("m"), col("y").as("v"))
+      .union(eg.select(col("y").as("m"), col("x").as("v")))
+    val deg = e.groupBy("m").agg(count(lit(1)).as("d"))
+    val ec = e.join(deg.filter(col("d") <= degCap).select("m"), "m")
+    val wg = ec.as("e1").join(ec.as("e2"),
+        col("e1.m") === col("e2.m") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("a"), col("e2.v").as("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"))
+    wg.join(eg, col("a") === col("x") && col("b") === col("y"),
+      "left_anti")
+  }
 }

@@ -518,4 +518,52 @@ object TextAnalysis {
       .select("tok_a", "tok_b", "c_ab", "df_a", "df_b",
         "pmi_ratio_micro")
   }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): how target-like
+    * is each raw document's hashed-unigram profile? Tokens hash into
+    * `buckets` portable 52-bit md5-prefix cells (bounded model state
+    * at ANY corpus size — the reason DSIR hashes at all); target
+    * (rows where `isTarget`) and raw rates are add-one smoothed; the
+    * per-doc importance is the token-sum of per-bucket rate
+    * differences on the integer micro grid. Linear naive-Bayes
+    * pooling instead of the paper's log-ratio sum keeps every
+    * intermediate exact in 64-bit integers (log-free → no libm
+    * cross-engine drift); the normalized `spt` (score per token) is
+    * one correctly-rounded IEEE division at the edge.
+    *
+    * Scale shape: one aggregation builds the ≤`buckets`-row weight
+    * table, which BROADCASTS back onto the token stream — the only
+    * shuffle that grows with the corpus is the per-doc aggregation,
+    * keyed on (`idCol`, carryCols).
+    */
+  def dsirScores(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, carryCols: Seq[String] = Nil,
+      buckets: Int = 4096): DataFrame = {
+    val b = buckets.toLong
+    val tk = df
+      .withColumn("__toks", Dedup.tokens(col(textCol)))
+      .select((col(idCol) +: isTarget.as("__tgt") +:
+        carryCols.map(col)) :+ explode(col("__toks")).as("tok"): _*)
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket",
+        pmod(graft.functions.Hex52(col("tok")), lit(b)))
+    val bc = tk.groupBy("bucket")
+      .agg(sum(when(col("__tgt"), 1L).otherwise(0L)).as("cnt_t"),
+        count(lit(1)).as("cnt_all"))
+      .withColumn("cnt_r", col("cnt_all") - col("cnt_t"))
+    val tot = bc.agg(sum(col("cnt_t")).as("n_t"),
+      sum(col("cnt_r")).as("n_r"))
+    val wts = bc.crossJoin(broadcast(tot))
+      .withColumn("w_micro",
+        expr(s"((cnt_t + 1) * 1000000L div (n_t + $b)) - " +
+          s"((cnt_r + 1) * 1000000L div (n_r + $b))"))
+      .select("bucket", "w_micro")
+    tk.join(broadcast(wts), "bucket")
+      .groupBy(idCol, carryCols: _*)
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("w_micro")).as("score_micro"))
+      .withColumn("spt", col("score_micro").cast("double") /
+        col("n_toks").cast("double"))
+  }
 }

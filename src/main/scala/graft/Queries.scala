@@ -8280,50 +8280,29 @@ object Queries {
     // ── DSIR-style data selection (Xie et al. 2023, "Data Selection
     //    for Language Models via Importance Resampling"): score every
     //    raw document by how target-like its hashed-unigram profile is.
-    //    The paper's hashed n-gram LM ratio, re-expressed exactly: token
-    //    features hash into 4096 buckets (portable 52-bit md5 prefix —
-    //    bounded state at ANY corpus size, the reason DSIR hashes at
-    //    all), add-one-smoothed per-bucket rates for the target slice
+    //    The paper's hashed-unigram importance model with LINEAR
+    //    naive-Bayes pooling in place of the paper's log-ratio sum
+    //    (see [[operators.TextAnalysis.dsirScores]]): token features
+    //    hash into 4096 buckets (portable 52-bit md5 prefix — bounded
+    //    state at ANY corpus size, the reason DSIR hashes at all),
+    //    add-one-smoothed per-bucket rates for the target slice
     //    (source src0) vs the rest, and the per-doc importance is the
-    //    token-sum of rate differences on the integer micro grid (linear
-    //    naive-Bayes pooling — log-free, so both engines agree bit-for-
-    //    bit; the one double division at the edge is a single correctly-
-    //    rounded IEEE op). The 4096-row weight table BROADCASTS back
-    //    onto the token stream — at 100 TB the only shuffle is the
-    //    per-doc aggregation. ──
+    //    token-sum of rate differences on the integer micro grid
+    //    (log-free, so both engines agree bit-for-bit; the one double
+    //    division at the edge is a single correctly-rounded IEEE op).
+    //    The 4096-row weight table BROADCASTS back onto the token
+    //    stream — at 100 TB the only shuffle is the per-doc
+    //    aggregation. ──
     QueryDef(
       "q_dsir_select",
-      (s, dir) => {
-        val tk = t(s, dir, "documents")
-          .withColumn("__toks", operators.Dedup.tokens(col("text")))
-          .select(col("doc_id"), col("source"), col("lang"),
-            explode(col("__toks")).as("tok"))
-          .filter(length(col("tok")) > 0)
-          .withColumn("bucket",
-            pmod(graft.functions.Hex52(col("tok")), lit(4096L)))
-        val bc = tk.groupBy("bucket")
-          .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
-              .as("cnt_t"),
-            count(lit(1)).as("cnt_all"))
-          .withColumn("cnt_r", col("cnt_all") - col("cnt_t"))
-        val tot = bc.agg(sum(col("cnt_t")).as("n_t"),
-          sum(col("cnt_r")).as("n_r"))
-        val wts = bc.crossJoin(broadcast(tot))
-          .withColumn("w_micro",
-            expr("((cnt_t + 1) * 1000000L div (n_t + 4096)) - " +
-              "((cnt_r + 1) * 1000000L div (n_r + 4096))"))
-          .select("bucket", "w_micro")
-        tk.join(broadcast(wts), "bucket")
-          .groupBy("doc_id", "source", "lang")
-          .agg(count(lit(1)).as("n_toks"),
-            sum(col("w_micro")).as("score_micro"))
-          .withColumn("spt", col("score_micro").cast("double") /
-            col("n_toks").cast("double"))
+      (s, dir) =>
+        operators.TextAnalysis.dsirScores(t(s, dir, "documents"),
+            "doc_id", "text", col("source") === "src0",
+            carryCols = Seq("source", "lang"))
           .orderBy(col("spt").desc, col("doc_id").asc)
           .limit(25)
           .select("doc_id", "source", "lang", "n_toks", "score_micro",
-            "spt")
-      },
+            "spt"),
       Some(s"""WITH tk AS (SELECT doc_id, source, lang, tok FROM (
                   SELECT doc_id, source, lang,
                     unnest(regexp_split_to_array(lower(trim(text)),
@@ -8362,39 +8341,43 @@ object Queries {
     //    d², so the cap bounds the 100 TB skew the same way the LSH
     //    bucket cap does), scored by counting shared neighbors (pure
     //    integer), existing edges removed by an anti join, top-20 via
-    //    TakeOrderedAndProject. ──
+    //    TakeOrderedAndProject — all via [[operators.Graph.linkPredict]].
+    //    The edge PROJECTION is capped the same way: a part with p
+    //    suppliers expands to p²/2 edges before any wedge exists, so
+    //    parts hotter than 128 suppliers are dropped up front — the
+    //    hub approximation applied one stage earlier, which is what
+    //    bounds this at 100 TB (a hot part is exactly the skew that
+    //    otherwise grows the edge set quadratically). ──
     QueryDef(
       "q_link_predict",
       (s, dir) => {
         val ps = t(s, dir, "lineitem")
           .filter(col("l_orderkey") % 50 === 0)
           .select(col("l_partkey"), col("l_suppkey")).distinct()
-        val eg = ps.as("a").join(ps.as("b"),
+        val keep = ps.groupBy("l_partkey")
+          .agg(count(lit(1)).as("pd"))
+          .filter(col("pd") <= 128).select("l_partkey")
+        val psc = ps.join(keep, Seq("l_partkey"), "left_semi")
+        val eg = psc.as("a").join(psc.as("b"),
             col("a.l_partkey") === col("b.l_partkey") &&
               col("a.l_suppkey") < col("b.l_suppkey"))
           .select(col("a.l_suppkey").as("x"),
             col("b.l_suppkey").as("y"))
           .distinct()
-        val e = eg.select(col("x").as("m"), col("y").as("v"))
-          .union(eg.select(col("y").as("m"), col("x").as("v")))
-        val deg = e.groupBy("m").agg(count(lit(1)).as("d"))
-        val ec = e.join(deg.filter(col("d") <= 128).select("m"), "m")
-        val wg = ec.as("e1").join(ec.as("e2"),
-            col("e1.m") === col("e2.m") && col("e1.v") < col("e2.v"))
-          .select(col("e1.v").as("a"), col("e2.v").as("b"))
-          .groupBy("a", "b")
-          .agg(count(lit(1)).as("cn"))
-        wg.join(eg, col("a") === col("x") && col("b") === col("y"),
-            "left_anti")
+        operators.Graph.linkPredict(eg, "x", "y")
           .orderBy(col("cn").desc, col("a").asc, col("b").asc)
           .limit(20)
           .select("a", "b", "cn")
       },
       Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
                 FROM lineitem WHERE l_orderkey % 50 = 0),
+              keep AS (SELECT l_partkey FROM ps GROUP BY 1
+                       HAVING count(*) <= 128),
+              psc AS (SELECT ps.l_partkey, ps.l_suppkey
+                      FROM ps JOIN keep USING (l_partkey)),
               eg AS (SELECT DISTINCT a.l_suppkey AS x,
                        b.l_suppkey AS y
-                     FROM ps a JOIN ps b
+                     FROM psc a JOIN psc b
                        ON a.l_partkey = b.l_partkey
                        AND a.l_suppkey < b.l_suppkey),
               e AS (SELECT x AS m, y AS v FROM eg

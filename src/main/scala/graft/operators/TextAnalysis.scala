@@ -554,10 +554,25 @@ object TextAnalysis {
       .withColumn("cnt_r", col("cnt_all") - col("cnt_t"))
     val tot = bc.agg(sum(col("cnt_t")).as("n_t"),
       sum(col("cnt_r")).as("n_r"))
+    // micro-grid bound: (cnt + 1) * 1e6 stays in Int64 while no single
+    // hash bucket accumulates more than ~9.2e12 tokens (2^63 / 1e6).
+    // With 4096 buckets that is a ~3.8e16-token corpus even if one
+    // stopword bucket takes 1/4096 of the mass — two orders of
+    // magnitude past a 100 TB text corpus (~2e13 tokens), but NOT
+    // unreachable forever, so it is checked, not assumed: overflow
+    // would corrupt weights identically on Spark yet differently from
+    // an engine that widens the multiply.
     val wts = bc.crossJoin(broadcast(tot))
       .withColumn("w_micro",
         expr(s"((cnt_t + 1) * 1000000L div (n_t + $b)) - " +
           s"((cnt_r + 1) * 1000000L div (n_r + $b))"))
+      .withColumn("w_micro",
+        when(greatest(col("cnt_t"), col("cnt_r")) >=
+            lit(Long.MaxValue / 1000000L),
+          raise_error(lit("dsirScores: bucket count exceeds the " +
+            "Int64 micro-grid bound (~9.2e12 tokens/bucket); widen " +
+            "the grid or raise `buckets`")))
+          .otherwise(col("w_micro")))
       .select("bucket", "w_micro")
     tk.join(broadcast(wts), "bucket")
       .groupBy(idCol, carryCols: _*)

@@ -7,14 +7,16 @@
 // other bindings expose.
 //
 // Wire format (engine/Server.scala): 4-byte little-endian length
-// frames. This client negotiates the server's JSON mode with a
-// `protocol=json` first frame — the reference client's BSON codec
-// lives in an external dependency (gopkg.in/mgo.v2/bson), and this
-// SDK deliberately has none; the server treats both codecs as equal
-// peers. Request {"0": ticket, "1": cmd, "2": sql or prepared id,
-// "3": args, "4": useCache, "5": chunkRows}; response {"0": ticket,
-// "1": result} where a string result is an error; a 1-byte `H` frame
-// is a heartbeat probe answered with an empty frame.
+// frames. Connect speaks BSON by default — the reference client's
+// default mode — through the stdlib-only codec in bson.go (the
+// reference pulls gopkg.in/mgo.v2/bson; this SDK hand-implements the
+// subset from the public spec and keeps zero dependencies).
+// ConnectProto(host, port, db, "json") negotiates the alternate JSON
+// mode with a `protocol=json` first frame; the server treats both
+// codecs as equal peers. Request {"0": ticket, "1": cmd, "2": sql or
+// prepared id, "3": args, "4": useCache, "5": chunkRows}; response
+// {"0": ticket, "1": result} where a string result is an error; a
+// 1-byte `H` frame is a heartbeat probe answered with an empty frame.
 //
 // Timestamps travel as [epoch_seconds, nanos] pairs: pass time.Time
 // (converted losslessly) or [2]int64 values as arguments; result
@@ -105,14 +107,26 @@ func SplitRange(start, end interface{}, numParts int) RangeArray {
 	return parts
 }
 
-// Connect dials the server; dbName, when non-empty, is `use`d before
-// returning (reference opentick.go:28-59 shape).
+// Connect dials the server in the reference's default BSON mode;
+// dbName, when non-empty, is `use`d before returning (reference
+// opentick.go:28-59 shape).
 func Connect(host string, port int, dbName string) (Connection, error) {
+	return ConnectProto(host, port, dbName, "bson")
+}
+
+// ConnectProto dials with an explicit wire codec: "bson" (the server
+// default — no preamble) or "json" (negotiated with a `protocol=json`
+// first frame).
+func ConnectProto(host string, port int, dbName, protocol string) (Connection, error) {
+	if protocol != "bson" && protocol != "json" {
+		return nil, fmt.Errorf("unknown protocol %q (want bson or json)", protocol)
+	}
 	c := &connection{
 		pending:  map[int]*future{},
 		chunks:   map[int][]interface{}{},
 		prepared: map[string]int{},
 		timeout:  30.0,
+		protocol: protocol,
 	}
 	sock, err := net.Dial("tcp", net.JoinHostPort(host, strconv.Itoa(port)))
 	if err != nil {
@@ -122,9 +136,11 @@ func Connect(host string, port int, dbName string) (Connection, error) {
 		_ = t.SetNoDelay(true)
 	}
 	c.sock = sock
-	if err := c.writeFrame([]byte("protocol=json")); err != nil {
-		sock.Close()
-		return nil, err
+	if protocol == "json" {
+		if err := c.writeFrame([]byte("protocol=json")); err != nil {
+			sock.Close()
+			return nil, err
+		}
 	}
 	go c.readLoop()
 	if dbName != "" {
@@ -186,6 +202,30 @@ type connection struct {
 	ticket   int
 	timeout  float64
 	closed   bool
+	protocol string // "bson" (server default) or "json"
+}
+
+// encode/decode dispatch on the negotiated codec; both produce the
+// same value model (int64/float64/string/bool/nil/array/map), so
+// everything above this line is protocol-agnostic.
+func (c *connection) encode(doc map[string]interface{}) ([]byte, error) {
+	if c.protocol == "bson" {
+		return bsonEncode(doc)
+	}
+	return json.Marshal(doc)
+}
+
+func (c *connection) decode(body []byte) (map[string]interface{}, error) {
+	if c.protocol == "bson" {
+		return bsonDecode(body)
+	}
+	var doc map[string]interface{}
+	dec := json.NewDecoder(bytes.NewReader(body))
+	dec.UseNumber() // int64 tickets/cells must not round through float64
+	if err := dec.Decode(&doc); err != nil {
+		return nil, err
+	}
+	return doc, nil
 }
 
 // ── public API ──
@@ -441,7 +481,7 @@ func (c *connection) call(cmd string, sqlOrID interface{}, args interface{},
 	if chunkRows > 0 {
 		doc["5"] = chunkRows
 	}
-	body, err := json.Marshal(doc)
+	body, err := c.encode(doc)
 	if err == nil {
 		err = c.writeFrame(body)
 	}
@@ -487,10 +527,8 @@ func (c *connection) readLoop() {
 		if n == 0 {
 			continue
 		}
-		var doc map[string]interface{}
-		dec := json.NewDecoder(bytes.NewReader(body))
-		dec.UseNumber() // int64 tickets/cells must not round through float64
-		if err := dec.Decode(&doc); err != nil {
+		doc, err := c.decode(body)
+		if err != nil {
 			return
 		}
 		ticket, err := asInt(doc["0"])
@@ -629,12 +667,17 @@ func decodeNumber(n json.Number) interface{} {
 }
 
 func intNumber(v interface{}) (int64, bool) {
-	n, ok := v.(json.Number)
-	if !ok {
+	switch n := v.(type) {
+	case json.Number:
+		i, err := n.Int64()
+		return i, err == nil
+	case int64: // BSON path: integers arrive pre-decoded
+		return n, true
+	case int:
+		return int64(n), true
+	default:
 		return 0, false
 	}
-	i, err := n.Int64()
-	return i, err == nil
 }
 
 func asInt(v interface{}) (int, error) {
@@ -642,6 +685,8 @@ func asInt(v interface{}) (int, error) {
 	case json.Number:
 		i, err := n.Int64()
 		return int(i), err
+	case int64:
+		return int(n), nil
 	case float64:
 		return int(n), nil
 	case int:

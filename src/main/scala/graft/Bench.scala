@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Per-round benchmark: runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints one JSON line (driver contract).
@@ -146,6 +147,10 @@ object Bench {
       val runs = (0 until nRuns).map(_ => baselineLoops(spark))
       (runs.map(_._1).min, runs.map(_._2).min)
     }
+    val (streamS, streamRows) = {
+      val runs = (0 until nRuns).map(_ => streamingLoop(spark, sfDir))
+      (runs.map(_._1).min, runs.head._2)
+    }
     // original canary: a point get is ~0.2 s idle at any SF — still the
     // right probe for I/O stalls (but blind to cpu contention, r4)
     val canaryBudget = 0.6
@@ -194,7 +199,13 @@ object Bench {
       s""""load_suspect":$loadSuspect,""" +
       s""""ingest_100k_ohlcv_s":$ingestS,"scan_100k_ohlcv_s":$scanS,""" +
       s""""ingest_rows_per_s":${(100000 / ingestS).toLong},""" +
-      s""""scan_rows_per_s":${(100000 / scanS).toLong},"sf":"$sfDir"}""")
+      s""""scan_rows_per_s":${(100000 / scanS).toLong},""" +
+      s""""streaming_upsert_s":${(streamS * 1000).round / 1000.0},""" +
+      s""""streaming_upsert_rows":$streamRows,""" +
+      s""""streaming_upsert_rows_per_s":${(streamRows / streamS).toLong},""" +
+      s""""streaming_vs_batch_ingest":${
+        ((streamRows / streamS) / (100000 / ingestS) * 1000).round / 1000.0
+      },"sf":"$sfDir"}""")
     spark.stop()
     // a crash anywhere in the suite must fail the run visibly, AFTER the
     // JSON line (the driver still gets partial timings to grade)
@@ -203,6 +214,62 @@ object Bench {
         s"[bench] ${failures.size} queries FAILED: ${failures.keys.mkString(", ")}")
       sys.exit(1)
     }
+  }
+
+  /** Streaming-path throughput (round-6 verdict item 7): the sf events
+    * rows re-shaped into 4 parquet files (setup, untimed), then
+    * streamed file-per-trigger through the FULL Structured Streaming
+    * ingest surface — event-time watermark dedup
+    * ([[streaming.Ingest.dedupWithinWatermark]]) into the foreachBatch
+    * last-write-wins upsert ([[streaming.Ingest.streamUpsert]]) — and
+    * timed from query start to drained. Returns (wallSecs, rows).
+    * The JSON reports rows/s next to the batch ingest rate so a
+    * regression in the streaming path (state-store thrash, per-batch
+    * planning blowup) is visible as the ratio drifting, the same way
+    * the scan/ingest loops track the reference baseline.
+    */
+  private[graft] def streamingLoop(spark: SparkSession, sfDir: String): (Double, Long) = {
+    val base = java.nio.file.Files.createTempDirectory("graft-bench-stream")
+    val srcDir = s"$base/src"
+    val outDir = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    val ev = Tables.load(spark, sfDir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    // feed the stream in event-time order, like a real source: four
+    // time-quartile files written oldest-first (increasing mod times),
+    // so micro-batch i+1 never arrives behind batch i's watermark —
+    // shuffling the quartiles would make the dedup's lateness eviction
+    // drop half the corpus, which is a watermark-semantics property,
+    // not an ingest-throughput one
+    val quartiled = ev.withColumn("__b",
+      ntile(4).over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))))
+    for (i <- 1 to 4) {
+      quartiled.filter(col("__b") === i).drop("__b")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      Thread.sleep(10) // distinct mod times fix the source's file order
+    }
+    val src = spark.read.parquet(srcDir)
+    val n = src.count()
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema(src.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      // the ts contract is LongType epoch-nanos; the watermark needs a
+      // timestamp column (µs precision is plenty for a 10 min horizon)
+      .withColumn("ts_event",
+        timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    val deduped = streaming.Ingest.dedupWithinWatermark(
+      stream, "ts_event", "10 minutes", Seq("event_id"))
+    val q = streaming.Ingest.streamUpsert(
+      deduped, outDir, Seq("event_id"), ckpt)
+    q.processAllAvailable()
+    q.stop()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val got = streaming.Ingest.readUpserted(spark, outDir, Seq("event_id"))
+      .count() // untimed sanity: the upsert log must hold every key
+    require(got == n, s"streaming upsert lost rows: $got != $n")
+    (wall, n)
   }
 
   /** The reference's own benchmark shape (BASELINE.md; reference

@@ -11,7 +11,9 @@ import java.nio.charset.StandardCharsets
   * toolchain and driven as a subprocess against a live
   * [[GraftServer]] — DDL, prepared batch insert with ns timestamps,
   * selects, SplitRange scatter-gather, chunked SELECT streaming, meta
-  * commands, error strings, and idle heartbeat servicing. Cancels
+  * commands, error strings, and idle heartbeat servicing — once per
+  * wire codec: BSON (the reference default, via the stdlib-only codec
+  * in bindings/go/bson.go) and the negotiated JSON mode. Cancels
   * (does not fail) on machines without `go`, like [[CppClientSpec]]
   * does without g++.
   */
@@ -44,7 +46,7 @@ class GoClientSpec extends AnyFunSuite {
       |
       |func main() {
       |	port, _ := strconv.Atoi(os.Args[2])
-      |	c, err := graftclient.Connect(os.Args[1], port, "")
+      |	c, err := graftclient.ConnectProto(os.Args[1], port, "", os.Args[3])
       |	die(err)
       |	_, err = c.Execute("create database godb")
       |	die(err)
@@ -121,7 +123,7 @@ class GoClientSpec extends AnyFunSuite {
       |}
       |""".stripMargin
 
-  test("Go client round-trips DDL, batch insert, ns timestamps, ranges, chunks") {
+  private def roundTrip(protocol: String): Unit = {
     assume(goBin.nonEmpty, "go toolchain not installed on this machine")
     val wh = Files.createTempDirectory("graft-go-wh").toString
     val engine = new Engine(spark, wh)
@@ -135,7 +137,11 @@ class GoClientSpec extends AnyFunSuite {
       Files.copy(
         Paths.get("bindings/go/graftclient.go").toAbsolutePath,
         pkg.resolve("graftclient.go"))
-      val out = runGo(dir, goBin.get, "127.0.0.1", server.boundPort.toString)
+      Files.copy(
+        Paths.get("bindings/go/bson.go").toAbsolutePath,
+        pkg.resolve("bson.go"))
+      val out = runGo(dir, goBin.get, "127.0.0.1",
+        server.boundPort.toString, protocol)
       val lines = out.linesIterator.toSeq
       assert(lines.contains("N1=2"), out)
       assert(lines.contains("PX=1.5"), out)
@@ -152,6 +158,14 @@ class GoClientSpec extends AnyFunSuite {
     } finally {
       server.stop()
     }
+  }
+
+  test("Go client round-trips DDL, batch insert, ns timestamps, ranges, chunks (bson — the reference default)") {
+    roundTrip("bson")
+  }
+
+  test("Go client round-trips the same surface in the negotiated json mode") {
+    roundTrip("json")
   }
 
   private def runGo(dir: Path, go: String, args: String*): String = {

@@ -59,8 +59,67 @@ def type_mismatches(got_rel, exp_rel):
             bad.append((c, gt, et))
     return bad
 
+# hex52 of md5('abc') exactly as operators/Sketch.hex52Sql generates it
+# — the portable 52-bit hash every sketch/sampling oracle leans on
+_HEX52_ABC = "(" + " + ".join(
+    "CAST(instr('0123456789abcdef', substring(md5('abc'), %d, 1)) - 1 "
+    "AS BIGINT) * %d" % (i + 1, 1 << (4 * (12 - i))) for i in range(13)) + ")"
+
+# Oracle-environment tripwire: semantic probes over every DuckDB
+# behavior the oracle SQL corpus leans on — md5, the hex52 nibble fold,
+# // and % sign semantics, round-half behavior, regexp_split_to_array,
+# generate_series bounds, INTERVAL arithmetic, instr indexing, float
+# repr through floor, epoch_us, strftime, and the sum(INT)→HUGEINT
+# type class the driver hash distinguishes from BIGINT. Goldens pinned
+# under DuckDB 1.0.0; a driver-side DuckDB upgrade that changes ANY of
+# them would silently flip query hashes, so drift here must fail the
+# whole run loudly BEFORE any query comparison is attempted.
+ENV_PROBES = [
+    ("SELECT md5('abc')", "[('900150983cd24fb0d6963f7d28e17f72',)]"),
+    ("SELECT " + _HEX52_ABC, "[(2533365144341796,)]"),
+    ("SELECT 7 // 2, -7 // 2, 7 % 3, -7 % 3", "[(3, -3, 1, -1)]"),
+    ("SELECT CAST(round(2.5) AS VARCHAR), CAST(round(3.5) AS VARCHAR),"
+     " CAST(round(-2.5) AS VARCHAR)", "[('3', '4', '-3')]"),
+    (r"SELECT len(regexp_split_to_array(lower(trim(' A  b ')), '\s+'))",
+     "[(2,)]"),
+    ("SELECT count(*) FROM (SELECT unnest(generate_series(1, 3)))",
+     "[(3,)]"),
+    ("SELECT CAST(TIMESTAMP '1995-01-01' + INTERVAL 30 DAY AS VARCHAR)",
+     "[('1995-01-31 00:00:00',)]"),
+    ("SELECT instr('0123456789abcdef', 'a')", "[(11,)]"),
+    ("SELECT CAST(floor(2.675 * 100) AS BIGINT)", "[(267,)]"),
+    ("SELECT epoch_us(TIMESTAMP '1970-01-02 00:00:00')",
+     "[(86400000000,)]"),
+    ("SELECT strftime(TIMESTAMP '2024-03-01', '%Y-%m-%d')",
+     "[('2024-03-01',)]"),
+]
+
+def probe_oracle_env(con):
+    """Die (exit 2) on oracle-environment drift; returns quietly if sane."""
+    bad = []
+    for sql, want in ENV_PROBES:
+        try:
+            got = repr(con.sql(sql).fetchall())
+        except Exception as e:  # a removed function is drift too
+            got = f"ERROR: {e}"
+        if got != want:
+            bad.append((sql, want, got))
+    tcls = [tclass(t) for t in
+            con.sql("SELECT sum(i), avg(i) FROM range(3) t(i)").types]
+    if tcls != ["HUGEINT", "FLOAT64"]:
+        bad.append(("typeof sum(INT), avg(INT)",
+                    "['HUGEINT', 'FLOAT64']", repr(tcls)))
+    if bad:
+        print(f"ORACLE ENV DRIFT (duckdb {duckdb.__version__}): "
+              f"{len(bad)} probe(s) changed — query hashes are not "
+              f"comparable, refusing to grade")
+        for sql, want, got in bad:
+            print(f"  probe: {sql}\n    want {want}\n    got  {got}")
+        sys.exit(2)
+
 def main(out_dir, sf_dir):
     con = duckdb.connect()
+    probe_oracle_env(con)
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):

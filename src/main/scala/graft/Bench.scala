@@ -151,6 +151,15 @@ object Bench {
       val runs = (0 until nRuns).map(_ => streamingLoop(spark, sfDir))
       (runs.map(_._1).min, runs.head._2)
     }
+    // second point on the BATCH-SIZE axis (round-7 verdict item 4): the
+    // same corpus in ONE micro-batch. rate(1)/rate(4) measures how much
+    // of the 4-batch wall is per-batch fixed cost; the per-batch
+    // overhead estimate below is the decomposition the 2×-of-batch bar
+    // reduces to at real trigger sizes
+    val (stream1S, _) = {
+      val runs = (0 until nRuns).map(_ => streamingLoop(spark, sfDir, 1))
+      (runs.map(_._1).min, streamRows)
+    }
     // original canary: a point get is ~0.2 s idle at any SF — still the
     // right probe for I/O stalls (but blind to cpu contention, r4)
     val canaryBudget = 0.6
@@ -187,7 +196,8 @@ object Bench {
     val failedJson = failures
       .map { case (n, msg) => s"${jstr(n)}:${jstr(msg)}" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs":$nRuns,""" +
       s""""queries":$qs,""" +
       s""""query_load":$meta,""" +
       s""""failed_queries":$failedJson,""" +
@@ -205,7 +215,35 @@ object Bench {
       s""""streaming_upsert_rows_per_s":${(streamRows / streamS).toLong},""" +
       s""""streaming_vs_batch_ingest":${
         ((streamRows / streamS) / (100000 / ingestS) * 1000).round / 1000.0
-      },"sf":"$sfDir"}""")
+      },""" +
+      // batch-size axis: the same corpus as ONE micro-batch, its rate
+      // vs batch ingest, the rate-scaling factor vs the 4-batch run,
+      // and the implied per-micro-batch fixed cost (t4 − t1)/3 — the
+      // measured decomposition of the streaming-vs-batch gap
+      s""""streaming_1batch_s":${(stream1S * 1000).round / 1000.0},""" +
+      s""""streaming_1batch_rows_per_s":${(streamRows / stream1S).toLong},""" +
+      s""""streaming_1batch_vs_batch_ingest":${
+        ((streamRows / stream1S) / (100000 / ingestS) * 1000).round / 1000.0
+      },""" +
+      s""""streaming_rate_scaling_1v4":${
+        ((streamRows / stream1S) / (streamRows / streamS) * 1000).round / 1000.0
+      },""" +
+      s""""streaming_per_batch_overhead_s":${
+        (math.max(0.0, (streamS - stream1S) / 3.0) * 1000).round / 1000.0
+      },""" +
+      s""""sf":"$sfDir"}"""
+    println(line)
+    // full-artifact persistence (round-7 verdict item 3): the driver's
+    // BENCH_r{N} tail truncates per-query rows; writing the SAME line
+    // to a repo file makes every per-query number committable without
+    // /tmp archaeology
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
     // a crash anywhere in the suite must fail the run visibly, AFTER the
     // JSON line (the driver still gets partial timings to grade)
@@ -228,7 +266,8 @@ object Bench {
     * planning blowup) is visible as the ratio drifting, the same way
     * the scan/ingest loops track the reference baseline.
     */
-  private[graft] def streamingLoop(spark: SparkSession, sfDir: String): (Double, Long) = {
+  private[graft] def streamingLoop(spark: SparkSession, sfDir: String,
+      nBatches: Int = 4): (Double, Long) = {
     val base = java.nio.file.Files.createTempDirectory("graft-bench-stream")
     val srcDir = s"$base/src"
     val outDir = s"$base/out"
@@ -236,40 +275,54 @@ object Bench {
     val ev = Tables.load(spark, sfDir, "events")
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
-    // feed the stream in event-time order, like a real source: four
-    // time-quartile files written oldest-first (increasing mod times),
-    // so micro-batch i+1 never arrives behind batch i's watermark —
-    // shuffling the quartiles would make the dedup's lateness eviction
-    // drop half the corpus, which is a watermark-semantics property,
-    // not an ingest-throughput one
+    // feed the stream in event-time order, like a real source:
+    // `nBatches` time-quantile files written oldest-first (increasing
+    // mod times), so micro-batch i+1 never arrives behind batch i's
+    // watermark — shuffling the quantiles would make the dedup's
+    // lateness eviction drop half the corpus, which is a
+    // watermark-semantics property, not an ingest-throughput one.
+    // nBatches is the BATCH-SIZE axis: the per-micro-batch fixed cost
+    // (planning, state-store commit, upsert-log write) amortizes with
+    // rows/batch, and running the same corpus at two batch counts
+    // measures that directly instead of asserting it
     val quartiled = ev.withColumn("__b",
-      ntile(4).over(org.apache.spark.sql.expressions.Window
+      ntile(nBatches).over(org.apache.spark.sql.expressions.Window
         .orderBy(col("ts"), col("event_id"))))
-    for (i <- 1 to 4) {
+    for (i <- 1 to nBatches) {
       quartiled.filter(col("__b") === i).drop("__b")
         .coalesce(1).write.mode("append").parquet(srcDir)
       Thread.sleep(10) // distinct mod times fix the source's file order
     }
     val src = spark.read.parquet(srcDir)
     val n = src.count()
-    val t0 = System.nanoTime()
-    val stream = spark.readStream.schema(src.schema)
-      .option("maxFilesPerTrigger", 1).parquet(srcDir)
-      // the ts contract is LongType epoch-nanos; the watermark needs a
-      // timestamp column (µs precision is plenty for a 10 min horizon)
-      .withColumn("ts_event",
-        timestamp_micros((col("ts") / lit(1000L)).cast("long")))
-    val deduped = streaming.Ingest.dedupWithinWatermark(
-      stream, "ts_event", "10 minutes", Seq("event_id"))
-    val q = streaming.Ingest.streamUpsert(
-      deduped, outDir, Seq("event_id"), ckpt)
-    q.processAllAvailable()
-    q.stop()
-    val wall = (System.nanoTime() - t0) / 1e9
-    val got = streaming.Ingest.readUpserted(spark, outDir, Seq("event_id"))
-      .count() // untimed sanity: the upsert log must hold every key
-    require(got == n, s"streaming upsert lost rows: $got != $n")
-    (wall, n)
+    // the stream's shuffles (watermark dedup state, upsert batches)
+    // move ~25-100k rows — at 32 shuffle partitions each micro-batch
+    // commits 32 near-empty state files and the fixed cost swamps the
+    // work; 8 keeps every core busy at this volume while quartering
+    // the per-batch commit fan-out. Session conf is restored after:
+    // batch queries still want the full width.
+    val savedParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val t0 = System.nanoTime()
+      val stream = spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir)
+        // the ts contract is LongType epoch-nanos; the watermark needs a
+        // timestamp column (µs precision is plenty for a 10 min horizon)
+        .withColumn("ts_event",
+          timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      val deduped = streaming.Ingest.dedupWithinWatermark(
+        stream, "ts_event", "10 minutes", Seq("event_id"))
+      val q = streaming.Ingest.streamUpsert(
+        deduped, outDir, Seq("event_id"), ckpt)
+      q.processAllAvailable()
+      q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val got = streaming.Ingest.readUpserted(spark, outDir, Seq("event_id"))
+        .count() // untimed sanity: the upsert log must hold every key
+      require(got == n, s"streaming upsert lost rows: $got != $n")
+      (wall, n)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
   /** The reference's own benchmark shape (BASELINE.md; reference

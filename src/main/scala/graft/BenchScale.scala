@@ -177,16 +177,16 @@ object BenchScale {
     // spreads o_orderdate over the sf span (1995 + 2400 days), and
     // derives l_shipdate from the order's own date — so the WHOLE
     // TPC-H suite runs in the smoke (each shape is 1-3 fact-table
-    // exchanges + broadcast dims), q1_agg included. Exceptions, both
-    // query-property (not missing-column) notes: q_tpch_q11's
-    // above-average cutoff goes 0-row here because this generator's
-    // per-part value spread tightens with rows-per-part (CLT on
-    // uniform hashes) — real catalogs keep power-law part values,
-    // which is the regime the threshold is built for. ──
+    // exchanges + broadcast dims), q1_agg included. Round 8: q_tpch_q11
+    // re-admitted — the generator's l_extendedprice now carries a
+    // log-uniform per-PART multiplier (see makeLineitem), restoring
+    // the power-law per-part value spread whose absence made the
+    // above-average cutoff go 0-row (CLT tightening on uniform
+    // hashes — a generator artifact, not an engine property). ──
     "q1_agg", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
-    "q_late_shipments", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
-    "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
+    "q_tpch_q11", "q_late_shipments", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20", "q_tpch_q21",
     // round-7 wave 2: the part/segment-reading registry queries the
     // missing columns excluded until now — Pareto segmentation + the
     // 2D skyline (one rank window / one running-max pass over part),
@@ -406,7 +406,20 @@ object BenchScale {
         .as("l_tax"),
       (pmod(xxhash64(col("id"), lit(23L)), lit(50L)) + 1L)
         .cast("double").as("l_quantity"),
-      round(pmod(xxhash64(col("id"), lit(24L)), lit(10000000L)) / 100.0, 2)
+      // POWER-LAW part values (round-7 verdict item 8): a log-uniform
+      // per-PART multiplier 2^(0..7) rides on the uniform cent draw, so
+      // per-part aggregate values keep a heavy tail at every scale —
+      // real catalogs are Zipfian, and uniform-only prices made
+      // q_tpch_q11's above-average cutoff go 0-row here (CLT tightening
+      // on rows-per-part, not an engine property). E[mult] ≈ 31.9, so
+      // the 1.5×-average cutoff keeps the mult ∈ {64, 128} quarter of
+      // parts at any factor. No registry predicate thresholds on price
+      // magnitude (grep-checked: only a `<= 0` DQ probe), so other
+      // smoke selectivities are unaffected.
+      round(pmod(xxhash64(col("id"), lit(24L)), lit(10000000L)) / 100.0 *
+        pow(lit(2.0),
+          pmod(xxhash64(pmod(xxhash64(col("id"), lit(31L)), lit(nParts)),
+            lit(33L)), lit(8L)).cast("double")), 2)
         .as("l_extendedprice"),
       element_at(array(Seq("A", "N", "R").map(lit): _*),
         (pmod(xxhash64(col("id"), lit(25L)), lit(3L)) + 1L).cast("int"))
@@ -504,6 +517,49 @@ object BenchScale {
     put("region", makeRegion(spark))
   }
 
+  // ── machine-readable exclusion ledger (round-7 verdict item 7):
+  // every registered query NOT in the smoke, with a reason class, so
+  // coverage is auditable from the artifact instead of from comments.
+  // The by-design exclusions carry their specific generator-artifact
+  // notes; the rest are either engine-dialect queries (ot_*: driven by
+  // the OLTP engine surface — sbt specs + ot_ correctness rows — not
+  // scan-shaped table reads) or below the cost threshold where a scale
+  // point adds signal beyond the family representative already smoked.
+  private val ExcludedReasons: Map[String, String] = Map(
+    "q_editdist_pairs" -> ("generator-artifact: the 1600-word synthetic " +
+      "vocabulary makes 2-word prefix-block populations grow with the " +
+      "corpus (candidate pairs grow ~n^2); real corpora keep prefix " +
+      "blocks bounded"),
+    "q_triangles" -> ("generator-artifact: the uniform co-occurrence " +
+      "projection densifies toward the complete graph (every supplier " +
+      "meets every other through some part), so wedge volume grows " +
+      "~n^2; real co-supply graphs stay sparse with power-law tails"),
+    "q_kcore" -> ("generator-artifact: the uniform co-purchase graph " +
+      "densifies with scale (the q_triangles note), making shell sizes " +
+      "a generator property; real purchase graphs stay sparse"),
+    "q_semdedup" -> ("generator-artifact: 4096 FIXED sign buckets over " +
+      "rows that grow, so within-cell candidate pairs grow ~n^2; real " +
+      "deployments grow the cell count with the corpus (k-means k ~ n)"),
+    "q_knn_graph" -> ("generator-artifact: 10 FIXED label cells over " +
+      "rows that grow (the q_semdedup note); real corpora grow the " +
+      "blocking-cell count with the data"),
+    "q_mutual_nn" -> ("generator-artifact: 10 FIXED label cells over " +
+      "rows that grow (the q_semdedup note); real corpora grow the " +
+      "blocking-cell count with the data"))
+  private def excludedLedger: Seq[(String, String)] = {
+    val included =
+      (QueryNames ++ VectorDimQueries ++ VectorRowQueries).toSet
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(included).map { n =>
+      n -> ExcludedReasons.getOrElse(n,
+        if (n.startsWith("ot_"))
+          "engine-dialect: OLTP engine surface (sbt specs + ot_ " +
+            "correctness rows), not a scan-shaped table read"
+        else
+          "below-cost-threshold: sub-second at sf0.1; scale shape " +
+            "covered by its family's heavy representative")
+    }
+  }
+
   private def sig(m: Map[String, Int]): String =
     m.toSeq.sortBy(_._1).collect { case (k, v) if v > 0 => s"$k=$v" }
       .mkString(",")
@@ -518,8 +574,18 @@ object BenchScale {
       .map(k => k -> k.r.findAllIn(p).length).toMap
   }
 
-  private def runOne(spark: SparkSession, name: String, dir: String)
-      : (Double, Long, Map[String, Int]) = {
+  private def runOne(spark: SparkSession, name: String, dir: String,
+      warm: Boolean = false): (Double, Long, Map[String, Int]) = {
+    // warm=true (the 1× point): one UNTIMED run first. The base scale
+    // is where first-exercise JIT and codegen compilation land, and a
+    // 2× swing on a 2-4 s t1 swings every ratio gate with it (round-7
+    // verdict item 5: same-code time_ratio 12.2 vs 20.9 across two
+    // runs of q_corpus_build) — a warm-up run costs ~nothing at 1×
+    // and pins the denominator
+    if (warm) {
+      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count()
+      spark.catalog.clearCache()
+    }
     val runs = (0 until 2).map { _ =>
       // the timer wraps the BUILDER too (same contract as Bench):
       // queries with eager stats/fixpoint phases (q_ntile's count pass,
@@ -584,6 +650,11 @@ object BenchScale {
       SparkEntry.queries(n)(spark, base).write.format("noop")
         .mode("overwrite").save())
     var bad = 0
+    // every emitted row is buffered and written as ONE committed JSON
+    // artifact at exit (round-7 verdict item 2: both smoke and bench
+    // evidence died in /tmp; the artifact is the run's full record)
+    val emitted = scala.collection.mutable.Buffer[String]()
+    def emit(s: String): Unit = { println(s); emitted += s }
     // (name, scaled dir, expected WORK ratio): documents/events and the
     // row-scaled vector queries grow ×factor; the dim-scaled vector
     // queries grow ×(factor · DimFactor) per the scan's rows×dim work.
@@ -596,7 +667,7 @@ object BenchScale {
     ).filter { case (n, _, _) => only.forall(_.contains(n)) }
     val timed = scala.collection.mutable.Map[String, Double]()
     val results = cases.map { case (name, bigDir, workRatio) =>
-      val (t1, r1, s1) = runOne(spark, name, base)
+      val (t1, r1, s1) = runOne(spark, name, base, warm = true)
       probeOne(spark, name, base) // k real rows, bounded, untimed
       val (tN, rN, sN) = runOne(spark, name, bigDir)
       timed(name) = tN
@@ -622,7 +693,7 @@ object BenchScale {
       // inlined-array_max trap) overshoots this by another ×DimFactor.
       val timeOk = timeRatio <= 3.0 * math.max(rowRatio, workRatio)
       if (!planOk || !timeOk) bad += 1
-      println(s"""{"query":"$name","t1_s":${f"$t1%.3f"},""" +
+      emit(s"""{"query":"$name","t1_s":${f"$t1%.3f"},""" +
         s""""t${factor}_s":${f"$tN%.3f"},"rows1":$r1,"rows$factor":$rN,""" +
         s""""time_ratio":${f"$timeRatio%.2f"},"work_ratio":$workRatio,""" +
         s""""plan_ok":$planOk,"strategy_flip":$strategyFlip,""" +
@@ -652,16 +723,33 @@ object BenchScale {
           math.log(HeavyFactor2.toDouble / factor)
         val expOk = expo < 1.5
         if (!expOk) bad += 1
-        println(s"""{"query":"$name","t${factor}_s":${f"$tN%.3f"},""" +
+        emit(s"""{"query":"$name","t${factor}_s":${f"$tN%.3f"},""" +
           s""""t${HeavyFactor2}_s":${f"$t2%.3f"},"rows$HeavyFactor2":$r2,""" +
           s""""growth_exponent":${f"$expo%.3f"},"exp_ok":$expOk}""")
       }
     }
+    // the exclusion ledger rides in the artifact even on filtered runs
+    // (the full registry minus the full smoke list — a filtered `only`
+    // run doesn't change what the smoke COVERS by design)
+    val exclJson = excludedLedger.map { case (n, r) =>
+      s"""{"query":"$n","reason":"${r.replace("\"", "\\\"")}"}"""
+    }.mkString("[", ",", "]")
+    emit(s"""{"metric":"scale_smoke_excluded","count":${
+      excludedLedger.length},"excluded":$exclJson}""")
     val worst = results.maxBy(_._2)
-    println(s"""{"metric":"scale_smoke","factor":$factor,""" +
+    emit(s"""{"metric":"scale_smoke","factor":$factor,""" +
       s""""queries":${results.length},"failures":$bad,""" +
       s""""worst_time_ratio":${f"${worst._2}%.2f"},""" +
       s""""worst_query":"${worst._1}"}""")
+    // one committed JSON array per run (round-7 verdict item 2)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SMOKE_OUT",
+      "SMOKE_FULL.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath),
+      emitted.mkString("[\n", ",\n", "\n]\n"))
+    catch { case e: Throwable =>
+      System.err.println(s"[smoke] artifact write failed: ${e.getMessage}")
+    }
     spark.stop()
     if (bad > 0) sys.exit(1)
   }

@@ -2499,16 +2499,21 @@ object Queries {
               ORDER BY id""")),
 
     // ── north star: TF-weighted cosine near-dup join over the 5-gram
-    //    shingle inverted index — integer dot/norm sums, two IEEE
-    //    sqrts, one divide; df-guard prunes candidates only (scores
-    //    unchanged). Shingle space, not unigrams: this corpus's 31-token
-    //    vocabulary makes the unigram index dense (setSimJoin rule). ──
+    //    shingle inverted index — EXACT via the all-pairs prefix
+    //    filter (Bayardo et al.; the weighted sibling of setSimJoin's
+    //    PPJoin prefix): rarest-(1−t²)-mass terms indexed, full
+    //    postings probed, candidates verified from full TF vectors.
+    //    Because verification is exact and the prefix is provably
+    //    complete, a plain shared-token all-pairs oracle replays the
+    //    output row-for-row. Integer dot/norm sums, two IEEE sqrts,
+    //    one divide. Shingle space, not unigrams: this corpus's
+    //    31-token vocabulary makes the unigram index dense
+    //    (setSimJoin rule). ──
     QueryDef(
       "q_tf_cosine",
       (s, dir) =>
         operators.Dedup.tfCosineJoin(twinChainCorpus(s, dir),
-            "doc_id", "text", threshold = 0.9, maxDocFreq = 100,
-            ngram = 5)
+            "doc_id", "text", threshold = 0.9, ngram = 5)
           .orderBy("id_a", "id_b"),
       Some("""WITH docs AS (
                 SELECT doc_id, text FROM documents
@@ -2530,13 +2535,9 @@ object Queries {
                      FROM tk GROUP BY 1, 2),
               norms AS (SELECT doc_id, sum(tf * tf) AS n2
                         FROM tf GROUP BY 1),
-              keep AS (SELECT tok FROM tf
-                       GROUP BY tok HAVING count(*) <= 100),
-              ctf AS (SELECT tf.doc_id, tf.tok, tf.tf
-                      FROM tf JOIN keep USING (tok)),
               dot AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
-                      FROM ctf a JOIN ctf b
+                      FROM tf a JOIN tf b
                         ON a.tok = b.tok AND a.doc_id < b.doc_id
                       GROUP BY 1, 2)
               SELECT id_a, id_b, dot,

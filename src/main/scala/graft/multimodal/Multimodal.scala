@@ -11,10 +11,14 @@ import org.apache.spark.sql.catalyst.encoders.RowEncoder
   * (JNI/native or Arrow-batched) drops in without changing the plan
   * shape.
   *
-  * The actual byte→pixels/samples decode is STUBBED (no media libraries
-  * in this environment): `stubDecode*` derive deterministic fake
-  * features from the bytes. Every Spark-side concern — schema,
-  * nullability, partition batching, column pruning — is real and tested.
+  * Decode is REAL where the JDK has codecs and stubbed only beyond
+  * them: images decode via `javax.imageio` (PNG/JPEG/BMP/GIF/WBMP),
+  * video via the ISO-BMFF sample-table walk + MJPEG frame decode below;
+  * the `stubDecode*` variants remain as the deterministic fallback for
+  * formats with no in-container codec (and as the drop-in seam for a
+  * heavier JNI/Arrow codec). Every Spark-side concern — schema,
+  * nullability, partition batching, column pruning — is real and tested
+  * on both paths.
   */
 object Multimodal {
   /** media metadata: (kind, byte length, sha-ish content id) */

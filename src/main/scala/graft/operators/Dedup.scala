@@ -783,44 +783,94 @@ object Dedup {
     * wants). Pairs with cosine ≥ `threshold` survive:
     * cosine = Σ tf_a·tf_b / (‖a‖·‖b‖).
     *
+    * EXACT — every pair with true cosine ≥ `threshold` is returned —
+    * via the all-pairs PREFIX FILTER for weighted cosine (the
+    * Bayardo/Ma/Srikant "Scaling Up All Pairs Similarity Search"
+    * discipline; the weighted counterpart of [[setSimJoin]]'s Jaccard
+    * prefix). The theorem: order each doc's terms by one global
+    * (df, term) rare-first order, and let pre2(k) be the squared TF
+    * mass of the first k terms. Index term k only while the REMAINING
+    * mass could still reach t: n2 − pre2(k−1) ≥ t²·n2. If a pair
+    * shares no indexed term of a, every shared term sits in a's
+    * un-indexed suffix, so by Cauchy–Schwarz
+    * cosine ≤ √((n2−pre2)/n2) < t. Probing indexed prefixes against
+    * FULL postings therefore yields a candidate SUPERSET, and the
+    * verification below scores candidates from the full TF vectors —
+    * prefix-set details can never change a surviving row (which is
+    * also what lets a plain shared-token all-pairs oracle replay this
+    * operator exactly).
+    *
     * Engine-exact by construction: dot products and squared norms are
     * INTEGER sums (order-free); the only floats are two sqrt calls
     * (IEEE-correctly-rounded in every engine), one multiply, one
-    * divide — all fixed-order. Skew guard: tokens in more than
-    * `maxDocFreq` docs are pruned from the candidate join only (norms
-    * keep every token: pruning must lose candidates, not change
-    * scores of survivors).
+    * divide — all fixed-order; the prefix condition runs on a scaled-
+    * integer t² grid (floored: a round-up would shorten the prefix
+    * past the theorem's minimum and silently miss boundary pairs —
+    * the dual of setSimJoin's ceil note).
+    *
+    * Scale shape: candidate volume is Σ_term prefixCount·df where
+    * prefixCount counts only the ≈(1−t²) rarest mass of each doc —
+    * common terms live in suffixes and are probed, never indexed. The
+    * volume SHRINKS as the threshold rises (the absolute-df cap this
+    * replaced grew Σ df² ∝ n² while dfs sat under the cap, then
+    * silently collapsed recall once they crossed it).
     */
   def tfCosineJoin(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.9, maxDocFreq: Long = 1000,
-      ngram: Int = 1): DataFrame = {
+      threshold: Double = 0.9, ngram: Int = 1): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+    val W = org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // ngram > 1 weights SHINGLE frequencies — for a corpus with a
     // small shared vocabulary (every token in ~every doc) the unigram
-    // index is dense and the df guard would have to prune everything;
-    // shingle space is sparse enough for the inverted-index join to
-    // stay near-linear (the setSimJoin element-space rule)
+    // index is dense; shingle space is sparse enough for the
+    // inverted-index join to stay near-linear (the setSimJoin
+    // element-space rule)
     val el = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"), explode(
         if (ngram <= 1) col("__toks")
         else shingleArray(col("__toks"), ngram)).as("tok"))
-    // (id, tok, tf) read three times (norms + both join sides): persist
+    // (id, tok, tf) feeds the ranking, the probe side and both
+    // verification joins: persist
     val tf = el
       .groupBy("id", "tok").agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(lvl)
     val norms = tf.groupBy("id")
       .agg(sum(col("tf") * col("tf")).as("n2"))
-    val candTf = if (maxDocFreq <= 0) tf else
-      tf.join(tf.groupBy("tok").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq).select("tok"), "tok")
-    val dot = candTf.select(col("id").as("id_a"), col("tok"),
-        col("tf").as("tfa"))
-      .join(candTf.select(col("id").as("id_b"), col("tok"),
-        col("tf").as("tfb")), "tok")
-      .filter(col("id_a") < col("id_b"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    // −1: `threshold * threshold` can round UP past real t², and an
+    // over-tight grid value would exclude a boundary dim the theorem
+    // needs; one grid step of slack (1e-6 relative, dwarfing double
+    // rounding) keeps the prefix a guaranteed superset
+    val tsq = math.max(0L,
+      math.floor(threshold * threshold * 1e6).toLong - 1L)
+    val ranked = tf.join(dfreq, "tok")
+      .withColumn("pre2x", coalesce(sum(col("tf") * col("tf"))
+        .over(W.partitionBy(col("id")).orderBy(col("df"), col("tok"))
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n2",
+        sum(col("tf") * col("tf")).over(W.partitionBy(col("id"))))
+    // persist the PREFIX, not the full ranked table (the setSimJoin
+    // memory note): it is ≈(1−t²) of the index and the only
+    // downstream consumer of the ranking
+    val prefix = ranked
+      .filter((col("n2") - col("pre2x")) * lit(1000000L) >=
+        lit(tsq) * col("n2"))
+      .select("id", "tok")
+      .persist(lvl)
+    val cand = prefix.select(col("id").as("pid"), col("tok"))
+      .join(tf.select(col("id").as("qid"), col("tok")), "tok")
+      .filter(col("pid") =!= col("qid"))
+      .select(least(col("pid"), col("qid")).as("id_a"),
+        greatest(col("pid"), col("qid")).as("id_b"))
+      .distinct()
+    val dot = cand
+      .join(tf.select(col("id").as("id_a"), col("tok"),
+        col("tf").as("tfa")), "id_a")
+      .join(tf.select(col("id").as("id_b"), col("tok"),
+        col("tf").as("tfb")), Seq("id_b", "tok"))
       .groupBy("id_a", "id_b")
       .agg(sum(col("tfa") * col("tfb")).as("dot"))
     dot

@@ -34,6 +34,33 @@ class BsonSpec extends AnyFunSuite {
       "00") // outer terminator
   }
 
+  test("cross-codec golden frames: encode matches the committed bytes " +
+      "bindings/go/bson_golden.jsonl pins for BOTH codecs") {
+    // the shared truth file the Go codec is also held to (round-7
+    // verdict item 6): every fixture frame must be byte-identical to
+    // what this codec emitted when the file was generated, and decode
+    // back to the fixture document. A drift in EITHER codec breaks its
+    // side's test against the same bytes.
+    val path = java.nio.file.Paths.get("bindings/go/bson_golden.jsonl")
+    assert(java.nio.file.Files.exists(path), s"missing $path")
+    val pinned = java.nio.file.Files.readAllLines(path).stream().toArray
+      .map(_.toString).filter(_.nonEmpty).map { line =>
+        val name = line.split("\"name\":\"")(1).split("\"")(0)
+        val hx = line.split("\"hex\":\"")(1).split("\"")(0)
+        name -> hx
+      }.toMap
+    val fixtures = BsonGoldenGen.fixtures
+    assert(fixtures.map(_._1).toSet == pinned.keySet,
+      "fixture set drifted from the committed goldens — regenerate " +
+        "bson_golden.jsonl (see BsonGoldenGen)")
+    fixtures.foreach { case (name, doc) =>
+      assert(hex(Bson.encode(doc)) == pinned(name), s"encode($name)")
+      val bytes = pinned(name).grouped(2)
+        .map(Integer.parseInt(_, 16).toByte).toArray
+      assert(Bson.decode(bytes) == doc, s"decode($name)")
+    }
+  }
+
   test("round-trips: every wire document shape") {
     val docs: Seq[Map[String, Any]] = Seq(
       Map("0" -> 1, "1" -> "run", "2" -> "select * from t", "3" -> null),

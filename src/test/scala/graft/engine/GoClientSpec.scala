@@ -164,6 +164,30 @@ class GoClientSpec extends AnyFunSuite {
     roundTrip("bson")
   }
 
+  test("Go BSON codec passes the committed cross-codec golden frames") {
+    // the same bson_golden.jsonl that BsonSpec pins the Scala codec to
+    // on every sbt run (so the frames are always verified on at least
+    // one side); with a toolchain present, `go test` holds the Go codec
+    // to the identical bytes
+    assume(goBin.nonEmpty, "go toolchain not installed on this machine")
+    val dir = Files.createTempDirectory("graft-go-golden")
+    Files.writeString(dir.resolve("go.mod"),
+      "module graftclient\n\ngo 1.21\n")
+    Seq("graftclient.go", "bson.go", "bson_golden_test.go",
+        "bson_golden.jsonl").foreach { f =>
+      Files.copy(Paths.get(s"bindings/go/$f").toAbsolutePath,
+        dir.resolve(f))
+    }
+    val pb = new ProcessBuilder(goBin.get, "test", ".")
+    pb.directory(dir.toFile).redirectErrorStream(true)
+    pb.environment().put("GOFLAGS", "-mod=mod")
+    pb.environment().put("GOPROXY", "off")
+    val p = pb.start()
+    val out = new String(p.getInputStream.readAllBytes(),
+      StandardCharsets.UTF_8)
+    assert(p.waitFor() == 0, s"go test failed:\n$out")
+  }
+
   test("Go client round-trips the same surface in the negotiated json mode") {
     roundTrip("json")
   }

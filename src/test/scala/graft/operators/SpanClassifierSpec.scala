@@ -35,28 +35,60 @@ class SpanClassifierSpec extends AnyFunSuite {
     assert(out.map(_.getLong(0)).toSet == Set(2L)) // doc 1: 3 < window
   }
 
-  test("tfCosineJoin: exact cosines; df guard prunes candidates only") {
+  test("tfCosineJoin: exact cosines, fixed-order IEEE values") {
     val docs = Seq((1L, "a a b"), (2L, "a a b"), (3L, "a c"))
       .toDF("doc_id", "text")
-    // ungated: identical docs cos=1; (1,3) shares only 'a':
+    // identical docs cos=1; (1,3)/(2,3) share only 'a':
     // 2/(sqrt(5)*sqrt(2)) ≈ 0.632 — below 0.7
     val full = Dedup.tfCosineJoin(docs, "doc_id", "text",
-        threshold = 0.7, maxDocFreq = 0)
+        threshold = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     // NOT 1.0: cosine is dot/(√n2·√n2) and √5·√5 = 5.000000000000001 —
     // the fixed-order IEEE value every engine reproduces identically
     val selfCos = 5.0 / (math.sqrt(5.0) * math.sqrt(5.0))
     assert(full.toSeq == Seq((1L, 2L, selfCos)))
-    // df guard ≤ 2 drops 'a' (df=3) from the JOIN, but the surviving
-    // (1,2) pair must be scored from FULL norms: dot = tf_b·tf_b = 1,
-    // cosine = 1/(√5·√5) = 0.2 — the guard changed the candidate set,
-    // never a survivor's score
-    val gated = Dedup.tfCosineJoin(docs, "doc_id", "text",
-        threshold = 0.19, maxDocFreq = 2)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3)))
-    assert(gated.toSeq ==
-      Seq((1L, 2L, 1L, 1.0 / (math.sqrt(5.0) * math.sqrt(5.0)))))
+    // below 0.632: the cross pairs appear, scored from FULL vectors
+    val low = Dedup.tfCosineJoin(docs, "doc_id", "text",
+        threshold = 0.6)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(low.toSeq == Seq((1L, 2L, 5L), (1L, 3L, 2L), (2L, 3L, 2L)))
+  }
+
+  test("tfCosineJoin: prefix filter is COMPLETE vs brute force") {
+    // adversarial mix: exact twins, twins-with-tails, repeated-token
+    // mass concentrated on COMMON tokens (the prefix theorem's hard
+    // case: shared mass lives in suffixes), and a disjoint doc
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (4L, "alpha alpha alpha alpha beta"),
+      (5L, "alpha alpha alpha alpha gamma"),
+      (6L, "omega psi chi phi"),
+      (7L, "beta beta beta alpha alpha delta")).toDF("doc_id", "text")
+    // brute force: every pair, exact TF cosine
+    val tf = docs.as[(Long, String)].collect().map { case (id, txt) =>
+      id -> txt.split(" ").groupBy(identity).map { case (k, v) =>
+        k -> v.length.toLong }
+    }.toMap
+    def cos(a: Long, b: Long): Double = {
+      val (ta, tb) = (tf(a), tf(b))
+      val dot = ta.keysIterator.filter(tb.contains)
+        .map(k => ta(k) * tb(k)).sum
+      dot.toDouble / (math.sqrt(ta.values.map(v => v * v).sum.toDouble) *
+        math.sqrt(tb.values.map(v => v * v).sum.toDouble))
+    }
+    val ids = tf.keys.toSeq.sorted
+    for (t <- Seq(0.5, 0.8, 0.9, 0.95, 0.99)) {
+      val expect = (for {
+        i <- ids; j <- ids if i < j && cos(i, j) >= t
+      } yield (i, j)).sorted
+      val got = Dedup.tfCosineJoin(docs, "doc_id", "text", threshold = t)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got == expect, s"threshold $t")
+    }
   }
 
   test("tfCosineJoin ngram=2: element space is shingles, not tokens") {
@@ -65,9 +97,9 @@ class SpanClassifierSpec extends AnyFunSuite {
     // doc 1's "a b", "b c")
     val docs = Seq((1L, "a b c"), (2L, "b a c b")).toDF("doc_id", "text")
     val uni = Dedup.tfCosineJoin(docs, "doc_id", "text",
-      threshold = 0.1, maxDocFreq = 0)
+      threshold = 0.1)
     val bi = Dedup.tfCosineJoin(docs, "doc_id", "text",
-      threshold = 0.1, maxDocFreq = 0, ngram = 2)
+      threshold = 0.1, ngram = 2)
     assert(uni.count() == 1 && bi.count() == 0)
   }
 

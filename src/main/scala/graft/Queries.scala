@@ -5949,11 +5949,18 @@ object Queries {
               FROM g ORDER BY source""")),
 
     // ── statistical audit: χ² INDEPENDENCE of event_type × value
-    //    band — per-cell contributions (o·N − r·c)²·1000/(N·r·c) on
-    //    the integer milli grid (exact in any engine; the χ² total is
-    //    their sum). The "is value distribution uniform across event
-    //    types?" check a feature pipeline runs before trusting a
-    //    column. ──
+    //    band — per-cell contribution (o − e)²/e with e = r·c/N. The
+    //    COUNTS are exact integers; the derived statistic is
+    //    fixed-order IEEE doubles (cast each factor, multiply, divide
+    //    — correctly rounded in every engine, the tf-cosine rule).
+    //    Doubles, not an integer grid, ON PURPOSE: the old milli-grid
+    //    form (o·N − r·c)²·1000 div (N·r·c) is an N⁴-scale
+    //    intermediate — it overflowed int64 at the 10× smoke's N = 1e6
+    //    (1e6⁴ = 1e24 ≫ 9.2e18) and no 64-bit rearrangement survives
+    //    corpus-scale N; double magnitude is unbounded and the ~1e-16
+    //    relative error is beneath any screening decision. The "is
+    //    value distribution uniform across event types?" check a
+    //    feature pipeline runs before trusting a column. ──
     QueryDef(
       "q_chi2",
       (s, dir) => {
@@ -5966,13 +5973,13 @@ object Queries {
         val n = e.agg(count(lit(1)).as("n_tot"))
         o.join(r, "event_type").join(c, "vband")
           .crossJoin(broadcast(n))
-          .withColumn("exp_micro",
-            expr("r_tot * c_tot * 1000000L div n_tot"))
-          .withColumn("term_milli",
-            expr("(o * n_tot - r_tot * c_tot) * " +
-              "(o * n_tot - r_tot * c_tot) * 1000L div " +
-              "(n_tot * r_tot * c_tot)"))
-          .select("event_type", "vband", "o", "exp_micro", "term_milli")
+          .withColumn("exp_d",
+            col("r_tot").cast("double") * col("c_tot").cast("double") /
+              col("n_tot").cast("double"))
+          .withColumn("term_d",
+            (col("o").cast("double") - col("exp_d")) *
+              (col("o").cast("double") - col("exp_d")) / col("exp_d"))
+          .select("event_type", "vband", "o", "exp_d", "term_d")
           .orderBy("event_type", "vband")
       },
       Some("""WITH e AS (SELECT event_type,
@@ -5985,10 +5992,16 @@ object Queries {
               c AS (SELECT vband, count(*) AS c_tot FROM e GROUP BY 1),
               n AS (SELECT count(*) AS n_tot FROM e)
               SELECT event_type, vband, o,
-                r_tot * c_tot * 1000000 // n_tot AS exp_micro,
-                (o * n_tot - r_tot * c_tot) *
-                  (o * n_tot - r_tot * c_tot) * 1000 //
-                  (n_tot * r_tot * c_tot) AS term_milli
+                CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) /
+                  CAST(n_tot AS DOUBLE) AS exp_d,
+                (CAST(o AS DOUBLE) -
+                  CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) /
+                    CAST(n_tot AS DOUBLE)) *
+                (CAST(o AS DOUBLE) -
+                  CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) /
+                    CAST(n_tot AS DOUBLE)) /
+                (CAST(r_tot AS DOUBLE) * CAST(c_tot AS DOUBLE) /
+                  CAST(n_tot AS DOUBLE)) AS term_d
               FROM o JOIN r USING (event_type) JOIN c USING (vband)
                 CROSS JOIN n
               ORDER BY event_type, vband""")),

@@ -7003,9 +7003,12 @@ object Queries {
               FROM g ORDER BY event_type, hour""")),
 
     // ── the TPC-H Q14 shape (promotion revenue share): month-windowed
-    //    lineitem × broadcast part, conditional micro-cents aggregate,
-    //    share in integer micro units — the filter reaches the parquet
-    //    scan, the dim broadcast skips the fact shuffle entirely. ──
+    //    lineitem × broadcast part, conditional micro-cents aggregate —
+    //    the filter reaches the parquet scan, the dim broadcast skips
+    //    the fact shuffle entirely. Revenue sums exact integers; the
+    //    share RATIO a fixed-order IEEE double (the q_chi2/q_tpch_q8
+    //    rule — `rev·1e6 div total` was within 1.6× of int64 at the
+    //    10× smoke and overflows on any larger corpus). ──
     QueryDef(
       "q_tpch_q14",
       (s, dir) => {
@@ -7023,8 +7026,9 @@ object Queries {
             sum(when(col("p_type").startsWith("PROMO"), col("rev_mc"))
               .otherwise(0L)).as("promo_rev_mc"),
             sum(col("rev_mc")).as("total_rev_mc"))
-          .withColumn("promo_share_micro",
-            expr("promo_rev_mc * 1000000L div total_rev_mc"))
+          .withColumn("promo_share_d",
+            col("promo_rev_mc").cast("double") /
+              col("total_rev_mc").cast("double"))
       },
       Some("""SELECT
                 CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
@@ -7034,13 +7038,13 @@ object Queries {
                 CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
                   (100 - CAST(floor(l_discount * 100) AS BIGINT)))
                   AS BIGINT) AS total_rev_mc,
-                CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
+                CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%' THEN
                   CAST(floor(l_extendedprice * 100) AS BIGINT) *
                   (100 - CAST(floor(l_discount * 100) AS BIGINT))
-                  ELSE 0 END) AS BIGINT) * 1000000 //
-                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  ELSE 0 END) AS BIGINT) AS DOUBLE) /
+                CAST(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
                   (100 - CAST(floor(l_discount * 100) AS BIGINT)))
-                  AS BIGINT) AS promo_share_micro
+                  AS BIGINT) AS DOUBLE) AS promo_share_d
               FROM lineitem JOIN part ON l_partkey = p_partkey
               WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
                 AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'""")),
@@ -8084,8 +8088,12 @@ object Queries {
 
     // ── the TPC-H Q8 shape (national market share): the target
     //    nation's slice of regional revenue per order year — numerator
-    //    as a conditional sum INSIDE the same rollup (no second pass),
-    //    share in integer micro units. ──
+    //    as a conditional sum INSIDE the same rollup (no second pass).
+    //    Revenue sums are exact integers; the share RATIO is a
+    //    fixed-order IEEE double (the q_chi2 rule): a micro-grid
+    //    `rev·1e6 div total` multiplies an unbounded revenue sum by
+    //    1e6 and overflows int64 once yearly revenue passes ~9e12
+    //    micro-cents — a corpus-size property, not a data bug. ──
     QueryDef(
       "q_tpch_q8",
       (s, dir) => {
@@ -8117,8 +8125,9 @@ object Queries {
           .agg(sum(when(col("supp_nkey") === 7, col("rev_mc"))
             .otherwise(0L)).as("nation_rev_mc"),
             sum(col("rev_mc")).as("total_rev_mc"))
-          .withColumn("share_micro",
-            expr("nation_rev_mc * 1000000L div total_rev_mc"))
+          .withColumn("share_d",
+            col("nation_rev_mc").cast("double") /
+              col("total_rev_mc").cast("double"))
           .orderBy("o_year")
       },
       Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
@@ -8129,13 +8138,13 @@ object Queries {
                 CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
                   (100 - CAST(floor(l_discount * 100) AS BIGINT)))
                   AS BIGINT) AS total_rev_mc,
-                CAST(sum(CASE WHEN s_nationkey = 7 THEN
+                CAST(CAST(sum(CASE WHEN s_nationkey = 7 THEN
                   CAST(floor(l_extendedprice * 100) AS BIGINT) *
                   (100 - CAST(floor(l_discount * 100) AS BIGINT))
-                  ELSE 0 END) AS BIGINT) * 1000000 //
-                CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
+                  ELSE 0 END) AS BIGINT) AS DOUBLE) /
+                CAST(CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT) *
                   (100 - CAST(floor(l_discount * 100) AS BIGINT)))
-                  AS BIGINT) AS share_micro
+                  AS BIGINT) AS DOUBLE) AS share_d
               FROM lineitem
                 JOIN part ON l_partkey = p_partkey
                 JOIN orders ON l_orderkey = o_orderkey

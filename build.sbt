@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (machine has 128 GiB): the 10x/30x scale smoke persists
+  // multi-GB shingle/posting tables, and at 8g MEMORY_AND_DISK spill +
+  // GC made late-suite heavy-query timings swing ~40% run-to-run —
+  // enough to destabilize the growth-exponent gate.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -2526,7 +2526,7 @@ object Queries {
                         AS toks
                     FROM docs),
               tk AS (SELECT doc_id,
-                       array_to_string(toks[g:g+4], ' ') AS tok
+                       md5(array_to_string(toks[g:g+4], ' ')) AS tok
                      FROM (SELECT doc_id, toks,
                              unnest(generate_series(1, len(toks) - 4))
                                AS g

@@ -827,11 +827,21 @@ object Dedup {
     // index is dense; shingle space is sparse enough for the
     // inverted-index join to stay near-linear (the setSimJoin
     // element-space rule)
-    val el = docs
+    val el0 = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"), explode(
         if (ngram <= 1) col("__toks")
         else shingleArray(col("__toks"), ngram)).as("tok"))
+    // wide shingles are md5-compressed IMMEDIATELY (the dupSpans
+    // discipline): a 5-gram string is ~50-60 bytes and rides through
+    // five shuffles + two persists here, vs 32 hex chars for its
+    // fingerprint; grouping/joining on the fingerprint leaves tf/df/
+    // dot/cosine identical (128-bit collisions are beyond-astronomical
+    // at any corpus size, and an oracle replays md5() portably).
+    // Unigrams stay raw — they are SHORTER than the fingerprint.
+    val el = if (ngram >= 3)
+      el0.select(col("id"), md5(col("tok")).as("tok"))
+    else el0
     // (id, tok, tf) feeds the ranking, the probe side and both
     // verification joins: persist
     val tf = el

@@ -198,7 +198,17 @@ object BenchScale {
     // the co-supply projection sparse now that the part space scales
     // with the fact table)
     "q_pareto", "q_skyline", "q_ref_integrity", "q_bucket_join",
-    "q_link_predict")
+    "q_link_predict",
+    // ── round 8: the BENCH_FULL_r8 audit of the exclusion ledger found
+    // these carrying the "sub-second" default reason at 1.2-2.2 s —
+    // admit them instead of re-labeling. All are linear by
+    // construction: salted/plain fact joins + rollups over
+    // orders/lineitem, the curate chain and containment/minhash-eval
+    // index joins over documents (the q_ngram_jaccard candidate
+    // regime), and incremental CC (memoized base labeling + a
+    // bounded-component fixpoint on the touched components).
+    "q_salted_join", "q_join_agg", "q_self_join", "q_corpus_curate",
+    "q_containment", "q_dedup_eval", "q_cc_incremental")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have
@@ -227,7 +237,10 @@ object BenchScale {
     "q_ann_recall",
     // MRR eval: fixed 10-query set broadcast against the corpus —
     // two linear passes (exact cosine + quantized dot) per row
-    "q_mrr")
+    "q_mrr",
+    // round-8 ledger-audit admission (1.3 s at sf0.1, not sub-second):
+    // IVF codebook build — bounded ≤32-row collects, linear scans
+    "q_ivf_build")
   private val DimFactor = 8L // 64 → 512
 
   // all ≥ 7 chars: the curation chain's quality score weights the

@@ -864,10 +864,19 @@ object Dedup {
         sum(col("tf") * col("tf")).over(W.partitionBy(col("id"))))
     // persist the PREFIX, not the full ranked table (the setSimJoin
     // memory note): it is ≈(1−t²) of the index and the only
-    // downstream consumer of the ranking
+    // downstream consumer of the ranking.
+    // The comparison runs in DOUBLES, not int64: (n2−pre2x)·1e6
+    // overflows long once a doc's squared-TF mass passes ~9.2e12 (a
+    // token repeated ~3M times — the q_chi2 scale-latent class), and a
+    // wrapped-negative left side silently DROPS prefix terms, breaking
+    // the completeness guarantee. Doubles never wrap; their ≤2⁻⁵²
+    // relative rounding is dwarfed by the one-grid-step slack (1e-6
+    // relative) already built into tsq, so the prefix stays a
+    // guaranteed superset — and below 2⁵³ the doubles are exact, so
+    // test-scale results are bit-identical to the int64 form.
     val prefix = ranked
-      .filter((col("n2") - col("pre2x")) * lit(1000000L) >=
-        lit(tsq) * col("n2"))
+      .filter((col("n2") - col("pre2x")).cast(DoubleType) * 1e6 >=
+        lit(tsq.toDouble) * col("n2").cast(DoubleType))
       .select("id", "tok")
       .persist(lvl)
     val cand = prefix.select(col("id").as("pid"), col("tok"))

@@ -16,7 +16,11 @@ package graft.engine
   * multi-key fixtures by decode + canonical re-encode roundtrip.)
   *
   * Regenerate with:
-  *   sbt "Test/runMain graft.engine.BsonGoldenGen" > bindings/go/bson_golden.jsonl
+  *   sbt "Test/runMain graft.engine.BsonGoldenGen"
+  * — the generator writes `bindings/go/bson_golden.jsonl` DIRECTLY
+  * (stdout redirection would capture sbt's [info]/[success] log lines
+  * into the golden file and corrupt it, caught only later when
+  * BsonSpec fails to parse).
   */
 object BsonGoldenGen {
   /** name → document; the shared truth both codecs must reproduce. */
@@ -44,8 +48,13 @@ object BsonGoldenGen {
 
   def hex(bytes: Array[Byte]): String = bytes.map(b => f"$b%02x").mkString
 
-  def main(args: Array[String]): Unit =
-    fixtures.foreach { case (name, doc) =>
-      println(s"""{"name":"$name","hex":"${hex(Bson.encode(doc))}"}""")
+  def main(args: Array[String]): Unit = {
+    val lines = fixtures.map { case (name, doc) =>
+      s"""{"name":"$name","hex":"${hex(Bson.encode(doc))}"}"""
     }
+    val out = java.nio.file.Paths.get("bindings/go/bson_golden.jsonl")
+    java.nio.file.Files.writeString(out,
+      lines.mkString("", "\n", "\n"))
+    println(s"[bson-golden] wrote ${lines.length} frames to $out")
+  }
 }

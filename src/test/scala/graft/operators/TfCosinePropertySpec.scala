@@ -56,8 +56,13 @@ class TfCosinePropertySpec extends AnyFunSuite {
       vocab(cum.indexWhere(u <= _))
     }
     for (trial <- 0 until 3) {
+      // ≥ 5 tokens so ngram=3 docs carry several shingles (the md5
+      // shingle-key compression path activates only at ngram ≥ 3 —
+      // sweeping it here pins that path against the same brute-force
+      // model, which compares PAIR SETS and so is agnostic to whether
+      // the engine keys shingles raw or fingerprinted)
       val base = (0 until 24).map { _ =>
-        val len = 3 + rnd.nextInt(10)
+        val len = 5 + rnd.nextInt(10)
         (0 until len).map(_ => draw()).mkString(" ")
       }
       // a third of docs are near-twins of an earlier doc (append one
@@ -66,7 +71,7 @@ class TfCosinePropertySpec extends AnyFunSuite {
         (i.toLong, if (i >= 16) base(i - 16) + " " + draw() else base(i))
       }
       val df = docs.toDF("doc_id", "text")
-      for (t <- Seq(0.7, 0.9); n <- Seq(1, 2)) {
+      for (t <- Seq(0.7, 0.9); n <- Seq(1, 2, 3)) {
         val got = Dedup.tfCosineJoin(df, "doc_id", "text",
             threshold = t, ngram = n)
           .orderBy("id_a", "id_b")

@@ -15,4 +15,14 @@ class BenchStreamingSpec extends AnyFunSuite {
     assert(rows == 1000L, s"expected the sf0.001 events table, got $rows")
     assert(wall > 0.0)
   }
+
+  test("component variants (nodedup/rawwrite) drain the same corpus") {
+    val spark = SparkTestSession.spark
+    for (v <- Seq("nodedup", "rawwrite")) {
+      val (wall, rows) =
+        Bench.streamingLoop(spark, "/root/testdata/sf0.001", 1, v)
+      assert(rows == 1000L, s"variant $v: expected 1k events, got $rows")
+      assert(wall > 0.0, s"variant $v")
+    }
+  }
 }

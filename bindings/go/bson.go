@@ -18,6 +18,7 @@ import (
 	"errors"
 	"fmt"
 	"math"
+	"sort"
 	"time"
 )
 
@@ -26,10 +27,25 @@ import (
 // map[string]interface{}; time.Time and [2]int64 are expected to have
 // been folded to [sec, nsec] pairs by toWireArgs already, but are
 // accepted here too for robustness.
+//
+// Keys are emitted in SORTED order — canonical encoding. Go map
+// iteration is randomized, which would make every request frame
+// byte-nondeterministic; the server decodes documents order-agnostically
+// (engine/Server.scala keys by name), and every wire document this
+// client produces uses the numeric-string keys "0".."5", whose sorted
+// order equals the Scala client's insertion order — so canonical frames
+// here are byte-identical to NetClient.scala's, which is what lets
+// bindings/go/session_golden.jsonl pin the whole client↔server framing
+// on both sides (the session-transcript analog of bson_golden.jsonl).
 func bsonEncode(doc map[string]interface{}) ([]byte, error) {
 	return bsonDoc(func(emit func(string, interface{}) error) error {
-		for k, v := range doc {
-			if err := emit(k, v); err != nil {
+		keys := make([]string, 0, len(doc))
+		for k := range doc {
+			keys = append(keys, k)
+		}
+		sort.Strings(keys)
+		for _, k := range keys {
+			if err := emit(k, doc[k]); err != nil {
 				return err
 			}
 		}
@@ -113,9 +129,15 @@ func bsonElem(name string, v interface{}) ([]byte, error) {
 		}
 		return bsonElem(name, rows)
 	case map[string]interface{}:
+		// canonical sorted keys, same rule (and reason) as bsonEncode
 		doc, err := bsonDoc(func(emit func(string, interface{}) error) error {
-			for k, e := range x {
-				if err := emit(k, e); err != nil {
+			keys := make([]string, 0, len(x))
+			for k := range x {
+				keys = append(keys, k)
+			}
+			sort.Strings(keys)
+			for _, k := range keys {
+				if err := emit(k, x[k]); err != nil {
 					return err
 				}
 			}

@@ -3,10 +3,11 @@
 // (engine/Bson.scala) emits for a shared fixture set, and BsonSpec pins
 // the Scala side to them on every sbt run. This test pins the Go side
 // to the SAME bytes whenever a Go toolchain exists: every frame must
-// decode to the expected document, single-key frames must re-encode
-// byte-identically (multi-key re-encode is order-randomized by Go map
-// iteration, so those are held to a decode → encode → decode fixpoint
-// instead).
+// decode to the expected document and re-encode byte-identically,
+// except the width-folding fixtures (int32 decodes to int64, so the
+// re-encoded frame legitimately widens) — those are held to a
+// decode → encode → decode fixpoint instead. Key order is no longer a
+// reason to exclude anything: bsonEncode emits canonical sorted keys.
 package graftclient
 
 import (
@@ -45,11 +46,11 @@ var bsonGoldenWant = map[string]map[string]interface{}{
 		"3": []interface{}{int64(42), "x"}},
 }
 
-// encodable converts the decoded value model back to what bsonEncode
-// emits for the SAME wire types: the codec decodes int32 frames to
-// int64, so a byte-exact re-encode needs the original width back.
-// Only the single-key fixtures below re-encode byte-exactly; the
-// width-folding cases (i32_min, i32_plain, arr_mixed, subdoc,
+// The codec decodes int32 frames to int64, so a byte-exact re-encode
+// needs the original width back. The fixtures below carry no int32
+// elements and re-encode byte-exactly (keys are canonical-sorted on
+// encode, and every multi-key fixture's authored order is sorted);
+// the width-folding cases (i32_min, i32_plain, arr_mixed, subdoc,
 // wire_insert) are covered by the decode assertions plus the fixpoint
 // check.
 var bsonGoldenReencode = []string{"spec_hello", "utf8_string", "i64_max",

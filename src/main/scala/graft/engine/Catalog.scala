@@ -431,6 +431,30 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     if (rows.length >= 1000000)
       throw OtError("Batch insert of 1000000 rows or more is not " +
         "supported; split into smaller batches")
+    // FDB-analog BYTE bound (reference bindings/go/test.go:58-59 sizes
+    // its batches "limited by foundationdb transaction size" — FDB
+    // caps a transaction at 10 MB): the row-count guard alone misses
+    // wide text rows (500k 1 KB documents is 500 MB of driver-held
+    // payload under the 1M-row cap). The estimate is one cheap pass —
+    // ~9 bytes per fixed-width cell (tag + value), string length + 13
+    // framing — deliberately coarse; it guards driver memory and
+    // mirrors the reference's batch-size contract, not an exact codec.
+    var estBytes = 0L
+    rows.foreach { r =>
+      var c = 0
+      while (c < r.length) {
+        estBytes += (r(c) match {
+          case s: String => 13L + s.length
+          case null => 1L
+          case _ => 9L
+        })
+        c += 1
+      }
+    }
+    if (estBytes > Catalog.MaxBatchBytes)
+      throw OtError(s"Batch insert of ~$estBytes bytes exceeds the " +
+        s"${Catalog.MaxBatchBytes}-byte batch bound (the reference's " +
+        "FoundationDB transaction-size limit); split into smaller batches")
     val seq = nextSeq(td)
     val schema = physSchema(td).add(SeqCol, LongType, nullable = false)
     // tight loop: this is the 100k-rows/batch ingest hot path
@@ -615,4 +639,15 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     }.toSeq
     TableDef.build(db, tbl, cols, strings(keysPart))
   }
+}
+
+object Catalog {
+  /** Per-batch estimated-byte bound for [[Catalog.appendRows]] — the
+    * analog of the reference's FoundationDB 10 MB transaction-size
+    * limit (reference bindings/go/test.go:58-59; FDB known-limitations
+    * page), which is what actually capped the reference's batch
+    * inserts. Complements the 1M-row guard: the row cap bounds seq
+    * packing, this bounds driver-held payload for wide text rows.
+    */
+  val MaxBatchBytes: Long = 10000000L
 }

@@ -100,6 +100,19 @@ class StorageSpec extends AnyFunSuite {
     assert(e.msg.contains("1000000"))
   }
 
+  test("batch insert past the 10 MB byte bound is rejected (FDB analog)") {
+    engine.execute("create table s.wide(a int, t text, primary key(a))")
+    val td = engine.catalog.getSchema("s", "wide")
+    val mb = "x" * 1048576 // 1 MiB of text per row (shared instance)
+    val over = (0 until 11).map(i => Seq[Any](i, mb)) // ~11.5 MB estimated
+    val e = intercept[OtError](engine.catalog.appendRows(td, over))
+    assert(e.msg.contains("-byte batch bound"), e.msg)
+    // a batch under the bound (and the reference's own 10k-row OHLCV
+    // batches, ~0.7 MB) still flows
+    engine.catalog.appendRows(td, (0 until 9).map(i => Seq[Any](i, mb)))
+    assert(engine.execute("select a from s.wide").collect().length == 9)
+  }
+
   test("clean-table full scan: no Exchange, no Sort, PK presentation order") {
     import spark.implicits._
     val shuffled = Seq(5, 2, 9, 1, 7, 3, 8, 4, 6, 10)

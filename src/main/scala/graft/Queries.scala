@@ -8463,7 +8463,250 @@ object Queries {
                           "CAST(cp AS VARCHAR))")} AS pos
                     FROM x)
               SELECT pos, doc_id, cp, source, factor FROM p
-              ORDER BY pos ASC, doc_id ASC LIMIT 20"""))
+              ORDER BY pos ASC, doc_id ASC LIMIT 20""")),
+
+    // ── north star (round 9): LEAKAGE-SAFE train/val/test split — a
+    //    plain per-doc hash split puts a doc in train and its
+    //    0.9-Jaccard twin in test (memorization graded as
+    //    generalization); here every doc inherits its DEDUP CLUSTER's
+    //    split via an md5 threshold on the cluster representative
+    //    (Sampling.leakageSafeSplit over the memoized twin-chain
+    //    labels). The audit column PROVES the property from the data:
+    //    leaky_clusters counts components spanning >1 split — 0 by
+    //    construction, recomputed, not asserted. Scale shape: one
+    //    left join against the build-once label artifact, scan-local
+    //    md5, two rollups; the scalar audit joins on a non-foldable
+    //    constant key (broadcast hash, not BNLJ — the q_tpch_q11
+    //    rule). ──
+    QueryDef(
+      "q_leakage_split",
+      (s, dir) => {
+        val assigned = operators.Sampling.leakageSafeSplit(
+          twinChainCorpus(s, dir).select("doc_id"), "doc_id",
+          twinChainComponents(s, dir))
+        val perSplit = assigned.groupBy("split")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct("rep").as("n_clusters"))
+        val leaky = assigned.groupBy("rep")
+          .agg(countDistinct("split").as("ns"))
+          .agg(sum(when(col("ns") > 1, 1L).otherwise(0L))
+            .as("leaky_clusters"))
+        perSplit
+          .withColumn("__k", pmod(col("n_docs"), lit(1L)))
+          .join(broadcast(leaky.withColumn("__k",
+            pmod(col("leaky_clusters") + 1L, lit(1L)))), "__k")
+          .select("split", "n_docs", "n_clusters", "leaky_clusters")
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz yy' FROM documents),
+              t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM docs),
+              sh AS (SELECT DISTINCT doc_id,
+                       array_to_string(toks[g:g+4], ' ') AS s
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 4)) AS g
+                           FROM t)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+              prs AS (SELECT id_a, id_b FROM (
+                        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                        FROM sh a JOIN sh b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2) p
+                      JOIN sz x ON x.doc_id = p.id_a
+                      JOIN sz y ON y.doc_id = p.id_b
+                      WHERE CAST(shared AS DOUBLE) /
+                        (x.n + y.n - shared) >= 0.5),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                        UNION
+                        SELECT id_b, id_a FROM prs),
+              verts AS (SELECT DISTINCT src AS id FROM edges),
+              reach(v, l) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.l FROM reach r
+                  JOIN edges e ON e.src = r.v),
+              labels AS (SELECT v AS id, min(l) AS comp FROM reach
+                         GROUP BY v),
+              a AS (SELECT d.doc_id,
+                      coalesce(lb.comp, d.doc_id) AS rep
+                    FROM docs d LEFT JOIN labels lb
+                      ON lb.id = d.doc_id),
+              sp AS (SELECT doc_id, rep,
+                       CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+                              < '${operators.Sampling.rateToThreshold(0.8)}'
+                              THEN 'train'
+                            WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+                              < '${operators.Sampling.rateToThreshold(0.9)}'
+                              THEN 'val'
+                            ELSE 'test' END AS split
+                     FROM a),
+              ps AS (SELECT split, count(*) AS n_docs,
+                       count(DISTINCT rep) AS n_clusters
+                     FROM sp GROUP BY 1),
+              lk AS (SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS leaky_clusters
+                     FROM (SELECT rep, count(DISTINCT split) AS ns
+                           FROM sp GROUP BY 1))
+              SELECT split, n_docs, n_clusters, leaky_clusters
+              FROM ps CROSS JOIN lk ORDER BY split""")),
+
+    // ── north star (round 9): blocked probabilistic RECORD LINKAGE
+    //    (Fellegi–Sunter shape, operators/Linkage.scala) — a perturbed
+    //    twin of every customer (name suffixed for custkey%7=0,
+    //    segment rotated for custkey%5=0, balance jittered 0–2¢)
+    //    links back to its origin through (nation, segment) blocking
+    //    and integer agreement weights: name exact 40, balance within
+    //    2¢ 30, block agreement 10, threshold 60. Rotated-segment
+    //    twins leave the block (blocking recall, visible as absent
+    //    rows); renamed twins stay blocked but score 40 < 60. All
+    //    scoring is cents-integer — the decision replays exactly in
+    //    any engine. ──
+    QueryDef(
+      "q_record_linkage",
+      (s, dir) => {
+        val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE",
+          "HOUSEHOLD", "MACHINERY")
+        def nextSeg(c: Column): Column =
+          segs.zipWithIndex.foldLeft(lit(segs.head)) { case (acc, (sg, i)) =>
+            when(c === sg, lit(segs((i + 1) % segs.length))).otherwise(acc)
+          }
+        val clean = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_mktsegment"),
+            floor(col("c_acctbal") * 100).cast("long").as("bal_c"))
+        val dirty = clean.select(
+          (col("c_custkey") + 1000000L).as("d_id"),
+          when(col("c_custkey") % 7 === 0, concat(col("c_name"), lit("x")))
+            .otherwise(col("c_name")).as("d_name"),
+          col("c_nationkey").as("d_nationkey"),
+          when(col("c_custkey") % 5 === 0, nextSeg(col("c_mktsegment")))
+            .otherwise(col("c_mktsegment")).as("d_seg"),
+          (col("bal_c") + col("c_custkey") % 3).as("d_bal"))
+        operators.Linkage.blockedLinkage(
+          clean, dirty,
+          blockLeft = Seq("c_nationkey", "c_mktsegment"),
+          blockRight = Seq("d_nationkey", "d_seg"),
+          score =
+            when(col("l.c_name") === col("r.d_name"), 40L).otherwise(0L) +
+            when(abs(col("l.bal_c") - col("r.d_bal")) <= 2L, 30L)
+              .otherwise(0L) + 10L,
+          threshold = 60L,
+          out = Seq(col("l.c_custkey"), col("r.d_id")))
+          .orderBy("c_custkey", "d_id")
+      },
+      Some("""WITH clean AS (SELECT c_custkey, c_name, c_nationkey,
+                  c_mktsegment,
+                  CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_c
+                FROM customer),
+              dirty AS (SELECT c_custkey + 1000000 AS d_id,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_name || 'x'
+                       ELSE c_name END AS d_name,
+                  c_nationkey AS d_nationkey,
+                  CASE WHEN c_custkey % 5 = 0 THEN
+                    CASE c_mktsegment
+                      WHEN 'AUTOMOBILE' THEN 'BUILDING'
+                      WHEN 'BUILDING' THEN 'FURNITURE'
+                      WHEN 'FURNITURE' THEN 'HOUSEHOLD'
+                      WHEN 'HOUSEHOLD' THEN 'MACHINERY'
+                      ELSE 'AUTOMOBILE' END
+                    ELSE c_mktsegment END AS d_seg,
+                  bal_c + c_custkey % 3 AS d_bal
+                FROM clean)
+              SELECT c_custkey, d_id,
+                (CASE WHEN c_name = d_name THEN 40 ELSE 0 END +
+                 CASE WHEN abs(bal_c - d_bal) <= 2 THEN 30 ELSE 0 END +
+                 10) AS link_score
+              FROM clean JOIN dirty
+                ON c_nationkey = d_nationkey AND c_mktsegment = d_seg
+              WHERE (CASE WHEN c_name = d_name THEN 40 ELSE 0 END +
+                     CASE WHEN abs(bal_c - d_bal) <= 2 THEN 30 ELSE 0 END +
+                     10) >= 60
+              ORDER BY c_custkey, d_id""")),
+
+    // ── north star (round 9): POPULATION STABILITY INDEX drift
+    //    monitor — the standard "did my feature distribution move"
+    //    gate a training pipeline runs between corpus snapshots. Per
+    //    event type, the earlier half (by event time) is the baseline
+    //    A, the later half the candidate B; values bin into 10 fixed
+    //    50-wide buckets, counts Laplace-smooth (+1 over n+10), and
+    //    each bin contributes (pA−pB)·ln(pA/pB), floored onto an
+    //    integer NANO grid so the cross-bin sum is order-free and
+    //    engine-exact (the q_keyness micro-grid discipline; ln on
+    //    identical double inputs is the q_bm25 precedent). One rank
+    //    window + two rollups — no collect, no RNG. ──
+    QueryDef(
+      "q_psi_drift",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_type", "ts", "event_id", "value")
+        val w = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val wAll = Window.partitionBy("event_type")
+        val binned = ev
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("period",
+            when(col("rn") * 2 <= col("n"), "A").otherwise("B"))
+          .withColumn("bin",
+            least(lit(9L), floor(col("value") / 50.0)))
+        val c = binned.groupBy("event_type", "bin")
+          .agg(sum(when(col("period") === "A", 1L).otherwise(0L))
+              .as("cnt_a"),
+            sum(when(col("period") === "B", 1L).otherwise(0L))
+              .as("cnt_b"))
+        val tot = c.groupBy("event_type")
+          .agg(sum(col("cnt_a")).as("n_a"), sum(col("cnt_b")).as("n_b"))
+        c.join(tot, "event_type")
+          .withColumn("pa",
+            (col("cnt_a") + 1L).cast("double") / (col("n_a") + 10.0))
+          .withColumn("pb",
+            (col("cnt_b") + 1L).cast("double") / (col("n_b") + 10.0))
+          .withColumn("term_nano",
+            floor((col("pa") - col("pb")) * log(col("pa") / col("pb")) *
+              lit(1000000000.0)).cast("long"))
+          .groupBy("event_type")
+          .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+            sum(col("term_nano")).as("psi_nano"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, ts, event_id, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+                FROM events),
+              b AS (SELECT event_type,
+                      CASE WHEN rn * 2 <= n THEN 'A' ELSE 'B' END
+                        AS period,
+                      least(9, CAST(floor(value / 50.0) AS BIGINT))
+                        AS bin
+                    FROM e),
+              c AS (SELECT event_type, bin,
+                      CAST(sum(CASE WHEN period = 'A' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cnt_a,
+                      CAST(sum(CASE WHEN period = 'B' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cnt_b
+                    FROM b GROUP BY 1, 2),
+              tt AS (SELECT event_type, CAST(sum(cnt_a) AS BIGINT) AS n_a,
+                       CAST(sum(cnt_b) AS BIGINT) AS n_b
+                     FROM c GROUP BY 1),
+              tm AS (SELECT c.event_type, n_a, n_b,
+                       CAST(floor(
+                         (CAST(cnt_a + 1 AS DOUBLE) / (n_a + 10.0) -
+                          CAST(cnt_b + 1 AS DOUBLE) / (n_b + 10.0)) *
+                         ln((CAST(cnt_a + 1 AS DOUBLE) / (n_a + 10.0)) /
+                            (CAST(cnt_b + 1 AS DOUBLE) / (n_b + 10.0))) *
+                         1000000000.0) AS BIGINT) AS term_nano
+                     FROM c JOIN tt ON c.event_type = tt.event_type)
+              SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
+                CAST(sum(term_nano) AS BIGINT) AS psi_nano
+              FROM tm GROUP BY 1 ORDER BY event_type"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -175,4 +175,41 @@ object Sampling {
       .groupBy(col(idCol), col("chunk_id"))
       .agg(count(lit(1)).as("n_tokens"), min(col("pos")).as("start_pos"))
   }
+
+  /** Leakage-safe train/val/test split: every document inherits its
+    * DEDUP CLUSTER's split, so near-duplicates can never straddle the
+    * train/test boundary — the contamination vector a plain per-doc
+    * hash split leaves wide open (a doc in train and its 0.9-Jaccard
+    * twin in test is memorization measured as generalization). The
+    * split key is [[hashSample]]'s md5-prefix on the cluster
+    * REPRESENTATIVE (the component's min id; singletons represent
+    * themselves via the left join's coalesce), thresholded at
+    * `trainFrac` / `trainFrac + valFrac` — deterministic, no RNG
+    * state, engine-portable verbatim.
+    *
+    * Scale shape: one broadcast-or-hash left join of ids against the
+    * (much smaller) cluster-label table, then a scan-local md5 +
+    * threshold compare — the cluster labels are the persisted artifact
+    * a 100 TB corpus builds once ([[Dedup.connectedComponents]]) and
+    * every split/rebalance reuses.
+    *
+    * `labels` must be (idCol, comp) rows for CLUSTERED docs only or
+    * for all docs; emits (idCol, rep, split_key, split).
+    */
+  def leakageSafeSplit(ids: DataFrame, idCol: String, labels: DataFrame,
+      compCol: String = "comp", trainFrac: Double = 0.8,
+      valFrac: Double = 0.1): DataFrame = {
+    val trainThr = rateToThreshold(trainFrac)
+    val valThr = rateToThreshold(trainFrac + valFrac)
+    ids.join(labels.select(col("id").as(idCol), col(compCol)),
+        Seq(idCol), "left")
+      .withColumn("rep", coalesce(col(compCol), col(idCol)))
+      .withColumn("split_key",
+        substring(md5(col("rep").cast("string")), 1, 8))
+      .withColumn("split",
+        when(col("split_key") < trainThr, "train")
+          .when(col("split_key") < valThr, "val")
+          .otherwise("test"))
+      .drop(compCol)
+  }
 }

@@ -8706,7 +8706,216 @@ object Queries {
                      FROM c JOIN tt ON c.event_type = tt.event_type)
               SELECT event_type, max(n_a) AS n_a, max(n_b) AS n_b,
                 CAST(sum(term_nano) AS BIGINT) AS psi_nano
-              FROM tm GROUP BY 1 ORDER BY event_type"""))
+              FROM tm GROUP BY 1 ORDER BY event_type""")),
+
+    // ── north star (round 9): two-sample KOLMOGOROV–SMIRNOV drift —
+    //    q_psi_drift's bin-free sibling: KS = max_x |F_A(x) − F_B(x)|
+    //    over the pooled distinct values, with the argmax value
+    //    reported (where the distributions diverge most — the
+    //    actionable part of a drift alarm). Same A/B halves as PSI.
+    //    The max is located on DOUBLE gaps (identical count-derived
+    //    inputs both engines; max needs no accumulation order, unlike
+    //    a sum) and emitted on the integer micro grid; ties break to
+    //    the smallest value via the rank window. One distinct-value
+    //    rollup + one cumulative window per type — no collect. ──
+    QueryDef(
+      "q_ks_drift",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .select("event_type", "ts", "event_id", "value")
+        val wOrd = Window.partitionBy("event_type")
+          .orderBy(col("ts"), col("event_id"))
+        val wAll = Window.partitionBy("event_type")
+        val per = ev
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("period",
+            when(col("rn") * 2 <= col("n"), "A").otherwise("B"))
+        val byVal = per.groupBy("event_type", "value")
+          .agg(sum(when(col("period") === "A", 1L).otherwise(0L))
+              .as("ca"),
+            sum(when(col("period") === "B", 1L).otherwise(0L))
+              .as("cb"))
+        val wCum = Window.partitionBy("event_type").orderBy("value")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val gaps = byVal
+          .withColumn("cum_a", sum(col("ca")).over(wCum))
+          .withColumn("cum_b", sum(col("cb")).over(wCum))
+          .withColumn("n_a", sum(col("ca")).over(wAll))
+          .withColumn("n_b", sum(col("cb")).over(wAll))
+          .withColumn("gap",
+            abs(col("cum_a").cast("double") / col("n_a") -
+              col("cum_b").cast("double") / col("n_b")))
+        val wPick = Window.partitionBy("event_type")
+          .orderBy(col("gap").desc, col("value").asc)
+        gaps.withColumn("rk", row_number().over(wPick))
+          .filter(col("rk") === 1)
+          .select(col("event_type"), col("n_a"), col("n_b"),
+            floor(col("gap") * 1000000.0).cast("long").as("ks_micro"),
+            col("value").as("ks_at_value"))
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type, value,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY ts, event_id) AS rn,
+                  count(*) OVER (PARTITION BY event_type) AS n
+                FROM events),
+              v AS (SELECT event_type, value,
+                      CAST(sum(CASE WHEN rn * 2 <= n THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ca,
+                      CAST(sum(CASE WHEN rn * 2 <= n THEN 0 ELSE 1 END)
+                        AS BIGINT) AS cb
+                    FROM e GROUP BY 1, 2),
+              g AS (SELECT event_type, value,
+                      CAST(sum(ca) OVER (PARTITION BY event_type
+                        ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum_a,
+                      CAST(sum(cb) OVER (PARTITION BY event_type
+                        ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum_b,
+                      CAST(sum(ca) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_a,
+                      CAST(sum(cb) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_b
+                    FROM v),
+              d AS (SELECT event_type, value, n_a, n_b,
+                      abs(CAST(cum_a AS DOUBLE) / n_a -
+                          CAST(cum_b AS DOUBLE) / n_b) AS gap
+                    FROM g),
+              r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                      ORDER BY gap DESC, value ASC) AS rk
+                    FROM d)
+              SELECT event_type, n_a, n_b,
+                CAST(floor(gap * 1000000.0) AS BIGINT) AS ks_micro,
+                value AS ks_at_value
+              FROM r WHERE rk = 1 ORDER BY event_type""")),
+
+    // ── north star (round 9): CROSS-SPLIT CONTAMINATION AUDIT — the
+    //    measurement that justifies q_leakage_split: count near-dup
+    //    doc pairs (any shared 8-gram on the twin-chain corpus) that
+    //    STRADDLE the train/test boundary under (a) a naive per-doc
+    //    hash split and (b) the cluster-inherited leakage-safe split.
+    //    The naive strategy splits twin chains apart (memorization
+    //    graded as generalization); the safe strategy measures ZERO —
+    //    recomputed from the data, not asserted. The 8-gram pair join
+    //    is the q_ngram_jaccard candidate regime (sparse shingle
+    //    space); each strategy is one scan-local key + one pair join
+    //    lookup. ──
+    QueryDef(
+      "q_split_overlap_audit",
+      (s, dir) => {
+        val corpus = twinChainCorpus(s, dir)
+        val sh = corpus
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .select(col("doc_id"),
+            explode(operators.Dedup.shingleArray(col("__toks"), 8))
+              .as("s8"))
+          .distinct()
+        val pairs = sh.as("a").join(sh.as("b"),
+            col("a.s8") === col("b.s8") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val safe = operators.Sampling.leakageSafeSplit(
+            corpus.select("doc_id"), "doc_id",
+            twinChainComponents(s, dir))
+          .select(col("doc_id"), col("split").as("safe_split"))
+        val naive = corpus.select(col("doc_id"),
+          when(substring(md5(col("doc_id").cast("string")), 1, 8) <
+              operators.Sampling.rateToThreshold(0.8), "train")
+            .when(substring(md5(col("doc_id").cast("string")), 1, 8) <
+              operators.Sampling.rateToThreshold(0.9), "val")
+            .otherwise("test").as("naive_split"))
+        val tagged = pairs
+          .join(safe.select(col("doc_id").as("id_a"),
+            col("safe_split").as("safe_a")), "id_a")
+          .join(safe.select(col("doc_id").as("id_b"),
+            col("safe_split").as("safe_b")), "id_b")
+          .join(naive.select(col("doc_id").as("id_a"),
+            col("naive_split").as("naive_a")), "id_a")
+          .join(naive.select(col("doc_id").as("id_b"),
+            col("naive_split").as("naive_b")), "id_b")
+        tagged.agg(
+            count(lit(1)).as("n_neardup_pairs"),
+            sum(when(col("naive_a") =!= col("naive_b"), 1L)
+              .otherwise(0L)).as("naive_cross_pairs"),
+            sum(when(col("safe_a") =!= col("safe_b"), 1L)
+              .otherwise(0L)).as("safe_cross_pairs"))
+      },
+      Some(s"""WITH RECURSIVE docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz yy' FROM documents),
+              t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                FROM docs),
+              sh8 AS (SELECT DISTINCT doc_id,
+                        array_to_string(toks[g:g+7], ' ') AS s8
+                      FROM (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks) - 7))
+                                AS g
+                            FROM t)),
+              pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                     FROM sh8 a JOIN sh8 b
+                       ON a.s8 = b.s8 AND a.doc_id < b.doc_id),
+              sh5 AS (SELECT DISTINCT doc_id,
+                        array_to_string(toks[g:g+4], ' ') AS s
+                      FROM (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks) - 4))
+                                AS g
+                            FROM t)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh5
+                     GROUP BY doc_id),
+              prs AS (SELECT id_a, id_b FROM (
+                        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                        FROM sh5 a JOIN sh5 b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2) p
+                      JOIN sz x ON x.doc_id = p.id_a
+                      JOIN sz y ON y.doc_id = p.id_b
+                      WHERE CAST(shared AS DOUBLE) /
+                        (x.n + y.n - shared) >= 0.5),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                        UNION
+                        SELECT id_b, id_a FROM prs),
+              verts AS (SELECT DISTINCT src AS id FROM edges),
+              reach(v, l) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.l FROM reach r
+                  JOIN edges e ON e.src = r.v),
+              labels AS (SELECT v AS id, min(l) AS comp FROM reach
+                         GROUP BY v),
+              assign AS (SELECT d.doc_id,
+                  coalesce(lb.comp, d.doc_id) AS rep
+                FROM docs d LEFT JOIN labels lb ON lb.id = d.doc_id),
+              sp AS (SELECT doc_id,
+                  CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+                         < '${operators.Sampling.rateToThreshold(0.8)}'
+                         THEN 'train'
+                       WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 8)
+                         < '${operators.Sampling.rateToThreshold(0.9)}'
+                         THEN 'val'
+                       ELSE 'test' END AS safe_split,
+                  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '${operators.Sampling.rateToThreshold(0.8)}'
+                         THEN 'train'
+                       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         < '${operators.Sampling.rateToThreshold(0.9)}'
+                         THEN 'val'
+                       ELSE 'test' END AS naive_split
+                FROM assign d)
+              SELECT count(*) AS n_neardup_pairs,
+                CAST(sum(CASE WHEN na.naive_split <> nb.naive_split
+                  THEN 1 ELSE 0 END) AS BIGINT) AS naive_cross_pairs,
+                CAST(sum(CASE WHEN na.safe_split <> nb.safe_split
+                  THEN 1 ELSE 0 END) AS BIGINT) AS safe_cross_pairs
+              FROM pr
+              JOIN sp na ON na.doc_id = pr.id_a
+              JOIN sp nb ON nb.doc_id = pr.id_b"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

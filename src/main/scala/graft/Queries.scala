@@ -8915,7 +8915,454 @@ object Queries {
                   THEN 1 ELSE 0 END) AS BIGINT) AS safe_cross_pairs
               FROM pr
               JOIN sp na ON na.doc_id = pr.id_a
-              JOIN sp nb ON nb.doc_id = pr.id_b"""))
+              JOIN sp nb ON nb.doc_id = pr.id_b""")),
+
+    // ── north star (round 9): GOPHER-RULE ATTRITION AUDIT — the
+    //    per-rule funnel every curation run publishes: for each of the
+    //    five published MassiveText-style quality rules
+    //    (operators/Curate.gopherAudit — integer-only comparisons, so
+    //    the flags replay bit-exactly), how many docs FAIL it, and how
+    //    many fail ONLY it (the rule's sole-kill count — what you lose
+    //    by keeping the rule), plus the all-pass survivor count. The
+    //    whole audit is one scan-local flag map + ONE map-side-combined
+    //    aggregate row unpivoted with stack() — a single corpus pass at
+    //    any scale. ──
+    QueryDef(
+      "q_gopher_audit",
+      (s, dir) => {
+        val f = operators.Curate.gopherAudit(
+          t(s, dir, "documents").select("doc_id", "text"), "text")
+        val rules = Seq(
+          "p_word_count" -> "wc", "p_mean_word_len" -> "mwl",
+          "p_symbol_ratio" -> "sym", "p_alpha_words" -> "alw",
+          "p_stopwords" -> "stw")
+        val allPass = rules.map(r => col(r._1)).reduce(_ && _)
+        val aggs = rules.flatMap { case (c, n) =>
+          val others = rules.filter(_._1 != c).map(r => col(r._1))
+            .reduce(_ && _)
+          Seq(sum(when(!col(c), 1L).otherwise(0L)).as(s"f_$n"),
+            sum(when(!col(c) && others, 1L).otherwise(0L)).as(s"s_$n"))
+        } :+ sum(when(allPass, 1L).otherwise(0L)).as("f_all")
+        f.agg(aggs.head, aggs.tail: _*)
+          .selectExpr("""stack(6,
+              'all_pass', f_all, CAST(0 AS BIGINT),
+              'alpha_words', f_alw, s_alw,
+              'mean_word_len', f_mwl, s_mwl,
+              'stopwords', f_stw, s_stw,
+              'symbol_ratio', f_sym, s_sym,
+              'word_count', f_wc, s_wc) AS (rule, n, n_sole)""")
+          .orderBy("rule")
+      },
+      Some("""WITH tk AS (SELECT
+                  string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ') AS toks, text
+                FROM documents),
+              ft AS (SELECT
+                  len(toks) AS nw,
+                  list_sum(list_transform(toks, w -> length(w))) AS cs,
+                  len(list_filter(toks,
+                    w -> regexp_matches(w, '[a-z]'))) AS aw,
+                  length(text) - length(replace(text, '#', '')) AS hc,
+                  (length(text) - length(replace(text, '...', ''))) / 3
+                    AS ec,
+                  (CASE WHEN list_contains(toks, 'the') THEN 1 ELSE 0 END
+                   + CASE WHEN list_contains(toks, 'a') THEN 1 ELSE 0 END
+                   + CASE WHEN list_contains(toks, 'of') THEN 1 ELSE 0 END
+                   + CASE WHEN list_contains(toks, 'to') THEN 1 ELSE 0 END
+                   + CASE WHEN list_contains(toks, 'and') THEN 1 ELSE 0
+                     END
+                   + CASE WHEN list_contains(toks, 'in') THEN 1 ELSE 0
+                     END
+                   + CASE WHEN list_contains(toks, 'is') THEN 1 ELSE 0
+                     END
+                   + CASE WHEN list_contains(toks, 'it') THEN 1 ELSE 0
+                     END) AS sh
+                FROM tk),
+              fl AS (SELECT
+                  nw BETWEEN 5 AND 1000 AS p1,
+                  3 * nw <= cs AND cs <= 10 * nw AS p2,
+                  10 * (hc + ec) <= nw AS p3,
+                  5 * aw >= 4 * nw AS p4,
+                  sh >= 2 AS p5
+                FROM ft),
+              a AS (SELECT
+                  CAST(sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS f_wc,
+                  CAST(sum(CASE WHEN NOT p1 AND p2 AND p3 AND p4 AND p5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s_wc,
+                  CAST(sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS f_mwl,
+                  CAST(sum(CASE WHEN NOT p2 AND p1 AND p3 AND p4 AND p5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s_mwl,
+                  CAST(sum(CASE WHEN NOT p3 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS f_sym,
+                  CAST(sum(CASE WHEN NOT p3 AND p1 AND p2 AND p4 AND p5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s_sym,
+                  CAST(sum(CASE WHEN NOT p4 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS f_alw,
+                  CAST(sum(CASE WHEN NOT p4 AND p1 AND p2 AND p3 AND p5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s_alw,
+                  CAST(sum(CASE WHEN NOT p5 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS f_stw,
+                  CAST(sum(CASE WHEN NOT p5 AND p1 AND p2 AND p3 AND p4
+                    THEN 1 ELSE 0 END) AS BIGINT) AS s_stw,
+                  CAST(sum(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5
+                    THEN 1 ELSE 0 END) AS BIGINT) AS f_all
+                FROM fl)
+              SELECT rule, n, n_sole FROM (
+                SELECT 'all_pass' AS rule, f_all AS n,
+                  CAST(0 AS BIGINT) AS n_sole FROM a
+                UNION ALL SELECT 'alpha_words', f_alw, s_alw FROM a
+                UNION ALL SELECT 'mean_word_len', f_mwl, s_mwl FROM a
+                UNION ALL SELECT 'stopwords', f_stw, s_stw FROM a
+                UNION ALL SELECT 'symbol_ratio', f_sym, s_sym FROM a
+                UNION ALL SELECT 'word_count', f_wc, s_wc FROM a)
+              ORDER BY rule""")),
+
+    // ── north star (round 9): TEMPERATURE-SCALED domain mixing
+    //    weights (operators/Sampling.temperatureWeights) — w_g ∝
+    //    count_g^(1/T) at T = 2, the square-root up/down-weighting a
+    //    multi-domain training mix applies so head domains stop
+    //    swamping the tail. sqrt is IEEE-correctly-rounded in every
+    //    engine (unlike pow/exp), raw weights floor onto the integer
+    //    nano grid, the normalizer is an exact integer sum, shares are
+    //    integer micro division — no accumulation-order drift
+    //    anywhere. One count per group + one broadcast total. ──
+    QueryDef(
+      "q_temperature_mix",
+      (s, dir) =>
+        operators.Sampling.temperatureWeights(
+            t(s, dir, "documents").select("doc_id", "source"), "source")
+          .orderBy("source"),
+      Some("""WITH c AS (SELECT source, count(*) AS n_docs
+                FROM documents GROUP BY 1),
+              r AS (SELECT source, n_docs,
+                  CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) *
+                    1000000000.0) AS BIGINT) AS raw_nano
+                FROM c),
+              t AS (SELECT CAST(sum(raw_nano) AS BIGINT) AS total_nano
+                FROM r)
+              SELECT source, n_docs, raw_nano,
+                raw_nano * 1000000 // total_nano AS share_micro
+              FROM r, t ORDER BY source""")),
+
+    // ── north star (round 9): BPE MERGE-CANDIDATE statistics
+    //    (operators/TextAnalysis.bpePairCounts) — corpus-wide adjacent
+    //    character-pair counts inside words, weighted by word
+    //    occurrence: exactly the ranking the first byte-pair-encoding
+    //    merge step consumes (Sennrich et al. 2016). Scan-local pair
+    //    explosion, one map-side-combined count over an |alphabet|²-
+    //    bounded key space, global top-20 via TakeOrdered. ──
+    QueryDef(
+      "q_bpe_pairs",
+      (s, dir) =>
+        operators.TextAnalysis.bpePairCounts(
+            t(s, dir, "documents").select("doc_id", "text"), "text")
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(20),
+      Some("""WITH tk AS (SELECT
+                  string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ') AS toks
+                FROM documents),
+              w AS (SELECT unnest(toks) AS w FROM tk),
+              p AS (SELECT substr(w, g, 2) AS pair
+                    FROM (SELECT w,
+                            unnest(generate_series(1, length(w) - 1))
+                              AS g
+                          FROM w WHERE length(w) >= 2))
+              SELECT pair, count(*) AS cnt FROM p GROUP BY 1
+              ORDER BY cnt DESC, pair ASC LIMIT 20""")),
+
+    // ── eval harness (round 9): nDCG@10 of int8-quantized retrieval —
+    //    q_mrr's graded sibling: exact-cosine top-10 defines graded
+    //    relevance (rank 1 → 3, ranks 2–3 → 2, 4–10 → 1), the
+    //    quantized-dot ranking is scored by DCG/IDCG with the standard
+    //    log2 discount. Both rankings come from GroupTopK (bounded
+    //    per-group top-k, no full-group sort at any corpus size);
+    //    discounts are rel·ln2/ln(rank+1) floored per-term onto the
+    //    integer nano grid so the cross-rank sums are order-free, and
+    //    the final ratio is integer micro division. ──
+    QueryDef(
+      "q_ndcg",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        val qs = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val exact = emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .withColumn("cos", functions.CosinePair(col("v"), col("qv")))
+          .select("qid", "vec_id", "cos")
+        val truth = operators.GroupTopK.topKPerGroup(
+            exact, Seq("qid"), "cos", "vec_id", 10)
+          .withColumn("rel",
+            when(col("rank") === 1, 3L).when(col("rank") <= 3, 2L)
+              .otherwise(1L))
+          .select(col("qid"), col("key").as("tid"),
+            col("rank").as("t_rank"), col("rel"))
+        val i8 = operators.Similarity.int8Quantize(emb, "vec_id", "v")
+          .select("vec_id", "qvec")
+        val qi8 = i8.join(broadcast(qs.select("qid")),
+            col("vec_id") === col("qid"))
+          .select(col("qid"), col("qvec").as("qqv"))
+        val qd = i8.join(broadcast(qi8), col("vec_id") =!= col("qid"))
+          .withColumn("qdot", aggregate(
+            zip_with(col("qvec"), col("qqv"),
+              (x, y) => x.cast("long") * y),
+            lit(0L), (acc, x) => acc + x))
+          .select("qid", "vec_id", "qdot")
+        val sys = operators.GroupTopK.topKPerGroup(
+            qd, Seq("qid"), "qdot", "vec_id", 10)
+          .select(col("qid"), col("key").as("vec_id"), col("rank"))
+        val ln2 = log(lit(2.0))
+        val dcg = sys.join(truth.select(col("qid"),
+              col("tid").as("vec_id"), col("rel")),
+            Seq("qid", "vec_id"), "left")
+          .withColumn("rel0", coalesce(col("rel"), lit(0L)))
+          .withColumn("term_nano",
+            floor(col("rel0").cast("double") * ln2 /
+              log(col("rank").cast("double") + 1.0) *
+              lit(1000000000.0)).cast("long"))
+          .groupBy("qid").agg(sum("term_nano").as("dcg_nano"))
+        val idcg = truth
+          .withColumn("term_nano",
+            floor(col("rel").cast("double") * ln2 /
+              log(col("t_rank").cast("double") + 1.0) *
+              lit(1000000000.0)).cast("long"))
+          .groupBy("qid").agg(sum("term_nano").as("idcg_nano"))
+        dcg.join(idcg, "qid")
+          .withColumn("ndcg_micro",
+            expr("dcg_nano * 1000000L div idcg_nano"))
+          .orderBy("qid")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[])
+                  AS v FROM embeddings),
+              q AS (SELECT vec_id AS qid, v AS qv FROM v
+                    WHERE vec_id < 10),
+              ex AS (SELECT qid, vec_id,
+                       list_cosine_similarity(v.v, q.qv) AS cos
+                     FROM q, v WHERE vec_id <> qid),
+              tr AS (SELECT qid, vec_id AS tid, rn AS t_rank,
+                       CASE WHEN rn = 1 THEN 3 WHEN rn <= 3 THEN 2
+                         ELSE 1 END AS rel
+                     FROM (SELECT *, row_number() OVER (
+                             PARTITION BY qid
+                             ORDER BY cos DESC, vec_id ASC) AS rn
+                           FROM ex)
+                     WHERE rn <= 10),
+              i8 AS (SELECT vec_id,
+                       CASE WHEN list_max(list_transform(v,
+                           e -> abs(e))) = 0
+                         THEN list_transform(v,
+                           e -> CAST(0 AS DOUBLE))
+                         ELSE list_transform(v, e -> floor(e * 127.0 /
+                           list_max(list_transform(v, x -> abs(x)))
+                           + 0.5))
+                       END AS s FROM v),
+              qd AS (SELECT q.qid, i.vec_id,
+                       CAST(list_dot_product(i.s, iq.s) AS BIGINT)
+                         AS qdot
+                     FROM q JOIN i8 iq ON iq.vec_id = q.qid
+                       JOIN i8 i ON i.vec_id <> q.qid),
+              sysr AS (SELECT qid, vec_id, rn AS rank
+                       FROM (SELECT *, row_number() OVER (
+                               PARTITION BY qid
+                               ORDER BY qdot DESC, vec_id ASC) AS rn
+                             FROM qd)
+                       WHERE rn <= 10),
+              d AS (SELECT s.qid,
+                      CAST(sum(CAST(floor(COALESCE(tr.rel, 0) * ln(2.0)
+                        / ln(CAST(s.rank AS DOUBLE) + 1.0) *
+                        1000000000.0) AS BIGINT)) AS BIGINT) AS dcg_nano
+                    FROM sysr s LEFT JOIN tr
+                      ON tr.qid = s.qid AND tr.tid = s.vec_id
+                    GROUP BY 1),
+              ic AS (SELECT qid,
+                      CAST(sum(CAST(floor(rel * ln(2.0) /
+                        ln(CAST(t_rank AS DOUBLE) + 1.0) *
+                        1000000000.0) AS BIGINT)) AS BIGINT)
+                        AS idcg_nano
+                     FROM tr GROUP BY 1)
+              SELECT d.qid, dcg_nano, idcg_nano,
+                dcg_nano * 1000000 // idcg_nano AS ndcg_micro
+              FROM d JOIN ic ON d.qid = ic.qid ORDER BY d.qid""")),
+
+    // ── eval harness (round 9): classifier CALIBRATION — reliability
+    //    bins + Brier decomposition for a deterministic probability
+    //    (P(doc is English) := min(1, 5·stopword-hits/words), the
+    //    stopword-density heuristic): per decile bin of predicted
+    //    probability, how many docs, how many actually English, mean
+    //    predicted vs empirical rate, and the summed Brier terms. The
+    //    probability lives on the integer MICRO grid end-to-end, so
+    //    binning and both rates are integer division; the only doubles
+    //    are the per-row squared errors, floored onto the nano grid
+    //    BEFORE the order-free integer sum. One scan, one tiny
+    //    aggregate. ──
+    QueryDef(
+      "q_calibration",
+      (s, dir) => {
+        val stops = Seq("the", "be", "to", "of", "and", "that",
+          "have", "with")
+        val d = t(s, dir, "documents").select("doc_id", "text", "lang")
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .withColumn("nw", size(col("__toks")))
+          .withColumn("hits",
+            size(filter(col("__toks"), w => w.isin(stops: _*))))
+          .withColumn("p_micro", least(lit(1000000L),
+            expr("hits * 5000000L div greatest(nw, 1)")))
+          .withColumn("y",
+            when(col("lang") === "en", 1L).otherwise(0L))
+          .withColumn("bin", least(lit(9L), expr("p_micro div 100000")))
+          .withColumn("err",
+            col("p_micro").cast("double") / 1000000.0 -
+              col("y").cast("double"))
+          .withColumn("brier_nano",
+            floor(col("err") * col("err") * lit(1000000000.0))
+              .cast("long"))
+        d.groupBy("bin").agg(
+            count(lit(1)).as("n"),
+            sum("y").as("n_pos"),
+            sum("p_micro").as("sum_p_micro"),
+            sum("brier_nano").as("brier_nano_sum"))
+          .withColumn("mean_p_micro", expr("sum_p_micro div n"))
+          .withColumn("emp_micro", expr("n_pos * 1000000L div n"))
+          .select("bin", "n", "n_pos", "mean_p_micro", "emp_micro",
+            "brier_nano_sum")
+          .orderBy("bin")
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang,
+                  string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ') AS toks
+                FROM documents),
+              f AS (SELECT doc_id,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                      len(toks) AS nw,
+                      len(list_filter(toks, w ->
+                        w = 'the' OR w = 'be' OR w = 'to' OR w = 'of'
+                        OR w = 'and' OR w = 'that' OR w = 'have'
+                        OR w = 'with')) AS hits
+                    FROM tk),
+              p AS (SELECT y,
+                      least(1000000,
+                        hits * 5000000 // greatest(nw, 1)) AS p_micro
+                    FROM f),
+              b AS (SELECT y, p_micro,
+                      least(9, p_micro // 100000) AS bin,
+                      CAST(floor(
+                        (CAST(p_micro AS DOUBLE) / 1000000.0 - y) *
+                        (CAST(p_micro AS DOUBLE) / 1000000.0 - y) *
+                        1000000000.0) AS BIGINT) AS brier_nano
+                    FROM p)
+              SELECT bin, count(*) AS n,
+                CAST(sum(y) AS BIGINT) AS n_pos,
+                CAST(sum(p_micro) AS BIGINT) // count(*) AS mean_p_micro,
+                CAST(sum(y) AS BIGINT) * 1000000 // count(*)
+                  AS emp_micro,
+                CAST(sum(brier_nano) AS BIGINT) AS brier_nano_sum
+              FROM b GROUP BY 1 ORDER BY bin""")),
+
+    // ── north star (round 9): JOHNSON–LINDENSTRAUSS sign-projection
+    //    recall — sketch int8-quantized vectors 64 → 16 dims with a
+    //    deterministic ±1 matrix (md5-parity entries, so any engine
+    //    rebuilds the identical matrix: Similarity.signProject), rank
+    //    candidates by the EXACT integer projected dot, and measure
+    //    recall@10 against full-precision cosine truth. The sketch is
+    //    the scale path: 4× fewer multiplies per comparison and a
+    //    16-long integer vector to broadcast instead of 64 floats,
+    //    with the measured recall as the quality receipt. Both top-10s
+    //    via GroupTopK (bounded, no full sort). On THIS corpus the
+    //    measured recall is low by construction — the synthetic
+    //    embeddings are isotropic, so neighbor cosine margins
+    //    concentrate and no 16-dim sketch can preserve them (32 dims
+    //    measures 9/50 vs 8/50) — which is exactly what the eval is
+    //    for: it reports the sketch's fitness on the corpus at hand
+    //    instead of assuming the clustered geometry real embeddings
+    //    have. ──
+    QueryDef(
+      "q_rand_proj",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+        val i8 = operators.Similarity.int8Quantize(emb, "vec_id", "v")
+          .withColumn("p",
+            operators.Similarity.signProject(col("qvec"), 16, 64))
+          .select("vec_id", "p")
+        val qp = i8.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("p").as("qp"))
+        val pd = i8.join(broadcast(qp), col("vec_id") =!= col("qid"))
+          .withColumn("pd", aggregate(
+            zip_with(col("p"), col("qp"), (x, y) => x * y),
+            lit(0L), (acc, x) => acc + x))
+          .select("qid", "vec_id", "pd")
+        val sys = operators.GroupTopK.topKPerGroup(
+            pd, Seq("qid"), "pd", "vec_id", 10)
+          .select(col("qid"), col("key").as("vec_id"))
+        val qs = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val exact = emb.join(broadcast(qs), col("vec_id") =!= col("qid"))
+          .withColumn("cos", functions.CosinePair(col("v"), col("qv")))
+          .select("qid", "vec_id", "cos")
+        val truth = operators.GroupTopK.topKPerGroup(
+            exact, Seq("qid"), "cos", "vec_id", 10)
+          .select(col("qid"), col("key").as("vec_id"))
+        truth.join(sys.withColumn("m", lit(1L)),
+            Seq("qid", "vec_id"), "left")
+          .groupBy("qid")
+          .agg(sum(coalesce(col("m"), lit(0L))).as("recall10"))
+          .orderBy("qid")
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[])
+                  AS v FROM embeddings),
+              i8 AS (SELECT vec_id,
+                       CASE WHEN mx = 0
+                         THEN list_transform(v, e -> CAST(0 AS BIGINT))
+                         ELSE list_transform(v,
+                           e -> CAST(floor(e * 127.0 / mx + 0.5)
+                             AS BIGINT))
+                       END AS s
+                     FROM (SELECT vec_id, v,
+                             list_max(list_transform(v, e -> abs(e)))
+                               AS mx FROM v)),
+              sg AS (SELECT kk.k, jj.j,
+                       CASE WHEN substr(md5(concat(
+                           CAST(jj.j AS VARCHAR), '_',
+                           CAST(kk.k AS VARCHAR))), 1, 1)
+                         IN ('0','2','4','6','8','a','c','e')
+                         THEN 1 ELSE -1 END AS sgn
+                     FROM (SELECT unnest(generate_series(0, 15)) AS k)
+                         kk,
+                       (SELECT unnest(generate_series(0, 63)) AS j) jj),
+              el AS (SELECT vec_id, jj.j AS j, s[jj.j + 1] AS x
+                     FROM i8,
+                       (SELECT unnest(generate_series(0, 63)) AS j) jj),
+              proj AS (SELECT e.vec_id, sg.k,
+                         CAST(sum(sg.sgn * e.x) AS BIGINT) AS c
+                       FROM el e JOIN sg ON sg.j = e.j GROUP BY 1, 2),
+              pd AS (SELECT a.vec_id AS qid, b.vec_id AS vid,
+                       CAST(sum(a.c * b.c) AS BIGINT) AS pd
+                     FROM proj a JOIN proj b
+                       ON a.k = b.k AND b.vec_id <> a.vec_id
+                     WHERE a.vec_id < 5 GROUP BY 1, 2),
+              sysr AS (SELECT qid, vid FROM (
+                         SELECT *, row_number() OVER (PARTITION BY qid
+                           ORDER BY pd DESC, vid ASC) AS rn FROM pd)
+                       WHERE rn <= 10),
+              q AS (SELECT vec_id AS qid, v AS qv FROM v
+                    WHERE vec_id < 5),
+              ex AS (SELECT qid, vec_id,
+                       list_cosine_similarity(v.v, q.qv) AS cos
+                     FROM q, v WHERE vec_id <> qid),
+              tr AS (SELECT qid, vec_id FROM (
+                       SELECT *, row_number() OVER (PARTITION BY qid
+                         ORDER BY cos DESC, vec_id ASC) AS rn FROM ex)
+                     WHERE rn <= 10)
+              SELECT tr.qid,
+                CAST(sum(CASE WHEN s.vid IS NULL THEN 0 ELSE 1 END)
+                  AS BIGINT) AS recall10
+              FROM tr LEFT JOIN sysr s
+                ON s.qid = tr.qid AND s.vid = tr.vec_id
+              GROUP BY 1 ORDER BY tr.qid"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

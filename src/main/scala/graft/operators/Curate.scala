@@ -66,6 +66,54 @@ object Curate {
         col("quality_score") >= minQuality)
       .withColumn("__h", md5(Dedup.normalized(col(textCol))))
 
+  /** The per-rule Gopher/MassiveText-style quality RULES as boolean
+    * pass flags — the per-rule sibling of the combined
+    * [[TextAnalysis.qualityScore]]: where the score collapses signals
+    * into one number, this keeps each published rule separate so a
+    * pipeline can audit WHICH rule kills a document (the attrition
+    * table every curation run publishes; cf. the reference's
+    * corpus-filter north star, SURVEY §2.9).
+    *
+    * Every rule is an INTEGER comparison (counts cross-multiplied
+    * against ratio bounds, never divided), so the flags replay
+    * bit-exactly in any engine. Expression-only → whole-stage codegen,
+    * no shuffle: at 100 TB this is a pure scan-local map.
+    *
+    * Rules (bounds tuned to the synthetic corpus; production swaps
+    * constants through the same shape):
+    *  - word_count: 5 ≤ words ≤ 1000
+    *  - mean_word_len: 3 ≤ (chars-in-words / words) ≤ 10, as
+    *    3·words ≤ Σ|w| ≤ 10·words
+    *  - symbol_ratio: (#'#' + #'...') / words ≤ 0.1, as 10·symbols ≤ words
+    *  - alpha_words: ≥ 80% of words contain a letter, as
+    *    5·alpha_words ≥ 4·words
+    *  - stopwords: ≥ 2 distinct hits from a fixed 8-stopword list
+    */
+  def gopherAudit(df: DataFrame, textCol: String): DataFrame = {
+    val stops = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+    val withToks = df.withColumn("__toks", Dedup.tokens(col(textCol)))
+    val nw = size(col("__toks"))
+    val charSum = aggregate(transform(col("__toks"), w => length(w)),
+      lit(0L), (acc, x) => acc + x)
+    val alphaWords = size(filter(col("__toks"), w => w.rlike("[a-z]")))
+    val hashCnt = length(col(textCol)) -
+      length(regexp_replace(col(textCol), "#", ""))
+    val ellipsisCnt = (length(col(textCol)) -
+      length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    val stopHits = stops.map(sw =>
+      when(array_contains(col("__toks"), sw), 1).otherwise(0))
+      .reduce(_ + _)
+    withToks
+      .withColumn("p_word_count", nw.between(5, 1000))
+      .withColumn("p_mean_word_len",
+        lit(3L) * nw <= charSum && charSum <= lit(10L) * nw)
+      .withColumn("p_symbol_ratio",
+        lit(10L) * (hashCnt + ellipsisCnt) <= nw)
+      .withColumn("p_alpha_words", lit(5L) * alphaWords >= lit(4L) * nw)
+      .withColumn("p_stopwords", stopHits >= 2)
+      .drop("__toks")
+  }
+
   /** Curated corpus rows: (id, lang_pred, quality_score, n_chars,
     * n_tokens, n_copies, n_emails, redacted) — one row per distinct
     * surviving document (smallest id wins among exact duplicates;

@@ -212,4 +212,31 @@ object Sampling {
           .otherwise("test"))
       .drop(compCol)
   }
+
+  /** Temperature-scaled multinomial MIXING WEIGHTS over a group key —
+    * the standard up/down-weighting a multi-domain (or multilingual)
+    * training mix applies so head domains stop swamping the tail:
+    * w_g ∝ count_g^(1/T). Fixed at T = 2 (the square-root mix), which
+    * keeps every step EXACT: sqrt is correctly rounded by IEEE-754 in
+    * every engine (unlike pow/exp, which are libm-dependent), the
+    * per-group raw weight floors onto the integer nano grid, the
+    * denominator is then an exact integer SUM of those nanos, and each
+    * share is integer micro division. No double ever crosses an
+    * accumulation-order boundary.
+    *
+    * Emits (groupCol, n_docs, raw_nano, share_micro). Scale shape: one
+    * map-side-combined count per group and one tiny (n_groups-row)
+    * total joined back broadcast — the corpus is scanned once.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: String): DataFrame = {
+    val counts = df.groupBy(groupCol)
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("raw_nano",
+        floor(sqrt(col("n_docs").cast("double")) * 1e9).cast("long"))
+    val total = counts.agg(sum(col("raw_nano")).as("total_nano"))
+    counts.crossJoin(broadcast(total))
+      .withColumn("share_micro",
+        expr("raw_nano * 1000000L div total_nano"))
+      .select(groupCol, "n_docs", "raw_nano", "share_micro")
+  }
 }

@@ -58,6 +58,46 @@ object Similarity {
               .cast("int"))).as("qvec"))
   }
 
+  /** Deterministic ±1 sign matrix for [[signProject]]: entry (k, j) is
+    * +1 when the first hex digit of md5("j_k") is even — a seedable,
+    * engine-portable stand-in for a Gaussian sketch matrix (any SQL
+    * engine's md5 reproduces it verbatim, which is what lets the
+    * DuckDB oracle rebuild the identical matrix from scratch).
+    */
+  def signMatrix(outDim: Int, inDim: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until outDim).map(k => (0 until inDim).map { j =>
+      val hex = md.digest(s"${j}_$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("02468ace".contains(hex.charAt(0))) 1L else -1L
+    })
+  }
+
+  /** Johnson–Lindenstrauss SIGN projection: sketch an INTEGER-valued
+    * vector column (e.g. [[int8Quantize]]'s qvec) down to `outDim`
+    * coordinates, each the ±1-signed sum of all input coordinates.
+    * Because inputs and signs are integers, every projected coordinate
+    * is an exact long — no accumulation-order drift — so projected dot
+    * products (and hence the candidate ranking a projected ANN pass
+    * produces) are bit-portable across engines, unlike a float Gaussian
+    * sketch. dim reduction = outDim/inDim (8/64 → 8× fewer multiplies
+    * per distance and 8× smaller sketch to broadcast).
+    *
+    * Expression-only scan-local map: the 100 TB side is projected in
+    * place with no shuffle; the sign matrix is a literal folded into
+    * codegen.
+    */
+  def signProject(qvec: Column, outDim: Int, inDim: Int): Column = {
+    val m = signMatrix(outDim, inDim)
+    array((0 until outDim).map { k =>
+      aggregate(
+        zip_with(qvec,
+          array(m(k).map(lit): _*),
+          (x, s) => x.cast("long") * s),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+  }
+
   /** Top-k by QUANTIZED dot product: both sides int8-quantized, scored
     * with an integer dot (≤ 127²·dim, exact in long), ties by id — so
     * unlike float ANN scores the whole ranking is engine-exact and

@@ -76,6 +76,31 @@ object TextAnalysis {
       .withColumn("n_re_tokens",
         size(regexp_extract_all(col(textCol), lit("[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]"), lit(0))))
 
+  /** BPE merge-candidate statistics: corpus-wide counts of ADJACENT
+    * character pairs inside words — exactly the ranking the first
+    * byte-pair-encoding merge step consumes (Sennrich et al. 2016,
+    * public). Occurrences are counted per word INSTANCE (not per
+    * distinct word), so frequent words weigh their pairs up, as BPE
+    * training requires. Emits (pair, cnt).
+    *
+    * Scale shape: tokenize + per-word pair explosion are scan-local
+    * expressions (the token array is bound once per row — the
+    * [[Dedup.shingleArray]] discipline); the count is one map-side-
+    * combined aggregation over a key space bounded by |alphabet|², so
+    * the shuffle is tiny no matter the corpus size. A full BPE trainer
+    * iterates this operator with a merge table; the per-iteration work
+    * is this same shape.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__toks", Dedup.tokens(col(textCol)))
+      .select(explode(col("__toks")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("cnt"))
+
   /** PII signals for training-data hygiene: counts of email / phone /
     * SSN-shaped / IPv4 patterns plus the text with emails redacted.
     * Deliberately simple, deterministic, RE2-compatible patterns so any

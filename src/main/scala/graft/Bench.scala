@@ -244,11 +244,14 @@ object Bench {
         (math.max(0.0, (streamS - stream1S) / 3.0) * 1000).round / 1000.0
       },""" +
       // the named 1-batch decomposition: machinery+source+write floor,
-      // + the LWW upsert window's shuffle, + the watermark-dedup
-      // stage's state-store commit — the last is the dominant
-      // component of the gap vs batch ingest (~7 µs per fresh key on
-      // the HDFS-backed store; RocksDB and partition sweeps measured
-      // no better, see streamingLoop's variant scaladoc)
+      // + the upsert stage's residual write cost (the per-batch LWW
+      // window shuffle was REMOVED in round 9 — Ingest.upsertBatch is
+      // now a blind stamped append with read-side resolution, so this
+      // component should read ≈ 0), + the watermark-dedup stage's
+      // state-store commit — the dominant remaining component of the
+      // gap vs batch ingest (~5-7 µs per fresh key on the HDFS-backed
+      // store; RocksDB and partition sweeps measured no better, see
+      // streamingLoop's variant scaladoc)
       s""""streaming_component_machinery_write_s":${
         (streamRawS * 1000).round / 1000.0},""" +
       s""""streaming_component_lww_window_s":${
@@ -258,8 +261,9 @@ object Bench {
         (math.max(0.0, stream1S - streamNoDedupS) * 1000).round / 1000.0
       },""" +
       s""""streaming_gap_attribution":"watermark-dedup state-store """ +
-      s"""commit + per-batch LWW shuffle; both absent from the batch """ +
-      s"""path",""" +
+      s"""commit (absent from the batch path); the former LWW write """ +
+      s"""shuffle is gone - upsertBatch blind-appends and the window """ +
+      s"""rides the read path",""" +
       s""""sf":"$sfDir"}"""
     println(line)
     // full-artifact persistence (round-7 verdict item 3): the driver's

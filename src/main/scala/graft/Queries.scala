@@ -9362,7 +9362,97 @@ object Queries {
                   AS BIGINT) AS recall10
               FROM tr LEFT JOIN sysr s
                 ON s.qid = tr.qid AND s.vid = tr.vec_id
-              GROUP BY 1 ORDER BY tr.qid"""))
+              GROUP BY 1 ORDER BY tr.qid""")),
+
+    // ── eval harness (round 9): ROC-AUC via the Mann–Whitney
+    //    statistic, run as a two-feature HARNESS CALIBRATION — a
+    //    positive control (token count predicting the ≥300-char label:
+    //    real signal, AUC near 1) next to a null feature (stopword
+    //    density predicting lang='en', which is unlearnable on this
+    //    corpus BY CONSTRUCTION — every synthetic language draws from
+    //    the same vocabulary — so the correct measured answer is ≈ ½).
+    //    An AUC gate exists precisely to catch the second case; the
+    //    first proves the statistic itself works. AUC = P(random
+    //    positive outranks random negative, ties ½) from per-SCORE
+    //    group counts: 2·numerator = Σ_g np_g·(2·cum_nn_below + nn_g),
+    //    all integers, exact on the micro grid. The only window runs
+    //    over (feature, DISTINCT score) — bounded, no global row sort,
+    //    which is what usually makes rank-based AUC scale-hostile. ──
+    QueryDef(
+      "q_auc",
+      (s, dir) => {
+        val stops = Seq("the", "be", "to", "of", "and", "that",
+          "have", "with")
+        val d = t(s, dir, "documents")
+          .select("text", "lang", "n_chars")
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .withColumn("nw", size(col("__toks")))
+          .withColumn("hits",
+            size(filter(col("__toks"), w => w.isin(stops: _*))))
+        val nullFeat = d.select(
+          lit("null_stopword_vs_lang").as("feature"),
+          least(lit(1000000L),
+            expr("hits * 5000000L div greatest(nw, 1)")).as("score"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        val posFeat = d.select(
+          lit("control_tokens_vs_len").as("feature"),
+          col("nw").cast("long").as("score"),
+          when(col("n_chars") >= 300, 1L).otherwise(0L).as("y"))
+        val g = nullFeat.union(posFeat).groupBy("feature", "score").agg(
+          sum(col("y")).as("np_g"),
+          sum(lit(1L) - col("y")).as("nn_g"))
+        val wBelow = Window.partitionBy("feature").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("cum_nn_below",
+            coalesce(sum(col("nn_g")).over(wBelow), lit(0L)))
+          .withColumn("num2",
+            col("np_g") * (lit(2L) * col("cum_nn_below") + col("nn_g")))
+          .groupBy("feature").agg(
+            sum(col("np_g")).as("n_pos"),
+            sum(col("nn_g")).as("n_neg"),
+            sum(col("num2")).as("num2"))
+          .select(col("feature"), col("n_pos"), col("n_neg"),
+            expr("num2 * 1000000L div (2L * n_pos * n_neg)")
+              .as("auc_micro"))
+          .orderBy("feature")
+      },
+      Some("""WITH tk AS (SELECT lang, n_chars,
+                  string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ') AS toks
+                FROM documents),
+              f AS (SELECT lang, n_chars,
+                      len(toks) AS nw,
+                      len(list_filter(toks, w ->
+                        w = 'the' OR w = 'be' OR w = 'to' OR w = 'of'
+                        OR w = 'and' OR w = 'that' OR w = 'have'
+                        OR w = 'with')) AS hits
+                    FROM tk),
+              u AS (SELECT 'null_stopword_vs_lang' AS feature,
+                      least(1000000,
+                        hits * 5000000 // greatest(nw, 1)) AS score,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+                    FROM f
+                    UNION ALL
+                    SELECT 'control_tokens_vs_len', nw,
+                      CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+                    FROM f),
+              g AS (SELECT feature, score,
+                      CAST(sum(y) AS BIGINT) AS np_g,
+                      CAST(sum(1 - y) AS BIGINT) AS nn_g
+                    FROM u GROUP BY 1, 2),
+              tm AS (SELECT feature, np_g, nn_g,
+                       COALESCE(CAST(sum(nn_g) OVER (
+                         PARTITION BY feature ORDER BY score
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND
+                         1 PRECEDING) AS BIGINT), 0) AS cum_nn_below
+                     FROM g)
+              SELECT feature, CAST(sum(np_g) AS BIGINT) AS n_pos,
+                CAST(sum(nn_g) AS BIGINT) AS n_neg,
+                CAST(sum(np_g * (2 * cum_nn_below + nn_g)) AS BIGINT) *
+                  1000000 //
+                  (2 * CAST(sum(np_g) AS BIGINT) *
+                   CAST(sum(nn_g) AS BIGINT)) AS auc_micro
+              FROM tm GROUP BY 1 ORDER BY feature"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

@@ -26,6 +26,22 @@ class StreamingSpec extends AnyFunSuite {
     val out = Ingest.readUpserted(spark, path, Seq("sec", "tm"))
       .orderBy("sec", "tm").collect().toSeq
     assert(out == Seq(Row(1, 10L, 1.5), Row(1, 20L, 9.0)))
+    // the write path is a BLIND append: the in-batch duplicate key is
+    // retained in the log (3 + 1 rows), resolution happens at read
+    assert(spark.read.parquet(path).count() == 4)
+    // compaction drops the losers but changes no read-side answer, and
+    // a later append still beats compacted rows (original stamps kept)
+    val compacted = Files.createTempDirectory("graft-compact").toString + "/t"
+    Ingest.compactUpserted(spark, path, compacted, Seq("sec", "tm"))
+    assert(spark.read.parquet(compacted).count() == 2)
+    assert(Ingest.readUpserted(spark, compacted, Seq("sec", "tm"))
+      .orderBy("sec", "tm").collect().toSeq == out)
+    Ingest.upsertBatch(
+      Seq((1, 10L, 7.5)).toDF("sec", "tm", "px"), 99L, compacted,
+      Seq("sec", "tm"))
+    assert(Ingest.readUpserted(spark, compacted, Seq("sec", "tm"))
+      .orderBy("sec", "tm").collect().toSeq ==
+      Seq(Row(1, 10L, 7.5), Row(1, 20L, 9.0)))
   }
 
   test("streaming OHLCV bars emit on watermark advance") {

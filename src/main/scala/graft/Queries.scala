@@ -9452,7 +9452,260 @@ object Queries {
                   1000000 //
                   (2 * CAST(sum(np_g) AS BIGINT) *
                    CAST(sum(nn_g) AS BIGINT)) AS auc_micro
-              FROM tm GROUP BY 1 ORDER BY feature"""))
+              FROM tm GROUP BY 1 ORDER BY feature""")),
+
+    // ── north star (round 9): VOCABULARY GROWTH curve (Heaps' law) —
+    //    distinct word types vs cumulative tokens at fixed document
+    //    checkpoints, the corpus-health curve a crawl pipeline watches
+    //    (a flattening curve means new data stopped adding novelty).
+    //    Each type's FIRST document is one map-side-combined min; both
+    //    series then roll up onto the checkpoint grid and one tiny
+    //    cumulative window (over checkpoints, not rows) emits the
+    //    curve. Grid granularity is the scale knob: production picks
+    //    a grid that keeps checkpoint count O(1000) regardless of
+    //    corpus size, so the window never sees a big partition. ──
+    QueryDef(
+      "q_vocab_growth",
+      (s, dir) => {
+        val tok = t(s, dir, "documents").select("doc_id", "text")
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .select(col("doc_id"), explode(col("__toks")).as("w"))
+        val firsts = tok.groupBy("w")
+          .agg(min(col("doc_id")).as("first_doc"))
+          .select(expr("first_doc div 100 * 100 + 100").as("cp"),
+            lit(1L).as("one"))
+          .groupBy("cp").agg(sum("one").as("new_types"))
+        val toksPer = tok
+          .select(expr("doc_id div 100 * 100 + 100").as("cp"))
+          .groupBy("cp").agg(count(lit(1)).as("toks"))
+        val w = Window.orderBy("cp")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        toksPer.join(firsts, Seq("cp"), "full")
+          .na.fill(0L, Seq("toks", "new_types"))
+          .withColumn("cum_tokens", sum("toks").over(w))
+          .withColumn("vocab", sum("new_types").over(w))
+          .select("cp", "cum_tokens", "vocab")
+          .orderBy("cp")
+      },
+      Some("""WITH tk AS (SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ')) AS w
+                FROM documents),
+              fs AS (SELECT w, min(doc_id) AS first_doc FROM tk
+                     GROUP BY 1),
+              nf AS (SELECT first_doc // 100 * 100 + 100 AS cp,
+                       count(*) AS new_types
+                     FROM fs GROUP BY 1),
+              tc AS (SELECT doc_id // 100 * 100 + 100 AS cp,
+                       count(*) AS toks
+                     FROM tk GROUP BY 1),
+              j AS (SELECT COALESCE(tc.cp, nf.cp) AS cp,
+                      COALESCE(toks, 0) AS toks,
+                      COALESCE(new_types, 0) AS new_types
+                    FROM tc FULL JOIN nf ON tc.cp = nf.cp)
+              SELECT cp,
+                CAST(sum(toks) OVER (ORDER BY cp ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS cum_tokens,
+                CAST(sum(new_types) OVER (ORDER BY cp ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                  AS vocab
+              FROM j ORDER BY cp""")),
+
+    // ── north star (round 9): ZIPF rank-frequency FIT — log-log OLS
+    //    over the top-100 unigrams (rank by count desc, token asc —
+    //    a TakeOrdered, never a global sort): the one-number corpus
+    //    fingerprint (natural text ≈ −1; a slope collapsing toward 0
+    //    flags templated/machine text). Each ln product floors onto
+    //    the integer nano grid BEFORE the moment sums, so Σx Σy Σxy
+    //    Σxx are order-free integers; slope/intercept derive from
+    //    those ints in fixed-order double arithmetic and land on the
+    //    micro grid. ──
+    QueryDef(
+      "q_zipf_fit",
+      (s, dir) => {
+        val top = t(s, dir, "documents").select("text")
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .select(explode(col("__toks")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w").asc).limit(100)
+        val ranked = top.withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("w").asc)))
+        val nano = lit(1000000000.0)
+        val moments = ranked
+          .withColumn("x", log(col("rk").cast("double")))
+          .withColumn("y", log(col("cnt").cast("double")))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("x") * nano).cast("long")).as("sx"),
+            sum(floor(col("y") * nano).cast("long")).as("sy"),
+            sum(floor(col("x") * col("y") * nano).cast("long")).as("sxy"),
+            sum(floor(col("x") * col("x") * nano).cast("long")).as("sxx"))
+        moments
+          .withColumn("slope",
+            (col("n").cast("double") * col("sxy").cast("double") * 1e9 -
+              col("sx").cast("double") * col("sy").cast("double")) /
+            (col("n").cast("double") * col("sxx").cast("double") * 1e9 -
+              col("sx").cast("double") * col("sx").cast("double")))
+          .select(col("n"),
+            floor(col("slope") * 1000000.0).cast("long")
+              .as("slope_micro"),
+            floor((col("sy").cast("double") / 1e9 -
+              col("slope") * col("sx").cast("double") / 1e9) /
+              col("n").cast("double") * 1000000.0).cast("long")
+              .as("intercept_micro"))
+      },
+      Some("""WITH tk AS (SELECT
+                  unnest(string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ')) AS w
+                FROM documents),
+              top AS (SELECT w, count(*) AS cnt FROM tk GROUP BY 1
+                      ORDER BY cnt DESC, w ASC LIMIT 100),
+              rkd AS (SELECT cnt, row_number() OVER (
+                        ORDER BY cnt DESC, w ASC) AS rk FROM top),
+              xy AS (SELECT ln(CAST(rk AS DOUBLE)) AS x,
+                       ln(CAST(cnt AS DOUBLE)) AS y FROM rkd),
+              m AS (SELECT count(*) AS n,
+                      CAST(sum(CAST(floor(x * 1000000000.0) AS BIGINT))
+                        AS BIGINT) AS sx,
+                      CAST(sum(CAST(floor(y * 1000000000.0) AS BIGINT))
+                        AS BIGINT) AS sy,
+                      CAST(sum(CAST(floor(x * y * 1000000000.0)
+                        AS BIGINT)) AS BIGINT) AS sxy,
+                      CAST(sum(CAST(floor(x * x * 1000000000.0)
+                        AS BIGINT)) AS BIGINT) AS sxx
+                    FROM xy),
+              sl AS (SELECT n, sx, sy,
+                       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) * 1e9 -
+                        CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                       (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) * 1e9 -
+                        CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         AS slope
+                     FROM m)
+              SELECT n,
+                CAST(floor(slope * 1000000.0) AS BIGINT) AS slope_micro,
+                CAST(floor((CAST(sy AS DOUBLE) / 1e9 -
+                  slope * CAST(sx AS DOUBLE) / 1e9) /
+                  CAST(n AS DOUBLE) * 1000000.0) AS BIGINT)
+                  AS intercept_micro
+              FROM sl""")),
+
+    // ── north star (round 9): DUP-CLUSTER SIZE HISTOGRAM — the
+    //    shape report a dedup run publishes: how many near-dup
+    //    clusters of each size the corpus contains (singletons
+    //    included), over the same twin-chain components the
+    //    leakage-safe split inherits. Labels are the memoized
+    //    build-once artifact; the histogram itself is two
+    //    map-side-combined aggregations. ──
+    QueryDef(
+      "q_dup_cluster_hist",
+      (s, dir) => {
+        val corpus = twinChainCorpus(s, dir).select("doc_id")
+        val labels = twinChainComponents(s, dir)
+        corpus.join(labels.select(col("id").as("doc_id"), col("comp")),
+            Seq("doc_id"), "left")
+          .withColumn("rep", coalesce(col("comp"), col("doc_id")))
+          .groupBy("rep").agg(count(lit(1)).as("cluster_size"))
+          .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+          .orderBy("cluster_size")
+      },
+      Some("""WITH RECURSIVE docs AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000, text || ' zz' FROM documents
+                UNION ALL
+                SELECT doc_id + 200000, text || ' zz yy' FROM documents),
+              t AS (SELECT doc_id,
+                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+                FROM docs),
+              sh5 AS (SELECT DISTINCT doc_id,
+                        array_to_string(toks[g:g+4], ' ') AS s
+                      FROM (SELECT doc_id, toks,
+                              unnest(generate_series(1, len(toks) - 4))
+                                AS g
+                            FROM t)),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh5
+                     GROUP BY doc_id),
+              prs AS (SELECT id_a, id_b FROM (
+                        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                          count(*) AS shared
+                        FROM sh5 a JOIN sh5 b
+                          ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY 1, 2) p
+                      JOIN sz x ON x.doc_id = p.id_a
+                      JOIN sz y ON y.doc_id = p.id_b
+                      WHERE CAST(shared AS DOUBLE) /
+                        (x.n + y.n - shared) >= 0.5),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+                        UNION
+                        SELECT id_b, id_a FROM prs),
+              verts AS (SELECT DISTINCT src AS id FROM edges),
+              reach(v, l) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT e.dst, r.l FROM reach r
+                  JOIN edges e ON e.src = r.v),
+              labels AS (SELECT v AS id, min(l) AS comp FROM reach
+                         GROUP BY v),
+              assign AS (SELECT d.doc_id,
+                  coalesce(lb.comp, d.doc_id) AS rep
+                FROM docs d LEFT JOIN labels lb ON lb.id = d.doc_id),
+              szs AS (SELECT rep, count(*) AS cluster_size FROM assign
+                      GROUP BY 1)
+              SELECT cluster_size, count(*) AS n_clusters FROM szs
+              GROUP BY 1 ORDER BY cluster_size""")),
+
+    // ── north star (round 9): GREEDY TOKEN-BUDGET ALLOCATION — fill
+    //    a fixed training-token budget from the best domains first
+    //    (ranked by mean document length here; production swaps in
+    //    any quality metric through the same shape): per-source token
+    //    totals, the greedy ranking's cumulative prefix, and the
+    //    allocation min(domain, remaining budget) — head domains take
+    //    their full token mass, the marginal domain takes the
+    //    remainder, the tail takes zero. All integers; the only
+    //    window runs over domains (bounded), never rows. ──
+    QueryDef(
+      "q_budget_alloc",
+      (s, dir) => {
+        val g = t(s, dir, "documents").select("source", "text")
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .withColumn("nt", size(col("__toks")).cast("long"))
+          .groupBy("source")
+          .agg(sum("nt").as("toks_g"), count(lit(1)).as("n_docs"))
+          .withColumn("avg_len_micro",
+            expr("toks_g * 1000000L div n_docs"))
+        val w = Window
+          .orderBy(col("avg_len_micro").desc, col("source").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("cum_before",
+            coalesce(sum("toks_g").over(w), lit(0L)))
+          .withColumn("allocated",
+            greatest(lit(0L),
+              least(col("toks_g"), lit(15000L) - col("cum_before"))))
+          .select("source", "toks_g", "n_docs", "avg_len_micro",
+            "cum_before", "allocated")
+          .orderBy("source")
+      },
+      Some("""WITH tk AS (SELECT source,
+                  string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ') AS toks
+                FROM documents),
+              g AS (SELECT source,
+                      CAST(sum(len(toks)) AS BIGINT) AS toks_g,
+                      count(*) AS n_docs
+                    FROM tk GROUP BY 1),
+              a AS (SELECT source, toks_g, n_docs,
+                      toks_g * 1000000 // n_docs AS avg_len_micro
+                    FROM g),
+              c AS (SELECT *,
+                      COALESCE(CAST(sum(toks_g) OVER (
+                        ORDER BY avg_len_micro DESC, source ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND
+                        1 PRECEDING) AS BIGINT), 0) AS cum_before
+                    FROM a)
+              SELECT source, toks_g, n_docs, avg_len_micro, cum_before,
+                greatest(0, least(toks_g, 15000 - cum_before))
+                  AS allocated
+              FROM c ORDER BY source"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

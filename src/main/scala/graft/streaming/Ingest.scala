@@ -216,6 +216,37 @@ object Ingest {
       }
       .start()
 
+  /** STREAMING distribution-drift monitor: per micro-batch PSI of
+    * `valueCol` against a STATIC baseline histogram (a
+    * [[graft.operators.Drift.binCounts]] artifact — built once from a
+    * reference window, broadcast-small at ≤ groups·nBins rows). Each
+    * batch appends (batch_id, groupCol, n_a, n_b, psi_nano) rows to
+    * `outPath` — the alarm feed a pipeline tails (psi_nano ≥ 2e8 is
+    * the conventional "distribution moved" line).
+    *
+    * No streaming state at all — the state IS the baseline artifact
+    * (the [[streamMinhashDedup]] pattern): per-batch cost is one
+    * map-side-combined histogram of the batch plus a tiny join, so the
+    * monitor runs forever at any corpus size and re-baselining is just
+    * swapping the artifact.
+    */
+  def psiStream(stream: DataFrame, groupCol: String, valueCol: String,
+      baselineCounts: DataFrame, outPath: String, checkpoint: String,
+      binWidth: Double = 50.0, nBins: Int = 10): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        graft.operators.Drift
+          .psiNano(baselineCounts,
+            graft.operators.Drift.binCounts(batch.toDF(), groupCol,
+              valueCol, binWidth, nBins),
+            groupCol, nBins)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** STREAMING embedding near-dup detection against a STATIC quantized
     * corpus, as a TRUE stream-static equi-join (no foreachBatch, no
     * streaming state): the stream side packs sign bits

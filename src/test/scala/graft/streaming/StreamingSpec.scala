@@ -294,6 +294,58 @@ class StreamingSpec extends AnyFunSuite {
     assert(!pairs.exists(_._1 == 900001L), "novel doc must not match")
   }
 
+  test("streaming PSI drift: stable batch stays quiet, shifted batch alarms") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Drift
+    // baseline: values uniform over [0, 500) in 10 fixed 50-wide bins
+    val baseline = Drift.binCounts(
+      (0 until 500).map(i => ("m", i.toDouble)).toDF("g", "v"), "g", "v")
+    val mem = MemoryStream[(String, Double)]
+    val out = Files.createTempDirectory("graft-psi-out").toString + "/psi"
+    val ckpt = Files.createTempDirectory("graft-psi-ck").toString
+    val q = Ingest.psiStream(mem.toDF.toDF("g", "v"), "g", "v",
+      baseline, out, ckpt)
+    // batch 0: the same uniform shape — no drift
+    mem.addData((0 until 500).map(i => ("m", i.toDouble)): _*)
+    q.processAllAvailable()
+    // batch 1: mass collapsed into the top bin — drifted
+    mem.addData((0 until 500).map(i => ("m", 480.0 + (i % 20))): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(out)
+      .select("batch_id", "psi_nano").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows(0L) < 200000000L, s"stable batch must not alarm: $rows")
+    assert(rows(1L) >= 200000000L, s"shifted batch must alarm: $rows")
+  }
+
+  test("Drift.psiNano reproduces the q_psi_drift registry query exactly") {
+    import graft.operators.Drift
+    val sfDir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .select("event_type", "ts", "event_id", "value")
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    val per = ev
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+    val a = Drift.binCounts(per.filter(col("rn") * 2 <= col("n")),
+      "event_type", "value")
+    val b = Drift.binCounts(per.filter(col("rn") * 2 > col("n")),
+      "event_type", "value")
+    val got = Drift.psiNano(a, b, "event_type")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val want = graft.Queries.byName("q_psi_drift")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want, s"operator vs registry:\n$got\n$want")
+  }
+
   test("streaming curation with watermark evicts dedup state past horizon") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]

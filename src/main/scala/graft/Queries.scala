@@ -9705,7 +9705,143 @@ object Queries {
               SELECT source, toks_g, n_docs, avg_len_micro, cum_before,
                 greatest(0, least(toks_g, 15000 - cum_before))
                   AS allocated
-              FROM c ORDER BY source"""))
+              FROM c ORDER BY source""")),
+
+    // ── north star (round 9): per-document CROSS-ENTROPY under the
+    //    corpus's own unigram LM — the CCNet-style perplexity filter.
+    //    Each token type's ln p floors onto the nano grid ONCE, then
+    //    multiplies by the doc's integer count of that type, so the
+    //    per-doc sum is order-free int64 and the per-token mean is an
+    //    integer division on the same grid. Scale: (doc,tok) counts
+    //    are one map-side-combined agg; corpus counts aggregate THOSE;
+    //    the total is a broadcast 1-row scalar (the q_tpch_q11
+    //    discipline — no BNLJ). ──
+    QueryDef(
+      "q_doc_perplexity",
+      (s, dir) =>
+        operators.TextAnalysis.docCrossEntropy(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text")
+          .select("doc_id", "n_toks", "ce_sum_nano", "ce_per_tok_nano")
+          .orderBy("doc_id"),
+      Some("""WITH tk AS (SELECT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ')) AS w
+                FROM documents),
+              dt AS (SELECT doc_id, w, count(*) AS c_dw
+                     FROM tk GROUP BY 1, 2),
+              cw AS (SELECT w, CAST(sum(c_dw) AS BIGINT) AS c_w
+                     FROM dt GROUP BY 1),
+              n AS (SELECT CAST(sum(c_w) AS BIGINT) AS n_corpus FROM cw),
+              t AS (SELECT doc_id, c_dw,
+                      CAST(floor(ln(CAST(c_w AS DOUBLE) /
+                        CAST(n_corpus AS DOUBLE)) * 1000000000.0)
+                        AS BIGINT) AS lp_nano
+                    FROM dt JOIN cw USING (w) CROSS JOIN n)
+              SELECT doc_id, CAST(sum(c_dw) AS BIGINT) AS n_toks,
+                CAST(-sum(c_dw * lp_nano) AS BIGINT) AS ce_sum_nano,
+                CAST(-sum(c_dw * lp_nano) AS BIGINT) //
+                  CAST(sum(c_dw) AS BIGINT) AS ce_per_tok_nano
+              FROM t GROUP BY 1 ORDER BY doc_id""")),
+
+    // ── north star (round 9): embedding COVARIANCE matrix (upper
+    //    triangle, long form) — whitening/PCA/anisotropy's input
+    //    statistic. No join over the data: every row expands to its
+    //    dim·(dim+1)/2 outer-product terms INSIDE the row (nested
+    //    transform + flatten, codegen'd) and one map-side-combined agg
+    //    reduces to dim² groups. Elements quantize to the 1e4 grid as
+    //    int64 BEFORE multiplying (order-free partials); covariance
+    //    derives from the integer moments in one fixed-order double
+    //    expression onto the nano grid. ──
+    QueryDef(
+      "q_embed_covariance",
+      (s, dir) =>
+        operators.Similarity.embedCovariance(
+            t(s, dir, "embeddings").select("embedding"), "embedding")
+          .orderBy("i", "j"),
+      Some("""WITH e AS (SELECT list_transform(embedding,
+                  x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0)
+                    AS BIGINT)) AS q
+                FROM embeddings),
+              pr AS (SELECT g1.i AS i, g2.j AS j, count(*) AS n_vecs,
+                       CAST(sum(q[g1.i + 1] * q[g2.j + 1]) AS BIGINT)
+                         AS sxy,
+                       CAST(sum(q[g1.i + 1]) AS BIGINT) AS si
+                     FROM e, generate_series(0, 63) g1(i),
+                       generate_series(0, 63) g2(j)
+                     WHERE g1.i <= g2.j GROUP BY 1, 2),
+              ds AS (SELECT j AS dj, si AS sj FROM pr WHERE i = j)
+              SELECT pr.i AS i, pr.j AS j, pr.n_vecs AS n_vecs,
+                CAST(floor((CAST(sxy AS DOUBLE) /
+                    (CAST(n_vecs AS DOUBLE) * 100000000.0)
+                  - (CAST(si AS DOUBLE) /
+                      (CAST(n_vecs AS DOUBLE) * 10000.0))
+                    * (CAST(sj AS DOUBLE) /
+                        (CAST(n_vecs AS DOUBLE) * 10000.0)))
+                  * 1000000000.0) AS BIGINT) AS cov_nano
+              FROM pr JOIN ds ON pr.j = ds.dj ORDER BY i, j""")),
+
+    // ── north star (round 9): WINNOWING near-dup pairs (Schleimer/
+    //    Wilkerson/Aiken 2003) — rightmost-min-of-window fingerprint
+    //    selection with the locality guarantee plain fingerprint
+    //    sampling lacks: any shared run of ≥ w+k−1 tokens yields a
+    //    shared fingerprint. The (hash asc, pos desc) tie-break folds
+    //    into ONE integer code = h·2²¹ + (2²¹−1−pos), so selection is
+    //    a plain min() window — scan-local per doc, no self-join, no
+    //    UDF — and the md5-nibble hash replays in any engine. ──
+    QueryDef(
+      "q_winnow_fingerprint",
+      (s, dir) =>
+        operators.Dedup.winnowPairs(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", k = 4, w = 4, minShared = 3L,
+            maxDocFreq = 50L)
+          .orderBy("id_a", "id_b"),
+      Some("""WITH tk AS (SELECT doc_id,
+                  string_split(regexp_replace(lower(trim(text)),
+                    '\s+', ' ', 'g'), ' ') AS toks
+                FROM documents),
+              gr AS (SELECT doc_id, g - 1 AS pos,
+                       array_to_string(toks[g:g+3], ' ') AS gram
+                     FROM (SELECT doc_id, toks,
+                             unnest(generate_series(1, len(toks) - 3))
+                               AS g
+                           FROM tk WHERE len(toks) >= 4)),
+              hc AS (SELECT doc_id, pos,
+                  (instr('0123456789abcdef', substr(md5(gram), 1, 1)) - 1)
+                    * 16777216
+                + (instr('0123456789abcdef', substr(md5(gram), 2, 1)) - 1)
+                    * 1048576
+                + (instr('0123456789abcdef', substr(md5(gram), 3, 1)) - 1)
+                    * 65536
+                + (instr('0123456789abcdef', substr(md5(gram), 4, 1)) - 1)
+                    * 4096
+                + (instr('0123456789abcdef', substr(md5(gram), 5, 1)) - 1)
+                    * 256
+                + (instr('0123456789abcdef', substr(md5(gram), 6, 1)) - 1)
+                    * 16
+                + (instr('0123456789abcdef', substr(md5(gram), 7, 1)) - 1)
+                    AS h
+                FROM gr),
+              cd AS (SELECT doc_id, pos,
+                       h * 2097152 + (2097151 - pos) AS code FROM hc),
+              mn AS (SELECT doc_id, pos,
+                       min(code) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS m,
+                       count(*) OVER (PARTITION BY doc_id) AS ng
+                     FROM cd),
+              fps AS (SELECT DISTINCT doc_id, m // 2097152 AS fp
+                      FROM mn WHERE pos >= least(3, ng - 1)),
+              rare AS (SELECT fp FROM (SELECT fp, count(*) AS df
+                         FROM fps GROUP BY 1) WHERE df <= 50),
+              ix AS (SELECT doc_id, fps.fp AS fp
+                     FROM fps JOIN rare USING (fp))
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                count(*) AS n_shared
+              FROM ix a JOIN ix b
+                ON a.fp = b.fp AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 3
+              ORDER BY id_a, id_b"""))
   )
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs

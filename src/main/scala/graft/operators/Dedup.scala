@@ -902,4 +902,76 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "dot", "cosine")
   }
+
+  /** WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    * per document, hash every k-token shingle, slide a w-gram window
+    * over the hash sequence, and keep the RIGHTMOST-MINIMAL hash of
+    * each window. The selection guarantees any shared run of
+    * ≥ w + k − 1 tokens between two documents yields at least one
+    * shared fingerprint, while keeping density ≈ 2/(w+1) — the
+    * locality property plain 0-mod-p sampling lacks.
+    *
+    * Engine-portable and branch-free: the per-gram hash is the first
+    * 7 md5 nibbles (28 bits — any SQL engine replays it), and the
+    * rightmost-min tie-break is folded into ONE integer,
+    * code = h·2²¹ + (2²¹−1−pos), so lexicographic (h asc, pos desc)
+    * becomes a plain `min(code)` window aggregate — scan-local work
+    * per document, no self-join, no UDF. Documents with fewer grams
+    * than w fall back to a single whole-document window (the last
+    * position's backward window covers every gram).
+    *
+    * Returns distinct (id, fp, sel_pos). Shuffle count: one window
+    * (partitioned by doc — bounded partitions, docs are bounded) +
+    * one distinct.
+    */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    val grams = df.withColumn("__toks", tokens(col(textCol)))
+      .select(col(idCol).as("id"),
+        posexplode(shingleArray(col("__toks"), k)).as(Seq("pos", "g")))
+    val withCode = grams
+      .withColumn("hex", md5(col("g")))
+      .withColumn("h",
+        (0 until 7).map(i =>
+          expr(s"(instr('0123456789abcdef', substring(hex, ${i + 1}, 1))" +
+            s" - 1) * ${1L << (4 * (6 - i))}L"): Column).reduce(_ + _))
+      .withColumn("code",
+        col("h") * lit(1L << 21) + (lit((1L << 21) - 1L) - col("pos")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("pos")
+    withCode
+      .withColumn("m",
+        min(col("code")).over(win.rowsBetween(-(w - 1), 0)))
+      .withColumn("ng", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")))
+      .filter(col("pos") >= least(lit(w - 1), col("ng") - 1))
+      .select(col("id"), expr("m div 2097152").as("fp"),
+        (lit((1L << 21) - 1L) - pmod(col("m"), lit(1L << 21)))
+          .as("sel_pos"))
+      .distinct()
+  }
+
+  /** Near-dup pairs by shared winnowing fingerprints: inverted index
+    * on fp → pair counts → pairs sharing ≥ `minShared`. `maxDocFreq`
+    * drops boilerplate fingerprints (present in more docs than the
+    * cap) before pairing — the standard skew guard that bounds the
+    * per-bucket join fan-out at any corpus size.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4, minShared: Long = 3L,
+      maxDocFreq: Long = 50L): DataFrame = {
+    // fingerprint SET per doc: the same hash selected at two positions
+    // is one fingerprint for matching purposes
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select("id", "fp").distinct()
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+    val indexed = fps.join(rare.select("fp"), "fp")
+    indexed.select(col("id").as("id_a"), col("fp"))
+      .join(indexed.select(col("id").as("id_b"), col("fp")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -606,4 +606,45 @@ object TextAnalysis {
       .withColumn("spt", col("score_micro").cast("double") /
         col("n_toks").cast("double"))
   }
+
+  /** Per-document CROSS-ENTROPY under the corpus's own unigram LM —
+    * the CCNet-style perplexity filter: documents whose tokens are
+    * improbable under the corpus distribution (gibberish, foreign
+    * fragments, encoding damage) score high; boilerplate scores low.
+    * H(d) = −(1/|d|) Σ_pos ln p(tok),  p(tok) = c_tok / N.
+    *
+    * Exactness discipline: each token TYPE's ln p floors onto the
+    * integer nano grid once, then multiplies by the doc's integer
+    * count of that type, so the per-doc sum is a sum of int64 terms —
+    * order-free across engines — and the per-token mean is an integer
+    * division on the same grid. MLE probabilities (no smoothing):
+    * every token scored exists in the corpus by construction, so
+    * p > 0 always.
+    *
+    * Scale shape: (doc, tok) counts are one map-side-combined
+    * aggregation of the token scan; corpus counts aggregate THOSE
+    * (never re-scanning tokens); the corpus total is a broadcast
+    * 1-row scalar; the only join is (doc,tok) ⋈ tok — shuffle-partitioned
+    * on the token, skew-bounded because the hot-token side is 1 row
+    * per type.
+    */
+  def docCrossEntropy(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val dt = df
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c_dw"))
+    val cw = dt.groupBy("w").agg(sum(col("c_dw")).as("c_w"))
+    val tot = cw.agg(sum(col("c_w")).as("n_corpus"))
+    dt.join(cw, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("lp_nano",
+        floor(log(col("c_w").cast(DoubleType) /
+          col("n_corpus").cast(DoubleType)) * 1e9).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("c_dw")).as("n_toks"),
+        (-sum(col("c_dw") * col("lp_nano"))).as("ce_sum_nano"))
+      .withColumn("ce_per_tok_nano",
+        expr("ce_sum_nano div n_toks"))
+  }
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-9 additions: winnowing fingerprints (locality
+  * guarantee + rightmost-min selection), per-doc cross-entropy under
+  * the corpus unigram LM (brute-force parity), and the quantized
+  * embedding covariance (brute-force parity).
+  */
+class DriftCovWinnowSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ── winnowing ──────────────────────────────────────────────────
+
+  test("winnowing: shared run of >= w+k-1 tokens guarantees a shared fp") {
+    // k=4, w=4 ⇒ guarantee threshold is 7 shared tokens. Embed the
+    // same 12-token run in two otherwise-different documents.
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel " +
+      "india juliet kilo lima"
+    val docs = Seq(
+      (1L, s"unrelated prefix words here $run and a different tail"),
+      (2L, s"totally other opening $run closing differently now yes"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .select("id", "fp").as[(Long, Long)].collect().toSeq
+    val a = fps.filter(_._1 == 1L).map(_._2).toSet
+    val b = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert((a intersect b).nonEmpty,
+      s"guaranteed shared fingerprint missing: $a vs $b")
+  }
+
+  test("winnowing: disjoint documents share no fingerprints") {
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff gg hh ii jj"),
+      (2L, "kk ll mm nn oo pp qq rr ss tt"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .select("id", "fp").as[(Long, Long)].collect().toSeq
+    val a = fps.filter(_._1 == 1L).map(_._2).toSet
+    val b = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert((a intersect b).isEmpty)
+  }
+
+  test("winnowing: selection matches a brute-force rightmost-min model") {
+    val text = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen"
+    val docs = Seq((7L, text)).toDF("doc_id", "text")
+    val (k, w) = (4, 4)
+    // brute-force model: same hash (first 7 md5 nibbles), explicit
+    // window scan with rightmost-min selection
+    val toks = text.toLowerCase.trim.split("\\s+").toSeq
+    val grams = toks.sliding(k).map(_.mkString(" ")).toSeq
+    def h28(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.take(7).foldLeft(0L)((acc, c) =>
+        acc * 16 + "0123456789abcdef".indexOf(c))
+    }
+    val hs = grams.map(h28)
+    val want = (w - 1 until hs.length).flatMap { p =>
+      val window = (p - w + 1 to p)
+      // rightmost minimal: min by (hash asc, pos desc)
+      val sel = window.minBy(q => (hs(q), -q))
+      Some((hs(sel), sel.toLong))
+    }.toSet
+    val got = Dedup.winnowFingerprints(docs, "doc_id", "text", k, w)
+      .select("fp", "sel_pos").as[(Long, Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("winnowing: a doc with fewer grams than w still fingerprints") {
+    // 5 tokens ⇒ 2 grams < w=4: the whole-doc window must emit the min
+    val docs = Seq((1L, "aa bb cc dd ee")).toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs, "doc_id", "text")
+      .collect()
+    assert(fps.length == 1)
+  }
+
+  // ── cross-entropy ──────────────────────────────────────────────
+
+  test("docCrossEntropy matches a brute-force unigram-LM model") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat"),
+      (3L, "rare words appear once"))
+      .toDF("doc_id", "text")
+    val all = Seq("the cat sat on the mat", "the dog sat",
+      "rare words appear once").flatMap(_.split(" "))
+    val n = all.size.toLong
+    val cw = all.groupBy(identity).map { case (wd, xs) =>
+      wd -> xs.size.toLong
+    }
+    def lpNano(wd: String): Long =
+      math.floor(math.log(cw(wd).toDouble / n.toDouble) * 1e9).toLong
+    val want = Seq(
+      ("the cat sat on the mat", 1L), ("the dog sat", 2L),
+      ("rare words appear once", 3L)).map { case (txt, id) =>
+      val ts = txt.split(" ").toSeq
+      val ce = -ts.groupBy(identity).map { case (wd, xs) =>
+        xs.size.toLong * lpNano(wd)
+      }.sum
+      (id, ts.size.toLong, ce, ce / ts.size)
+    }.toSet
+    val got = TextAnalysis.docCrossEntropy(docs, "doc_id", "text")
+      .select("doc_id", "n_toks", "ce_sum_nano", "ce_per_tok_nano")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("docCrossEntropy: repeated boilerplate scores lower than rare text") {
+    val docs = (1L to 9L).map(i => (i, "common common words repeat")) :+
+      ((10L, "zyx wvu tsr qpo"))
+    val out = TextAnalysis.docCrossEntropy(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+      .select("doc_id", "ce_per_tok_nano").as[(Long, Long)]
+      .collect().toMap
+    assert(out(10L) > out(1L),
+      s"rare doc must score higher: ${out(10L)} vs ${out(1L)}")
+  }
+
+  // ── covariance ─────────────────────────────────────────────────
+
+  test("embedCovariance matches a brute-force quantized model") {
+    val vecs = Seq(
+      Array(0.1f, -0.2f, 0.3f),
+      Array(0.2f, 0.1f, -0.1f),
+      Array(-0.3f, 0.25f, 0.05f),
+      Array(0.15f, -0.05f, 0.2f))
+    val df = vecs.map(Tuple1(_)).toDF("embedding")
+    val q = vecs.map(_.map(x => math.floor(x.toDouble * 1e4).toLong))
+    val nv = vecs.size
+    val want = (for {
+      i <- 0 until 3; j <- i until 3
+    } yield {
+      val sxy = q.map(r => r(i) * r(j)).sum
+      val si = q.map(_(i)).sum
+      val sj = q.map(_(j)).sum
+      val cov = sxy.toDouble / (nv.toDouble * 1e8) -
+        (si.toDouble / (nv.toDouble * 1e4)) *
+          (sj.toDouble / (nv.toDouble * 1e4))
+      (i, j, nv.toLong, math.floor(cov * 1e9).toLong)
+    }).toSet
+    val got = Similarity.embedCovariance(df, "embedding")
+      .as[(Int, Int, Long, Long)].collect().toSet
+    assert(got == want, s"got $got want $want")
+  }
+
+  test("embedCovariance: diagonal is a nonnegative variance") {
+    val df = Seq(Array(0.3f, -0.1f), Array(-0.2f, 0.4f),
+      Array(0.1f, 0.0f)).map(Tuple1(_)).toDF("embedding")
+    val diag = Similarity.embedCovariance(df, "embedding")
+      .filter("i = j").select("cov_nano").as[Long].collect()
+    assert(diag.forall(_ >= -1L), s"variance must be ~nonnegative: " +
+      diag.mkString(",")) // −1 allows one floor step below zero
+  }
+}

@@ -247,6 +247,36 @@ object Ingest {
       }
       .start()
 
+  /** STREAMING embedding-moment monitor: per micro-batch integer GRAM
+    * MOMENTS of `vecCol` via the native
+    * [[graft.functions.GramAgg]] aggregate, appended to `outPath` as
+    * (batch_id, i, j, n, sxy, si, sj) rows. Because the moments are
+    * MERGEABLE (elementwise integer sums), the running covariance of
+    * the whole stream — or of any batch window — reconstructs
+    * downstream with one groupBy-sum over this feed
+    * ([[graft.operators.Incremental]]-style), no reprocessing: the
+    * incremental covariance/whitening statistic a training pipeline
+    * keeps current as embeddings arrive.
+    *
+    * No streaming state ([[psiStream]]'s pattern): per-batch cost is
+    * one scan of the batch into a single long[] buffer per partition,
+    * and the appended artifact is dim²/2 rows per batch regardless of
+    * batch size.
+    */
+  def gramStream(stream: DataFrame, vecCol: String, outPath: String,
+      checkpoint: String, grid: Double = 1e4): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        batch.toDF()
+          .agg(graft.functions.GramAgg(col(vecCol), grid).as("g"))
+          .select(inline(col("g")))
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** STREAMING embedding near-dup detection against a STATIC quantized
     * corpus, as a TRUE stream-static equi-join (no foreachBatch, no
     * streaming state): the stream side packs sign bits

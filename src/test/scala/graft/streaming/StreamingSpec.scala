@@ -346,6 +346,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"operator vs registry:\n$got\n$want")
   }
 
+  test("streaming gram moments: batch feed merges to the whole-stream answer") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = Files.createTempDirectory("graft-gram-out").toString + "/g"
+    val ckpt = Files.createTempDirectory("graft-gram-ck").toString
+    val q = Ingest.gramStream(mem.toDF.toDF("id", "vec"), "vec", out, ckpt)
+    val b0 = Seq((1L, Seq(0.1f, -0.2f, 0.3f)), (2L, Seq(0.2f, 0.1f, -0.1f)))
+    val b1 = Seq((3L, Seq(-0.3f, 0.25f, 0.05f)))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val feed = spark.read.parquet(out)
+    assert(feed.select("batch_id").distinct().count() == 2)
+    // merged moments (groupBy-sum over the feed) == one-shot GramAgg
+    // over the union — the mergeability contract
+    val merged = feed.groupBy("i", "j")
+      .agg(sum("n").as("n"), sum("sxy").as("sxy"),
+        sum("si").as("si"), sum("sj").as("sj"))
+      .orderBy("i", "j").collect().toSeq
+    val whole = (b0 ++ b1).toDF("id", "vec")
+      .agg(graft.functions.GramAgg(col("vec"), 1e4).as("g"))
+      .select(inline(col("g")))
+      .orderBy("i", "j").collect().toSeq
+    assert(merged.map(_.toSeq) == whole.map(_.toSeq),
+      s"merged feed != whole-stream gram:\n$merged\n$whole")
+  }
+
   test("streaming curation with watermark evicts dedup state past horizon") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]

@@ -9841,8 +9841,86 @@ object Queries {
               FROM ix a JOIN ix b
                 ON a.fp = b.fp AND a.doc_id < b.doc_id
               GROUP BY 1, 2 HAVING count(*) >= 3
-              ORDER BY id_a, id_b"""))
+              ORDER BY id_a, id_b""")),
+
+    // ── north star (round 9): dominant embedding direction via
+    //    INTEGER power iteration + extreme-document projection — the
+    //    anisotropy diagnostic before whitening. Every round is
+    //    grid-integer (matvec = int64 sums of cov_nano·v_micro; ∞-norm
+    //    renorm = integer division, truncation semantics pinned by the
+    //    oracle-env probe), so DuckDB replays all 16 iterations
+    //    bit-for-bit. λ of the last two rounds is the convergence
+    //    trace: this synthetic corpus is near-isotropic (λ₁ ≈ trace/d
+    //    — the diagnostic's point), so the direction is an estimate,
+    //    not a converged eigenvector, and the query's value is the
+    //    λ/trace read plus a deterministic extreme-doc ranking. ──
+    QueryDef(
+      "q_pca_extremes",
+      (s, dir) =>
+        operators.Similarity.embedPcaExtremes(
+          t(s, dir, "embeddings"), "vec_id", "embedding"),
+      Some(pcaExtremesOracleSql))
   )
+
+  /** DuckDB replay of [[operators.Similarity.embedPcaExtremes]]: the
+    * q_embed_covariance CTE prefix, 16 unrolled integer
+    * power-iteration rounds (MATERIALIZED — the chain references each
+    * round twice, and CTE inlining would make the plan exponential),
+    * and the projection top-20. Kept in lockstep with the Scala
+    * driver loop: same 1e6 start grid, same Σ|Cv|/(Σ|v|·1000) λ ratio,
+    * same truncating integer division.
+    */
+  private lazy val pcaExtremesOracleSql: String = {
+    val iters = 16
+    val prefix = """WITH
+      e AS MATERIALIZED (SELECT list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+        FROM embeddings),
+      pr AS MATERIALIZED (SELECT g1.i AS i, g2.j AS j,
+          count(*) AS n_vecs,
+          CAST(sum(q[g1.i + 1] * q[g2.j + 1]) AS BIGINT) AS sxy,
+          CAST(sum(q[g1.i + 1]) AS BIGINT) AS si
+        FROM e, generate_series(0, 63) g1(i), generate_series(0, 63) g2(j)
+        WHERE g1.i <= g2.j GROUP BY 1, 2),
+      ds AS (SELECT j AS dj, si AS sj FROM pr WHERE i = j),
+      ut AS MATERIALIZED (SELECT pr.i AS i, pr.j AS j,
+        CAST(floor((CAST(sxy AS DOUBLE) /
+            (CAST(n_vecs AS DOUBLE) * 100000000.0)
+          - (CAST(si AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 10000.0))
+            * (CAST(sj AS DOUBLE) / (CAST(n_vecs AS DOUBLE) * 10000.0)))
+          * 1000000000.0) AS BIGINT) AS c
+        FROM pr JOIN ds ON pr.j = ds.dj),
+      cm AS MATERIALIZED (SELECT i, j, c FROM ut
+        UNION ALL SELECT j AS i, i AS j, c FROM ut WHERE i <> j),
+      v0 AS (SELECT g.i AS i, CAST(1000000 AS BIGINT) AS vm
+             FROM generate_series(0, 63) g(i))"""
+    val rounds = (1 to iters).map { t =>
+      s""",
+      mv$t AS MATERIALIZED (SELECT cm.i AS i,
+          CAST(sum(cm.c * v${t - 1}.vm) AS BIGINT) AS cv
+        FROM cm JOIN v${t - 1} ON cm.j = v${t - 1}.i GROUP BY 1),
+      v$t AS MATERIALIZED (SELECT i,
+          cv // ((SELECT max(abs(cv)) FROM mv$t) // 1000000 + 1) AS vm
+        FROM mv$t)"""
+    }.mkString
+    val tail = s""",
+      qv AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS q
+        FROM embeddings),
+      sc AS (SELECT vec_id,
+          CAST(sum(q[v.i + 1] * v.vm) AS BIGINT) AS score
+        FROM qv, v$iters v GROUP BY 1)
+      SELECT vec_id, score,
+        (SELECT CAST(sum(abs(cv)) AS BIGINT) FROM mv$iters) //
+          ((SELECT CAST(sum(abs(vm)) AS BIGINT) FROM v${iters - 1})
+            * 1000) AS lambda_micro,
+        (SELECT CAST(sum(abs(cv)) AS BIGINT) FROM mv${iters - 1}) //
+          ((SELECT CAST(sum(abs(vm)) AS BIGINT) FROM v${iters - 2})
+            * 1000) AS lambda_prev_micro,
+        (SELECT CAST(sum(c) AS BIGINT) FROM ut WHERE i = j) AS trace_nano
+      FROM sc ORDER BY score DESC, vec_id ASC LIMIT 20"""
+    prefix + rounds + tail
+  }
 
   val allDefs: Seq[QueryDef] = defs ++ EngineQueries.defs
 

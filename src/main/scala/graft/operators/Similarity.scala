@@ -717,6 +717,72 @@ object Similarity {
     * ⇒ ~4e11 rows would need ~1e14 B); for wider margins shard the agg
     * by a row-hash and sum the shards' int64 partials as decimals.
     */
+  /** Dominant embedding direction by INTEGER power iteration over the
+    * [[embedCovariance]] matrix, plus the projection of every vector
+    * onto it — the anisotropy diagnostic a pipeline runs before
+    * deciding whether embeddings need whitening, and the "most extreme
+    * documents along PC1" drill-down when they do.
+    *
+    * Determinism discipline: the iteration runs entirely on integer
+    * grids — v stays on the 1e6 grid, each matvec is an exact int64
+    * sum of cov_nano·v_micro products, and the ∞-norm renormalization
+    * is integer division (truncating in both Spark/Java and DuckDB,
+    * pinned by the oracle-environment probe) — so all `iters` rounds
+    * replay bit-for-bit in any engine. The per-iteration λ estimate
+    * (Σ|Cv| / Σ|v|, emitted for the last two rounds) doubles as the
+    * convergence trace: on an isotropic corpus (tiny spectral gap —
+    * exactly what this synthetic testdata has) the two stay close to
+    * trace/d and the direction estimate is honest noise; on a real
+    * anisotropic embedding table λ₁ separates and v converges at the
+    * gap rate. λ and trace land in fixed-grid columns so the "is this
+    * space isotropic" read IS the query output.
+    *
+    * Scale shape: the covariance collect is the bounded-statistic
+    * pattern (dim² int64 rows — the IVF-centroid precedent), the
+    * iteration is driver-side on a ≤dim² int matrix (microseconds),
+    * and the projection is one scan with the direction folded in as a
+    * literal — no shuffle beyond [[embedCovariance]]'s own partials.
+    */
+  def embedPcaExtremes(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int = 16, k: Int = 20): DataFrame = {
+    val cov = embedCovariance(df, vecCol)
+      .select("i", "j", "cov_nano").collect()
+    val d = cov.map(_.getInt(1)).max + 1
+    val c = Array.ofDim[Long](d, d)
+    cov.foreach { r =>
+      val (i, j, v) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(d)(1000000L)
+    var lam = 0L
+    var lamPrev = 0L
+    for (_ <- 1 to iters) {
+      val cv = Array.tabulate(d) { i =>
+        var s = 0L; var j = 0
+        while (j < d) { s += c(i)(j) * v(j); j += 1 }
+        s
+      }
+      val m = cv.map(math.abs).max
+      lamPrev = lam
+      // λ = (Σ|Cv|/1e15) / (Σ|v|/1e6) on the micro grid — a pure
+      // integer ratio of two order-free sums
+      lam = cv.map(math.abs).sum / (v.map(math.abs).sum * 1000L)
+      v = cv.map(_ / (m / 1000000L + 1L))
+    }
+    val traceNano = (0 until d).map(i => c(i)(i)).sum
+    val q = transform(col(vecCol),
+      x => floor(x.cast("double") * 1e4).cast("long"))
+    val vArr = array(v.map(lit).toIndexedSeq: _*)
+    df.select(col(idCol),
+        aggregate(zip_with(q, vArr, (a, b) => a * b), lit(0L),
+          (acc, x) => acc + x).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+      .withColumn("lambda_micro", lit(lam))
+      .withColumn("lambda_prev_micro", lit(lamPrev))
+      .withColumn("trace_nano", lit(traceNano))
+  }
+
   def embedCovariance(df: DataFrame, vecCol: String): DataFrame =
     df.agg(graft.functions.GramAgg(col(vecCol), 1e4).as("g"))
       .select(inline(col("g")))

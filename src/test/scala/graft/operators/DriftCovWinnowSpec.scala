@@ -147,6 +147,38 @@ class DriftCovWinnowSpec extends AnyFunSuite {
     assert(got == want, s"got $got want $want")
   }
 
+  test("embedPcaExtremes converges on a strongly anisotropic corpus") {
+    // variance along dim 0 dominates: v must align with axis 0 and
+    // λ must approach the dim-0 variance
+    val vecs = (0 until 200).map { r =>
+      val main = (if (r % 2 == 0) 1.0f else -1.0f) * (0.5f + (r % 7) * 0.05f)
+      Array(main, (r % 3 - 1) * 0.01f, (r % 5 - 2) * 0.01f)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embedPcaExtremes(df, "vec_id", "embedding",
+      iters = 16, k = 5).collect()
+    assert(out.length == 5)
+    val lam = out.head.getAs[Long]("lambda_micro")
+    val lamPrev = out.head.getAs[Long]("lambda_prev_micro")
+    val trace = out.head.getAs[Long]("trace_nano")
+    // dim-0 variance ≈ E[x²] ≈ 0.4265 (means cancel); dims 1-2 are
+    // ~1e-4 — λ should capture nearly the whole trace
+    assert(lam > 400000L && lam < 460000L, s"lambda_micro $lam")
+    // converged: successive λ estimates within 1%
+    assert(math.abs(lam - lamPrev) * 100 <= lam,
+      s"not converged: $lamPrev -> $lam")
+    assert(trace > (lam * 1000L * 95L) / 100L,
+      s"trace $trace vs lambda $lam: top eig should dominate trace")
+    // extremes: every returned doc sits at the positive max of the
+    // dominant axis (main = +0.8); their exact order among equals is
+    // decided by the tiny dim-1/2 components of the estimated
+    // direction, so assert membership, not order
+    val topIds = out.map(_.getLong(0)).toSeq
+    assert(topIds.forall(id => vecs(id.toInt)(0) == 0.8f),
+      s"top ids $topIds must all have main=+0.8")
+  }
+
   test("embedCovariance: diagonal is a nonnegative variance") {
     val df = Seq(Array(0.3f, -0.1f), Array(-0.2f, 0.4f),
       Array(0.1f, 0.0f)).map(Tuple1(_)).toDF("embedding")

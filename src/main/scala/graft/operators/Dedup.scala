@@ -935,8 +935,17 @@ object Dedup {
         (0 until 7).map(i =>
           expr(s"(instr('0123456789abcdef', substring(hex, ${i + 1}, 1))" +
             s" - 1) * ${1L << (4 * (6 - i))}L"): Column).reduce(_ + _))
+      // the packed tie-break holds only while pos < 2²¹ (~2M grams per
+      // doc); past it the (hash asc, pos desc) order would corrupt
+      // SILENTLY, so it is checked, not assumed (the dsirScores guard
+      // discipline) — chunk monster documents upstream (q_doc_chunk)
       .withColumn("code",
-        col("h") * lit(1L << 21) + (lit((1L << 21) - 1L) - col("pos")))
+        when(col("pos") >= lit(1L << 21),
+          raise_error(lit("winnowFingerprints: document exceeds 2^21 " +
+            "grams; the packed (hash,pos) tie-break would corrupt - " +
+            "chunk the document first")))
+          .otherwise(
+            col("h") * lit(1L << 21) + (lit((1L << 21) - 1L) - col("pos"))))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy("pos")
     withCode

@@ -636,8 +636,14 @@ object TextAnalysis {
       .groupBy("doc_id", "w").agg(count(lit(1)).as("c_dw"))
     val cw = dt.groupBy("w").agg(sum(col("c_dw")).as("c_w"))
     val tot = cw.agg(sum(col("c_w")).as("n_corpus"))
+    // broadcast SCALAR via an equi-join on a non-foldable constant key
+    // (pmod(x,1) = 0 always) — the q_tpch_q11 discipline: a broadcast
+    // cross join would plan as BroadcastNestedLoopJoin and pollute
+    // every plan-shape diff even though the 1-row side is benign
     dt.join(cw, "w")
-      .crossJoin(broadcast(tot))
+      .withColumn("__k", pmod(col("c_dw"), lit(1L)))
+      .join(broadcast(tot.withColumn("__k",
+        pmod(col("n_corpus"), lit(1L)))), "__k")
       .withColumn("lp_nano",
         floor(log(col("c_w").cast(DoubleType) /
           col("n_corpus").cast(DoubleType)) * 1e9).cast("long"))

@@ -179,6 +179,52 @@ class DriftCovWinnowSpec extends AnyFunSuite {
       s"top ids $topIds must all have main=+0.8")
   }
 
+  // ── plan-shape gates (the .explain-and-iterate discipline): the
+  // scale properties claimed in the scaladocs must be visible in the
+  // physical plan, not asserted on trust ──
+
+  test("plan: embedCovariance is one aggregate pass, no join, no explode") {
+    val df = Seq(Array(0.1f, 0.2f), Array(0.3f, -0.1f)).map(Tuple1(_))
+      .toDF("embedding")
+    val plan = Similarity.embedCovariance(df, "embedding")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"covariance must not join the data:\n$plan")
+    // exactly ONE Generate (the inline), and it sits ABOVE the
+    // aggregate (parents print first): the dim² expansion happens on
+    // the 1-row aggregate output, never on the data
+    assert("Generate".r.findAllIn(plan).size == 1 &&
+      plan.indexOf("Generate") < plan.indexOf("ObjectHashAggregate"),
+      s"the one inline must run on the aggregate output:\n$plan")
+    assert(plan.contains("partial_gramagg"),
+      s"GramAgg must run with map-side partials:\n$plan")
+  }
+
+  test("plan: winnowPairs carries no nested-loop join and one window pass") {
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.winnowPairs(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"pairing must stay equi-join on fp:\n$plan")
+    assert("Window".r.findAllIn(plan).size >= 1)
+  }
+
+  test("plan: docCrossEntropy reads only (doc_id, text) and broadcasts the total") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextAnalysis.docCrossEntropy(
+      graft.Tables.load(spark, dir, "documents").select("doc_id", "text"),
+      "doc_id", "text")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"column pruning must reach the scan:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"corpus total must broadcast as a HASH join (q_tpch_q11 " +
+      s"discipline — no BNLJ):\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"no BNLJ in the scalar-broadcast path:\n$plan")
+  }
+
   test("embedCovariance: diagonal is a nonnegative variance") {
     val df = Seq(Array(0.3f, -0.1f), Array(-0.2f, 0.4f),
       Array(0.1f, 0.0f)).map(Tuple1(_)).toDF("embedding")

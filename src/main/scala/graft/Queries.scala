@@ -9459,11 +9459,13 @@ object Queries {
     //    checkpoints, the corpus-health curve a crawl pipeline watches
     //    (a flattening curve means new data stopped adding novelty).
     //    Each type's FIRST document is one map-side-combined min; both
-    //    series then roll up onto the checkpoint grid and one tiny
-    //    cumulative window (over checkpoints, not rows) emits the
-    //    curve. Grid granularity is the scale knob: production picks
-    //    a grid that keeps checkpoint count O(1000) regardless of
-    //    corpus size, so the window never sees a big partition. ──
+    //    series then roll up onto the checkpoint grid. The prefix sum
+    //    over the grid is the q_ntile shape, not a global window: a
+    //    block-local window (partitioned by checkpoint block) plus
+    //    per-block offsets from a bounded driver-side stats pass —
+    //    block count ≤ checkpoints/32, and production picks a grid
+    //    that keeps checkpoint count O(1000) regardless of corpus
+    //    size, so no stage ever sees more than one block's rows. ──
     QueryDef(
       "q_vocab_growth",
       (s, dir) => {
@@ -9478,13 +9480,35 @@ object Queries {
         val toksPer = tok
           .select(expr("doc_id div 100 * 100 + 100").as("cp"))
           .groupBy("cp").agg(count(lit(1)).as("toks"))
-        val w = Window.orderBy("cp")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        toksPer.join(firsts, Seq("cp"), "full")
+        val grid = toksPer.join(firsts, Seq("cp"), "full")
           .na.fill(0L, Seq("toks", "new_types"))
-          .withColumn("cum_tokens", sum("toks").over(w))
-          .withColumn("vocab", sum("new_types").over(w))
-          .select("cp", "cum_tokens", "vocab")
+          .withColumn("blk", expr("cp div 3200"))
+        // per-block totals are a bounded collect (≤ checkpoints/32
+        // rows); their exclusive prefix sums become broadcast offsets
+        val blkTotals = grid.groupBy("blk")
+          .agg(sum("toks").as("bt"), sum("new_types").as("bv"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .sortBy(_._1)
+        var (accT, accV) = (0L, 0L)
+        val offRows: Seq[org.apache.spark.sql.Row] = blkTotals.toSeq.map {
+          case (b, bt, bv) =>
+            val r = org.apache.spark.sql.Row(b, accT, accV)
+            accT += bt; accV += bv; r
+        }
+        val offs = s.createDataFrame(
+          java.util.Arrays.asList(offRows: _*),
+          StructType(Seq(StructField("blk", LongType, nullable = false),
+            StructField("toff", LongType, nullable = false),
+            StructField("voff", LongType, nullable = false))))
+        val w = Window.partitionBy("blk").orderBy("cp")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid
+          .withColumn("lt", sum("toks").over(w))
+          .withColumn("lv", sum("new_types").over(w))
+          .join(broadcast(offs), "blk")
+          .select(col("cp"),
+            (col("lt") + col("toff")).as("cum_tokens"),
+            (col("lv") + col("voff")).as("vocab"))
           .orderBy("cp")
       },
       Some("""WITH tk AS (SELECT doc_id,
@@ -9661,8 +9685,11 @@ object Queries {
     //    totals, the greedy ranking's cumulative prefix, and the
     //    allocation min(domain, remaining budget) — head domains take
     //    their full token mass, the marginal domain takes the
-    //    remainder, the tail takes zero. All integers; the only
-    //    window runs over domains (bounded), never rows. ──
+    //    remainder, the tail takes zero. All integers. The greedy
+    //    cumulative runs over DOMAINS, whose cardinality is the source
+    //    catalog (not row-scaled), so it is a bounded driver-side
+    //    stats pass — the q_ntile blessed shape: distributed token
+    //    scan, tiny sorted collect, broadcast offsets joined back. ──
     QueryDef(
       "q_budget_alloc",
       (s, dir) => {
@@ -9673,11 +9700,21 @@ object Queries {
           .agg(sum("nt").as("toks_g"), count(lit(1)).as("n_docs"))
           .withColumn("avg_len_micro",
             expr("toks_g * 1000000L div n_docs"))
-        val w = Window
-          .orderBy(col("avg_len_micro").desc, col("source").asc)
-          .rowsBetween(Window.unboundedPreceding, -1)
-        g.withColumn("cum_before",
-            coalesce(sum("toks_g").over(w), lit(0L)))
+        val perSrc = g.select("source", "toks_g", "avg_len_micro")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          .sortBy { case (src, _, alm) => (-alm, src) }
+        var acc = 0L
+        val cumRows: Seq[org.apache.spark.sql.Row] = perSrc.toSeq.map {
+          case (src, tg, _) =>
+            val r = org.apache.spark.sql.Row(src, acc); acc += tg; r
+        }
+        val cumDf = s.createDataFrame(
+          java.util.Arrays.asList(cumRows: _*),
+          StructType(Seq(
+            StructField("source", StringType, nullable = false),
+            StructField("cum_before", LongType, nullable = false))))
+        g.join(broadcast(cumDf), "source")
           .withColumn("allocated",
             greatest(lit(0L),
               least(col("toks_g"), lit(15000L) - col("cum_before"))))

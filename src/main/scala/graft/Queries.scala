@@ -2399,33 +2399,7 @@ object Queries {
             bench, "bench_id", "text", n = 5)
           .orderBy("doc_id", "bench_id")
       },
-      Some("""WITH t AS (SELECT doc_id,
-                regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-                FROM documents),
-              docsh AS (SELECT DISTINCT doc_id,
-                          array_to_string(toks[g:g+4], ' ') AS s
-                        FROM (SELECT doc_id, toks,
-                                unnest(generate_series(1, len(toks) - 4)) AS g
-                              FROM t)),
-              bt AS (SELECT doc_id + 500000 AS bench_id,
-                       toks[6:25] AS toks
-                     FROM t WHERE doc_id % 50 = 0),
-              benchsh AS (SELECT DISTINCT bench_id,
-                            array_to_string(toks[g:g+4], ' ') AS s
-                          FROM (SELECT bench_id, toks,
-                                  unnest(generate_series(1, len(toks) - 4)) AS g
-                                FROM bt)),
-              sizes AS (SELECT bench_id, count(*) AS n_bench_grams
-                        FROM benchsh GROUP BY bench_id)
-              SELECT d.doc_id, b.bench_id AS bench_id,
-                     count(*) AS shared_grams,
-                     CAST(count(*) AS DOUBLE) / any_value(z.n_bench_grams)
-                       AS contaminated_frac
-              FROM docsh d
-              JOIN benchsh b ON d.s = b.s
-              JOIN sizes z ON z.bench_id = b.bench_id
-              GROUP BY d.doc_id, b.bench_id
-              ORDER BY d.doc_id, b.bench_id""")),
+      Some(decontaminateOracleSql)),
 
     // ── north star: SPAN-level substring dedup (Lee et al. shape) —
     //    stride-10 windows of 20 tokens md5-fingerprinted; a window in
@@ -9896,8 +9870,137 @@ object Queries {
       (s, dir) =>
         operators.Similarity.embedPcaExtremes(
           t(s, dir, "embeddings"), "vec_id", "embedding"),
-      Some(pcaExtremesOracleSql))
+      Some(pcaExtremesOracleSql)),
+
+    // ── north star (round 9): distributed LLOYD'S K-MEANS over the
+    //    embedding table — the clustering primitive under IVF cells,
+    //    semantic sharding, and diversity sampling, run as a real
+    //    distributed loop: per round, ONE scan-local assignment over
+    //    broadcast centroid literals (codegen, no join, no shuffle of
+    //    vectors) + ONE map-side-combined (cid,pos) aggregate whose
+    //    k×d result is a bounded driver collect. Exact on the 1e4
+    //    grid (int64 distances, floor-of-mean updates, cid tie-break)
+    //    so DuckDB replays all 4 rounds bit-for-bit as a CTE chain. ──
+    QueryDef(
+      "q_kmeans_embed",
+      (s, dir) =>
+        operators.Similarity.kmeansLloyd(
+            t(s, dir, "embeddings"), "vec_id", "embedding",
+            k = 4, iters = 4)
+          .orderBy("cid", "pos"),
+      Some(kmeansOracleSql)),
+
+    // ── north star (round 9): BLOOM-prefiltered decontamination —
+    //    byte-identical output to q_decontaminate (same oracle SQL),
+    //    but the corpus side passes a scan-local 3-hash Bloom test
+    //    against a 2²⁰-bit literal bitmap of the benchmark shingles
+    //    BEFORE the equi-join. At 100 TB the non-matching majority
+    //    dies in the scan at the ~1e-5 false-positive rate instead of
+    //    reaching the join; the exact join then removes the false
+    //    positives, so the bloom only prunes, never decides. ──
+    QueryDef(
+      "q_decontaminate_bloom",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val bench = docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+          .select((col("doc_id") + 500000L).as("bench_id"),
+            concat_ws(" ", slice(operators.Dedup.tokens(col("text")), 6, 20))
+              .as("text"))
+        operators.Curate.decontaminateBloom(docs, "doc_id", "text",
+            bench, "bench_id", "text", n = 5)
+          .orderBy("doc_id", "bench_id")
+      },
+      Some(decontaminateOracleSql))
   )
+
+  /** Shared by q_decontaminate and q_decontaminate_bloom: the bloom
+    * variant's RESULT is exact (the bitmap only prunes the join's
+    * probe side), so both replay against the same SQL.
+    */
+  private lazy val decontaminateOracleSql: String =
+    """WITH t AS (SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+         FROM documents),
+       docsh AS (SELECT DISTINCT doc_id,
+                   array_to_string(toks[g:g+4], ' ') AS s
+                 FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks) - 4)) AS g
+                       FROM t)),
+       bt AS (SELECT doc_id + 500000 AS bench_id,
+                toks[6:25] AS toks
+              FROM t WHERE doc_id % 50 = 0),
+       benchsh AS (SELECT DISTINCT bench_id,
+                     array_to_string(toks[g:g+4], ' ') AS s
+                   FROM (SELECT bench_id, toks,
+                           unnest(generate_series(1, len(toks) - 4)) AS g
+                         FROM bt)),
+       sizes AS (SELECT bench_id, count(*) AS n_bench_grams
+                 FROM benchsh GROUP BY bench_id)
+       SELECT d.doc_id, b.bench_id AS bench_id,
+              count(*) AS shared_grams,
+              CAST(count(*) AS DOUBLE) / any_value(z.n_bench_grams)
+                AS contaminated_frac
+       FROM docsh d
+       JOIN benchsh b ON d.s = b.s
+       JOIN sizes z ON z.bench_id = b.bench_id
+       GROUP BY d.doc_id, b.bench_id
+       ORDER BY d.doc_id, b.bench_id"""
+
+  /** DuckDB replay of [[operators.Similarity.kmeansLloyd]] (k=4,
+    * iters=4): quantize onto the 1e4 grid, init from the 4 lowest-id
+    * vectors, then 4 unrolled rounds of (argmin assignment by
+    * (d2, cid), floor-of-mean centroid update, empty-cluster
+    * carry-forward via LEFT JOIN onto the previous round). Distances
+    * expand to q·q − 2q·c + c·c — integral values ≤ 2⁵³, exact in
+    * DOUBLE, so they equal the Scala side's int64 Σ(a−b)². Kept in
+    * lockstep with the Scala loop.
+    */
+  private lazy val kmeansOracleSql: String = {
+    val k = 4
+    val iters = 4
+    val prefix = s"""WITH
+      q AS MATERIALIZED (SELECT vec_id AS id, list_transform(
+          CAST(embedding AS DOUBLE[]),
+          x -> floor(x * 10000.0)) AS q
+        FROM embeddings),
+      c0 AS MATERIALIZED (SELECT
+          CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS cid,
+          q AS c
+        FROM q ORDER BY id LIMIT $k)"""
+    val rounds = (1 to iters).map { r =>
+      s""",
+      a$r AS MATERIALIZED (SELECT id, q, cid FROM (
+          SELECT v.id, v.q, c.cid, row_number() OVER (PARTITION BY v.id
+            ORDER BY list_dot_product(v.q, v.q)
+              - 2 * list_dot_product(v.q, c.c)
+              + list_dot_product(c.c, c.c), c.cid) AS rn
+          FROM q v CROSS JOIN c${r - 1} c) WHERE rn = 1),
+      m$r AS (SELECT cid, i,
+            floor(CAST(sum(q[i]) AS DOUBLE) / count(*)) AS cq
+          FROM (SELECT cid, q, unnest(generate_series(1, len(q))) AS i
+                FROM a$r)
+          GROUP BY 1, 2),
+      c$r AS MATERIALIZED (SELECT p.cid, COALESCE(nc.c, p.c) AS c
+          FROM c${r - 1} p LEFT JOIN (SELECT cid,
+              list(cq ORDER BY i) AS c
+            FROM m$r GROUP BY 1) nc ON nc.cid = p.cid)"""
+    }.mkString
+    val tail = s""",
+      af AS (SELECT id, cid FROM (
+          SELECT v.id, c.cid, row_number() OVER (PARTITION BY v.id
+            ORDER BY list_dot_product(v.q, v.q)
+              - 2 * list_dot_product(v.q, c.c)
+              + list_dot_product(c.c, c.c), c.cid) AS rn
+          FROM q v CROSS JOIN c$iters c) WHERE rn = 1),
+      sz AS (SELECT cid, count(*) AS n_vecs FROM af GROUP BY 1)
+      SELECT ce.cid, CAST(ce.i - 1 AS INTEGER) AS pos,
+        CAST(ce.c[ce.i] AS BIGINT) AS c_q, sz.n_vecs
+      FROM (SELECT cid, c, unnest(generate_series(1, len(c))) AS i
+            FROM c$iters) ce
+      JOIN sz ON sz.cid = ce.cid
+      ORDER BY ce.cid, pos"""
+    prefix + rounds + tail
+  }
 
   /** DuckDB replay of [[operators.Similarity.embedPcaExtremes]]: the
     * q_embed_covariance CTE prefix, 16 unrolled integer

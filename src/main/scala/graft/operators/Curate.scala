@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,6 +43,66 @@ object Curate {
     val benchSizes = benchSh.groupBy("bench_id")
       .agg(count(lit(1)).as("n_bench_grams"))
     docSh
+      .join(broadcast(benchSh), "shingle")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared_grams"))
+      .filter(col("shared_grams") >= minShared)
+      .join(broadcast(benchSizes), "bench_id")
+      .withColumn("contaminated_frac",
+        col("shared_grams").cast("double") / col("n_bench_grams"))
+      .select("doc_id", "bench_id", "shared_grams", "contaminated_frac")
+  }
+
+  /** Bloom-prefiltered decontamination: byte-identical output to
+    * [[decontaminate]], with a scan-local Bloom membership test
+    * inserted UNDER the equi-join.
+    *
+    * Why: [[decontaminate]] already broadcasts the benchmark side, but
+    * every corpus shingle still flows into the join operator's hash
+    * probe. Here the benchmark shingles' k=3 xxhash64 bit positions
+    * are OR-ed into an m-bit bitmap (one bounded driver-side collect
+    * of the SMALL side — the same rows the join broadcasts anyway,
+    * compressed ~64×), embedded as ONE ArrayType(long) literal
+    * (128 KiB at the default m=2²⁰), and each corpus shingle tests
+    * `all 3 bits set` as a codegen'd scan-local predicate. At 100 TB
+    * the overwhelming non-matching majority dies in the scan at the
+    * false-positive rate ((k·n/m)³ ≈ 1e-5 per 100k bench shingles)
+    * instead of reaching the join; the exact equi-join that follows
+    * removes the false positives, so the RESULT is exact — the bloom
+    * only prunes, never decides.
+    */
+  def decontaminateBloom(docs: DataFrame, docId: String, docText: String,
+      bench: DataFrame, benchId: String, benchText: String,
+      n: Int = 13, minShared: Long = 1, mBits: Int = 1 << 20): DataFrame = {
+    require((mBits & (mBits - 1)) == 0 && mBits >= 64,
+      s"mBits must be a power of two >= 64, got $mBits")
+    val seeds = Seq(1001L, 2002L, 3003L)
+    val docSh = Dedup.shingles(docs, docId, docText, n)
+      .toDF("doc_id", "shingle")
+    val benchSh = Dedup.shingles(bench, benchId, benchText, n)
+      .toDF("bench_id", "shingle")
+    val benchSizes = benchSh.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_bench_grams"))
+    // bit positions come from the SAME xxhash64 the probe uses, computed
+    // in Spark on the bench side, so driver and executors cannot drift
+    val words = new Array[Long](mBits / 64)
+    benchSh.select(explode(array(seeds.map(sd =>
+        pmod(xxhash64(col("shingle"), lit(sd)), lit(mBits.toLong)))
+          .toIndexedSeq: _*)).as("bit"))
+      .distinct().collect()
+      .foreach { r =>
+        val b = r.getLong(0).toInt
+        words(b >> 6) |= (1L << (b & 63))
+      }
+    val bm = typedLit(words.toSeq)
+    def probe(sd: Long): Column = {
+      val bit = pmod(xxhash64(col("shingle"), lit(sd)), lit(mBits.toLong))
+        .cast("int")
+      val word = element_at(bm, floor(bit / lit(64)).cast("int") + lit(1))
+      call_function("shiftright", word, bit % lit(64))
+        .bitwiseAND(lit(1L)) === lit(1L)
+    }
+    docSh.filter(seeds.map(probe).reduce(_ && _))
       .join(broadcast(benchSh), "shingle")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("shared_grams"))

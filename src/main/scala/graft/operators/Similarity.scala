@@ -793,4 +793,76 @@ object Similarity {
             (col("sj").cast("double") / (col("n").cast("double") * 1e4)))
           * 1e9).cast("long"))
       .select(col("i"), col("j"), col("n").as("n_vecs"), col("cov_nano"))
+
+  /** Distributed Lloyd's k-means over an embedding column, exact on
+    * the 1e4 integer grid — the clustering primitive under IVF cell
+    * assignment, semantic sharding, and diversity-aware sampling,
+    * here as a first-class distributed loop (the private
+    * [[kmeansFit]] fits driver-side over a bounded SAMPLE; this one
+    * never materializes the vectors).
+    *
+    * Determinism/exactness: vectors quantize onto the 1e4 grid once;
+    * squared distances are int64; centroid updates are
+    * floor(sum/count) with the sums exact in doubles (≤2⁵³); ties in
+    * the argmin break toward the lower centroid id. Init is the k
+    * lowest-id vectors. Every quantity is therefore plan-order-free
+    * and a DuckDB CTE chain replays all rounds bit-for-bit.
+    *
+    * Scale shape: each round is ONE scan-local assignment (k distance
+    * expressions over broadcast centroid LITERALS — whole-stage
+    * codegen, no shuffle, no join) plus ONE map-side-combined
+    * (cid, pos) aggregate whose k×d result is a bounded driver-side
+    * collect (the q_ntile blessed shape: k·d ≤ a few thousand cells
+    * regardless of corpus size). R rounds = R scans; nothing ever
+    * shuffles the vectors themselves.
+    */
+  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField,
+      IntegerType, LongType}
+    val q = df.select(col(idCol).as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * 1e4).cast("long")).as("q"))
+    var cents: Array[Array[Long]] = q.orderBy("id").limit(k).collect()
+      .map(_.getSeq[Long](1).toArray)
+    // argmin over k centroid literals: least() over (d2, cid) structs
+    // compares lexicographically, so equal distances break to the
+    // lower cid — the same (d2, cid) order the oracle's row_number uses
+    def assignCol(cs: Array[Array[Long]]): Column =
+      least(cs.zipWithIndex.map { case (c, i) =>
+        val carr = array(c.map(lit).toIndexedSeq: _*)
+        struct(
+          aggregate(zip_with(col("q"), carr, (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x).as("d2"),
+          lit(i).as("cid"))
+      }.toIndexedSeq: _*).getField("cid")
+    for (_ <- 1 to iters) {
+      val upd = q.withColumn("cid", assignCol(cents))
+        .select(col("cid"), posexplode(col("q")))
+        .groupBy("cid", "pos")
+        .agg(sum("col").as("sv"), count(lit(1)).as("nv"))
+        .collect()
+      // empty clusters keep their previous centroid (both sides agree:
+      // the oracle LEFT JOINs new means onto the previous round)
+      val next = cents.map(_.clone)
+      upd.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) =
+          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+      }
+      cents = next
+    }
+    val d = cents(0).length
+    val centRows: Seq[org.apache.spark.sql.Row] =
+      for { cid <- 0 until k; pos <- 0 until d }
+        yield org.apache.spark.sql.Row(cid, pos, cents(cid)(pos))
+    val centDf = df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(centRows: _*),
+      StructType(Seq(StructField("cid", IntegerType, nullable = false),
+        StructField("pos", IntegerType, nullable = false),
+        StructField("c_q", LongType, nullable = false))))
+    val sizes = q.withColumn("cid", assignCol(cents))
+      .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+    centDf.join(broadcast(sizes), Seq("cid"))
+      .select("cid", "pos", "c_q", "n_vecs")
+  }
 }

@@ -9910,8 +9910,95 @@ object Queries {
             bench, "bench_id", "text", n = 5)
           .orderBy("doc_id", "bench_id")
       },
-      Some(decontaminateOracleSql))
+      Some(decontaminateOracleSql)),
+
+    // ── north star (round 9): LINEAR-PROBE TRAINING by distributed
+    //    full-batch gradient descent — the training half of the
+    //    fastText-style quality filter (q_classifier_score is the
+    //    scoring half). Milli-grid features (bias, stopword ratio,
+    //    length ratio), micro-grid weights, nano-grid residuals: each
+    //    of the 4 rounds is one scan-local residual expression + one
+    //    map-side-combined aggregate collapsing to a single row (3
+    //    gradient sums + count, a bounded driver collect), so the
+    //    vectors never shuffle and DuckDB replays every round
+    //    bit-for-bit as a CTE chain. ──
+    QueryDef(
+      "q_lr_train",
+      (s, dir) => {
+        val stops = Seq("the", "be", "to", "of", "and", "that",
+          "have", "with")
+        val d = t(s, dir, "documents").select("text", "lang")
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .withColumn("nw", size(col("__toks")))
+          .withColumn("hits",
+            size(filter(col("__toks"), w => w.isin(stops: _*))))
+          .select(array(lit(1000L),
+              least(lit(1000L), expr("hits * 1000L div greatest(nw, 1)")),
+              least(lit(1000L), expr("nw * 1000L div 200"))).as("x"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        operators.TextAnalysis.linearProbeTrain(d, "x", "y",
+            Seq("bias", "stop_ratio", "len_ratio"), iters = 4)
+          .orderBy("feature")
+      },
+      Some(lrTrainOracleSql))
   )
+
+  /** DuckDB replay of [[operators.TextAnalysis.linearProbeTrain]] over
+    * the q_lr_train features: 4 unrolled GD rounds, each one aggregate
+    * over the feature table joined to the previous round's 1-row
+    * weight vector. Gradient sums stay ≤2⁵³ so their DOUBLE images are
+    * exact and the floor-of-division update matches the Scala loop
+    * bit-for-bit.
+    */
+  private lazy val lrTrainOracleSql: String = {
+    val iters = 4
+    val prefix = """WITH tk AS (SELECT lang,
+        string_split(regexp_replace(lower(trim(text)),
+          '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents),
+    f AS MATERIALIZED (SELECT
+        [CAST(1000 AS BIGINT),
+         least(1000, len(list_filter(toks, w -> w = 'the' OR w = 'be'
+           OR w = 'to' OR w = 'of' OR w = 'and' OR w = 'that'
+           OR w = 'have' OR w = 'with')) * 1000
+           // greatest(len(toks), 1)),
+         least(1000, len(toks) * 1000 // 200)] AS x,
+        CASE WHEN lang = 'en' THEN CAST(1 AS BIGINT) ELSE 0 END AS y
+      FROM tk),
+    w0 AS (SELECT [CAST(0 AS BIGINT), 0, 0] AS w)"""
+    val rounds = (1 to iters).map { r =>
+      s""",
+    g$r AS (SELECT
+        sum((x[1]*w[1] + x[2]*w[2] + x[3]*w[3] - y*1000000000) * x[1])
+          AS g1,
+        sum((x[1]*w[1] + x[2]*w[2] + x[3]*w[3] - y*1000000000) * x[2])
+          AS g2,
+        sum((x[1]*w[1] + x[2]*w[2] + x[3]*w[3] - y*1000000000) * x[3])
+          AS g3,
+        count(*) AS n
+      FROM f, w${r - 1}),
+    w$r AS (SELECT [
+        w[1] - CAST(floor(CAST(g1 AS DOUBLE) / (n * 2000000.0))
+          AS BIGINT),
+        w[2] - CAST(floor(CAST(g2 AS DOUBLE) / (n * 2000000.0))
+          AS BIGINT),
+        w[3] - CAST(floor(CAST(g3 AS DOUBLE) / (n * 2000000.0))
+          AS BIGINT)] AS w
+      FROM w${r - 1}, g$r)"""
+    }.mkString
+    val tail = s""",
+    nc AS (SELECT count(*) AS n_docs,
+        sum(CASE WHEN (x[1]*w[1] + x[2]*w[2] + x[3]*w[3] >= 500000000)
+          = (y = 1) THEN 1 ELSE 0 END) AS n_correct
+      FROM f, w$iters)
+    SELECT ['bias', 'stop_ratio', 'len_ratio'][i] AS feature,
+      CAST(w[i] AS BIGINT) AS w_micro,
+      CAST(nc.n_correct AS BIGINT) AS n_correct,
+      CAST(nc.n_docs AS BIGINT) AS n_docs
+    FROM w$iters, generate_series(1, 3) g(i), nc
+    ORDER BY feature"""
+    prefix + rounds + tail
+  }
 
   /** Shared by q_decontaminate and q_decontaminate_bloom: the bloom
     * variant's RESULT is exact (the bitmap only prunes the join's

@@ -653,4 +653,62 @@ object TextAnalysis {
       .withColumn("ce_per_tok_nano",
         expr("ce_sum_nano div n_toks"))
   }
+
+  /** Train a LINEAR quality probe by full-batch gradient descent on
+    * squared loss — the training half of the fastText-style filter
+    * ([[classifierScore]] is the scoring half): given integer
+    * milli-grid features `featCol: array<long>` (1000 = 1.0) and a
+    * 0/1 label, run `iters` rounds of w ← w − floor(Σ r·x / (2N·1e6))
+    * with residual r = w·x − y on the nano grid, starting from w = 0.
+    *
+    * Exactness: features milli, weights micro, scores/residuals nano —
+    * every per-doc term is int64, every round's gradient is ONE
+    * order-free integer sum (≤2⁵³, so its double image is exact), and
+    * the only division is a floor whose operands agree bit-for-bit
+    * across engines. A DuckDB CTE chain replays all rounds exactly.
+    *
+    * Scale shape: each round is ONE scan-local residual expression + a
+    * single map-side-combined aggregate collapsing to 1 row (dim
+    * gradient sums + count) — a bounded driver-side collect. The
+    * feature table is never shuffled; R rounds = R scans (cache the
+    * input upstream if scans dominate).
+    */
+  def linearProbeTrain(df: DataFrame, featCol: String, labelCol: String,
+      featNames: Seq[String], iters: Int = 4): DataFrame = {
+    val dim = featNames.length
+    val d = df.select(col(featCol).as("x"),
+      col(labelCol).cast("long").as("y"))
+    var w = Array.fill(dim)(0L)
+    def scoreNano(ws: Array[Long]): Column =
+      aggregate(zip_with(col("x"),
+          array(ws.map(lit).toIndexedSeq: _*), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v)
+    var nDocs = 0L
+    for (_ <- 1 to iters) {
+      val r = scoreNano(w) - col("y") * lit(1000000000L)
+      val aggs = (0 until dim).map(j =>
+        sum(element_at(col("x"), j + 1) * r).as(s"g$j")) :+
+        count(lit(1)).as("n")
+      val row = d.agg(aggs.head, aggs.tail: _*).head()
+      nDocs = row.getLong(dim)
+      w = Array.tabulate(dim)(j => w(j) -
+        math.floor(row.getLong(j).toDouble / (nDocs * 2e6)).toLong)
+    }
+    val nCorrect = d.select(sum(
+      when((scoreNano(w) >= lit(500000000L)) === (col("y") === 1L), 1L)
+        .otherwise(0L)).as("nc")).head().getLong(0)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      featNames.zipWithIndex.map { case (f, j) =>
+        org.apache.spark.sql.Row(f, w(j), nCorrect, nDocs)
+      }
+    import org.apache.spark.sql.types.{StructType, StructField,
+      StringType, LongType}
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("feature", StringType, nullable = false),
+        StructField("w_micro", LongType, nullable = false),
+        StructField("n_correct", LongType, nullable = false),
+        StructField("n_docs", LongType, nullable = false))))
+  }
 }

@@ -9940,8 +9940,83 @@ object Queries {
             Seq("bias", "stop_ratio", "len_ratio"), iters = 4)
           .orderBy("feature")
       },
-      Some(lrTrainOracleSql))
+      Some(lrTrainOracleSql)),
+
+    // ── north star (round 9): BPE TOKENIZER-MERGE TRAINING — the
+    //    merge-table construction a tokenizer-training pipeline runs
+    //    over the corpus: 3 rounds of (adjacent-pair counts as one
+    //    map-side-combined aggregate, argmax as a TakeOrdered(1)
+    //    collect, greedy non-overlapping merge as a scan-local fold —
+    //    zero shuffles of the token lists). The emitted toks_after
+    //    totals pin the greedy overlap resolution (they move by
+    //    merges PERFORMED, not pairs counted); the oracle replays the
+    //    greedy matching with the chain-parity window formulation. ──
+    QueryDef(
+      "q_bpe_train",
+      (s, dir) =>
+        operators.TextAnalysis.bpeTrain(
+            t(s, dir, "documents").select("doc_id", "text"),
+            "doc_id", "text", merges = 3)
+          .orderBy("round"),
+      Some(bpeTrainOracleSql))
   )
+
+  /** DuckDB replay of [[operators.TextAnalysis.bpeTrain]] (3 rounds).
+    * Greedy left-to-right non-overlapping matching is replayed with
+    * the chain-parity formulation: consecutive match positions (only
+    * possible on runs of a repeated token) form gaps-and-islands
+    * chains, and a position merges iff its offset in its chain is
+    * even; a position is consumed iff its left neighbor merged. Kept
+    * in lockstep with the Scala fold.
+    */
+  private lazy val bpeTrainOracleSql: String = {
+    val merges = 3
+    val prefix = """WITH d0 AS MATERIALIZED (
+      SELECT doc_id AS id,
+        string_split(regexp_replace(lower(trim(text)),
+          '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+      WHERE len(string_split(regexp_replace(lower(trim(text)),
+        '\s+', ' ', 'g'), ' ')) >= 1)"""
+    val rounds = (1 to merges).map { r =>
+      s""",
+    pc$r AS (SELECT toks[i] AS a, toks[i + 1] AS b, count(*) AS c
+      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+            FROM d${r - 1} WHERE len(toks) >= 2)
+      GROUP BY 1, 2),
+    best$r AS MATERIALIZED (SELECT a, b, c FROM pc$r
+      ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+    p$r AS MATERIALIZED (SELECT id, i, toks[i] AS tok,
+        toks[i + 1] AS ntok,
+        (i < len(toks) AND toks[i] = best.a AND toks[i + 1] = best.b)
+          AS m
+      FROM (SELECT id, toks, unnest(generate_series(1, len(toks))) AS i
+            FROM d${r - 1}), best$r best),
+    mm$r AS (SELECT id, i,
+        i - row_number() OVER (PARTITION BY id ORDER BY i) AS grp
+      FROM p$r WHERE m),
+    gm$r AS MATERIALIZED (SELECT id, i,
+        (i - min(i) OVER (PARTITION BY id, grp)) % 2 = 0 AS dm
+      FROM mm$r),
+    d$r AS MATERIALIZED (
+      SELECT p.id, list(CASE WHEN COALESCE(g.dm, FALSE)
+          THEN p.tok || '+' || p.ntok ELSE p.tok END ORDER BY p.i)
+        AS toks
+      FROM p$r p
+      LEFT JOIN gm$r g ON g.id = p.id AND g.i = p.i
+      LEFT JOIN gm$r h ON h.id = p.id AND h.i = p.i - 1 AND h.dm
+      WHERE h.i IS NULL
+      GROUP BY p.id),
+    t$r AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS t FROM d$r)"""
+    }.mkString
+    val unions = (1 to merges).map { r =>
+      s"""SELECT $r AS round, a AS tok_a, b AS tok_b,
+        CAST(c AS BIGINT) AS pair_n,
+        (SELECT t FROM t$r) AS toks_after
+      FROM best$r"""
+    }.mkString("\n      UNION ALL\n      ")
+    s"$prefix$rounds\n      $unions\n      ORDER BY round"
+  }
 
   /** DuckDB replay of [[operators.TextAnalysis.linearProbeTrain]] over
     * the q_lr_train features: 4 unrolled GD rounds, each one aggregate

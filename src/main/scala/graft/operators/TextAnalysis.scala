@@ -673,6 +673,77 @@ object TextAnalysis {
     * feature table is never shuffled; R rounds = R scans (cache the
     * input upstream if scans dominate).
     */
+  /** Train BPE-style tokenizer MERGES in-engine: `merges` rounds of
+    * (count all adjacent token pairs, pick the most frequent — ties
+    * break (count desc, a asc, b asc) — and greedily merge its
+    * non-overlapping occurrences left-to-right). Returns one row per
+    * round: the chosen pair, its adjacent-pair count, and the corpus
+    * token total AFTER the rewrite — the total moves by the number of
+    * merges actually performed, which differs from the pair count
+    * exactly on overlapping runs, so it pins the greedy resolution.
+    *
+    * Merged tokens join with '+' (original tokens are whitespace-split
+    * words, so the joiner cannot collide with an unmerged token).
+    *
+    * Scale shape: per round, pair counts are ONE map-side-combined
+    * aggregate over a scan-local pair zip (no explode of the corpus
+    * into a shuffle — pairs group-reduce before the exchange), the
+    * argmax is a TakeOrdered(1) driver collect, and the rewrite is a
+    * scan-local `aggregate` fold over each token array (codegen, zero
+    * shuffle). R rounds = R passes; the token lists never shuffle.
+    */
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+      merges: Int = 3): DataFrame = {
+    var cur = df
+      .select(col(idCol).as("id"), toks(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 1)
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long)]
+    for (r <- 1 to merges) {
+      val n = size(col("toks"))
+      val best = cur
+        .filter(n >= 2)
+        .select(explode(arrays_zip(
+          slice(col("toks"), lit(1), n - 1).as("a"),
+          slice(col("toks"), lit(2), n - 1).as("b"))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("a").asc, col("b").asc)
+        .limit(1).head()
+      val (a, b, c) = (best.getString(0), best.getString(1),
+        best.getLong(2))
+      val m = a + "+" + b
+      // greedy left-to-right merge as a fold: merge when the LAST
+      // OUTPUT token equals `a` and the current token equals `b` (the
+      // '+'-joined merge product can never equal `a` within a round,
+      // so a just-merged pair never chains). The "" sentinel keeps
+      // element_at in-bounds on the empty accumulator under ANSI.
+      cur = cur.select(col("id"), aggregate(col("toks"),
+        array().cast("array<string>"),
+        (acc, x) => when(
+          element_at(concat(array(lit("")), acc), size(acc) + 1)
+            === lit(a) && (x === lit(b)),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(x)))).as("toks"))
+      val toksAfter = cur.agg(sum(size(col("toks"))).as("t"))
+        .head().getLong(0)
+      out += ((r, a, b, c, toksAfter))
+    }
+    import org.apache.spark.sql.types.{StructType, StructField,
+      IntegerType, StringType, LongType}
+    val rows: Seq[org.apache.spark.sql.Row] = out.toSeq.map {
+      case (r, a, b, c, t) => org.apache.spark.sql.Row(r, a, b, c, t)
+    }
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("round", IntegerType, nullable = false),
+        StructField("tok_a", StringType, nullable = false),
+        StructField("tok_b", StringType, nullable = false),
+        StructField("pair_n", LongType, nullable = false),
+        StructField("toks_after", LongType, nullable = false))))
+  }
+
   def linearProbeTrain(df: DataFrame, featCol: String, labelCol: String,
       featNames: Seq[String], iters: Int = 4): DataFrame = {
     val dim = featNames.length

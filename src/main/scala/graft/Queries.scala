@@ -9958,8 +9958,128 @@ object Queries {
             t(s, dir, "documents").select("doc_id", "text"),
             "doc_id", "text", merges = 3)
           .orderBy("round"),
-      Some(bpeTrainOracleSql))
+      Some(bpeTrainOracleSql)),
+
+    // ── HITS hub/authority over the directed customer→supplier order
+    //    graph (who concentrates purchasing vs who concentrates
+    //    supply) — the graph family's second eigenvector-style
+    //    centrality, run like q_pagerank as join-per-round message
+    //    passing but entirely on INTEGER grids: exact int64 in-edge
+    //    sums, ∞-norm renorm by the overflow-free truncating form
+    //    s div (max div 1e6 + 1) (the q_pca_extremes integer renorm),
+    //    so the oracle replays all 3 rounds bit-for-bit. ──
+    QueryDef(
+      "q_hits",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        operators.Graph.hits(edges, "src", "dst", iterations = 3)
+          .orderBy("side", "id")
+      },
+      Some(hitsOracleSql)),
+
+    // ── per-cluster SILHOUETTE profile of the q_kmeans_embed fit —
+    //    the cluster-quality eval taken before trusting a semantic
+    //    sharding/IVF layout: centroid-based s = (b−a)/max(a,b) in
+    //    exact micro-integer units (a = own-centroid distance, b =
+    //    nearest other), per-cluster integer mean/min/max. One extra
+    //    scan over the Lloyd rounds; nothing all-pairs. ──
+    QueryDef(
+      "q_kmeans_silhouette",
+      (s, dir) =>
+        operators.Similarity.kmeansSilhouette(
+            t(s, dir, "embeddings"), "vec_id", "embedding",
+            k = 4, iters = 4)
+          .orderBy("cid"),
+      Some(kmeansSilhouetteOracleSql)),
+
+    // ── HARD-NEGATIVE MINING for contrastive training: for each of a
+    //    16-anchor literal panel, the exact nearest wrong-label
+    //    example (triplet/InfoNCE's "hardest wrong answer") — one
+    //    scan-local 16-way distance explode + one min-of-struct
+    //    aggregate; no join, no BNLJ, exact integer distances. ──
+    QueryDef(
+      "q_hard_negatives",
+      (s, dir) =>
+        operators.Similarity.hardNegatives(
+            t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+            nAnchors = 16)
+          .orderBy("anchor_id"),
+      Some(hardNegativesOracleSql)),
+
+    // ── LABEL-NOISE MINING (confident-learning-lite): train the
+    //    q_lr_train probe on the labels as given, then surface the 50
+    //    highest-margin disagreements between probe score and label —
+    //    the annotation-review queue. Same integer grids as the
+    //    trainer, so GD rounds AND the mining cut replay bit-for-bit;
+    //    the output is a deterministic (margin desc, id) TakeOrdered. ──
+    QueryDef(
+      "q_label_noise",
+      (s, dir) => {
+        val stops = Seq("the", "be", "to", "of", "and", "that",
+          "have", "with")
+        val d = t(s, dir, "documents").select("doc_id", "text", "lang")
+          .withColumn("__toks", operators.Dedup.tokens(col("text")))
+          .withColumn("nw", size(col("__toks")))
+          .withColumn("hits",
+            size(filter(col("__toks"), w => w.isin(stops: _*))))
+          .select(col("doc_id"),
+            array(lit(1000L),
+              least(lit(1000L), expr("hits * 1000L div greatest(nw, 1)")),
+              least(lit(1000L), expr("nw * 1000L div 200"))).as("x"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        operators.TextAnalysis.labelNoise(d, "x", "y", "doc_id",
+            dim = 3, iters = 4, topN = 50)
+          .orderBy(col("margin_nano").desc, col("doc_id"))
+      },
+      Some(labelNoiseOracleSql))
   )
+
+  /** DuckDB replay of [[operators.Graph.hits]] (3 rounds): the same
+    * edge set, uniform 1e6 hub start, exact BIGINT in-edge sums, and
+    * the truncating integer renorm `s // (max(s) // 1e6 + 1)` taken
+    * over the COALESCED full node set (missing in-edges contribute 0
+    * before the max, matching the Scala left-join order). All values
+    * stay non-negative, so `//` truncation ≡ floor in both engines.
+    */
+  private lazy val hitsOracleSql: String = {
+    val iters = 3
+    val prefix = """WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    hubs AS (SELECT DISTINCT src AS id FROM pairs),
+    auths AS (SELECT DISTINCT dst AS id FROM pairs),
+    h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM hubs)"""
+    val rounds = (1 to iters).map { r =>
+      s""",
+    ar$r AS MATERIALIZED (SELECT a.id, CAST(coalesce(x.s, 0) AS BIGINT)
+        AS s
+      FROM auths a LEFT JOIN (SELECT p.dst AS id, sum(h.s) AS s
+        FROM pairs p JOIN h${r - 1} h ON h.id = p.src GROUP BY 1) x
+      ON x.id = a.id),
+    a$r AS MATERIALIZED (SELECT id,
+        s // ((SELECT max(s) FROM ar$r) // 1000000 + 1) AS s
+      FROM ar$r),
+    hr$r AS MATERIALIZED (SELECT hb.id, CAST(coalesce(x.s, 0) AS BIGINT)
+        AS s
+      FROM hubs hb LEFT JOIN (SELECT p.src AS id, sum(a.s) AS s
+        FROM pairs p JOIN a$r a ON a.id = p.dst GROUP BY 1) x
+      ON x.id = hb.id),
+    h$r AS MATERIALIZED (SELECT id,
+        s // ((SELECT max(s) FROM hr$r) // 1000000 + 1) AS s
+      FROM hr$r)"""
+    }.mkString
+    val tail = s"""
+    SELECT side, id, score FROM (
+      SELECT 'hub' AS side, id, CAST(s AS BIGINT) AS score FROM h$iters
+      UNION ALL
+      SELECT 'auth' AS side, id, CAST(s AS BIGINT) AS score FROM a$iters)
+    ORDER BY side, id"""
+    prefix + rounds + tail
+  }
 
   /** DuckDB replay of [[operators.TextAnalysis.bpeTrain]] (3 rounds).
     * Greedy left-to-right non-overlapping matching is replayed with
@@ -10025,13 +10145,18 @@ object Queries {
     * exact and the floor-of-division update matches the Scala loop
     * bit-for-bit.
     */
-  private lazy val lrTrainOracleSql: String = {
-    val iters = 4
-    val prefix = """WITH tk AS (SELECT lang,
+  /** The probe-GD CTE chain shared by the lr-train / label-noise
+    * oracles: the q_lr_train feature construction (with doc_id kept
+    * for the miner's output) and `iters` unrolled full-batch rounds.
+    * Ends at CTE `w$iters` (the final micro weights); callers append
+    * their tail over `f` × `w$iters`.
+    */
+  private def lrChainSql(iters: Int): String = {
+    val prefix = """WITH tk AS (SELECT doc_id, lang,
         string_split(regexp_replace(lower(trim(text)),
           '\s+', ' ', 'g'), ' ') AS toks
       FROM documents),
-    f AS MATERIALIZED (SELECT
+    f AS MATERIALIZED (SELECT doc_id,
         [CAST(1000 AS BIGINT),
          least(1000, len(list_filter(toks, w -> w = 'the' OR w = 'be'
            OR w = 'to' OR w = 'of' OR w = 'and' OR w = 'that'
@@ -10061,6 +10186,11 @@ object Queries {
           AS BIGINT)] AS w
       FROM w${r - 1}, g$r)"""
     }.mkString
+    prefix + rounds
+  }
+
+  private lazy val lrTrainOracleSql: String = {
+    val iters = 4
     val tail = s""",
     nc AS (SELECT count(*) AS n_docs,
         sum(CASE WHEN (x[1]*w[1] + x[2]*w[2] + x[3]*w[3] >= 500000000)
@@ -10072,7 +10202,26 @@ object Queries {
       CAST(nc.n_docs AS BIGINT) AS n_docs
     FROM w$iters, generate_series(1, 3) g(i), nc
     ORDER BY feature"""
-    prefix + rounds + tail
+    lrChainSql(iters) + tail
+  }
+
+  /** DuckDB replay of [[operators.TextAnalysis.labelNoise]]: the
+    * [[lrChainSql]] GD rounds, then the confident-disagreement cut —
+    * probe score vs label, margin = |score − 0.5·1e9|, deterministic
+    * (margin desc, doc_id) top-50.
+    */
+  private lazy val labelNoiseOracleSql: String = {
+    val iters = 4
+    val tail = s""",
+    sc AS (SELECT doc_id, y,
+        x[1]*w[1] + x[2]*w[2] + x[3]*w[3] AS score_nano
+      FROM f, w$iters)
+    SELECT doc_id, CAST(y AS BIGINT) AS y,
+      CAST(score_nano AS BIGINT) AS score_nano,
+      CAST(abs(score_nano - 500000000) AS BIGINT) AS margin_nano
+    FROM sc WHERE (score_nano >= 500000000) <> (y = 1)
+    ORDER BY margin_nano DESC, doc_id LIMIT 50"""
+    lrChainSql(iters) + tail
   }
 
   /** Shared by q_decontaminate and q_decontaminate_bloom: the bloom
@@ -10117,9 +10266,14 @@ object Queries {
     * DOUBLE, so they equal the Scala side's int64 Σ(a−b)². Kept in
     * lockstep with the Scala loop.
     */
-  private lazy val kmeansOracleSql: String = {
-    val k = 4
-    val iters = 4
+  /** The Lloyd-rounds CTE chain shared by the kmeans / silhouette
+    * oracles: quantize onto the 1e4 grid, init from the k lowest-id
+    * vectors, then `iters` unrolled rounds of (argmin assignment by
+    * (d2, cid), floor-of-mean centroid update, empty-cluster
+    * carry-forward via LEFT JOIN onto the previous round). Ends at
+    * CTE `c$iters` (the final centroids); callers append their tail.
+    */
+  private def kmeansChainSql(k: Int, iters: Int): String = {
     val prefix = s"""WITH
       q AS MATERIALIZED (SELECT vec_id AS id, list_transform(
           CAST(embedding AS DOUBLE[]),
@@ -10147,6 +10301,11 @@ object Queries {
               list(cq ORDER BY i) AS c
             FROM m$r GROUP BY 1) nc ON nc.cid = p.cid)"""
     }.mkString
+    prefix + rounds
+  }
+
+  private lazy val kmeansOracleSql: String = {
+    val iters = 4
     val tail = s""",
       af AS (SELECT id, cid FROM (
           SELECT v.id, c.cid, row_number() OVER (PARTITION BY v.id
@@ -10161,8 +10320,64 @@ object Queries {
             FROM c$iters) ce
       JOIN sz ON sz.cid = ce.cid
       ORDER BY ce.cid, pos"""
-    prefix + rounds + tail
+    kmeansChainSql(4, iters) + tail
   }
+
+  /** DuckDB replay of [[operators.Similarity.kmeansSilhouette]]: the
+    * [[kmeansChainSql]] Lloyd rounds, then all k distances per vector
+    * from the final centroids, a = the (d2, cid)-argmin, b = min over
+    * the other k−1, s = (b−a)·1e6 // max(a, b, 1) (all non-negative,
+    * so `//` truncation ≡ floor ≡ the Scala `div`), and the
+    * per-cluster integer mean/min/max.
+    */
+  private lazy val kmeansSilhouetteOracleSql: String = {
+    val iters = 4
+    val tail = s""",
+      dall AS MATERIALIZED (SELECT v.id, c.cid,
+          CAST(list_dot_product(v.q, v.q)
+            - 2 * list_dot_product(v.q, c.c)
+            + list_dot_product(c.c, c.c) AS BIGINT) AS d2
+        FROM q v CROSS JOIN c$iters c),
+      own AS (SELECT id, cid, d2 AS a FROM (
+          SELECT id, cid, d2, row_number() OVER (PARTITION BY id
+            ORDER BY d2, cid) AS rn FROM dall) WHERE rn = 1),
+      oth AS (SELECT d.id, min(d.d2) AS b
+        FROM dall d JOIN own o ON o.id = d.id AND d.cid <> o.cid
+        GROUP BY 1),
+      s AS (SELECT o.cid,
+          (t.b - o.a) * 1000000 // greatest(o.a, t.b, 1) AS sm
+        FROM own o JOIN oth t ON t.id = o.id)
+      SELECT cid, count(*) AS n_vecs,
+        CAST(sum(sm) // count(*) AS BIGINT) AS mean_s_micro,
+        CAST(min(sm) AS BIGINT) AS min_s_micro,
+        CAST(max(sm) AS BIGINT) AS max_s_micro
+      FROM s GROUP BY cid ORDER BY cid"""
+    kmeansChainSql(4, iters) + tail
+  }
+
+  /** DuckDB replay of [[operators.Similarity.hardNegatives]]: the 16
+    * lowest-id vectors as the anchor panel, exact grid distances to
+    * every wrong-label candidate, winner by (d2, id).
+    */
+  private lazy val hardNegativesOracleSql: String =
+    """WITH q AS MATERIALIZED (SELECT vec_id AS id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+           x -> floor(x * 10000.0)) AS q
+       FROM embeddings),
+     a AS MATERIALIZED (SELECT id AS aid, label AS alabel, q AS aq
+       FROM q ORDER BY id LIMIT 16),
+     p AS (SELECT a.aid, a.alabel, v.id, v.label,
+         CAST(list_dot_product(v.q, v.q)
+           - 2 * list_dot_product(v.q, a.aq)
+           + list_dot_product(a.aq, a.aq) AS BIGINT) AS d2
+       FROM a JOIN q v ON v.label <> a.alabel),
+     r AS (SELECT aid, alabel, id, label, d2,
+         count(*) OVER (PARTITION BY aid) AS n_cand,
+         row_number() OVER (PARTITION BY aid ORDER BY d2, id) AS rn
+       FROM p)
+     SELECT aid AS anchor_id, alabel AS anchor_label, id AS neg_id,
+       label AS neg_label, d2 AS d2_q, CAST(n_cand AS BIGINT) AS n_cand
+     FROM r WHERE rn = 1 ORDER BY anchor_id"""
 
   /** DuckDB replay of [[operators.Similarity.embedPcaExtremes]]: the
     * q_embed_covariance CTE prefix, 16 unrolled integer

@@ -198,4 +198,62 @@ object Graph {
     wg.join(eg, col("a") === col("x") && col("b") === col("y"),
       "left_anti")
   }
+
+  /** HITS hub/authority scores (Kleinberg) over a directed edge list,
+    * `iterations` synchronous rounds, ENTIRELY ON INTEGER GRIDS so any
+    * engine replaying the formula reproduces every bit: scores start
+    * at 1e6, each half-round is an exact int64 sum over in-edges
+    * (auth(p) = Σ hub(c), then hub(c) = Σ auth(p)), and the ∞-norm
+    * renormalization is the overflow-free truncating form
+    * `s div (max(s) div 1e6 + 1)` — the same integer renorm
+    * [[graft.operators.Similarity.embedPcaExtremes]] pins via the
+    * oracle-env probe. All values stay non-negative, so truncation
+    * equals floor in every engine. Returns one row per node per side:
+    * (side 'hub'|'auth', id, score).
+    *
+    * Scale shape: identical to [[pageRank]] — each half-round is one
+    * hash join of the persisted edge table with the current score
+    * vector plus one map-side-combined sum on the opposite endpoint;
+    * the only driver materialization is the two 1-row max() scalars
+    * per round (the renorm constants). Node-count-free: no collect of
+    * scores, no windows. Dangling behavior is HITS-standard: a node
+    * with no in-edges on a side scores 0 there after round 1.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive, got $iterations")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(lvl)
+    val hubs = e.select(col("src").as("id")).distinct()
+    val auths = e.select(col("dst").as("id")).distinct()
+    def renorm(scores: DataFrame): DataFrame = {
+      // bounded driver collect: one scalar (the ∞-norm)
+      val mx = scores.agg(max("s")).head().getLong(0)
+      scores.select(col("id"),
+        expr(s"s div ${mx / 1000000L + 1L}L").as("s"))
+    }
+    var h = IterCheckpoint(hubs.withColumn("s", lit(1000000L)))
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val aRaw = e.join(h.select(col("id").as("src"), col("s")), "src")
+        .groupBy(col("dst").as("id")).agg(sum("s").as("s"))
+      val aNext = IterCheckpoint(renorm(
+        auths.join(aRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("s"), lit(0L)).as("s"))))
+      if (a != null) IterCheckpoint.free(a)
+      a = aNext
+      val hRaw = e.join(a.select(col("id").as("dst"), col("s")), "dst")
+        .groupBy(col("src").as("id")).agg(sum("s").as("s"))
+      val hNext = IterCheckpoint(renorm(
+        hubs.join(hRaw, Seq("id"), "left")
+          .select(col("id"), coalesce(col("s"), lit(0L)).as("s"))))
+      IterCheckpoint.free(h)
+      h = hNext
+    }
+    e.unpersist()
+    h.select(lit("hub").as("side"), col("id"), col("s").as("score"))
+      .unionAll(a.select(lit("auth").as("side"), col("id"),
+        col("s").as("score")))
+  }
 }

@@ -816,28 +816,45 @@ object Similarity {
     * regardless of corpus size). R rounds = R scans; nothing ever
     * shuffles the vectors themselves.
     */
-  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
-      k: Int = 4, iters: Int = 4): DataFrame = {
-    import org.apache.spark.sql.types.{StructType, StructField,
-      IntegerType, LongType}
-    val q = df.select(col(idCol).as("id"),
+  /** Quantize an embedding column onto the 1e4 integer grid as
+    * (id, q: array<long>) — the shared front of the exact-integer
+    * clustering/eval operators.
+    */
+  private def quantize1e4(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
       transform(col(vecCol),
         x => floor(x.cast("double") * 1e4).cast("long")).as("q"))
+
+  /** Exact int64 squared distance between the grid column `q` and a
+    * literal centroid/anchor vector — expression-only, codegen'd.
+    */
+  private def d2ToLiteral(c: Array[Long]): Column = {
+    val carr = array(c.map(lit).toIndexedSeq: _*)
+    aggregate(zip_with(col("q"), carr, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  // argmin over k centroid literals: least() over (d2, cid) structs
+  // compares lexicographically, so equal distances break to the
+  // lower cid — the same (d2, cid) order the oracle's row_number uses
+  private def lloydAssignCol(cs: Array[Array[Long]]): Column =
+    least(cs.zipWithIndex.map { case (c, i) =>
+      struct(d2ToLiteral(c).as("d2"), lit(i).as("cid"))
+    }.toIndexedSeq: _*).getField("cid")
+
+  /** The Lloyd rounds shared by [[kmeansLloyd]] and
+    * [[kmeansSilhouette]]: init from the k lowest-id vectors, then
+    * `iters` rounds of (scan-local argmin assignment, one
+    * map-side-combined (cid, pos) aggregate, floor-of-mean update,
+    * empty-cluster carry-forward). `q` is [[quantize1e4]] output.
+    */
+  private def lloydCentroids(q: DataFrame, k: Int,
+      iters: Int): Array[Array[Long]] = {
     var cents: Array[Array[Long]] = q.orderBy("id").limit(k).collect()
       .map(_.getSeq[Long](1).toArray)
-    // argmin over k centroid literals: least() over (d2, cid) structs
-    // compares lexicographically, so equal distances break to the
-    // lower cid — the same (d2, cid) order the oracle's row_number uses
-    def assignCol(cs: Array[Array[Long]]): Column =
-      least(cs.zipWithIndex.map { case (c, i) =>
-        val carr = array(c.map(lit).toIndexedSeq: _*)
-        struct(
-          aggregate(zip_with(col("q"), carr, (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x).as("d2"),
-          lit(i).as("cid"))
-      }.toIndexedSeq: _*).getField("cid")
     for (_ <- 1 to iters) {
-      val upd = q.withColumn("cid", assignCol(cents))
+      val upd = q.withColumn("cid", lloydAssignCol(cents))
         .select(col("cid"), posexplode(col("q")))
         .groupBy("cid", "pos")
         .agg(sum("col").as("sv"), count(lit(1)).as("nv"))
@@ -851,6 +868,16 @@ object Similarity {
       }
       cents = next
     }
+    cents
+  }
+
+  def kmeansLloyd(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 4): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField,
+      IntegerType, LongType}
+    val q = quantize1e4(df, idCol, vecCol)
+    def assignCol(cs: Array[Array[Long]]): Column = lloydAssignCol(cs)
+    val cents = lloydCentroids(q, k, iters)
     val d = cents(0).length
     val centRows: Seq[org.apache.spark.sql.Row] =
       for { cid <- 0 until k; pos <- 0 until d }
@@ -864,5 +891,92 @@ object Similarity {
       .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
     centDf.join(broadcast(sizes), Seq("cid"))
       .select("cid", "pos", "c_q", "n_vecs")
+  }
+
+  /** Per-cluster SILHOUETTE profile of a [[kmeansLloyd]] fit — the
+    * cluster-quality read a curation pipeline takes before trusting a
+    * semantic sharding or IVF layout: the centroid-based (simplified)
+    * silhouette s = (b − a) / max(a, b), with a = squared distance to
+    * the OWN (argmin) centroid and b = the nearest OTHER centroid, so
+    * a ≤ b always and s ∈ [0, 1] (0 = on a cluster boundary).
+    * Everything stays exact-integer: distances are int64 on the 1e4
+    * grid, s is kept in micro units via truncating division (b−a ≥ 0,
+    * so truncation ≡ floor in every engine), and the per-cluster mean
+    * is an integer floor-of-sum — any engine replays it bit-for-bit.
+    *
+    * Scale shape: re-runs the Lloyd rounds (each one scan + one
+    * bounded k×d aggregate), then ONE more scan computing all k
+    * distances per row from broadcast centroid literals (scan-local,
+    * codegen) and ONE map-side-combined groupBy over k cluster ids.
+    * Nothing all-pairs: the classic silhouette's pairwise-distance b
+    * is replaced by the centroid surrogate exactly so 100 TB stays
+    * one linear pass.
+    */
+  def kmeansSilhouette(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, iters: Int = 4): DataFrame = {
+    val q = quantize1e4(df, idCol, vecCol)
+    val cents = lloydCentroids(q, k, iters)
+    val ds = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(d2ToLiteral(c).as("d2"), lit(i).as("cid"))
+    }.toIndexedSeq: _*)
+    q.withColumn("ds", ds)
+      .withColumn("own", array_min(col("ds")))
+      .select(col("own").getField("cid").as("cid"),
+        col("own").getField("d2").as("a"),
+        array_min(filter(col("ds"),
+            s => s.getField("cid") =!= col("own").getField("cid")))
+          .getField("d2").as("b"))
+      .withColumn("s_micro",
+        expr("(b - a) * 1000000L div greatest(a, b, 1L)"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("sum(s_micro) div count(1)").as("mean_s_micro"),
+        min("s_micro").as("min_s_micro"),
+        max("s_micro").as("max_s_micro"))
+  }
+
+  /** HARD-NEGATIVE MINING for contrastive training: for each of a
+    * bounded panel of anchor vectors, the exact nearest example with
+    * a DIFFERENT label — the "hardest wrong answer" a triplet/InfoNCE
+    * pipeline pairs with each anchor. Exact by construction (no
+    * blocking loss): the anchor panel is collected once (`nAnchors`
+    * rows — a fixed-size literal table, the PQ-codebook pattern), and
+    * every candidate row computes its distance to ALL anchors
+    * scan-local from literals, keeps only wrong-label pairs, and a
+    * single map-side-combined min-of-struct per anchor picks the
+    * winner with the deterministic (d2, id) tie-break. Integer grid
+    * end-to-end.
+    *
+    * Scale shape: one scan with an `nAnchors`-way explode (linear,
+    * constant factor = panel size) + one aggregate over `nAnchors`
+    * groups; no join, no shuffle of vectors, no BroadcastNestedLoop.
+    * At 100 TB the panel stays driver-bounded and the scan is
+    * embarrassingly parallel.
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nAnchors: Int = 16): DataFrame = {
+    val q = df.select(col(idCol).as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * 1e4).cast("long")).as("q"),
+      col(labelCol).cast("int").as("label"))
+    // bounded driver collect: the anchor panel is a fixed-size literal
+    val anchors = q.orderBy("id").limit(nAnchors).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getInt(2)))
+    val pairs = array(anchors.map { case (aid, av, alab) =>
+      struct(lit(aid).as("aid"), lit(alab).as("alabel"),
+        d2ToLiteral(av).as("d2"))
+    }.toIndexedSeq: _*)
+    q.select(explode(pairs).as("p"), col("id"), col("label"))
+      .filter(col("p.alabel") =!= col("label"))
+      .groupBy(col("p.aid").as("anchor_id"),
+        col("p.alabel").as("anchor_label"))
+      .agg(min(struct(col("p.d2").as("d2"), col("id").as("id"),
+          col("label").as("label"))).as("m"),
+        count(lit(1)).as("n_cand"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("m").getField("id").as("neg_id"),
+        col("m").getField("label").as("neg_label"),
+        col("m").getField("d2").as("d2_q"),
+        col("n_cand"))
   }
 }

@@ -744,19 +744,26 @@ object TextAnalysis {
         StructField("toks_after", LongType, nullable = false))))
   }
 
-  def linearProbeTrain(df: DataFrame, featCol: String, labelCol: String,
-      featNames: Seq[String], iters: Int = 4): DataFrame = {
-    val dim = featNames.length
-    val d = df.select(col(featCol).as("x"),
-      col(labelCol).cast("long").as("y"))
+  /** Nano-grid probe score of feature array column `x` under literal
+    * weights — expression-only, codegen'd (shared by the probe
+    * trainer and the label-noise miner).
+    */
+  private def probeScoreNano(ws: Array[Long]): Column =
+    aggregate(zip_with(col("x"),
+        array(ws.map(lit).toIndexedSeq: _*), (a, b) => a * b),
+      lit(0L), (acc, v) => acc + v)
+
+  /** The full-batch GD rounds shared by [[linearProbeTrain]] and
+    * [[labelNoise]]: `d` must carry x (array<long> milli features) and
+    * y (long 0/1). Each round is one scan-local residual expression +
+    * one 1-row aggregate; returns (weights_micro, n_docs).
+    */
+  private def probeFit(d: DataFrame, dim: Int,
+      iters: Int): (Array[Long], Long) = {
     var w = Array.fill(dim)(0L)
-    def scoreNano(ws: Array[Long]): Column =
-      aggregate(zip_with(col("x"),
-          array(ws.map(lit).toIndexedSeq: _*), (a, b) => a * b),
-        lit(0L), (acc, v) => acc + v)
     var nDocs = 0L
     for (_ <- 1 to iters) {
-      val r = scoreNano(w) - col("y") * lit(1000000000L)
+      val r = probeScoreNano(w) - col("y") * lit(1000000000L)
       val aggs = (0 until dim).map(j =>
         sum(element_at(col("x"), j + 1) * r).as(s"g$j")) :+
         count(lit(1)).as("n")
@@ -765,9 +772,18 @@ object TextAnalysis {
       w = Array.tabulate(dim)(j => w(j) -
         math.floor(row.getLong(j).toDouble / (nDocs * 2e6)).toLong)
     }
+    (w, nDocs)
+  }
+
+  def linearProbeTrain(df: DataFrame, featCol: String, labelCol: String,
+      featNames: Seq[String], iters: Int = 4): DataFrame = {
+    val dim = featNames.length
+    val d = df.select(col(featCol).as("x"),
+      col(labelCol).cast("long").as("y"))
+    val (w, nDocs) = probeFit(d, dim, iters)
     val nCorrect = d.select(sum(
-      when((scoreNano(w) >= lit(500000000L)) === (col("y") === 1L), 1L)
-        .otherwise(0L)).as("nc")).head().getLong(0)
+      when((probeScoreNano(w) >= lit(500000000L)) === (col("y") === 1L),
+        1L).otherwise(0L)).as("nc")).head().getLong(0)
     val rows: Seq[org.apache.spark.sql.Row] =
       featNames.zipWithIndex.map { case (f, j) =>
         org.apache.spark.sql.Row(f, w(j), nCorrect, nDocs)
@@ -781,5 +797,36 @@ object TextAnalysis {
         StructField("w_micro", LongType, nullable = false),
         StructField("n_correct", LongType, nullable = false),
         StructField("n_docs", LongType, nullable = false))))
+  }
+
+  /** LABEL-NOISE MINING (confident-learning-lite): train the
+    * [[linearProbeTrain]] probe on the labels as given, then surface
+    * the `topN` examples whose probe score most confidently DISAGREES
+    * with their label — the review queue a labeling pipeline works
+    * through first, since high-margin disagreements are
+    * disproportionately annotation errors. Same integer grids as the
+    * trainer (milli features, micro weights, nano scores), so the
+    * whole thing — GD rounds included — replays bit-for-bit in any
+    * engine; the output cut is a deterministic
+    * (margin desc, id asc) top-N.
+    *
+    * Scale shape: the GD rounds are each one scan + a 1-row
+    * aggregate; the mining pass is one more scan + a TakeOrdered(N).
+    * Nothing is collected but the weight vector and the top-N.
+    */
+  def labelNoise(df: DataFrame, featCol: String, labelCol: String,
+      idCol: String, dim: Int, iters: Int = 4,
+      topN: Int = 50): DataFrame = {
+    val d = df.select(col(idCol), col(featCol).as("x"),
+      col(labelCol).cast("long").as("y"))
+    val (w, _) = probeFit(d, dim, iters)
+    d.select(col(idCol), col("y"),
+        probeScoreNano(w).as("score_nano"))
+      .filter((col("score_nano") >= lit(500000000L)) =!=
+        (col("y") === 1L))
+      .withColumn("margin_nano",
+        abs(col("score_nano") - lit(500000000L)))
+      .orderBy(col("margin_nano").desc, col(idCol).asc)
+      .limit(topN)
   }
 }

@@ -81,6 +81,63 @@ class KmeansBloomSpec extends AnyFunSuite {
     assert(out == Map(0 -> 10L, 1 -> 10L))
   }
 
+  test("kmeansSilhouette: exact values on a symmetric two-blob fit") {
+    // ids 0 and 1 are the two inits and the blobs sit exactly on
+    // them, so Lloyd converges immediately: a = 0 for every point,
+    // b = 2·(5e4)² = 5e9, s = (b−0)·1e6 div max(0,b,1) = exactly 1e6
+    val vecs = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(5.0, 5.0))) ++
+      (2 until 11).map(i => (i.toLong, Seq(0.0, 0.0))) ++
+      (11 until 20).map(i => (i.toLong, Seq(5.0, 5.0)))
+    val out = Similarity.kmeansSilhouette(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2, iters = 3)
+      .orderBy("cid")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0, 10L, 1000000L, 1000000L, 1000000L),
+      (1, 10L, 1000000L, 1000000L, 1000000L)))
+  }
+
+  test("kmeansSilhouette: a boundary point scores exactly 0") {
+    // iters = 0 keeps the init centroids (0,0) and (10,10); the third
+    // point is equidistant (a = b), ties to cid 0, and s = 0
+    val vecs = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 10.0)),
+      (2L, Seq(5.0, 5.0)))
+    val out = Similarity.kmeansSilhouette(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2, iters = 0)
+      .orderBy("cid")
+      .as[(Int, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0, 2L, 500000L, 0L, 1000000L),
+      (1, 1L, 1000000L, 1000000L, 1000000L)))
+  }
+
+  // ── hard-negative mining ───────────────────────────────────────
+
+  test("hardNegatives: exact nearest wrong-label example per anchor") {
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0), 0), (2L, Seq(1.0, 0.0), 1),
+      (3L, Seq(3.0, 0.0), 0), (4L, Seq(10.0, 0.0), 1))
+    val out = Similarity.hardNegatives(
+        vecs.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", nAnchors = 16)
+      .orderBy("anchor_id")
+      .as[(Long, Int, Long, Int, Long, Long)].collect().toSeq
+    // grid distances: 1.0 apart = (1e4)² = 1e8
+    assert(out == Seq(
+      (1L, 0, 2L, 1, 100000000L, 2L),
+      (2L, 1, 1L, 0, 100000000L, 2L),
+      (3L, 0, 2L, 1, 400000000L, 2L),
+      (4L, 1, 3L, 0, 4900000000L, 2L)))
+  }
+
+  test("hardNegatives: equidistant candidates break to the lower id") {
+    val vecs = Seq((1L, Seq(0.0), 0), (5L, Seq(1.0), 1),
+      (6L, Seq(-1.0), 1))
+    val out = Similarity.hardNegatives(
+        vecs.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", nAnchors = 1)
+      .as[(Long, Int, Long, Int, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0, 5L, 1, 100000000L, 2L)))
+  }
+
   // ── bloom-prefiltered decontamination ─────────────────────────
 
   private def corpus = Seq(

@@ -69,4 +69,29 @@ class LinearProbeSpec extends AnyFunSuite {
     assert(out._2 == 60L)
     assert(out._1 >= 54L, s"probe should fit separable data: $out")
   }
+
+  test("labelNoise matches the driver-side miner and surfaces flipped labels") {
+    // flip three labels in the separable fixture — the probe learns
+    // the majority pattern, so the flips become confident
+    // disagreements the miner must surface
+    val flipped = Set(10L, 21L, 32L)
+    val rows = fixture.zipWithIndex.map { case ((x, y), i) =>
+      (i.toLong, x, if (flipped(i.toLong)) 1L - y else y)
+    }
+    val got = TextAnalysis.labelNoise(rows.toDF("doc_id", "x", "y"),
+        "x", "y", "doc_id", dim = 3, iters = 4, topN = 50)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // driver-side replay: train on the flipped labels, mine the
+    // confident disagreements with the same grids and tie-break
+    val (w, _) = model(rows.map { case (_, x, y) => (x, y) }, iters = 4)
+    val want = rows.map { case (id, x, y) =>
+      val s = x.zip(w).map { case (a, b) => a * b }.sum
+      (id, y, s, math.abs(s - 500000000L))
+    }.filter { case (_, y, s, _) => (s >= 500000000L) != (y == 1L) }
+      .sortBy { case (id, _, _, m) => (-m, id) }.take(50)
+    assert(got == want)
+    val minedIds = got.map(_._1).toSet
+    assert(flipped.subsetOf(minedIds),
+      s"flipped labels must be mined: $flipped vs $minedIds")
+  }
 }

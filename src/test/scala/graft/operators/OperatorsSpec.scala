@@ -236,6 +236,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3(0) > r3(1) && r3(1) > r3(2), s"ordering: ${r3.toSeq}")
   }
 
+  test("hits: hand-computed integer round, symmetric hubs tie, in-degree orders authorities") {
+    // bipartite: hubs {1,2}, auths {10,11,12}; auth 11 is shared.
+    // Round 1 by hand on the integer grid: a_raw = (1e6, 2e6, 1e6),
+    // renorm divisor = 2e6 div 1e6 + 1 = 3 -> (333333, 666666, 333333);
+    // h_raw = (999999, 999999), divisor 1 -> unchanged.
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L))
+      .toDF("s", "d")
+    val out = Graph.hits(edges, "s", "d", iterations = 1)
+      .orderBy("side", "id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("auth", 10L, 333333L), ("auth", 11L, 666666L),
+      ("auth", 12L, 333333L),
+      ("hub", 1L, 999999L), ("hub", 2L, 999999L)))
+    // extra rounds keep the shared-authority dominance and the
+    // symmetric hub tie (the graph is automorphic under 1<->2, 10<->12)
+    val o3 = Graph.hits(edges, "s", "d", iterations = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(o3(("auth", 11L)) > o3(("auth", 10L)) &&
+      o3(("auth", 10L)) == o3(("auth", 12L)) &&
+      o3(("hub", 1L)) == o3(("hub", 2L)))
+  }
+
   test("iterative state is reliably checkpointed: survives losing every cached block") {
     // localCheckpoint state lives ONLY in executor blocks — evicting
     // them is what an executor loss does on a real cluster, and it is

@@ -10035,7 +10035,51 @@ object Queries {
             dim = 3, iters = 4, topN = 50)
           .orderBy(col("margin_nano").desc, col("doc_id"))
       },
-      Some(labelNoiseOracleSql))
+      Some(labelNoiseOracleSql)),
+
+    // ── cell-based (grid) DBSCAN over the leading two embedding
+    //    coordinates — density clustering without the all-pairs
+    //    ε-join: dense cells (≥ minPts) connect through their
+    //    8-neighborhood and cluster by min-label connected
+    //    components; sparse-cell points are the comp = −1 noise row.
+    //    All-integer (shifted floor division, integer cell keys), so
+    //    the oracle replays the closure with a recursive CTE. ──
+    QueryDef(
+      "q_dbscan_grid",
+      (s, dir) =>
+        operators.Similarity.dbscanGrid(
+            t(s, dir, "embeddings"), "vec_id", "embedding",
+            cellWidth = 2000L, minPts = 8L)
+          .orderBy("comp"),
+      Some("""WITH RECURSIVE pts AS MATERIALIZED (
+           SELECT vec_id AS id,
+             (CAST(floor(CAST(embedding[1] AS DOUBLE) * 10000.0)
+                AS BIGINT) + 100000) // 2000 AS cx,
+             (CAST(floor(CAST(embedding[2] AS DOUBLE) * 10000.0)
+                AS BIGINT) + 100000) // 2000 AS cy
+           FROM embeddings),
+         pk AS (SELECT id, cx, cy, cx * 100000 + cy AS ck FROM pts),
+         dense AS MATERIALIZED (SELECT cx, cy, ck, count(*) AS n
+           FROM pk GROUP BY 1, 2, 3 HAVING count(*) >= 8),
+         edges AS (SELECT a.ck AS src, b.ck AS dst
+           FROM dense a JOIN dense b
+           ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+         verts AS (SELECT DISTINCT src AS id FROM edges),
+         reach(v, l) AS (
+           SELECT id, id FROM verts
+           UNION
+           SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.v),
+         lab AS (SELECT v AS ck, min(l) AS comp FROM reach GROUP BY v),
+         clustered AS (SELECT l.comp,
+             count(DISTINCT p.ck) AS n_cells, count(*) AS n_pts
+           FROM pk p JOIN lab l ON l.ck = p.ck GROUP BY 1),
+         noise AS (SELECT CAST(-1 AS BIGINT) AS comp,
+             count(DISTINCT p.ck) AS n_cells, count(*) AS n_pts
+           FROM pk p LEFT JOIN lab l ON l.ck = p.ck
+           WHERE l.ck IS NULL)
+         SELECT comp, n_cells, n_pts FROM clustered
+         UNION ALL SELECT comp, n_cells, n_pts FROM noise
+         ORDER BY comp"""))
   )
 
   /** DuckDB replay of [[operators.Graph.hits]] (3 rounds): the same

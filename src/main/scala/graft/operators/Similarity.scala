@@ -935,6 +935,84 @@ object Similarity {
         max("s_micro").as("max_s_micro"))
   }
 
+  /** Scan-local assignment counts of an embedding column against a
+    * STATIC centroid panel (a [[kmeansLloyd]] fit): one codegen'd
+    * argmin over broadcast centroid literals + one map-side-combined
+    * count per cluster id — the batch twin of the streaming
+    * cluster-population monitor
+    * ([[graft.streaming.Ingest.kmeansAssignStream]]), and the cheap
+    * "did the data drift off my shard layout" probe. Counts are
+    * MERGEABLE (plain integer sums), so per-batch rows reconstruct
+    * any window downstream with one groupBy-sum.
+    */
+  def assignCounts(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Long]]): DataFrame =
+    df.select(transform(col(vecCol),
+        x => floor(x.cast("double") * 1e4).cast("long")).as("q"))
+      .withColumn("cid", lloydAssignCol(centroids))
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+
+  /** Cell-based (grid) DBSCAN over the first two embedding
+    * coordinates — the density-clustering read ("how many dense
+    * regions, how much noise") a curation pipeline takes on a 2-D
+    * projection of the corpus (a JL/PCA projection upstream; here the
+    * leading coordinates). The classic scale trick replaces the
+    * all-pairs ε-neighborhood with fixed cells: quantize onto the 1e4
+    * grid, shift non-negative (so truncating division IS floor
+    * division in every engine), bucket into `cellWidth`-wide cells,
+    * call a cell DENSE when it holds ≥ `minPts` points, connect dense
+    * cells adjacent in the 8-neighborhood (self-offset included, so
+    * an isolated dense cell survives as a singleton cluster), and
+    * label clusters by min-label connected components
+    * ([[Dedup.connectedComponents]]). Points in sparse cells are
+    * noise. Output: one row per cluster (comp = min cell key,
+    * n_cells, n_pts) plus one comp = −1 noise row — all-integer, so
+    * any engine replays it exactly.
+    *
+    * Scale shape: two keyed aggregations over the points, a 9-way
+    * literal-offset explode over the (data-reduced) dense-cell table
+    * for adjacency, the CC fixpoint over the CELL graph (orders of
+    * magnitude smaller than the point set), and one labeling join.
+    * Nothing all-pairs over points; the ε-join never happens.
+    */
+  def dbscanGrid(df: DataFrame, idCol: String, vecCol: String,
+      cellWidth: Long = 2000L, minPts: Long = 8L): DataFrame = {
+    val pts = df.select(col(idCol).as("id"),
+        (floor(element_at(col(vecCol), 1).cast("double") * 1e4)
+          .cast("long") + 100000L).as("gx"),
+        (floor(element_at(col(vecCol), 2).cast("double") * 1e4)
+          .cast("long") + 100000L).as("gy"))
+      .select(col("id"),
+        expr(s"gx div ${cellWidth}L").as("cx"),
+        expr(s"gy div ${cellWidth}L").as("cy"))
+      .withColumn("ck", expr("cx * 100000L + cy"))
+    val dense = pts.groupBy("cx", "cy", "ck")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPts)
+    val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
+    val probes = dense.select(col("ck").as("ck_a"),
+      explode(array(offsets.map { case (dx, dy) =>
+        struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+      }.toIndexedSeq: _*)).as("o"))
+      .select(col("ck_a"), col("o.cx").as("cx"), col("o.cy").as("cy"))
+    val edges = probes
+      .join(dense.select(col("cx"), col("cy"), col("ck").as("ck_b")),
+        Seq("cx", "cy"))
+      .filter(col("ck_a") <= col("ck_b"))
+      .select("ck_a", "ck_b")
+    val labels = Dedup.connectedComponents(edges, "ck_a", "ck_b")
+      .select(col("id").as("ck"), col("comp"))
+    val labeled = pts.join(labels, Seq("ck"))
+    val clusters = labeled.groupBy("comp")
+      .agg(countDistinct(col("ck")).as("n_cells"),
+        count(lit(1)).as("n_pts"))
+    val noise = pts.join(labels.select("ck"), Seq("ck"), "left_anti")
+      .agg(countDistinct(col("ck")).as("n_cells"),
+        count(lit(1)).as("n_pts"))
+      .select(lit(-1L).as("comp"), col("n_cells"), col("n_pts"))
+    clusters.unionAll(noise)
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training: for each of a
     * bounded panel of anchor vectors, the exact nearest example with
     * a DIFFERENT label — the "hardest wrong answer" a triplet/InfoNCE

@@ -277,6 +277,35 @@ object Ingest {
       }
       .start()
 
+  /** STREAMING cluster-population monitor: per micro-batch assignment
+    * counts of incoming embeddings against a STATIC centroid panel (a
+    * [[graft.operators.Similarity.kmeansLloyd]] fit), appended to
+    * `outPath` as (batch_id, cid, n) rows — the "is new data drifting
+    * off my semantic shard layout" probe a training-data pipeline
+    * keeps running as a corpus grows. Per-batch cost is one scan-local
+    * codegen'd argmin over centroid LITERALS plus a k-group count;
+    * counts are MERGEABLE integer sums, so any window's population
+    * histogram reconstructs downstream with one groupBy-sum over this
+    * feed, and the whole-stream totals equal the one-shot batch twin
+    * ([[graft.operators.Similarity.assignCounts]]) exactly.
+    *
+    * No streaming state ([[psiStream]]'s pattern): the appended feed
+    * IS the artifact, k rows per batch regardless of batch size.
+    */
+  def kmeansAssignStream(stream: DataFrame, vecCol: String,
+      centroids: Array[Array[Long]], outPath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], id: Long) =>
+        graft.operators.Similarity.assignCounts(batch.toDF(), vecCol,
+            centroids)
+          .withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outPath)
+      }
+      .start()
+
   /** STREAMING embedding near-dup detection against a STATIC quantized
     * corpus, as a TRUE stream-static equi-join (no foreachBatch, no
     * streaming state): the stream side packs sign bits

@@ -109,6 +109,27 @@ class KmeansBloomSpec extends AnyFunSuite {
       (1, 1L, 1000000L, 1000000L, 1000000L)))
   }
 
+  test("dbscanGrid: blobs cluster, adjacent cells merge, sparse cells are noise") {
+    // cellWidth 2000 on the shifted 1e4 grid = 0.2-wide cells.
+    // Blob A: 5 pts at (0,0) -> cell (50,50), ck 5000050.
+    // Bridge: 3 pts at (0.21,0) -> cell (51,50) — adjacent, merges
+    // into A via the 8-neighborhood. Blob B: 4 pts at (1,1) ->
+    // cell (55,55), ck 5500055 — isolated (self-offset keeps it).
+    // Noise: 2 pts in one cell and 1 in another, both under minPts=3.
+    val vecs =
+      (0 until 5).map(i => (i.toLong, Seq(0.0f, 0.0f))) ++
+      (10 until 13).map(i => (i.toLong, Seq(0.21f, 0.0f))) ++
+      (20 until 24).map(i => (i.toLong, Seq(1.0f, 1.0f))) ++
+      Seq((30L, Seq(-0.5f, 0.5f)), (31L, Seq(-0.5f, 0.5f)),
+        (32L, Seq(0.5f, -0.5f)))
+    val out = Similarity.dbscanGrid(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cellWidth = 2000L, minPts = 3L)
+      .orderBy("comp")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((-1L, 2L, 3L), (5000050L, 2L, 8L),
+      (5500055L, 1L, 4L)))
+  }
+
   // ── hard-negative mining ───────────────────────────────────────
 
   test("hardNegatives: exact nearest wrong-label example per anchor") {

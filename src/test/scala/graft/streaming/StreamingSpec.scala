@@ -373,6 +373,42 @@ class StreamingSpec extends AnyFunSuite {
       s"merged feed != whole-stream gram:\n$merged\n$whole")
   }
 
+  test("streaming cluster-population monitor: batch feed merges to the one-shot counts") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = Files.createTempDirectory("graft-kmas-out").toString + "/k"
+    val ckpt = Files.createTempDirectory("graft-kmas-ck").toString
+    // static panel: centroids at (0,0) and (1,1) on the 1e4 grid
+    val cents = Array(Array(0L, 0L), Array(10000L, 10000L))
+    val q = Ingest.kmeansAssignStream(mem.toDF.toDF("id", "vec"), "vec",
+      cents, out, ckpt)
+    val b0 = Seq((1L, Seq(0.1f, 0.0f)), (2L, Seq(0.9f, 1.1f)),
+      (3L, Seq(0.2f, -0.1f)))
+    val b1 = Seq((4L, Seq(1.0f, 1.0f)), (5L, Seq(0.5f, 0.5f)))
+    mem.addData(b0: _*); q.processAllAvailable()
+    mem.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+    val feed = spark.read.parquet(out)
+    // per-batch rows equal the batch twin run on each batch alone
+    val gotB0 = feed.filter(col("batch_id") === 0)
+      .select("cid", "n").orderBy("cid")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(gotB0 == Seq((0, 2L), (1, 1L)))
+    // (0.5, 0.5) is equidistant on the grid: ties break to the lower
+    // cid, the same (d2, cid) order every lloyd consumer uses
+    val gotB1 = feed.filter(col("batch_id") === 1)
+      .select("cid", "n").orderBy("cid")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(gotB1 == Seq((0, 1L), (1, 1L)))
+    // merged feed == one-shot batch twin over the union (mergeability)
+    val merged = feed.groupBy("cid").agg(sum("n").as("n"))
+      .orderBy("cid").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val whole = graft.operators.Similarity.assignCounts(
+        (b0 ++ b1).toDF("id", "vec"), "vec", cents)
+      .orderBy("cid").collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(merged == whole, s"merged feed != one-shot: $merged vs $whole")
+  }
+
   test("streaming curation with watermark evicts dedup state past horizon") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String)]

@@ -10079,7 +10079,105 @@ object Queries {
            WHERE l.ck IS NULL)
          SELECT comp, n_cells, n_pts FROM clustered
          UNION ALL SELECT comp, n_cells, n_pts FROM noise
-         ORDER BY comp"""))
+         ORDER BY comp""")),
+
+    // ── RECIPROCAL-RANK FUSION hybrid retrieval: the BM25 keyword
+    //    top-50 (ranked on the round(6) score q_bm25 pins engine-
+    //    exact, doc_id tie-break) fused with the exact vector top-50
+    //    around doc 0's embedding (integer grid distances), by
+    //    rrf = Σ 1e9 div (60 + rank) — pure integer division, no
+    //    score calibration. Both rank windows ride under literal
+    //    GlobalLimits (the q_zipf_fit blessed shape); the fusion join
+    //    of two bounded lists broadcasts at any scale. ──
+    QueryDef(
+      "q_rrf_fusion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val kw = operators.TextAnalysis.bm25(
+            t(s, dir, "documents"), "doc_id", "text",
+            Seq("table", "query", "scan", "join", "window"))
+          .withColumn("bm25r", round(col("bm25"), 6))
+          .orderBy(col("bm25r").desc, col("doc_id").asc).limit(50)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("bm25r").desc, col("doc_id").asc))
+            .cast("long"))
+          .select(col("doc_id"), col("rank"))
+        val vec = operators.Similarity.nearestRank(
+            t(s, dir, "embeddings"), "vec_id", "embedding",
+            queryId = 0L, topN = 50)
+          .select(col("id").as("doc_id"), col("rank"))
+        operators.Similarity.rrfFuse(kw, vec, "doc_id")
+          .orderBy(col("rrf_nano").desc, col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+           FROM documents),
+         dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+         st AS (SELECT count(*) AS n_docs,
+                  CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, tok AS term,
+                  CAST(count(*) AS DOUBLE) AS tf
+                FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+                WHERE tok IN ('table','query','scan','join','window')
+                GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         bm AS (SELECT tf.doc_id,
+             round(sum(
+               ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) /
+                 (CAST(df AS DOUBLE) + 0.5)) * tf /
+               (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+             ), 6) AS bm25
+           FROM tf
+           JOIN dl ON dl.doc_id = tf.doc_id
+           JOIN dfq USING (term) CROSS JOIN st
+           GROUP BY tf.doc_id),
+         kw AS (SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank_a
+           FROM (SELECT * FROM bm
+                 ORDER BY bm25 DESC, doc_id ASC LIMIT 50)),
+         q AS (SELECT vec_id AS id, list_transform(
+             CAST(embedding AS DOUBLE[]), x -> floor(x * 10000.0)) AS q
+           FROM embeddings),
+         qv AS (SELECT q FROM q WHERE id = 0),
+         dd AS (SELECT q.id, CAST(list_dot_product(q.q, q.q)
+             - 2 * list_dot_product(q.q, qv.q)
+             + list_dot_product(qv.q, qv.q) AS BIGINT) AS d2
+           FROM q, qv),
+         vec AS (SELECT id AS doc_id, CAST(row_number() OVER
+               (ORDER BY d2, id) AS BIGINT) AS rank_b
+           FROM (SELECT * FROM dd ORDER BY d2, id LIMIT 50))
+       SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, rank_a, rank_b,
+         COALESCE(1000000000 // (60 + rank_a), 0) +
+           COALESCE(1000000000 // (60 + rank_b), 0) AS rrf_nano
+       FROM kw FULL JOIN vec ON kw.doc_id = vec.doc_id
+       ORDER BY rrf_nano DESC, doc_id""")),
+
+    // ── per-doc token-type Shannon ENTROPY, lowest-50 review queue —
+    //    the information-theoretic repetitiveness gate (catches
+    //    templated/looping docs whose period dodges q_repetition's
+    //    fixed-n counters). ln floors onto the nano grid BEFORE the
+    //    order-free integer sums (the q_keyness discipline), so the
+    //    oracle replays it exactly; the cut is a deterministic
+    //    TakeOrdered. ──
+    QueryDef(
+      "q_doc_entropy",
+      (s, dir) =>
+        operators.TextAnalysis.docEntropy(
+            t(s, dir, "documents"), "doc_id", "text", topN = 50),
+      Some("""WITH tk0 AS (SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+             AS tok FROM documents),
+         tk AS (SELECT doc_id, tok FROM tk0 WHERE length(tok) > 0),
+         tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+         ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+             count(*) AS n_types,
+             CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE))
+               * 1000000000.0) AS BIGINT)) AS BIGINT) AS sclnc
+           FROM tc GROUP BY 1)
+         SELECT doc_id, n_toks, n_types,
+           CAST(floor(ln(CAST(n_toks AS DOUBLE)) * 1000000000.0)
+             AS BIGINT) - sclnc // n_toks AS entropy_nano
+         FROM ag ORDER BY entropy_nano, doc_id LIMIT 50"""))
   )
 
   /** DuckDB replay of [[operators.Graph.hits]] (3 rounds): the same

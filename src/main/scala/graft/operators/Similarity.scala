@@ -952,6 +952,48 @@ object Similarity {
       .withColumn("cid", lloydAssignCol(centroids))
       .groupBy("cid").agg(count(lit(1)).as("n"))
 
+  /** Exact nearest-neighbor RANK LIST for one query id: integer grid
+    * distances to the query's own vector (a 1-row bounded collect
+    * turned literal), TakeOrdered top-`topN`, ranks 1..topN by the
+    * deterministic (d2, id) order. The window rides UNDER a literal
+    * GlobalLimit, so its single task sees a scale-constant row count
+    * (the q_zipf_fit blessed shape). Feed for [[rrfFuse]].
+    */
+  def nearestRank(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = quantize1e4(df, idCol, vecCol)
+    val qv = q.filter(col("id") === queryId).head().getSeq[Long](1)
+      .toArray
+    q.select(col("id"), d2ToLiteral(qv).as("d2"))
+      .orderBy(col("d2").asc, col("id").asc).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("d2").asc, col("id").asc)).cast("long"))
+      .select(col("id"), col("rank"), col("d2"))
+  }
+
+  /** RECIPROCAL-RANK FUSION (Cormack/Clarke/Buettcher) of two rank
+    * lists — the standard hybrid-retrieval merge (keyword BM25 ×
+    * vector ANN) that needs no score calibration because it only
+    * consumes RANKS: rrf(d) = Σ_lists 1/(k + rank_d). Kept exact on
+    * the nano grid via pure integer division (1e9 div (k + rank) —
+    * no ln, no float), missing-side contributions are 0, so any
+    * engine replays the fusion bit-for-bit. Inputs are (idCol, rank)
+    * lists (bounded top-N feeds); the join of two bounded lists
+    * broadcasts at any corpus scale.
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      kConst: Long = 60L): DataFrame = {
+    val fa = a.select(col(idCol), col("rank").as("rank_a"))
+    val fb = b.select(col(idCol), col("rank").as("rank_b"))
+    fa.join(fb, Seq(idCol), "full_outer")
+      .withColumn("rrf_nano",
+        coalesce(expr(s"1000000000L div (${kConst}L + rank_a)"),
+          lit(0L)) +
+        coalesce(expr(s"1000000000L div (${kConst}L + rank_b)"),
+          lit(0L)))
+  }
+
   /** Cell-based (grid) DBSCAN over the first two embedding
     * coordinates — the density-clustering read ("how many dense
     * regions, how much noise") a curation pipeline takes on a 2-D

@@ -799,6 +799,42 @@ object TextAnalysis {
         StructField("n_docs", LongType, nullable = false))))
   }
 
+  /** Per-document token-type Shannon ENTROPY, lowest-N review queue —
+    * the information-theoretic repetitiveness gate (a templated or
+    * looping doc has low entropy even when q_repetition's fixed-n
+    * n-gram counters miss the period): H = ln(n) − Σ c·ln(c)/n over
+    * the doc's token-type counts. Kept engine-exact the q_keyness
+    * way: each ln floors onto the nano grid BEFORE the (integer,
+    * order-free) sums, the per-doc division is truncating integer
+    * division over non-negatives, and the output cut is a
+    * deterministic (entropy asc, id) TakeOrdered. Complements
+    * [[docCrossEntropy]] (which scores docs against the CORPUS
+    * distribution; this scores each doc against ITSELF).
+    *
+    * Scale shape: one explode + two map-side-combined aggregations +
+    * a TakeOrdered(topN). Per-doc int64 bound: Σ c·ln(c)·1e9 ≤
+    * n·ln(n)·1e9 — fine through billion-token documents.
+    */
+  def docEntropy(df: DataFrame, idCol: String, textCol: String,
+      topN: Int = 50): DataFrame = {
+    val tk = df.select(col(idCol),
+        explode(toks(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    tk.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum("c").as("n_toks"), count(lit(1)).as("n_types"),
+        sum(col("c") *
+            floor(log(col("c").cast("double")) * 1e9).cast("long"))
+          .as("sclnc"))
+      .withColumn("entropy_nano",
+        floor(log(col("n_toks").cast("double")) * 1e9).cast("long") -
+          expr("sclnc div n_toks"))
+      .select(col(idCol), col("n_toks"), col("n_types"),
+        col("entropy_nano"))
+      .orderBy(col("entropy_nano").asc, col(idCol).asc)
+      .limit(topN)
+  }
+
   /** LABEL-NOISE MINING (confident-learning-lite): train the
     * [[linearProbeTrain]] probe on the labels as given, then surface
     * the `topN` examples whose probe score most confidently DISAGREES

@@ -130,6 +130,32 @@ class KmeansBloomSpec extends AnyFunSuite {
       (5500055L, 1L, 4L)))
   }
 
+  // ── retrieval-rank fusion ──────────────────────────────────────
+
+  test("nearestRank: exact grid distances, deterministic ranks") {
+    val vecs = Seq((0L, Seq(0.0f)), (1L, Seq(0.1f)), (2L, Seq(0.2f)),
+      (3L, Seq(1.0f)))
+    val out = Similarity.nearestRank(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", queryId = 0L, topN = 3)
+      .orderBy("rank")
+      .as[(Long, Long, Long)].collect().toSeq
+    // 0.1f widens to 0.10000000149…, so it quantizes to exactly 1000
+    assert(out == Seq((0L, 1L, 0L), (1L, 2L, 1000L * 1000L),
+      (2L, 3L, 2000L * 2000L)))
+  }
+
+  test("rrfFuse: hand-computed nano scores, missing sides contribute 0") {
+    val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rank")
+    val out = Similarity.rrfFuse(a, b, "doc_id")
+      .orderBy(col("rrf_nano").desc, col("doc_id"))
+      .select("doc_id", "rrf_nano")
+      .as[(Long, Long)].collect().toSeq
+    // 1e9 div 61 = 16393442, div 62 = 16129032, div 63 = 15873015
+    assert(out == Seq((2L, 16129032L + 16393442L), (1L, 16393442L),
+      (4L, 16129032L), (3L, 15873015L)))
+  }
+
   // ── hard-negative mining ───────────────────────────────────────
 
   test("hardNegatives: exact nearest wrong-label example per anchor") {

@@ -236,6 +236,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3(0) > r3(1) && r3(1) > r3(2), s"ordering: ${r3.toSeq}")
   }
 
+  test("docEntropy: hand-computed nano entropies, repetitive docs rank first") {
+    val docs = Seq(
+      (1L, "a a a a"),   // one type: H = 0 exactly
+      (2L, "a b c d"),   // uniform singletons: H = ln 4
+      (3L, "a a b b"))   // two types of 2: H = ln 2
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.docEntropy(docs, "doc_id", "text", topN = 50)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val ln2 = math.floor(math.log(2.0) * 1e9).toLong // 693147180
+    val ln4 = math.floor(math.log(4.0) * 1e9).toLong // 1386294361
+    assert(out == Seq(
+      (1L, 4L, 1L, 0L),
+      (3L, 4L, 2L, ln4 - (4L * ln2) / 4L),
+      (2L, 4L, 4L, ln4)))
+  }
+
   test("hits: hand-computed integer round, symmetric hubs tie, in-degree orders authorities") {
     // bipartite: hubs {1,2}, auths {10,11,12}; auth 11 is shared.
     // Round 1 by hand on the integer grid: a_raw = (1e6, 2e6, 1e6),

@@ -10177,39 +10177,89 @@ object Queries {
          SELECT doc_id, n_toks, n_types,
            CAST(floor(ln(CAST(n_toks AS DOUBLE)) * 1000000000.0)
              AS BIGINT) - sclnc // n_toks AS entropy_nano
-         FROM ag ORDER BY entropy_nano, doc_id LIMIT 50"""))
+         FROM ag ORDER BY entropy_nano, doc_id LIMIT 50""")),
+
+    // ── multi-source BFS DEPTH over the undirected customer↔supplier
+    //    order graph from sparse trusted seeds — the link-distance
+    //    quality prior (distance from seed roots) and crawl-frontier
+    //    primitive. Pure integer min-propagation, one edge join + one
+    //    map-side min per round; unreached nodes are absent. The
+    //    oracle unrolls the rounds with null-skipping LEAST via a 99
+    //    sentinel (depths are ≤ 3, so the sentinel never wins). ──
+    QueryDef(
+      "q_bfs_depth",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+        val seeds = t(s, dir, "customer")
+          .filter(pmod(col("c_custkey"), lit(97L)) === 0)
+          .select(col("c_custkey").as("id"))
+        operators.Graph.bfsDepth(edges, "src", "dst", seeds, "id",
+            maxDepth = 3)
+          .orderBy("id")
+      },
+      Some(bfsDepthOracleSql))
   )
+
+  /** DuckDB replay of [[operators.Graph.bfsDepth]] (3 rounds): the
+    * same edge set and seeds, min-relaxation unrolled with FULL JOINs
+    * and a 99 sentinel standing in for Spark's null-skipping least()
+    * (every real depth is ≤ 3, so the sentinel never survives).
+    */
+  private lazy val bfsDepthOracleSql: String = {
+    val iters = 3
+    val prefix = """WITH pairs AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    edges AS (SELECT c AS src, p AS dst FROM pairs
+              UNION ALL SELECT p, c FROM pairs),
+    d0 AS (SELECT DISTINCT c_custkey AS id, CAST(0 AS BIGINT) AS dist
+           FROM customer WHERE c_custkey % 97 = 0)"""
+    val rounds = (1 to iters).map { r =>
+      s""",
+    n$r AS (SELECT e.dst AS id, min(p.dist + 1) AS nd
+      FROM edges e JOIN d${r - 1} p ON p.id = e.src GROUP BY 1),
+    d$r AS MATERIALIZED (SELECT COALESCE(p.id, n.id) AS id,
+        CAST(LEAST(COALESCE(p.dist, 99), COALESCE(n.nd, 99)) AS BIGINT)
+          AS dist
+      FROM d${r - 1} p FULL JOIN n$r n ON n.id = p.id)"""
+    }.mkString
+    prefix + rounds +
+      s"\n    SELECT id, dist FROM d$iters ORDER BY id"
+  }
 
   /** DuckDB replay of [[operators.Graph.hits]] (3 rounds): the same
     * edge set, uniform 1e6 hub start, exact BIGINT in-edge sums, and
-    * the truncating integer renorm `s // (max(s) // 1e6 + 1)` taken
-    * over the COALESCED full node set (missing in-edges contribute 0
-    * before the max, matching the Scala left-join order). All values
-    * stay non-negative, so `//` truncation ≡ floor in both engines.
+    * the truncating integer renorm `s // (max(s) // 1e6 + 1)`. Every
+    * hub/auth node is an edge endpoint and each half-round's input
+    * covers its full side, so the raw sums already cover every node —
+    * no outer join on either side. All values stay non-negative, so
+    * `//` truncation ≡ floor in both engines.
     */
   private lazy val hitsOracleSql: String = {
     val iters = 3
     val prefix = """WITH pairs AS MATERIALIZED (
       SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-    hubs AS (SELECT DISTINCT src AS id FROM pairs),
-    auths AS (SELECT DISTINCT dst AS id FROM pairs),
-    h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS s FROM hubs)"""
+    h0 AS (SELECT DISTINCT src AS id, CAST(1000000 AS BIGINT) AS s
+           FROM pairs)"""
     val rounds = (1 to iters).map { r =>
       s""",
-    ar$r AS MATERIALIZED (SELECT a.id, CAST(coalesce(x.s, 0) AS BIGINT)
+    ar$r AS MATERIALIZED (SELECT p.dst AS id, CAST(sum(h.s) AS BIGINT)
         AS s
-      FROM auths a LEFT JOIN (SELECT p.dst AS id, sum(h.s) AS s
-        FROM pairs p JOIN h${r - 1} h ON h.id = p.src GROUP BY 1) x
-      ON x.id = a.id),
+      FROM pairs p JOIN h${r - 1} h ON h.id = p.src GROUP BY 1),
     a$r AS MATERIALIZED (SELECT id,
         s // ((SELECT max(s) FROM ar$r) // 1000000 + 1) AS s
       FROM ar$r),
-    hr$r AS MATERIALIZED (SELECT hb.id, CAST(coalesce(x.s, 0) AS BIGINT)
+    hr$r AS MATERIALIZED (SELECT p.src AS id, CAST(sum(a.s) AS BIGINT)
         AS s
-      FROM hubs hb LEFT JOIN (SELECT p.src AS id, sum(a.s) AS s
-        FROM pairs p JOIN a$r a ON a.id = p.dst GROUP BY 1) x
-      ON x.id = hb.id),
+      FROM pairs p JOIN a$r a ON a.id = p.dst GROUP BY 1),
     h$r AS MATERIALIZED (SELECT id,
         s // ((SELECT max(s) FROM hr$r) // 1000000 + 1) AS s
       FROM hr$r)"""

@@ -199,6 +199,46 @@ object Graph {
       "left_anti")
   }
 
+  /** Multi-source BFS DEPTH: the minimum hop distance from a seed set
+    * to every node within `maxDepth` hops — the link-distance feature
+    * a crawl/curation pipeline computes from trusted roots (distance
+    * from seed domains is the classic quality prior), and the frontier
+    * query of an incremental crawler. Pure integer min-propagation,
+    * so any engine replays it exactly: dist₀ = 0 on seeds; each round
+    * relaxes dist(v) = min(dist(v), min over in-neighbors dist(u)+1).
+    * Nodes unreached within `maxDepth` are absent (never emitted with
+    * a sentinel).
+    *
+    * Scale shape: [[pageRank]]'s round structure — one hash join of
+    * the persisted edge table with the current frontier plus one
+    * map-side-combined min per round, state checkpointed and freed
+    * eagerly via [[IterCheckpoint]]. Work per round is bounded by the
+    * REACHED set, not the graph.
+    */
+  def bfsDepth(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be positive, got $maxDepth")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(lvl)
+    var dist = IterCheckpoint(seeds.select(col(seedCol).as("id"))
+      .distinct().withColumn("dist", lit(0L)))
+    for (_ <- 1 to maxDepth) {
+      val reach = e.join(dist.select(col("id").as("src"), col("dist")),
+          "src")
+        .select(col("dst").as("id"), (col("dist") + 1L).as("nd"))
+        .groupBy("id").agg(min("nd").as("nd"))
+      // least() skips nulls, so a side missing from the full join
+      // simply yields the other side's distance
+      val next = IterCheckpoint(dist.join(reach, Seq("id"), "full_outer")
+        .select(col("id"), least(col("dist"), col("nd")).as("dist")))
+      IterCheckpoint.free(dist)
+      dist = next
+    }
+    e.unpersist()
+    dist
+  }
+
   /** HITS hub/authority scores (Kleinberg) over a directed edge list,
     * `iterations` synchronous rounds, ENTIRELY ON INTEGER GRIDS so any
     * engine replaying the formula reproduces every bit: scores start
@@ -225,32 +265,44 @@ object Graph {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().persist(lvl)
-    val hubs = e.select(col("src").as("id")).distinct()
-    val auths = e.select(col("dst").as("id")).distinct()
-    def renorm(scores: DataFrame): DataFrame = {
+    // every hub has out-edges and every auth has in-edges BY
+    // CONSTRUCTION (they are edge endpoints), and each half-round's
+    // input score table always covers its full side — so the raw
+    // in-edge sums already cover every node and no all-nodes outer
+    // join is needed. The raw sums are CHECKPOINTED BEFORE the ∞-norm
+    // max() is collected, so the join lineage executes once (taking
+    // max on the lazy plan would run the whole join twice); the
+    // renorm itself stays a lazy projection over the checkpoint.
+    // returns (checkpointed raw sums, lazy renormed projection) — the
+    // base handle is what [[IterCheckpoint.free]] needs (free on a
+    // projection is a no-op)
+    def half(scores: DataFrame, inCol: String,
+        outCol: String): (DataFrame, DataFrame) = {
+      val raw = IterCheckpoint(
+        e.join(scores.select(col("id").as(inCol), col("s")), inCol)
+          .groupBy(col(outCol).as("id")).agg(sum("s").as("s")))
       // bounded driver collect: one scalar (the ∞-norm)
-      val mx = scores.agg(max("s")).head().getLong(0)
-      scores.select(col("id"),
-        expr(s"s div ${mx / 1000000L + 1L}L").as("s"))
+      val mx = raw.agg(max("s")).head().getLong(0)
+      (raw,
+        raw.select(col("id"), expr(s"s div ${mx / 1000000L + 1L}L").as("s")))
     }
-    var h = IterCheckpoint(hubs.withColumn("s", lit(1000000L)))
+    var hBase = IterCheckpoint(e.select(col("src").as("id")).distinct()
+      .withColumn("s", lit(1000000L)))
+    var h = hBase
+    var aBase: DataFrame = null
     var a: DataFrame = null
     for (_ <- 1 to iterations) {
-      val aRaw = e.join(h.select(col("id").as("src"), col("s")), "src")
-        .groupBy(col("dst").as("id")).agg(sum("s").as("s"))
-      val aNext = IterCheckpoint(renorm(
-        auths.join(aRaw, Seq("id"), "left")
-          .select(col("id"), coalesce(col("s"), lit(0L)).as("s"))))
-      if (a != null) IterCheckpoint.free(a)
-      a = aNext
-      val hRaw = e.join(a.select(col("id").as("dst"), col("s")), "dst")
-        .groupBy(col("src").as("id")).agg(sum("s").as("s"))
-      val hNext = IterCheckpoint(renorm(
-        hubs.join(hRaw, Seq("id"), "left")
-          .select(col("id"), coalesce(col("s"), lit(0L)).as("s"))))
-      IterCheckpoint.free(h)
-      h = hNext
+      val (ab, av) = half(h, "src", "dst")
+      // ab is materialized, so the previous half-rounds' bases are dead
+      IterCheckpoint.free(hBase)
+      if (aBase != null) IterCheckpoint.free(aBase)
+      aBase = ab; a = av
+      val (hb, hv) = half(a, "dst", "src")
+      hBase = hb; h = hv
     }
+    // the final rounds' checkpoint files back the returned frames
+    // lazily; they are released with the session temp dir (bounded:
+    // two half-rounds)
     e.unpersist()
     h.select(lit("hub").as("side"), col("id"), col("s").as("score"))
       .unionAll(a.select(lit("auth").as("side"), col("id"),

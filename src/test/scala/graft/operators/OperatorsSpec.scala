@@ -236,6 +236,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3(0) > r3(1) && r3(1) > r3(2), s"ordering: ${r3.toSeq}")
   }
 
+  test("bfsDepth: min hop distance from seeds, horizon cuts unreached nodes") {
+    // undirected path 1-2-3-4-5
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("s", "d")
+    val one = Graph.bfsDepth(edges, "s", "d",
+        Seq(1L).toDF("id"), "id", maxDepth = 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(one == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 3L)))
+    // two seeds: distances take the min over sources
+    val two = Graph.bfsDepth(edges, "s", "d",
+        Seq(1L, 5L).toDF("id"), "id", maxDepth = 3)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(two == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 0L)))
+  }
+
   test("docEntropy: hand-computed nano entropies, repetitive docs rank first") {
     val docs = Seq(
       (1L, "a a a a"),   // one type: H = 0 exactly

@@ -241,7 +241,12 @@ object BenchScale {
     // verdict item 1): the purest cell-blocked all-pairs kernel —
     // labels (cells) grow ∝ rows, so the pair volume and the exponent
     // should both read linear
-    "q_knn_graph")
+    "q_knn_graph",
+    // the two heaviest suite queries added in round 9's capability
+    // sessions: the tokenizer-merge trainer (driver-loop of corpus
+    // aggregates — each merge round is one scan + one fold) and HITS
+    // (6 half-rounds of edge join + keyed sum, the q_pagerank shape)
+    "q_bpe_train", "q_hits")
   private val HeavyFactor2 = 30L
 
   /** Smoke-side parameter scaling for queries whose blocking-cell

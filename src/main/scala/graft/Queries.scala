@@ -10204,8 +10204,142 @@ object Queries {
             maxDepth = 3)
           .orderBy("id")
       },
-      Some(bfsDepthOracleSql))
+      Some(bfsDepthOracleSql)),
+
+    // ── MAXIMAL MARGINAL RELEVANCE diversified top-10 around doc 0's
+    //    embedding — the re-rank between ANN and the consumer that
+    //    stops the top-k being k near-duplicates: greedy argmax of
+    //    λ·relevance − (1−λ)·nearest-selected similarity, in exact
+    //    integer form (minimize 700·d2q − 300·minDistToSelected on
+    //    the 1e4 grid, id tie-break). One distributed TakeOrdered
+    //    builds the 50-candidate pool; the greedy loop is
+    //    driver-bounded (the PQ-codebook pattern); the oracle unrolls
+    //    all 10 picks. ──
+    QueryDef(
+      "q_mmr_diversify",
+      (s, dir) =>
+        operators.Similarity.mmrDiversify(
+            t(s, dir, "embeddings"), "vec_id", "embedding",
+            queryId = 0L, poolN = 50, k = 10, lambdaMilli = 700L)
+          .orderBy("sel_rank"),
+      Some(mmrOracleSql)),
+
+    // ── the POSITIVE half of contrastive-pair mining: per 16-anchor
+    //    panel, the exact nearest SAME-label example (self excluded) —
+    //    q_hard_negatives' counterpart, same scan-local literal-panel
+    //    shape, exact integer distances, (d2, id) tie-break. ──
+    QueryDef(
+      "q_hard_positives",
+      (s, dir) =>
+        operators.Similarity.hardPositives(
+            t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+            nAnchors = 16)
+          .orderBy("anchor_id"),
+      Some("""WITH q AS MATERIALIZED (SELECT vec_id AS id, label,
+           list_transform(CAST(embedding AS DOUBLE[]),
+             x -> floor(x * 10000.0)) AS q
+         FROM embeddings),
+       a AS MATERIALIZED (SELECT id AS aid, label AS alabel, q AS aq
+         FROM q ORDER BY id LIMIT 16),
+       p AS (SELECT a.aid, a.alabel, v.id, v.label,
+           CAST(list_dot_product(v.q, v.q)
+             - 2 * list_dot_product(v.q, a.aq)
+             + list_dot_product(a.aq, a.aq) AS BIGINT) AS d2
+         FROM a JOIN q v ON v.label = a.alabel AND v.id <> a.aid),
+       r AS (SELECT aid, alabel, id, label, d2,
+           count(*) OVER (PARTITION BY aid) AS n_cand,
+           row_number() OVER (PARTITION BY aid ORDER BY d2, id) AS rn
+         FROM p)
+       SELECT aid AS anchor_id, alabel AS anchor_label, id AS pos_id,
+         label AS pos_label, d2 AS d2_q, CAST(n_cand AS BIGINT) AS n_cand
+       FROM r WHERE rn = 1 ORDER BY anchor_id""")),
+
+    // ── external CLUSTER PURITY of the q_kmeans_embed fit against
+    //    the label column: per-cluster majority label + purity in
+    //    exact micro units (ties to the lower label) — internal
+    //    geometry (q_kmeans_silhouette) and external agreement
+    //    together are the full clustering eval. ──
+    QueryDef(
+      "q_kmeans_purity",
+      (s, dir) =>
+        operators.Similarity.kmeansPurity(
+            t(s, dir, "embeddings"), "vec_id", "embedding", "label",
+            k = 4, iters = 4)
+          .orderBy("cid"),
+      Some(kmeansPurityOracleSql))
   )
+
+  /** DuckDB replay of [[operators.Similarity.kmeansPurity]]: the
+    * [[kmeansChainSql]] Lloyd rounds, the final (d2, cid)-argmin
+    * assignment, then per-cluster majority label (count desc, label
+    * asc) and the truncating integer purity.
+    */
+  private lazy val kmeansPurityOracleSql: String = {
+    val iters = 4
+    val tail = s""",
+      af AS (SELECT id, cid FROM (
+          SELECT v.id, c.cid, row_number() OVER (PARTITION BY v.id
+            ORDER BY list_dot_product(v.q, v.q)
+              - 2 * list_dot_product(v.q, c.c)
+              + list_dot_product(c.c, c.c), c.cid) AS rn
+          FROM q v CROSS JOIN c$iters c) WHERE rn = 1),
+      cl AS (SELECT af.cid, e.label, count(*) AS n
+        FROM af JOIN embeddings e ON e.vec_id = af.id
+        GROUP BY 1, 2),
+      per AS (SELECT cid, label, n,
+          CAST(sum(n) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs,
+          row_number() OVER (PARTITION BY cid
+            ORDER BY n DESC, label ASC) AS rn
+        FROM cl)
+      SELECT cid, n_vecs, label AS maj_label, CAST(n AS BIGINT) AS n_maj,
+        CAST(n AS BIGINT) * 1000000 // n_vecs AS purity_micro
+      FROM per WHERE rn = 1 ORDER BY cid"""
+    kmeansChainSql(4, iters) + tail
+  }
+
+  /** DuckDB replay of [[operators.Similarity.mmrDiversify]] (pool 50,
+    * k 10, λ 0.700): the same grid pool, pairwise distances, and 10
+    * unrolled greedy picks minimizing 700·d2q − 300·md with the id
+    * tie-break.
+    */
+  private lazy val mmrOracleSql: String = {
+    val k = 10
+    val prefix = """WITH q AS MATERIALIZED (SELECT vec_id AS id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> floor(x * 10000.0)) AS q
+      FROM embeddings),
+    qv AS (SELECT q FROM q WHERE id = 0),
+    pool AS MATERIALIZED (SELECT id, q, d2q FROM (
+        SELECT v.id, v.q, CAST(list_dot_product(v.q, v.q)
+            - 2 * list_dot_product(v.q, qv.q)
+            + list_dot_product(qv.q, qv.q) AS BIGINT) AS d2q
+        FROM q v, qv WHERE v.id <> 0
+        ORDER BY d2q, id LIMIT 50)),
+    pd AS MATERIALIZED (SELECT a.id AS ia, b.id AS ib,
+        CAST(list_dot_product(a.q, a.q)
+          - 2 * list_dot_product(a.q, b.q)
+          + list_dot_product(b.q, b.q) AS BIGINT) AS d2
+      FROM pool a JOIN pool b ON a.id <> b.id),
+    s1 AS MATERIALIZED (SELECT id, d2q, 1 AS rk FROM pool
+      ORDER BY d2q, id LIMIT 1),
+    a1 AS MATERIALIZED (SELECT id, d2q, rk FROM s1)"""
+    val rounds = (2 to k).map { r =>
+      s""",
+    c$r AS (SELECT p.id, p.d2q, min(pd.d2) AS md
+      FROM pool p JOIN pd ON pd.ia = p.id
+      JOIN a${r - 1} s ON s.id = pd.ib
+      WHERE p.id NOT IN (SELECT id FROM a${r - 1})
+      GROUP BY p.id, p.d2q),
+    s$r AS MATERIALIZED (SELECT id, d2q, $r AS rk FROM c$r
+      ORDER BY 700 * d2q - 300 * md, id LIMIT 1),
+    a$r AS MATERIALIZED (SELECT * FROM a${r - 1}
+      UNION ALL SELECT * FROM s$r)"""
+    }.mkString
+    prefix + rounds + s"""
+    SELECT CAST(rk AS INTEGER) AS sel_rank, id,
+      CAST(d2q AS BIGINT) AS d2_q
+    FROM a$k ORDER BY sel_rank"""
+  }
 
   /** DuckDB replay of [[operators.Graph.bfsDepth]] (3 rounds): the
     * same edge set and seeds, min-relaxation unrolled with FULL JOINs

@@ -994,6 +994,66 @@ object Similarity {
           lit(0L)))
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE (Carbonell/Goldstein) diversified
+    * top-k: greedily re-rank a relevance pool so each pick maximizes
+    * λ·relevance − (1−λ)·nearest-selected similarity — the
+    * diversification pass a retrieval pipeline runs between ANN and
+    * the consumer so the k results aren't k near-duplicates. Exact
+    * integer form: grid distances stand in for both terms (minimize
+    * λ·d2_query − (1000−λ)·min-distance-to-selected, milli-λ), ties
+    * break to the lower id, so any engine replays every pick.
+    *
+    * Scale shape: ONE distributed TakeOrdered builds the `poolN`
+    * candidate pool (the only data-sized work); the greedy loop runs
+    * driver-side over the BOUNDED pool (k·poolN distance pairs — the
+    * PQ-codebook/bounded-collect pattern). Returns (sel_rank, id,
+    * d2_q) for the k picks.
+    */
+  def mmrDiversify(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, poolN: Int = 50, k: Int = 10,
+      lambdaMilli: Long = 700L): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField,
+      IntegerType, LongType}
+    val q = quantize1e4(df, idCol, vecCol)
+    val qv = q.filter(col("id") === queryId).head().getSeq[Long](1)
+      .toArray
+    val pool = q.filter(col("id") =!= queryId)
+      .select(col("id"), col("q"), d2ToLiteral(qv).as("d2q"))
+      .orderBy(col("d2q").asc, col("id").asc).limit(poolN)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    def d2(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val selected =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long], Long)]
+    val remaining = scala.collection.mutable.ArrayBuffer(pool: _*)
+    while (selected.length < math.min(k, pool.length)) {
+      // minimize λ·d2q − (1000−λ)·minDistToSelected ≡ maximize the
+      // MMR objective; round 1 has no diversity term
+      val best = remaining.minBy { case (id, v, d2q) =>
+        val md =
+          if (selected.isEmpty) 0L
+          else selected.iterator.map(s => d2(v, s._2)).min
+        (lambdaMilli * d2q - (1000L - lambdaMilli) * md, id)
+      }
+      selected += best
+      remaining -= best
+    }
+    val rows: Seq[org.apache.spark.sql.Row] =
+      selected.zipWithIndex.map { case ((id, _, d2q), i) =>
+        org.apache.spark.sql.Row(i + 1, id, d2q)
+      }.toSeq
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("sel_rank", IntegerType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("d2_q", LongType, nullable = false))))
+  }
+
   /** Cell-based (grid) DBSCAN over the first two embedding
     * coordinates — the density-clustering read ("how many dense
     * regions, how much noise") a curation pipeline takes on a 2-D
@@ -1055,6 +1115,39 @@ object Similarity {
     clusters.unionAll(noise)
   }
 
+  /** External cluster validation of a [[kmeansLloyd]] fit against a
+    * label column: per-cluster PURITY — the majority label, its
+    * count, and count/size in exact micro units (ties break to the
+    * lower label) — the "do my semantic shards mean anything"
+    * check run against whatever supervision exists. All-integer, so
+    * any engine replays it; complements [[kmeansSilhouette]] (internal
+    * geometry) with external agreement.
+    *
+    * Scale shape: the Lloyd rounds plus ONE scan-local assignment
+    * from broadcast centroid literals and two map-side-combined
+    * aggregations over (cluster, label) — at most k·|labels| groups.
+    */
+  def kmeansPurity(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, k: Int = 4, iters: Int = 4): DataFrame = {
+    val labeled = df.select(col(idCol).as("id"),
+      transform(col(vecCol),
+        x => floor(x.cast("double") * 1e4).cast("long")).as("q"),
+      col(labelCol).cast("int").as("label"))
+    val cents = lloydCentroids(labeled.select("id", "q"), k, iters)
+    labeled.withColumn("cid", lloydAssignCol(cents))
+      .groupBy("cid", "label").agg(count(lit(1)).as("n"))
+      .groupBy("cid")
+      .agg(sum("n").as("n_vecs"),
+        // majority label, ties to the LOWER label: max over
+        // (count, −label) structs
+        max(struct(col("n").as("n"),
+          (-col("label")).as("neg_label"))).as("m"))
+      .select(col("cid"), col("n_vecs"),
+        (-col("m").getField("neg_label")).as("maj_label"),
+        col("m").getField("n").as("n_maj"),
+        expr("m.n * 1000000L div n_vecs").as("purity_micro"))
+  }
+
   /** HARD-NEGATIVE MINING for contrastive training: for each of a
     * bounded panel of anchor vectors, the exact nearest example with
     * a DIFFERENT label — the "hardest wrong answer" a triplet/InfoNCE
@@ -1073,8 +1166,9 @@ object Similarity {
     * At 100 TB the panel stays driver-bounded and the scan is
     * embarrassingly parallel.
     */
-  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
-      labelCol: String, nAnchors: Int = 16): DataFrame = {
+  private def anchorNearest(df: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, nAnchors: Int,
+      sameLabel: Boolean): DataFrame = {
     val q = df.select(col(idCol).as("id"),
       transform(col(vecCol),
         x => floor(x.cast("double") * 1e4).cast("long")).as("q"),
@@ -1086,17 +1180,42 @@ object Similarity {
       struct(lit(aid).as("aid"), lit(alab).as("alabel"),
         d2ToLiteral(av).as("d2"))
     }.toIndexedSeq: _*)
+    val keep =
+      if (sameLabel)
+        col("p.alabel") === col("label") && col("p.aid") =!= col("id")
+      else col("p.alabel") =!= col("label")
     q.select(explode(pairs).as("p"), col("id"), col("label"))
-      .filter(col("p.alabel") =!= col("label"))
+      .filter(keep)
       .groupBy(col("p.aid").as("anchor_id"),
         col("p.alabel").as("anchor_label"))
       .agg(min(struct(col("p.d2").as("d2"), col("id").as("id"),
           col("label").as("label"))).as("m"),
         count(lit(1)).as("n_cand"))
       .select(col("anchor_id"), col("anchor_label"),
-        col("m").getField("id").as("neg_id"),
-        col("m").getField("label").as("neg_label"),
+        col("m").getField("id").as("match_id"),
+        col("m").getField("label").as("match_label"),
         col("m").getField("d2").as("d2_q"),
         col("n_cand"))
   }
+
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nAnchors: Int = 16): DataFrame =
+    anchorNearest(df, idCol, vecCol, labelCol, nAnchors,
+        sameLabel = false)
+      .withColumnRenamed("match_id", "neg_id")
+      .withColumnRenamed("match_label", "neg_label")
+
+  /** The positive half of contrastive-pair mining: for each anchor,
+    * the exact nearest OTHER example with the SAME label (self
+    * excluded) — the in-batch positive a triplet/InfoNCE pipeline
+    * pairs with [[hardNegatives]]' hardest wrong answer. Same
+    * scan-local literal-panel shape, exact integer distances,
+    * (d2, id) tie-break.
+    */
+  def hardPositives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nAnchors: Int = 16): DataFrame =
+    anchorNearest(df, idCol, vecCol, labelCol, nAnchors,
+        sameLabel = true)
+      .withColumnRenamed("match_id", "pos_id")
+      .withColumnRenamed("match_label", "pos_label")
 }

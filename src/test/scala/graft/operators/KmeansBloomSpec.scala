@@ -144,6 +144,26 @@ class KmeansBloomSpec extends AnyFunSuite {
       (2L, 3L, 2000L * 2000L)))
   }
 
+  test("mmrDiversify: diversity term reorders near-duplicates, pure relevance does not") {
+    // 1-D grid: query 0 at 0.0; candidates 1 (0.1), 2 (0.11 — near-dup
+    // of 1), 3 (0.5), 4 (0.6)
+    val vecs = Seq((0L, Seq(0.0)), (1L, Seq(0.1)), (2L, Seq(0.11)),
+      (3L, Seq(0.5)), (4L, Seq(0.6)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // diversity-heavy λ=0.3: after the nearest pick (1), the far point
+    // 4 beats the near-duplicate 2 (hand-computed integer keys)
+    val div = Similarity.mmrDiversify(df, "vec_id", "embedding",
+        queryId = 0L, poolN = 50, k = 4, lambdaMilli = 300L)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(div == Seq((1, 1L, 1000000L), (2, 4L, 36000000L),
+      (3, 2L, 1210000L), (4, 3L, 25000000L)))
+    // pure relevance λ=1.0 degenerates to the distance ranking
+    val rel = Similarity.mmrDiversify(df, "vec_id", "embedding",
+        queryId = 0L, poolN = 50, k = 4, lambdaMilli = 1000L)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(rel.map(_._2) == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("rrfFuse: hand-computed nano scores, missing sides contribute 0") {
     val a = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("doc_id", "rank")
     val b = Seq((2L, 1L), (4L, 2L)).toDF("doc_id", "rank")
@@ -173,6 +193,38 @@ class KmeansBloomSpec extends AnyFunSuite {
       (2L, 1, 1L, 0, 100000000L, 2L),
       (3L, 0, 2L, 1, 400000000L, 2L),
       (4L, 1, 3L, 0, 4900000000L, 2L)))
+  }
+
+  test("hardPositives: nearest same-label example, self excluded") {
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0), 0), (2L, Seq(1.0, 0.0), 1),
+      (3L, Seq(3.0, 0.0), 0), (4L, Seq(10.0, 0.0), 1))
+    val out = Similarity.hardPositives(
+        vecs.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", nAnchors = 16)
+      .orderBy("anchor_id")
+      .as[(Long, Int, Long, Int, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 0, 3L, 0, 900000000L, 1L),
+      (2L, 1, 4L, 1, 8100000000L, 1L),
+      (3L, 0, 1L, 0, 900000000L, 1L),
+      (4L, 1, 2L, 1, 8100000000L, 1L)))
+  }
+
+  test("kmeansPurity: per-cluster majority label and exact micro purity") {
+    // two exact blobs; two points in blob A carry the wrong label
+    val vecs =
+      Seq((0L, Seq(0.0, 0.0), 0), (1L, Seq(5.0, 5.0), 1)) ++
+      (2 until 11).map(i => (i.toLong, Seq(0.0, 0.0),
+        if (i <= 3) 1 else 0)) ++
+      (11 until 20).map(i => (i.toLong, Seq(5.0, 5.0), 1))
+    val out = Similarity.kmeansPurity(
+        vecs.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", k = 2, iters = 3)
+      .orderBy("cid")
+      .as[(Int, Long, Int, Long, Long)].collect().toSeq
+    assert(out == Seq((0, 10L, 0, 8L, 800000L),
+      (1, 10L, 1, 10L, 1000000L)))
   }
 
   test("hardNegatives: equidistant candidates break to the lower id") {

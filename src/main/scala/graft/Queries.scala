@@ -10266,7 +10266,21 @@ object Queries {
             t(s, dir, "embeddings"), "vec_id", "embedding", "label",
             k = 4, iters = 4)
           .orderBy("cid"),
-      Some(kmeansPurityOracleSql))
+      Some(kmeansPurityOracleSql)),
+
+    // ── APPLY the trained BPE merges: per-doc before/after token
+    //    counts + exact micro compression under the q_bpe_train merge
+    //    table — the "which docs is my tokenizer wrong for" read
+    //    (merge-resistant docs rank first). Same zero-shuffle round
+    //    shape as the trainer, one extra TakeOrdered. ──
+    QueryDef(
+      "q_bpe_encode",
+      (s, dir) =>
+        operators.TextAnalysis.bpeEncode(
+            t(s, dir, "documents").select(col("doc_id"), col("text")),
+            "doc_id", "text", merges = 3, topN = 50)
+          .orderBy(col("compression_micro").desc, col("doc_id")),
+      Some(bpeEncodeOracleSql))
   )
 
   /** DuckDB replay of [[operators.Similarity.kmeansPurity]]: the
@@ -10415,8 +10429,12 @@ object Queries {
     * even; a position is consumed iff its left neighbor merged. Kept
     * in lockstep with the Scala fold.
     */
-  private lazy val bpeTrainOracleSql: String = {
-    val merges = 3
+  /** The greedy-merge CTE chain shared by the bpe-train / bpe-encode
+    * oracles: tokenize, then `merges` unrolled rounds of (pair count,
+    * argmax, chain-parity greedy merge). Ends at `d$merges` (per-doc
+    * token lists) / `t$merges` / `best$merges`.
+    */
+  private def bpeChainSql(merges: Int): String = {
     val prefix = """WITH d0 AS MATERIALIZED (
       SELECT doc_id AS id,
         string_split(regexp_replace(lower(trim(text)),
@@ -10455,22 +10473,36 @@ object Queries {
       GROUP BY p.id),
     t$r AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS t FROM d$r)"""
     }.mkString
+    prefix + rounds
+  }
+
+  private lazy val bpeTrainOracleSql: String = {
+    val merges = 3
     val unions = (1 to merges).map { r =>
       s"""SELECT $r AS round, a AS tok_a, b AS tok_b,
         CAST(c AS BIGINT) AS pair_n,
         (SELECT t FROM t$r) AS toks_after
       FROM best$r"""
     }.mkString("\n      UNION ALL\n      ")
-    s"$prefix$rounds\n      $unions\n      ORDER BY round"
+    s"${bpeChainSql(merges)}\n      $unions\n      ORDER BY round"
   }
 
-  /** DuckDB replay of [[operators.TextAnalysis.linearProbeTrain]] over
-    * the q_lr_train features: 4 unrolled GD rounds, each one aggregate
-    * over the feature table joined to the previous round's 1-row
-    * weight vector. Gradient sums stay ≤2⁵³ so their DOUBLE images are
-    * exact and the floor-of-division update matches the Scala loop
-    * bit-for-bit.
+  /** DuckDB replay of [[operators.TextAnalysis.bpeEncode]]: the
+    * [[bpeChainSql]] merge rounds, then per-doc before/after counts
+    * and the truncating micro compression, (ratio desc, id) top-50.
     */
+  private lazy val bpeEncodeOracleSql: String = {
+    val merges = 3
+    s"""${bpeChainSql(merges)},
+      enc AS (SELECT d0.id, CAST(len(d0.toks) AS BIGINT) AS toks_before,
+          CAST(len(df.toks) AS BIGINT) AS toks_after
+        FROM d0 JOIN d$merges df ON df.id = d0.id)
+      SELECT id AS doc_id, toks_before, toks_after,
+        toks_after * 1000000 // toks_before AS compression_micro
+      FROM enc
+      ORDER BY compression_micro DESC, doc_id LIMIT 50"""
+  }
+
   /** The probe-GD CTE chain shared by the lr-train / label-noise
     * oracles: the q_lr_train feature construction (with doc_id kept
     * for the miner's output) and `iters` unrolled full-batch rounds.

@@ -692,11 +692,18 @@ object TextAnalysis {
     * scan-local `aggregate` fold over each token array (codegen, zero
     * shuffle). R rounds = R passes; the token lists never shuffle.
     */
-  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
-      merges: Int = 3): DataFrame = {
+  /** The greedy merge rounds shared by [[bpeTrain]] and
+    * [[bpeEncode]]: returns (per-doc token lists after all rounds —
+    * with the ORIGINAL token count carried as n0 — and the per-round
+    * merge table).
+    */
+  private def bpeFit(df: DataFrame, idCol: String, textCol: String,
+      merges: Int)
+      : (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     var cur = df
       .select(col(idCol).as("id"), toks(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 1)
+      .withColumn("n0", size(col("toks")).cast("long"))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long)]
     for (r <- 1 to merges) {
@@ -718,7 +725,7 @@ object TextAnalysis {
       // '+'-joined merge product can never equal `a` within a round,
       // so a just-merged pair never chains). The "" sentinel keeps
       // element_at in-bounds on the empty accumulator under ANSI.
-      cur = cur.select(col("id"), aggregate(col("toks"),
+      cur = cur.select(col("id"), col("n0"), aggregate(col("toks"),
         array().cast("array<string>"),
         (acc, x) => when(
           element_at(concat(array(lit("")), acc), size(acc) + 1)
@@ -729,9 +736,15 @@ object TextAnalysis {
         .head().getLong(0)
       out += ((r, a, b, c, toksAfter))
     }
+    (cur, out.toSeq)
+  }
+
+  def bpeTrain(df: DataFrame, idCol: String, textCol: String,
+      merges: Int = 3): DataFrame = {
+    val (_, out) = bpeFit(df, idCol, textCol, merges)
     import org.apache.spark.sql.types.{StructType, StructField,
       IntegerType, StringType, LongType}
-    val rows: Seq[org.apache.spark.sql.Row] = out.toSeq.map {
+    val rows: Seq[org.apache.spark.sql.Row] = out.map {
       case (r, a, b, c, t) => org.apache.spark.sql.Row(r, a, b, c, t)
     }
     df.sparkSession.createDataFrame(
@@ -742,6 +755,30 @@ object TextAnalysis {
         StructField("tok_b", StringType, nullable = false),
         StructField("pair_n", LongType, nullable = false),
         StructField("toks_after", LongType, nullable = false))))
+  }
+
+  /** Apply the trained merge table: TOKENIZE THE CORPUS with the
+    * [[bpeTrain]] merges and report, per document, the token count
+    * before/after and the compression in exact micro units — the
+    * "which docs does my tokenizer compress best/worst" read (a doc
+    * the merges barely compress is out-of-domain for the tokenizer;
+    * one they compress hard is template-like). Deterministic
+    * (after/before ratio desc, id) top-N — the most merge-resistant
+    * docs surface first.
+    *
+    * Scale shape: identical to the trainer (each round one
+    * map-side-combined pair count + one scan-local fold; token lists
+    * never shuffle) plus a final TakeOrdered.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Int = 3, topN: Int = 50): DataFrame = {
+    val (cur, _) = bpeFit(df, idCol, textCol, merges)
+    cur.select(col("id").as(idCol), col("n0").as("toks_before"),
+        size(col("toks")).cast("long").as("toks_after"))
+      .withColumn("compression_micro",
+        expr("toks_after * 1000000L div toks_before"))
+      .orderBy(col("compression_micro").desc, col(idCol).asc)
+      .limit(topN)
   }
 
   /** Nano-grid probe score of feature array column `x` under literal

@@ -66,6 +66,25 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(got(1)._2 == "x+y" && got(1)._3 == "z") // chained merge
   }
 
+  test("bpeEncode: per-doc counts under the trained merges, resistant docs first") {
+    // doc 0 is pure "a a ..." (compresses hard), doc 1 has one merge
+    // site, doc 2 has none (fully merge-resistant)
+    val docs = Seq(
+      Seq("a", "a", "a", "a"),
+      Seq("b", "a", "a", "c"),
+      Seq("x", "y", "z"))
+    val df = docs.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncode(df, "doc_id", "text",
+        merges = 1, topN = 50)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // merge table round 1 = (a,a); doc0: 4->2 (500000), doc1: 4->3
+    // (750000), doc2: 3->3 (1000000); resistant-first ordering
+    assert(got == Seq((2L, 3L, 3L, 1000000L), (1L, 4L, 3L, 750000L),
+      (0L, 4L, 2L, 500000L)))
+  }
+
   test("randomized parity with the brute-force model") {
     val rng = new scala.util.Random(11)
     val vocab = Vector("aa", "bb", "cc", "dd")

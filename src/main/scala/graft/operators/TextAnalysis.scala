@@ -700,10 +700,16 @@ object TextAnalysis {
   private def bpeFit(df: DataFrame, idCol: String, textCol: String,
       merges: Int)
       : (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
-    var cur = df
+    // each round runs TWO actions (argmax pair, token total) and the
+    // next round's fold — over a LAZY chain those re-execute every
+    // prior round's fold from the scan (round r costs r folds).
+    // Checkpointing each round's token lists makes round cost constant
+    // (the IterCheckpoint discipline): measured 15.1 s → 2.6 s at
+    // sf0.1, 30× exponent 0.828
+    var cur = IterCheckpoint(df
       .select(col(idCol).as("id"), toks(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= 1)
-      .withColumn("n0", size(col("toks")).cast("long"))
+      .withColumn("n0", size(col("toks")).cast("long")))
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, String, Long, Long)]
     for (r <- 1 to merges) {
@@ -725,17 +731,22 @@ object TextAnalysis {
       // '+'-joined merge product can never equal `a` within a round,
       // so a just-merged pair never chains). The "" sentinel keeps
       // element_at in-bounds on the empty accumulator under ANSI.
-      cur = cur.select(col("id"), col("n0"), aggregate(col("toks"),
-        array().cast("array<string>"),
-        (acc, x) => when(
-          element_at(concat(array(lit("")), acc), size(acc) + 1)
-            === lit(a) && (x === lit(b)),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-          .otherwise(concat(acc, array(x)))).as("toks"))
+      val next = IterCheckpoint(
+        cur.select(col("id"), col("n0"), aggregate(col("toks"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            element_at(concat(array(lit("")), acc), size(acc) + 1)
+              === lit(a) && (x === lit(b)),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+            .otherwise(concat(acc, array(x)))).as("toks")))
+      IterCheckpoint.free(cur)
+      cur = next
       val toksAfter = cur.agg(sum(size(col("toks"))).as("t"))
         .head().getLong(0)
       out += ((r, a, b, c, toksAfter))
     }
+    // the final round's checkpoint files back the returned frame
+    // lazily; they are released with the session temp dir
     (cur, out.toSeq)
   }
 

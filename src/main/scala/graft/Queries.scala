@@ -10280,8 +10280,54 @@ object Queries {
             t(s, dir, "documents").select(col("doc_id"), col("text")),
             "doc_id", "text", merges = 3, topN = 50)
           .orderBy(col("compression_micro").desc, col("doc_id")),
-      Some(bpeEncodeOracleSql))
+      Some(bpeEncodeOracleSql)),
+
+    // ── greedy K-CENTER (farthest-point) SAMPLING over the whole
+    //    embedding table — the coverage-maximizing coreset selector
+    //    (2-approx of the k-center objective): seed at the lowest id,
+    //    then 7 rounds of (scan-local min-distance to ≤k selected
+    //    literals, distributed TakeOrdered(1) argmax, (md desc, id)
+    //    tie-break). d2_cover traces the shrinking cover radius. ──
+    QueryDef(
+      "q_kcenter_sample",
+      (s, dir) =>
+        operators.Similarity.kCenterSample(
+            t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
+          .orderBy("sel_rank"),
+      Some(kCenterOracleSql))
   )
+
+  /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):
+    * the same grid, lowest-id seed, and 7 unrolled farthest-point
+    * picks with the (distance desc, id) tie-break.
+    */
+  private lazy val kCenterOracleSql: String = {
+    val k = 8
+    val prefix = """WITH q AS MATERIALIZED (SELECT vec_id AS id,
+        list_transform(CAST(embedding AS DOUBLE[]),
+          x -> floor(x * 10000.0)) AS q
+      FROM embeddings),
+    a1 AS MATERIALIZED (SELECT 1 AS rk, id, q, CAST(0 AS BIGINT) AS md
+      FROM q ORDER BY id LIMIT 1)"""
+    val rounds = (2 to k).map { r =>
+      s""",
+    c$r AS (SELECT v.id, v.q,
+        min(CAST(list_dot_product(v.q, v.q)
+          - 2 * list_dot_product(v.q, a.q)
+          + list_dot_product(a.q, a.q) AS BIGINT)) AS md
+      FROM q v CROSS JOIN a${r - 1} a
+      WHERE v.id NOT IN (SELECT id FROM a${r - 1})
+      GROUP BY v.id, v.q),
+    s$r AS MATERIALIZED (SELECT $r AS rk, id, q, md FROM c$r
+      ORDER BY md DESC, id LIMIT 1),
+    a$r AS MATERIALIZED (SELECT * FROM a${r - 1}
+      UNION ALL SELECT * FROM s$r)"""
+    }.mkString
+    prefix + rounds + s"""
+    SELECT CAST(rk AS INTEGER) AS sel_rank, id,
+      CAST(md AS BIGINT) AS d2_cover
+    FROM a$k ORDER BY sel_rank"""
+  }
 
   /** DuckDB replay of [[operators.Similarity.kmeansPurity]]: the
     * [[kmeansChainSql]] Lloyd rounds, the final (d2, cid)-argmin

@@ -994,6 +994,55 @@ object Similarity {
           lit(0L)))
   }
 
+  /** Greedy K-CENTER (farthest-point) SAMPLING — the
+    * coverage-maximizing coreset selector a training-data pipeline
+    * uses to pick k exemplars that span the embedding space (the
+    * 2-approximation of the k-center objective): seed with the
+    * lowest id, then repeatedly take the point FARTHEST from the
+    * selected set. Unlike [[mmrDiversify]] (greedy over a bounded
+    * relevance pool), every pick argmaxes over the WHOLE corpus —
+    * each round is one scan computing min-distance-to-selected from
+    * ≤k centroid literals (codegen, no join) plus one distributed
+    * TakeOrdered(1); k rounds = k scans, nothing all-pairs. Exact
+    * integer distances with the (distance desc, id) tie-break, so any
+    * engine replays every pick; `d2_cover` of pick r is the cover
+    * radius the first r−1 centers achieved (the k-center objective
+    * trace).
+    */
+  def kCenterSample(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.types.{StructType, StructField,
+      IntegerType, LongType}
+    val q = quantize1e4(df, idCol, vecCol)
+    val first = q.orderBy("id").limit(1).head()
+    val sel = scala.collection.mutable.ArrayBuffer[(Long, Array[Long],
+      Long)]((first.getLong(0), first.getSeq[Long](1).toArray, 0L))
+    for (_ <- 2 to k) {
+      // least() needs ≥2 args; one selected center is just its d2
+      val md =
+        if (sel.size == 1) d2ToLiteral(sel.head._2)
+        else least(sel.map { case (_, v, _) => d2ToLiteral(v) }
+          .toIndexedSeq: _*)
+      val picked = q
+        .filter(!col("id").isin(sel.map(_._1).toSeq: _*))
+        .select(col("id"), col("q"), md.as("md"))
+        .orderBy(col("md").desc, col("id").asc).limit(1)
+        .head()
+      sel += ((picked.getLong(0), picked.getSeq[Long](1).toArray,
+        picked.getLong(2)))
+    }
+    val rows: Seq[org.apache.spark.sql.Row] =
+      sel.zipWithIndex.map { case ((id, _, md), i) =>
+        org.apache.spark.sql.Row(i + 1, id, md)
+      }.toSeq
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("sel_rank", IntegerType, nullable = false),
+        StructField("id", LongType, nullable = false),
+        StructField("d2_cover", LongType, nullable = false))))
+  }
+
   /** MAXIMAL MARGINAL RELEVANCE (Carbonell/Goldstein) diversified
     * top-k: greedily re-rank a relevance pool so each pick maximizes
     * λ·relevance − (1−λ)·nearest-selected similarity — the

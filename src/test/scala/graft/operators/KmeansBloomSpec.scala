@@ -144,6 +144,19 @@ class KmeansBloomSpec extends AnyFunSuite {
       (2L, 3L, 2000L * 2000L)))
   }
 
+  test("kCenterSample: farthest-point picks with shrinking cover radius") {
+    // 1-D grid points 0, 10000, 9000, 1000, 5000 (ids 0..4)
+    val vecs = Seq((0L, Seq(0.0)), (1L, Seq(1.0)), (2L, Seq(0.9)),
+      (3L, Seq(0.1)), (4L, Seq(0.5)))
+    val out = Similarity.kCenterSample(vecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 4)
+      .as[(Int, Long, Long)].collect().toSeq
+    // seed 0; then 1 (d2 1e8), then the midpoint 4 (25e6), then the
+    // md tie between 2 and 3 (both 1e6) breaks to the lower id
+    assert(out == Seq((1, 0L, 0L), (2, 1L, 100000000L),
+      (3, 4L, 25000000L), (4, 2L, 1000000L)))
+  }
+
   test("mmrDiversify: diversity term reorders near-duplicates, pure relevance does not") {
     // 1-D grid: query 0 at 0.0; candidates 1 (0.1), 2 (0.11 — near-dup
     // of 1), 3 (0.5), 4 (0.6)

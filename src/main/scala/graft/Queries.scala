@@ -10294,7 +10294,43 @@ object Queries {
         operators.Similarity.kCenterSample(
             t(s, dir, "embeddings"), "vec_id", "embedding", k = 8)
           .orderBy("sel_rank"),
-      Some(kCenterOracleSql))
+      Some(kCenterOracleSql)),
+
+    // ── LEAKAGE-SAFE TARGET ENCODING: per (source, fold), the
+    //    m-smoothed out-of-fold rate of lang='en' — the classic
+    //    high-cardinality categorical feature, computed so a row's
+    //    own fold never leaks into its encoding. Exact non-negative
+    //    integer arithmetic throughout; one corpus scan + tiny
+    //    broadcast re-aggregates. ──
+    QueryDef(
+      "q_target_encode",
+      (s, dir) =>
+        operators.Sampling.targetEncode(
+            t(s, dir, "documents")
+              .select(col("source"),
+                when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+                pmod(col("doc_id"), lit(5L)).as("fold")),
+            "source", "y", "fold", smoothing = 20L)
+          .orderBy("source", "fold"),
+      Some("""WITH d AS (SELECT source AS cat,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           doc_id % 5 AS fold FROM documents),
+         cf AS (SELECT cat, fold, count(*) AS n_cf,
+             CAST(sum(y) AS BIGINT) AS sy_cf
+           FROM d GROUP BY 1, 2),
+         c AS (SELECT cat, CAST(sum(n_cf) AS BIGINT) AS n_c,
+             CAST(sum(sy_cf) AS BIGINT) AS sy_c
+           FROM cf GROUP BY 1),
+         g AS (SELECT CAST(sum(n_cf) AS BIGINT) AS n_all,
+             CAST(sum(sy_cf) AS BIGINT) AS sy_all
+           FROM cf)
+       SELECT cf.cat AS source, cf.fold, cf.n_cf, cf.sy_cf,
+         sy_all * 1000000 // n_all AS prior_micro,
+         ((c.sy_c - cf.sy_cf) * 1000000
+           + 20 * (sy_all * 1000000 // n_all))
+           // (c.n_c - cf.n_cf + 20) AS enc_micro
+       FROM cf JOIN c USING (cat) CROSS JOIN g
+       ORDER BY source, fold"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

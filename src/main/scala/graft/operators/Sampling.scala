@@ -213,6 +213,41 @@ object Sampling {
       .drop(compCol)
   }
 
+  /** LEAKAGE-SAFE TARGET ENCODING: per (category, fold), the
+    * smoothed OUT-OF-FOLD mean of a 0/1 target — the classic
+    * high-cardinality categorical feature (category → target rate)
+    * computed so a row's own fold never leaks into its encoding, with
+    * m-estimate smoothing toward the global prior so rare categories
+    * shrink instead of memorizing. Exact integers end-to-end:
+    * enc = ((sy_c − sy_cf)·1e6 + m·prior_micro) div (n_c − n_cf + m),
+    * all terms non-negative counts, so any engine replays it.
+    *
+    * Scale shape: one map-side-combined (category, fold) aggregate,
+    * a category-total re-aggregate over those (tiny) partials
+    * broadcast back, and a 1-row global prior cross-joined — the
+    * corpus is scanned once; the encoding table (categories × folds)
+    * is the persisted artifact the training job joins back.
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      foldCol: String, smoothing: Long = 20L): DataFrame = {
+    val d = df.select(col(catCol).as("cat"),
+      col(targetCol).cast("long").as("y"),
+      col(foldCol).cast("long").as("fold"))
+    val cf = d.groupBy("cat", "fold")
+      .agg(count(lit(1)).as("n_cf"), sum("y").as("sy_cf"))
+    val c = cf.groupBy("cat")
+      .agg(sum("n_cf").as("n_c"), sum("sy_cf").as("sy_c"))
+    val g = cf.agg(sum("n_cf").as("n_all"), sum("sy_cf").as("sy_all"))
+    cf.join(broadcast(c), "cat")
+      .crossJoin(broadcast(g))
+      .withColumn("prior_micro", expr("sy_all * 1000000L div n_all"))
+      .withColumn("enc_micro",
+        expr(s"((sy_c - sy_cf) * 1000000L + ${smoothing}L * prior_micro)" +
+          s" div (n_c - n_cf + ${smoothing}L)"))
+      .select(col("cat").as(catCol), col("fold"), col("n_cf"),
+        col("sy_cf"), col("prior_micro"), col("enc_micro"))
+  }
+
   /** Temperature-scaled multinomial MIXING WEIGHTS over a group key —
     * the standard up/down-weighting a multi-domain (or multilingual)
     * training mix applies so head domains stop swamping the tail:

@@ -30,6 +30,26 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("targetEncode: out-of-fold means with m-estimate smoothing, hand-computed") {
+    import spark.implicits._
+    // cat A: y = 1,1,0,1 in folds 0,0,1,1; cat B: y = 0,0 in folds 0,1
+    // global prior = 3/6 -> 500000 micro; smoothing m = 2
+    val rows = Seq(("A", 1L, 0L), ("A", 1L, 0L), ("A", 0L, 1L),
+      ("A", 1L, 1L), ("B", 0L, 0L), ("B", 0L, 1L))
+    val out = Sampling.targetEncode(rows.toDF("cat", "y", "fold"),
+        "cat", "y", "fold", smoothing = 2L)
+      .orderBy("cat", "fold")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // (A,0): ((3-2)*1e6 + 2*500000) div (4-2+2) = 500000
+      ("A", 0L, 2L, 2L, 500000L, 500000L),
+      // (A,1): ((3-1)*1e6 + 1e6) div 4 = 750000
+      ("A", 1L, 2L, 1L, 500000L, 750000L),
+      // (B,*): ((0-0)*1e6 + 1e6) div (2-1+2) = 333333
+      ("B", 0L, 1L, 0L, 500000L, 333333L),
+      ("B", 1L, 1L, 0L, 500000L, 333333L)))
+  }
+
   test("packSequences: contiguous budget packing, one shuffle on shard") {
     val budget = 512L
     val packed = Sampling.packSequences(docs, "doc_id", "text", budget,

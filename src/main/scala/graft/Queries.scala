@@ -10330,7 +10330,55 @@ object Queries {
            + 20 * (sy_all * 1000000 // n_all))
            // (c.n_c - cf.n_cf + 20) AS enc_micro
        FROM cf JOIN c USING (cat) CROSS JOIN g
-       ORDER BY source, fold"""))
+       ORDER BY source, fold""")),
+
+    // ── Newman MODULARITY of the customer↔supplier order graph under
+    //    the NATION partition — "is purchasing assortative by
+    //    nation": Q ≈ 0 says the trade graph ignores geography. The
+    //    three sufficient statistics are exact integer aggregates
+    //    (two broadcast joins against the nation map, map-side
+    //    counts); q_nano derives in one fixed-order double
+    //    expression both engines evaluate identically. ──
+    QueryDef(
+      "q_modularity",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        val comms = t(s, dir, "customer")
+          .select(col("c_custkey").as("id"),
+            col("c_nationkey").cast("long").as("comm"))
+          .unionAll(t(s, dir, "supplier")
+            .select((col("s_suppkey") + 1000000L).as("id"),
+              col("s_nationkey").cast("long").as("comm")))
+        operators.Graph.modularity(edges, "src", "dst", comms,
+          "id", "comm")
+      },
+      Some("""WITH e AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         cm AS (SELECT c_custkey AS id,
+             CAST(c_nationkey AS BIGINT) AS comm FROM customer
+           UNION ALL
+           SELECT s_suppkey + 1000000, CAST(s_nationkey AS BIGINT)
+           FROM supplier),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(CASE WHEN a.comm = b.comm THEN 1 ELSE 0 END)
+               AS BIGINT) AS e_within
+           FROM e JOIN cm a ON a.id = e.src JOIN cm b ON b.id = e.dst),
+         dg AS (SELECT id, count(*) AS deg FROM (
+             SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+           GROUP BY 1),
+         dc AS (SELECT cm.comm, CAST(sum(dg.deg) AS BIGINT) AS dc
+           FROM dg JOIN cm ON cm.id = dg.id GROUP BY 1),
+         sq AS (SELECT CAST(sum(dc * dc) AS BIGINT) AS sq FROM dc)
+       SELECT st.m AS n_edges, st.e_within,
+         sq.sq AS sum_comm_degsq,
+         CAST(floor((4.0 * st.m * st.e_within - CAST(sq.sq AS DOUBLE))
+           / (4.0 * st.m * st.m) * 1000000000.0) AS BIGINT) AS q_nano
+       FROM st CROSS JOIN sq"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

@@ -199,6 +199,55 @@ object Graph {
       "left_anti")
   }
 
+  /** Newman MODULARITY of a node partition over an undirected edge
+    * list — the "is this community assignment better than chance"
+    * score (Q = Σ_c e_c/m − (deg_c/2m)², Q ≈ 0 for a random
+    * partition): the eval that closes the graph family's loop the way
+    * purity/silhouette close clustering's. Exact by construction: the
+    * three sufficient statistics (m, within-community edges, Σ of
+    * squared community degree sums) are pure integer aggregates, and
+    * q_nano derives from them in one fixed-order double expression
+    * (all terms ≤ 2⁵³ through m ≈ 3·10⁹ edges — beyond that emit the
+    * integers and divide downstream).
+    *
+    * `comms` is one (id, comm) row per node. Returns one row:
+    * (n_edges, e_within, sum_comm_degsq, q_nano).
+    *
+    * Scale shape: one distinct over the edges, two broadcast-or-hash
+    * joins against the (much smaller) community table, and
+    * map-side-combined counts — nothing quadratic, no windows.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      comms: DataFrame, idCol: String, commCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cm = comms.select(col(idCol).as("id"), col(commCol).as("comm"))
+    val m = e.count()
+    val eWithin = e
+      .join(cm.select(col("id").as("src"), col("comm").as("cs")), "src")
+      .join(cm.select(col("id").as("dst"), col("comm").as("cd")), "dst")
+      .filter(col("cs") === col("cd")).count()
+    val degSq = e.select(col("src").as("id"))
+      .unionAll(e.select(col("dst").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .join(cm, "id")
+      .groupBy("comm").agg(sum("deg").as("dc"))
+      .agg(sum(col("dc") * col("dc")).as("sq")).head().getLong(0)
+    e.unpersist()
+    val qNano = math.floor(
+      (4.0 * m * eWithin - degSq.toDouble) / (4.0 * m * m) * 1e9).toLong
+    val rows = Seq(org.apache.spark.sql.Row(m, eWithin, degSq, qNano))
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    edges.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("n_edges", LongType, nullable = false),
+        StructField("e_within", LongType, nullable = false),
+        StructField("sum_comm_degsq", LongType, nullable = false),
+        StructField("q_nano", LongType, nullable = false))))
+  }
+
   /** Multi-source BFS DEPTH: the minimum hop distance from a seed set
     * to every node within `maxDepth` hops — the link-distance feature
     * a crawl/curation pipeline computes from trusted roots (distance

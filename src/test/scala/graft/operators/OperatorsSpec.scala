@@ -236,6 +236,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3(0) > r3(1) && r3(1) > r3(2), s"ordering: ${r3.toSeq}")
   }
 
+  test("modularity: two cliques with one bridge, hand-computed Q") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4: m=7, e_within=6,
+    // community degree sums 7 and 7 -> Q = 6/7 - 2*(7/14)^2 = 5/14
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L)).toDF("s", "d")
+    val comms = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L),
+      (6L, 1L)).toDF("id", "comm")
+    val out = Graph.modularity(edges, "s", "d", comms, "id", "comm")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((7L, 6L, 98L,
+      math.floor(5.0 / 14.0 * 1e9).toLong)))
+    // the trivial one-community partition scores Q = 0 exactly:
+    // e_within = m and sum degsq = (2m)^2
+    val one = Graph.modularity(edges, "s", "d",
+        comms.select(col("id"), lit(0L).as("comm")), "id", "comm")
+      .as[(Long, Long, Long, Long)].head()
+    assert(one == ((7L, 7L, 196L, 0L)))
+  }
+
   test("bfsDepth: min hop distance from seeds, horizon cuts unreached nodes") {
     // undirected path 1-2-3-4-5
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))

@@ -10378,7 +10378,43 @@ object Queries {
          sq.sq AS sum_comm_degsq,
          CAST(floor((4.0 * st.m * st.e_within - CAST(sq.sq AS DOUBLE))
            / (4.0 * st.m * st.m) * 1000000000.0) AS BIGINT) AS q_nano
-       FROM st CROSS JOIN sq"""))
+       FROM st CROSS JOIN sq""")),
+
+    // ── DEGREE ASSORTATIVITY of the customer↔supplier order graph —
+    //    do hub buyers concentrate on hub suppliers (r > 0) or spread
+    //    across the tail (r < 0)? Bipartite trade graphs are
+    //    classically disassortative; the sign decides whether
+    //    degree-skew mitigations bite at 100 TB. Exact int64
+    //    sufficient statistics; r_nano from one fixed-order double
+    //    expression (no sqrt — the symmetric marginals cancel it). ──
+    QueryDef(
+      "q_assortativity",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val edges = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (col("l_suppkey") + 1000000L).as("dst"))
+        operators.Graph.degreeAssortativity(edges, "src", "dst")
+      },
+      Some("""WITH eu AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS a, l_suppkey + 1000000 AS b
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS MATERIALIZED (SELECT a, b FROM eu
+           UNION ALL SELECT b, a FROM eu),
+         dg AS (SELECT a AS id, count(*) AS deg FROM e GROUP BY 1),
+         mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x.deg) AS BIGINT) AS sx,
+             CAST(sum(x.deg * y.deg) AS BIGINT) AS sxy,
+             CAST(sum(x.deg * x.deg) AS BIGINT) AS sxx
+           FROM e JOIN dg x ON x.id = e.a JOIN dg y ON y.id = e.b)
+       SELECT n AS n_pairs, sx AS sum_d, sxy AS sum_dd, sxx AS sum_d2,
+         CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+           * 1000000000.0) AS BIGINT) AS r_nano
+       FROM mo"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

@@ -248,6 +248,58 @@ object Graph {
         StructField("q_nano", LongType, nullable = false))))
   }
 
+  /** DEGREE ASSORTATIVITY (Newman's r) of an undirected edge list —
+    * do hubs link to hubs (r > 0, social-style) or to leaves (r < 0,
+    * hub-and-spoke/bipartite-style)? The structural fingerprint that
+    * decides whether hub-skew mitigations (salting, degree caps) will
+    * bite at scale. r is the Pearson correlation of endpoint degrees
+    * over both edge orientations; by symmetry both marginals coincide,
+    * so r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²) — NO square root. The
+    * four sufficient statistics are exact int64 aggregates; r_nano
+    * derives from them in one fixed-order double expression (both
+    * engines perform identical IEEE ops on identical integers, so the
+    * result is bit-equal even past 2⁵³).
+    *
+    * Returns one row (n_pairs, sum_d, sum_dd, sum_d2, r_nano).
+    * Scale shape: one degree aggregate + two broadcast-or-hash joins
+    * + one 1-row moment aggregate; nothing quadratic.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val eu = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .distinct()
+    val e = eu.unionAll(eu.select(col("b").as("a"), col("a").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val row = e
+      .join(deg.select(col("id").as("a"), col("deg").as("dx")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("dy")), "b")
+      .agg(count(lit(1)).as("n"), sum("dx").as("sx"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .head()
+    e.unpersist()
+    val (n, sx, sxy, sxx) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3))
+    val num = n.toDouble * sxy.toDouble - sx.toDouble * sx.toDouble
+    val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    // regular graph (zero degree variance): r is undefined; pin 0
+    // rather than letting NaN hit engine-divergent casts
+    val rNano =
+      if (den == 0.0) 0L else math.floor(num / den * 1e9).toLong
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    edges.sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(n, sx, sxy, sxx, rNano)),
+      StructType(Seq(
+        StructField("n_pairs", LongType, nullable = false),
+        StructField("sum_d", LongType, nullable = false),
+        StructField("sum_dd", LongType, nullable = false),
+        StructField("sum_d2", LongType, nullable = false),
+        StructField("r_nano", LongType, nullable = false))))
+  }
+
   /** Multi-source BFS DEPTH: the minimum hop distance from a seed set
     * to every node within `maxDepth` hops — the link-distance feature
     * a crawl/curation pipeline computes from trusted roots (distance

@@ -236,6 +236,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r3(0) > r3(1) && r3(1) > r3(2), s"ordering: ${r3.toSeq}")
   }
 
+  test("degreeAssortativity: a path is perfectly disassortative, a cycle is degenerate-flat") {
+    // path 1-2-3: orientation pairs (1,2),(2,1),(2,3),(3,2) ->
+    // n=4, sx=6, sxy=8, sxx=10; r = (32-36)/(40-36) = -1
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val out = Graph.degreeAssortativity(path, "s", "d")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out == ((4L, 6L, 8L, 10L, -1000000000L)))
+    // 3-cycle: all degrees 2 -> zero variance; the degenerate
+    // regular-graph case pins r to 0 instead of a NaN cast
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val c = Graph.degreeAssortativity(cyc, "s", "d")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(c == ((6L, 12L, 24L, 24L, 0L)))
+  }
+
   test("modularity: two cliques with one bridge, hand-computed Q") {
     import org.apache.spark.sql.functions.{col, lit}
     // triangles {1,2,3} and {4,5,6} bridged by 3-4: m=7, e_within=6,

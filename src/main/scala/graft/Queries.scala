@@ -10409,11 +10409,12 @@ object Queries {
              CAST(sum(x.deg * x.deg) AS BIGINT) AS sxx
            FROM e JOIN dg x ON x.id = e.a JOIN dg y ON y.id = e.b)
        SELECT n AS n_pairs, sx AS sum_d, sxy AS sum_dd, sxx AS sum_d2,
-         CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-           * 1000000000.0) AS BIGINT) AS r_nano
+         CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * 1000000000.0) AS BIGINT) END AS r_nano
        FROM mo"""))
   )
 

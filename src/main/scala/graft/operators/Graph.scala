@@ -206,9 +206,12 @@ object Graph {
     * purity/silhouette close clustering's. Exact by construction: the
     * three sufficient statistics (m, within-community edges, Σ of
     * squared community degree sums) are pure integer aggregates, and
-    * q_nano derives from them in one fixed-order double expression
-    * (all terms ≤ 2⁵³ through m ≈ 3·10⁹ edges — beyond that emit the
-    * integers and divide downstream).
+    * q_nano derives from them in one fixed-order double expression.
+    * The 4m·e_within term stays under 2⁵³ through m ≈ 4.7·10⁷ edges
+    * (4m² ≤ 2⁵³); past that, bit-equality across engines still holds
+    * because both run the identical fixed-order IEEE expression on
+    * identical integers — and the exact integers are emitted
+    * alongside for downstream division at any scale.
     *
     * `comms` is one (id, comm) row per node. Returns one row:
     * (n_edges, e_within, sum_comm_degsq, q_nano).
@@ -228,14 +231,17 @@ object Graph {
       .join(cm.select(col("id").as("src"), col("comm").as("cs")), "src")
       .join(cm.select(col("id").as("dst"), col("comm").as("cd")), "dst")
       .filter(col("cs") === col("cd")).count()
-    val degSq = e.select(col("src").as("id"))
+    // sum over an empty degree table is null — pin the empty graph
+    val degSqRow = e.select(col("src").as("id"))
       .unionAll(e.select(col("dst").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
       .join(cm, "id")
       .groupBy("comm").agg(sum("deg").as("dc"))
-      .agg(sum(col("dc") * col("dc")).as("sq")).head().getLong(0)
+      .agg(sum(col("dc") * col("dc")).as("sq")).head()
+    val degSq = if (degSqRow.isNullAt(0)) 0L else degSqRow.getLong(0)
     e.unpersist()
-    val qNano = math.floor(
+    // empty graph: Q is undefined; pin 0 rather than NaN-from-0/0
+    val qNano = if (m == 0L) 0L else math.floor(
       (4.0 * m * eWithin - degSq.toDouble) / (4.0 * m * m) * 1e9).toLong
     val rows = Seq(org.apache.spark.sql.Row(m, eWithin, degSq, qNano))
     import org.apache.spark.sql.types.{StructType, StructField, LongType}
@@ -311,10 +317,13 @@ object Graph {
     * a sentinel).
     *
     * Scale shape: [[pageRank]]'s round structure — one hash join of
-    * the persisted edge table with the current frontier plus one
-    * map-side-combined min per round, state checkpointed and freed
-    * eagerly via [[IterCheckpoint]]. Work per round is bounded by the
-    * REACHED set, not the graph.
+    * the persisted edge table with the current FRONTIER (only the
+    * nodes first settled last round — a node settled earlier can
+    * never improve a neighbor's min-distance, so re-expanding it is
+    * pure waste) plus one full-outer merge per round, state
+    * checkpointed and freed eagerly via [[IterCheckpoint]]. Work per
+    * round is bounded by the frontier, not the cumulative reached
+    * set.
     */
   def bfsDepth(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
@@ -324,17 +333,23 @@ object Graph {
       .distinct().persist(lvl)
     var dist = IterCheckpoint(seeds.select(col(seedCol).as("id"))
       .distinct().withColumn("dist", lit(0L)))
-    for (_ <- 1 to maxDepth) {
-      val reach = e.join(dist.select(col("id").as("src"), col("dist")),
-          "src")
-        .select(col("dst").as("id"), (col("dist") + 1L).as("nd"))
-        .groupBy("id").agg(min("nd").as("nd"))
+    // lazy projection over the dist checkpoint — no extra state
+    var frontier = dist
+    for (r <- 1 to maxDepth) {
+      // everything the frontier reaches is at distance exactly r (all
+      // frontier rows carry dist r-1), so no per-candidate min needed
+      val reach = e.join(frontier.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .withColumn("nd", lit(r.toLong))
       // least() skips nulls, so a side missing from the full join
       // simply yields the other side's distance
       val next = IterCheckpoint(dist.join(reach, Seq("id"), "full_outer")
         .select(col("id"), least(col("dist"), col("nd")).as("dist")))
       IterCheckpoint.free(dist)
       dist = next
+      // dist==r ⇔ newly settled this round: every earlier-settled
+      // node has dist ≤ r-1, and least() never increases a distance
+      frontier = next.filter(col("dist") === lit(r.toLong))
     }
     e.unpersist()
     dist
@@ -382,8 +397,11 @@ object Graph {
       val raw = IterCheckpoint(
         e.join(scores.select(col("id").as(inCol), col("s")), inCol)
           .groupBy(col(outCol).as("id")).agg(sum("s").as("s")))
-      // bounded driver collect: one scalar (the ∞-norm)
-      val mx = raw.agg(max("s")).head().getLong(0)
+      // bounded driver collect: one scalar (the ∞-norm). max over an
+      // empty score table (empty edge list) is null — pin 0, which
+      // makes the renorm divisor 1 and keeps every frame empty
+      val mxRow = raw.agg(max("s")).head()
+      val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
       (raw,
         raw.select(col("id"), expr(s"s div ${mx / 1000000L + 1L}L").as("s")))
     }

@@ -876,7 +876,6 @@ object Similarity {
     import org.apache.spark.sql.types.{StructType, StructField,
       IntegerType, LongType}
     val q = quantize1e4(df, idCol, vecCol)
-    def assignCol(cs: Array[Array[Long]]): Column = lloydAssignCol(cs)
     val cents = lloydCentroids(q, k, iters)
     val d = cents(0).length
     val centRows: Seq[org.apache.spark.sql.Row] =
@@ -887,7 +886,7 @@ object Similarity {
       StructType(Seq(StructField("cid", IntegerType, nullable = false),
         StructField("pos", IntegerType, nullable = false),
         StructField("c_q", LongType, nullable = false))))
-    val sizes = q.withColumn("cid", assignCol(cents))
+    val sizes = q.withColumn("cid", lloydAssignCol(cents))
       .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
     centDf.join(broadcast(sizes), Seq("cid"))
       .select("cid", "pos", "c_q", "n_vecs")

@@ -271,6 +271,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(one == ((7L, 7L, 196L, 0L)))
   }
 
+  test("graph moments survive an empty edge list (null-aggregate pins)") {
+    val none = Seq.empty[(Long, Long)].toDF("s", "d")
+    val comms = Seq((1L, 0L)).toDF("id", "comm")
+    // modularity over zero edges: all statistics 0, Q pinned to 0
+    val q = Graph.modularity(none, "s", "d", comms, "id", "comm")
+      .as[(Long, Long, Long, Long)].head()
+    assert(q == ((0L, 0L, 0L, 0L)))
+    // hits over zero edges: empty result, no NPE from the null max
+    assert(Graph.hits(none, "s", "d", iterations = 2).count() == 0L)
+  }
+
   test("bfsDepth: min hop distance from seeds, horizon cuts unreached nodes") {
     // undirected path 1-2-3-4-5
     val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))

@@ -35,6 +35,14 @@ object Ast {
   sealed trait Stmt
   final case class Select(cols: Option[Seq[SelectCol]], table: TableName,
       where: Seq[Condition], limit: Option[Long]) extends Stmt
+  /** `select * from fn(arg, ...)` — a table-valued function over an
+    * engine table (the extension surface; not in the reference's
+    * closed grammar, which stops at the adj select-function family,
+    * reference parser.go:12). Args may be `?` placeholders bound at
+    * run time like any prepared statement.
+    */
+  final case class SelectFn(fn: String, args: Seq[Value],
+      limit: Option[Long]) extends Stmt
   final case class Insert(table: TableName, cols: Seq[String],
       values: Seq[Value]) extends Stmt
   final case class Delete(table: TableName, where: Seq[Condition]) extends Stmt

@@ -117,6 +117,7 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
       user: Option[User]): DataFrame = {
     Parser.parse(sql) match {
       case s: Select => executeSelect(resolveSelect(s, user), args)
+      case s: SelectFn => executeTableFn(s, args, user)
       case s: Insert =>
         val r = resolveInsert(s, user)
         if (r.td.tblName == "_adj_") adjCache.remove(r.td.dbName)
@@ -694,6 +695,48 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
       else s.cols.filter(_.tpe == OtType.Timestamp)
         .map(c => col(catalog.nsCol(c.name)))
     df.select(proj ++ nsProj: _*)
+  }
+
+  /** Table-valued function dispatch ([[TableFns]]): bind placeholders
+    * positionally, resolve the table-reference argument through the
+    * catalog under the caller's READ permission (the same at-resolve
+    * gate every SELECT passes), then hand the table's logical
+    * DataFrame to the library operator. LIMIT composes on top;
+    * the reverse `-N` form has no PK order to reverse here and is
+    * rejected.
+    */
+  private def executeTableFn(s: SelectFn, args: Seq[Any],
+      user: Option[User]): DataFrame = {
+    val fd = TableFns.registry.getOrElse(s.fn,
+      throw OtError(s"Unknown table function ${s.fn}"))
+    checkArity(s.args.count(_ == Placeholder), args)
+    var ai = -1
+    val bound: Seq[Any] = s.args.map {
+      case Placeholder => ai += 1; args(ai)
+      case v => Value.raw(v)
+    }
+    if (!fd.arity.contains(bound.length))
+      throw OtError(s"Usage: ${fd.usage}")
+    val tn = bound.head match {
+      case ref: String => ref.split('.') match {
+        case Array(db, tbl) => TableName(Some(db), tbl)
+        case Array(tbl) => TableName(None, tbl)
+        case _ => throw OtError(s"Invalid table reference $ref")
+      }
+      case other =>
+        throw OtError(s"${s.fn}: first argument must be a table " +
+          s"reference string, got $other")
+    }
+    val td = tableSchema(tn)
+    if (getPerm(td.dbName, td.tblName, user) == Perm.No)
+      throw OtError("No permisssion")
+    val out = fd.apply(catalog.readTable(td), bound)
+    s.limit match {
+      case Some(l) if l < 0 =>
+        throw OtError("Table functions support positive LIMIT only")
+      case Some(l) => out.limit(l.toInt)
+      case None => out
+    }
   }
 
   private def isNumeric(t: OtType): Boolean = t match {

@@ -133,7 +133,7 @@ object Parser {
     case other => throw OtError(s"Expected value, got $other")
   }
 
-  private def parseSelect(c: Cursor): Select = {
+  private def parseSelect(c: Cursor): Stmt = {
     val cols: Option[Seq[SelectCol]] =
       if (c.tryOp("*")) None
       else {
@@ -154,14 +154,37 @@ object Parser {
         Some(lst.toSeq)
       }
     c.expectKw("FROM")
-    val tbl = parseTableName(c)
+    val first = c.ident()
+    // table-valued function: `from fn(arg, ...)` — the operator
+    // extension surface. Kept as closed as the rest of the dialect:
+    // `*` projection only, no WHERE (filter in the function's own
+    // parameters), positive LIMIT only (checked at execute)
+    if (c.atOp("(")) {
+      c.expectOp("(")
+      if (cols.isDefined)
+        throw OtError("Table functions support * projection only")
+      val fnArgs = ArrayBuffer.empty[Value]
+      if (!c.tryOp(")")) {
+        do fnArgs += parseValue(c) while (c.tryOp(","))
+        c.expectOp(")")
+      }
+      if (c.atKw("WHERE"))
+        throw OtError("Table functions do not support WHERE")
+      val limit = parseLimit(c)
+      return SelectFn(first.toLowerCase, fnArgs.toSeq, limit)
+    }
+    val tbl =
+      if (c.tryOp(".")) TableName(Some(first), c.ident())
+      else TableName(None, first)
     val where = if (c.tryKw("WHERE")) parseWhere(c) else Nil
-    val limit = if (c.tryKw("LIMIT")) Some(c.next() match {
+    Select(cols, tbl, where, parseLimit(c))
+  }
+
+  private def parseLimit(c: Cursor): Option[Long] =
+    if (c.tryKw("LIMIT")) Some(c.next() match {
       case Num(s) => java.lang.Long.parseLong(s)
       case other => throw OtError(s"Expected number after LIMIT, got $other")
     }) else None
-    Select(cols, tbl, where, limit)
-  }
 
   private def parseWhere(c: Cursor): Seq[Condition] = {
     val out = ArrayBuffer.empty[Condition]

@@ -1,0 +1,127 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Resample, TextAnalysis}
+
+/** Table-valued functions: the SQL-dialect gateway to the library's
+  * pipeline operators. The reference's select grammar stops at one
+  * closed function class (the adj family, reference parser.go:12);
+  * this is the extension surface SURVEY §2.9 promises in its place —
+  * a curated set of pipeline operators becomes wire-addressable, e.g.
+  * `select * from minhash_pairs('db.docs', 'doc_id', 'text', 0.5)`,
+  * runnable over BSON and JSON connections, prepared and
+  * placeholder-bound like any other statement.
+  *
+  * Each function's first argument is the engine table reference
+  * (`'db.tbl'` or `'tbl'` against the connection's current db); the
+  * engine resolves it through the catalog and the caller's READ
+  * permission before any plan is built (the same at-resolve gate the
+  * reference applies, reference query.go:60-75). The remaining
+  * arguments parameterize the operator. The returned plan is exactly
+  * what the library API builds — distributed, shuffle-shaped for
+  * scale — so the wire surface adds routing, not a second
+  * implementation.
+  */
+object TableFns {
+  /** `fn(engineTableDf, boundArgsAfterTableRef)` → result plan. */
+  final case class FnDef(usage: String, arity: Range,
+      apply: (DataFrame, Seq[Any]) => DataFrame)
+
+  private def argStr(fn: String, args: Seq[Any], i: Int): String =
+    args(i) match {
+      case s: String => s
+      case other =>
+        throw OtError(s"$fn: argument ${i + 2} must be a string, got $other")
+    }
+
+  private def argNum(fn: String, args: Seq[Any], i: Int): Double =
+    args(i) match {
+      case d: Double => d
+      case l: Long => l.toDouble
+      case i2: Int => i2.toDouble
+      case other =>
+        throw OtError(s"$fn: argument ${i + 2} must be a number, got $other")
+    }
+
+  private def argInt(fn: String, args: Seq[Any], i: Int): Long =
+    args(i) match {
+      case l: Long => l
+      case i2: Int => i2.toLong
+      case other =>
+        throw OtError(
+          s"$fn: argument ${i + 2} must be an integer, got $other")
+    }
+
+  private def requireCol(fn: String, df: DataFrame, c: String): Unit =
+    if (!df.columns.contains(c))
+      throw OtError(s"$fn: no column $c in table")
+
+  /** Timestamp columns arrive as TimestampType from the catalog; the
+    * numeric resample bucketing wants a long axis — epoch micros.
+    */
+  private def numericTime(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        df.withColumn(c, unix_micros(col(c)))
+      case _ => df
+    }
+
+  val registry: Map[String, FnDef] = Map(
+    // near-duplicate pairs, exact-Jaccard-verified — the library's
+    // banded MinHash LSH plan (operators/Dedup.scala)
+    "minhash_pairs" -> FnDef(
+      "minhash_pairs('db.tbl', 'id_col', 'text_col', threshold)",
+      4 to 4,
+      (df, a) => {
+        val (id, text) = (argStr("minhash_pairs", a, 1),
+          argStr("minhash_pairs", a, 2))
+        requireCol("minhash_pairs", df, id)
+        requireCol("minhash_pairs", df, text)
+        val th = argNum("minhash_pairs", a, 3)
+        if (th <= 0.0 || th > 1.0)
+          throw OtError("minhash_pairs: threshold must be in (0, 1]")
+        Dedup.minhashLSH(df, id, text, threshold = th)
+          .orderBy("id_a", "id_b")
+      }),
+    // BM25 relevance of every document against a query string
+    "bm25_scores" -> FnDef(
+      "bm25_scores('db.tbl', 'id_col', 'text_col', 'query terms')",
+      4 to 4,
+      (df, a) => {
+        val (id, text) = (argStr("bm25_scores", a, 1),
+          argStr("bm25_scores", a, 2))
+        requireCol("bm25_scores", df, id)
+        requireCol("bm25_scores", df, text)
+        val terms = argStr("bm25_scores", a, 3).trim.toLowerCase
+          .split("\\s+").toSeq.filter(_.nonEmpty)
+        if (terms.isEmpty)
+          throw OtError("bm25_scores: empty query")
+        TextAnalysis.bm25(df, id, text, terms).orderBy(id)
+      }),
+    // per-row text-quality metrics + composite score
+    "quality_score" -> FnDef(
+      "quality_score('db.tbl', 'text_col')",
+      2 to 2,
+      (df, a) => {
+        val text = argStr("quality_score", a, 1)
+        requireCol("quality_score", df, text)
+        TextAnalysis.qualityScore(df, text)
+      }),
+    // OHLCV bars from a (key, time, value) event table; width in the
+    // time column's own units (epoch micros for timestamp columns)
+    "resample_ohlcv" -> FnDef(
+      "resample_ohlcv('db.tbl', 'key_col', 'time_col', 'value_col', width)",
+      5 to 5,
+      (df, a) => {
+        val (key, tm, v) = (argStr("resample_ohlcv", a, 1),
+          argStr("resample_ohlcv", a, 2), argStr("resample_ohlcv", a, 3))
+        Seq(key, tm, v).foreach(requireCol("resample_ohlcv", df, _))
+        val width = argInt("resample_ohlcv", a, 4)
+        if (width <= 0)
+          throw OtError("resample_ohlcv: width must be positive")
+        Resample.ohlcv(numericTime(df, tm), Seq(key), tm, v,
+            tieBreak = tm, width = width)
+          .orderBy(key, "bkt")
+      }))
+}

@@ -337,6 +337,78 @@ class ServerSpec extends AnyFunSuite {
     } finally { c.close(); srv.stop() }
   }
 
+  test("table-valued functions over the wire: pipeline operators via SQL, JSON + BSON") {
+    // the extension surface (SURVEY §2.9): library pipeline operators
+    // addressable from the dialect — parse → catalog resolve under the
+    // caller's read permission → the SAME library plan, over the wire
+    client.execute("create database if not exists net")
+    client.execute("create table net.docs(doc_id int, body text, " +
+      "primary key(doc_id))")
+    val words = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docA = words                 // 20 tokens
+    val docB = words + " tokx"       // near-dup: one appended token
+    val docC = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val pid = client.prepare("insert into net.docs values(?, ?)")
+    client.batchInsert(pid, Seq(
+      Seq(1, docA), Seq(2, docB), Seq(3, docC)))
+    // minhash_pairs finds exactly the near-dup pair, above threshold
+    val pairs = client.execute(
+      "select * from minhash_pairs('net.docs', 'doc_id', 'body', 0.5)")
+    assert(pairs.map(_.take(2).map(_.toString)) == Seq(Seq("1", "2")))
+    val jac = pairs.head(2).toString.toDouble
+    assert(jac > 0.5 && jac <= 1.0)
+    // bm25_scores: prepared + placeholder-bound like any statement
+    val sid = client.prepare(
+      "select * from bm25_scores('net.docs', 'doc_id', 'body', ?)")
+    val scored = client.executePrepared(sid, Seq("tok3 tok7"))
+    assert(scored.map(_.head.toString) == Seq("1", "2")) // doc 3: no hit
+    assert(scored.forall(_(2).toString == "2")) // both terms hit
+    // quality_score composes with LIMIT
+    val q = client.execute(
+      "select * from quality_score('net.docs', 'body') limit 2")
+    assert(q.length == 2)
+    // resample_ohlcv over an engine tick table, hand-computed bars
+    client.execute("create table net.ticks(sym int, t bigint, px double, " +
+      "primary key(sym, t))")
+    val tp = client.prepare("insert into net.ticks values(?, ?, ?)")
+    client.batchInsert(tp, Seq(
+      Seq[Any](1, 0L, 10.0), Seq[Any](1, 5L, 12.0), Seq[Any](1, 9L, 11.0),
+      Seq[Any](1, 10L, 20.0), Seq[Any](1, 19L, 25.0)))
+    val bars = client.execute(
+      "select * from resample_ohlcv('net.ticks', 'sym', 't', 'px', 10)")
+    assert(bars.map(_.map(_.toString)) == Seq(
+      Seq("1", "0", "10.0", "12.0", "10.0", "11.0", "3", "33.0"),
+      Seq("1", "1", "20.0", "25.0", "20.0", "25.0", "2", "45.0")))
+    // the dialect stays closed: exact error strings
+    assert(intercept[OtError](client.execute(
+      "select * from nope_fn('net.docs')")).msg ==
+      "Unknown table function nope_fn")
+    assert(intercept[OtError](client.execute(
+      "select doc_id from minhash_pairs('net.docs', 'doc_id', 'body', 0.5)"))
+      .msg == "Table functions support * projection only")
+    assert(intercept[OtError](client.execute(
+      "select * from quality_score('net.docs', 'body') where doc_id=1"))
+      .msg == "Table functions do not support WHERE")
+    assert(intercept[OtError](client.execute(
+      "select * from quality_score('net.docs', 'body') limit -1")).msg ==
+      "Table functions support positive LIMIT only")
+    assert(intercept[OtError](client.execute(
+      "select * from quality_score('net.docs', 'nope')")).msg ==
+      "quality_score: no column nope in table")
+    assert(intercept[OtError](client.execute(
+      "select * from minhash_pairs('net.docs', 'doc_id', 'body')")).msg ==
+      "Usage: minhash_pairs('db.tbl', 'id_col', 'text_col', threshold)")
+    // BSON mode: same TVF through the default codec, unqualified table
+    // ref resolving against the connection's used db
+    val cb = new NetClient("127.0.0.1", server.boundPort, protocol = "bson")
+    try {
+      cb.use("net")
+      val pb = cb.execute(
+        "select * from minhash_pairs('docs', 'doc_id', 'body', 0.5)")
+      assert(pb.map(_.take(2).map(_.toString)) == Seq(Seq("1", "2")))
+    } finally cb.close()
+  }
+
   test("client reconnects after a server restart and replays used db") {
     val port = server.boundPort
     server.stop()

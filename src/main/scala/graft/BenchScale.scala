@@ -217,7 +217,20 @@ object BenchScale {
     // corpus. q_semdedup blocks on the sign signature: its smoke legs
     // scale nPlanes ∝ log₂(rows) via ScaledVariants below (cells =
     // 2^nPlanes ∝ n), base leg = the registry query verbatim. ──
-    "q_knn_graph", "q_mutual_nn", "q_semdedup")
+    "q_knn_graph", "q_mutual_nn", "q_semdedup",
+    // ── round 10 (verdict item 3): the last three by-design
+    // exclusions admitted. q_triangles/q_kcore's notes predated the
+    // round-7 generator change that scales nParts/nSupp/nCust with
+    // the fact table — per-node degrees are CONSTANT under the
+    // current generator (suppliers-per-part ~3, customers-per-
+    // supplier ~600 at every factor), so wedge volume and peel work
+    // grow ∝ n, not n². q_editdist_pairs gets the semdedup
+    // treatment: its 16-char prefix block is an operator parameter a
+    // real deployment re-tunes as the corpus grows, so the smoke's
+    // scaled legs extend prefixLen ∝ log₂(factor) via ScaledVariants
+    // (factor 1 = the registry query bit-for-bit); the engineered
+    // twin pairs share any prefix, so output stays ∝ n and nonzero.
+    "q_triangles", "q_kcore", "q_editdist_pairs")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have
@@ -273,18 +286,42 @@ object BenchScale {
         axisBlocking = true)
       .orderBy("removed")
   }
+  private def editdistPrefixLen(factor: Long): Int =
+    16 + math.ceil(math.log(factor.toDouble) / math.log(2.0)).toInt
+
+  /** q_editdist_pairs with the blocking prefix extended ∝ log₂(factor)
+    * (the [[semdedupScaled]] treatment — block granularity is the
+    * parameter a real deployment re-tunes as the corpus grows): each
+    * extra prefix char multiplies the block count, so block
+    * populations stay bounded while the engineered twins (same text,
+    * suffix appended at the END) share every prefix and keep the
+    * output ∝ n. Factor 1 reproduces the registry query bit-for-bit.
+    */
+  private def editdistScaled(factor: Long)
+      : (SparkSession, String) => DataFrame = { (s, dir) =>
+    val docs = Tables.load(s, dir, "documents").select("doc_id", "text")
+    val aug = docs.union(docs.select(
+      (col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" qq zz")).as("text")))
+    graft.operators.Dedup.editDistancePairs(aug, "doc_id", "text",
+      prefixLen = editdistPrefixLen(factor), maxDist = 8)
+  }
+
   // query name → (factor → builder); the 1× leg uses factor 1 (the
   // registry query exactly), scaled legs carry a scaled_param note in
   // the artifact row
   private val ScaledVariants
       : Map[String, Long => (SparkSession, String) => DataFrame] =
-    Map("q_semdedup" -> (f => semdedupScaled(f)))
+    Map("q_semdedup" -> (f => semdedupScaled(f)),
+      "q_editdist_pairs" -> (f => editdistScaled(f)))
   private def scaledParamNote(name: String, factor: Long): String =
     if (name == "q_semdedup") {
       val np = 12 +
         math.ceil(math.log(factor.toDouble) / math.log(2.0)).toInt
       s"nPlanes=$np"
-    } else ""
+    } else if (name == "q_editdist_pairs")
+      s"prefixLen=${editdistPrefixLen(factor)}"
+    else ""
 
   private val VectorRowQueries = Seq("q_pq_adc",
     // recall eval: fixed 10-query exact scan + 256-bucket signature
@@ -616,18 +653,10 @@ object BenchScale {
   // run — a query that drifts across the threshold flips itself in
   // without a code edit (round 8's hand audit found 8 mislabeled
   // entries; this closes that class).
-  private val ExcludedReasons: Map[String, String] = Map(
-    "q_editdist_pairs" -> ("generator-artifact: the 1600-word synthetic " +
-      "vocabulary makes 2-word prefix-block populations grow with the " +
-      "corpus (candidate pairs grow ~n^2); real corpora keep prefix " +
-      "blocks bounded"),
-    "q_triangles" -> ("generator-artifact: the uniform co-occurrence " +
-      "projection densifies toward the complete graph (every supplier " +
-      "meets every other through some part), so wedge volume grows " +
-      "~n^2; real co-supply graphs stay sparse with power-law tails"),
-    "q_kcore" -> ("generator-artifact: the uniform co-purchase graph " +
-      "densifies with scale (the q_triangles note), making shell sizes " +
-      "a generator property; real purchase graphs stay sparse"))
+  // round 10: the q_editdist_pairs/q_triangles/q_kcore by-design
+  // entries are GONE — all three are admitted to the smoke (see the
+  // round-10 wave note in QueryNames).
+  private val ExcludedReasons: Map[String, String] = Map.empty
 
   /** Auto-admission threshold: a query at/above this measured sf0.1
     * wall time carries real scale signal and joins the smoke; below
@@ -715,7 +744,8 @@ object BenchScale {
 
   private def runOne(spark: SparkSession, name: String, dir: String,
       warm: Boolean = false,
-      build: Option[(SparkSession, String) => DataFrame] = None)
+      build: Option[(SparkSession, String) => DataFrame] = None,
+      nRuns: Int = 2)
       : (Double, Long, Map[String, Int]) = {
     val builder = build.getOrElse(SparkEntry.queries(name))
     // warm=true (the 1× point): one UNTIMED run first. The base scale
@@ -728,7 +758,7 @@ object BenchScale {
       builder(spark, dir).queryExecution.toRdd.count()
       spark.catalog.clearCache()
     }
-    val runs = (0 until 2).map { _ =>
+    val runs = (0 until nRuns).map { _ =>
       // the timer wraps the BUILDER too (same contract as Bench):
       // queries with eager stats/fixpoint phases (q_ntile's count pass,
       // q_dedup_components' propagation rounds) do real work before the
@@ -891,38 +921,66 @@ object BenchScale {
       Some((name, timeRatio, planOk && timeOk))
       }
     }
-    // ── second scale point for the heavy family: factor → HeavyFactor2
-    // gives a real growth EXPONENT, not one ratio — log(t₃₀/t₁₀)/log(3)
-    // over the top segment (where fixed overheads are amortized away),
-    // gated < 1.5 for these linear-by-construction pipelines. A hidden
-    // quadratic term that a single 10× ratio absorbs into its 3× slack
-    // shows up here as exp ≥ 2 on the 10→30 leg. ──
+    // ── second AND third scale points for the heavy family: factor →
+    // 30× → 100× gives a growth EXPONENT fitted by least squares over
+    // log t vs log f across all three legs (round-10 verdict item 1 —
+    // the brief's bar is plans that survive 100×, so the evidence now
+    // reaches it). Fixed overheads are amortized over the top segment,
+    // and a hidden quadratic term that a single 10× ratio absorbs into
+    // its 3× slack shows up as slope ≥ 2 on the 30→100 leg. Gated
+    // < 1.5 for these linear-by-construction pipelines. The 100× leg
+    // runs ONCE per query (not best-of-2 — it is the round's largest
+    // single cost and the fit has two other points to anchor it);
+    // SPARK_GRAFT_HEAVY_MAX=30 turns it off for quick local runs. ──
+    val heavyMax = sys.env.get("SPARK_GRAFT_HEAVY_MAX")
+      .map(_.toLong).getOrElse(100L)
     val heavyCases = HeavyQueries
       .filter(n => only.forall(_.contains(n)))
       .filter(n => timed.contains(n) && factor < HeavyFactor2)
     if (heavyCases.nonEmpty) {
-      val big2 = java.nio.file.Files
-        .createTempDirectory(s"graft-scale-$HeavyFactor2").toString
+      val heavyTables = Set("documents", "orders", "lineitem",
+        "embeddings")
+      val heavyFactors = Seq(HeavyFactor2, 100L)
+        .filter(_ <= heavyMax).distinct
       // only the tables the heavy family reads (embeddings: the
       // blocked-ANN representative q_knn_graph)
-      writeDir(spark, big2, HeavyFactor2,
-        tables = Set("documents", "orders", "lineitem", "embeddings"))
+      val heavyDirs = heavyFactors.map { f =>
+        val d = java.nio.file.Files
+          .createTempDirectory(s"graft-scale-$f").toString
+        writeDir(spark, d, f, tables = heavyTables)
+        f -> d
+      }
       heavyCases.foreach { name =>
-        // drop dead shuffle/broadcast state from the 139-query main
-        // pass before timing: the exponent gate compares against a t10
-        // measured mid-suite, so the 30× leg must not additionally pay
-        // for the whole suite's accumulated garbage (see the
-        // periodicGC note on the session builder)
-        System.gc()
-        val (t2, r2, _) = runOne(spark, name, big2,
-          build = ScaledVariants.get(name).map(_(HeavyFactor2)))
+        // drop dead shuffle/broadcast state from the main pass before
+        // timing: the exponent fit includes a t10 measured mid-suite,
+        // so the big legs must not additionally pay for the whole
+        // suite's accumulated garbage (see the periodicGC note on the
+        // session builder)
+        val legs = heavyDirs.map { case (f, d) =>
+          System.gc()
+          val (t, r, _) = runOne(spark, name, d,
+            build = ScaledVariants.get(name).map(_(f)),
+            nRuns = if (f >= 100L) 1 else 2)
+          (f, t, r)
+        }
         val tN = timed(name)
-        val expo = math.log(t2 / math.max(tN, 1e-3)) /
-          math.log(HeavyFactor2.toDouble / factor)
+        // least-squares slope of log t on log f over all legs
+        val pts = ((factor, tN) +: legs.map(l => (l._1, l._2)))
+          .map { case (f, t) =>
+            (math.log(f.toDouble), math.log(math.max(t, 1e-3))) }
+        val n = pts.length.toDouble
+        val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+        val sxy = pts.map(p => p._1 * p._2).sum
+        val sxx = pts.map(p => p._1 * p._1).sum
+        val expo = (n * sxy - sx * sy) / (n * sxx - sx * sx)
         val expOk = expo < 1.5
         if (!expOk) bad += 1
+        val legJson = legs.map { case (f, t, r) =>
+          s""""t${f}_s":${f"$t%.3f"},"rows$f":$r""" }.mkString(",")
         emit(s"""{"query":"$name","t${factor}_s":${f"$tN%.3f"},""" +
-          s""""t${HeavyFactor2}_s":${f"$t2%.3f"},"rows$HeavyFactor2":$r2,""" +
+          legJson + "," +
+          s""""fit_factors":${(factor +: legs.map(_._1))
+            .mkString("[", ",", "]")},""" +
           s""""growth_exponent":${f"$expo%.3f"},"exp_ok":$expOk}""")
       }
     }

@@ -10416,6 +10416,35 @@ object Queries {
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
              * 1000000000.0) AS BIGINT) END AS r_nano
        FROM mo"""))
+    ,
+
+    // ── FLESCH READING EASE on exact integer counts (words = letter
+    //    runs, sentences = [.!?]+ runs pinned ≥1, syllables = vowel
+    //    groups pinned ≥ words), score in ONE fixed-order double
+    //    expression → bit-equal across engines. Scan-local, zero
+    //    shuffles. ──
+    QueryDef(
+      "q_readability",
+      (s, dir) => operators.TextAnalysis.readability(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some("""WITH c AS (SELECT doc_id,
+           CAST(length(regexp_extract_all(lower(trim(text)), '[a-z]+'))
+             AS BIGINT) AS n_words,
+           greatest(CAST(1 AS BIGINT),
+             CAST(length(regexp_extract_all(lower(trim(text)), '[.!?]+'))
+               AS BIGINT)) AS n_sents,
+           CAST(length(regexp_extract_all(lower(trim(text)),
+             '[aeiouy]+')) AS BIGINT) AS sy_raw
+         FROM documents)
+       SELECT doc_id, n_words, n_sents,
+         greatest(n_words, sy_raw) AS n_syllables,
+         CASE WHEN n_words = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(floor((206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))
+             - 84.6 * (CAST(greatest(n_words, sy_raw) AS DOUBLE)
+               / CAST(n_words AS DOUBLE))) * 1000000.0) AS BIGINT)
+           END AS flesch_micro
+       FROM c ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

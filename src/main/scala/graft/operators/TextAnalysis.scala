@@ -883,6 +883,43 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** FLESCH READING EASE on an integer-exact footing — the classic
+    * readability prior a curation pipeline mixes into its quality
+    * score (technical/boilerplate text reads low, conversational text
+    * high). Counts are pure integer regex aggregates over the
+    * lowercased text: words = letter runs, sentences = [.!?]+ runs
+    * pinned ≥ 1 (headline-style fragments count as one sentence),
+    * syllables = vowel-group runs pinned ≥ words (every word carries
+    * at least one syllable, the standard Flesch floor). The score
+    * derives from the three exact ints in ONE fixed-order double
+    * expression, so both engines reproduce it bit-for-bit:
+    * flesch_micro = ⌊(206.835 − 1.015·w/s − 84.6·sy/w)·1e6⌋, pinned 0
+    * for empty text.
+    *
+    * Scale shape: scan-local per-row expressions, zero shuffles —
+    * embarrassingly parallel at any corpus size.
+    */
+  def readability(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t2 = lower(trim(col(textCol)))
+    val w = size(regexp_extract_all(t2, lit("[a-z]+"), lit(0)))
+      .cast("long")
+    val s = greatest(lit(1L),
+      size(regexp_extract_all(t2, lit("[.!?]+"), lit(0))).cast("long"))
+    val syRaw = size(regexp_extract_all(t2, lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    df.select(col(idCol), w.as("n_words"), s.as("n_sents"),
+        greatest(w, syRaw).as("n_syllables"))
+      .withColumn("flesch_micro",
+        when(col("n_words") === 0L, 0L).otherwise(
+          floor((lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double")
+              / col("n_sents").cast("double"))
+            - lit(84.6) * (col("n_syllables").cast("double")
+              / col("n_words").cast("double"))) * 1e6).cast("long")))
+      .orderBy(col(idCol))
+  }
+
   /** LABEL-NOISE MINING (confident-learning-lite): train the
     * [[linearProbeTrain]] probe on the labels as given, then surface
     * the `topN` examples whose probe score most confidently DISAGREES

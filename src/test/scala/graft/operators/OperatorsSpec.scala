@@ -297,6 +297,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(two == Seq((1L, 0L), (2L, 1L), (3L, 2L), (4L, 1L), (5L, 0L)))
   }
 
+  test("readability: hand-computed Flesch with the sentence/syllable pins") {
+    def flesch(w: Long, s: Long, sy: Long): Long =
+      math.floor((206.835 - 1.015 * (w.toDouble / s.toDouble)
+        - 84.6 * (sy.toDouble / w.toDouble)) * 1e6).toLong
+    val docs = Seq(
+      (1L, "The cat sat. The dog ran!"), // 6 words, 2 sents, 6 groups
+      (2L, "qq zz"),                     // vowel-free: syllables pin to 2
+      (3L, ""))                          // empty: score pinned 0
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 6L, 2L, 6L, flesch(6, 2, 6)),
+      (2L, 2L, 1L, 2L, flesch(2, 1, 2)),
+      (3L, 0L, 1L, 0L, 0L)))
+  }
+
   test("docEntropy: hand-computed nano entropies, repetitive docs rank first") {
     val docs = Seq(
       (1L, "a a a a"),   // one type: H = 0 exactly

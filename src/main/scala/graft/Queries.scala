@@ -10444,7 +10444,57 @@ object Queries {
              - 84.6 * (CAST(greatest(n_words, sy_raw) AS DOUBLE)
                / CAST(n_words AS DOUBLE))) * 1000000.0) AS BIGINT)
            END AS flesch_micro
-       FROM c ORDER BY doc_id"""))
+       FROM c ORDER BY doc_id""")),
+
+    // ── LUHN-VALIDATED card-number PII: 13-19 digit runs flagged only
+    //    when the Luhn checksum passes (plain \d{16} regexes can't
+    //    tell cards from order ids). Engineered positives/negatives:
+    //    every 10th doc gets a valid test card appended, others get an
+    //    invalid twin / a 13-digit run, so both checksum branches are
+    //    exercised. Per-row expression fold — scan-local, zero
+    //    shuffles. ──
+    QueryDef(
+      "q_luhn_pii",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 10 === 0,
+              concat(col("text"), lit(" 4111111111111111")))
+            .when(col("doc_id") % 10 === 5,
+              concat(col("text"), lit(" 4111111111111112")))
+            .when(col("doc_id") % 10 === 3,
+              concat(col("text"), lit(" 1234567890123")))
+            .otherwise(col("text")).as("text"))
+        operators.TextAnalysis.luhnScan(docs, "doc_id", "text")
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN concat(text, ' 4111111111111111')
+                WHEN doc_id % 10 = 5 THEN concat(text, ' 4111111111111112')
+                WHEN doc_id % 10 = 3 THEN concat(text, ' 1234567890123')
+                ELSE text END AS text
+         FROM documents),
+         r AS (SELECT doc_id,
+             regexp_extract_all(text, '[0-9]{13,19}') AS runs
+           FROM aug),
+         v AS (SELECT doc_id,
+             CAST(length(runs) AS BIGINT) AS n_digit_runs,
+             list_filter(runs, c ->
+               list_sum(list_transform(range(1, length(c) + 1), i ->
+                 CASE WHEN i % 2 = 1
+                   THEN CAST(substring(reverse(c), i, 1) AS BIGINT)
+                   ELSE CASE
+                     WHEN 2 * CAST(substring(reverse(c), i, 1) AS BIGINT) > 9
+                     THEN 2 * CAST(substring(reverse(c), i, 1) AS BIGINT) - 9
+                     ELSE 2 * CAST(substring(reverse(c), i, 1) AS BIGINT)
+                   END END)) % 10 = 0) AS valids
+           FROM r)
+       SELECT doc_id, n_digit_runs,
+         CAST(length(valids) AS BIGINT) AS n_luhn_valid,
+         CASE WHEN length(valids) > 0 THEN
+           concat(substring(valids[1], 1, 4),
+             repeat('*', length(valids[1]) - 8),
+             substring(valids[1], length(valids[1]) - 3, 4))
+         ELSE '' END AS first_valid_masked
+       FROM v ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

@@ -314,6 +314,24 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 0L, 1L, 0L, 0L)))
   }
 
+  test("luhnScan: checksum separates real cards from random digit runs") {
+    val docs = Seq(
+      // 4111111111111111 is the classic Luhn-valid test PAN; the
+      // +1 twin fails the checksum; 12 digits is below the run floor
+      (1L, "pay with 4111111111111111 now"),
+      (2L, "ref 4111111111111112 and order 123456789012"),
+      (3L, "amex 378282246310005 visa 4012888888881881"),
+      (4L, "no digits here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.luhnScan(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, "4111********1111"),
+      (2L, 1L, 0L, ""),
+      (3L, 2L, 2L, "3782*******0005"),
+      (4L, 0L, 0L, "")))
+  }
+
   test("docEntropy: hand-computed nano entropies, repetitive docs rank first") {
     val docs = Seq(
       (1L, "a a a a"),   // one type: H = 0 exactly

@@ -10494,7 +10494,41 @@ object Queries {
              repeat('*', length(valids[1]) - 8),
              substring(valids[1], length(valids[1]) - 3, 4))
          ELSE '' END AS first_valid_masked
-       FROM v ORDER BY doc_id"""))
+       FROM v ORDER BY doc_id""")),
+
+    // ── COHEN'S KAPPA between the corpus's lang metadata and the
+    //    stopword langid prediction — chance-corrected agreement, the
+    //    label-QA audit that raw accuracy flatters under skew. Three
+    //    exact int64 statistics + one fixed-order double expression;
+    //    degenerate chance-total case pinned 0. ──
+    QueryDef(
+      "q_kappa_langid",
+      (s, dir) => {
+        val pred = operators.TextAnalysis.langId(
+          t(s, dir, "documents").select("doc_id", "text", "lang"),
+          "text")
+        operators.Drift.cohenKappa(pred, "lang", "lang_pred")
+      },
+      Some(s"""WITH lp AS (
+           SELECT * FROM (${langIdOracleSqlFrom("documents")})),
+         p AS (SELECT d.lang AS a, l.lang_pred AS b
+           FROM documents d JOIN lp l ON l.doc_id = d.doc_id),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(CASE WHEN a = b THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_agree
+           FROM p),
+         ma AS (SELECT a AS k, count(*) AS ca FROM p GROUP BY 1),
+         mb AS (SELECT b AS k, count(*) AS cb FROM p GROUP BY 1),
+         mm AS (SELECT CAST(coalesce(sum(ca * cb), 0) AS BIGINT)
+             AS sum_marg_prod
+           FROM ma JOIN mb USING (k))
+       SELECT n, n_agree, sum_marg_prod,
+         CASE WHEN n * n - sum_marg_prod = 0 THEN CAST(0 AS BIGINT)
+           ELSE CAST(floor(CAST(n * n_agree - sum_marg_prod AS DOUBLE)
+             / CAST(n * n - sum_marg_prod AS DOUBLE)
+             * 1000000000.0) AS BIGINT)
+         END AS kappa_nano
+       FROM m, mm"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

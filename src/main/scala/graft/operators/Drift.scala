@@ -60,4 +60,49 @@ object Drift {
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         sum(col("term_nano")).as("psi_nano"))
   }
+
+  /** COHEN'S KAPPA between two categorical label columns — the
+    * chance-corrected agreement score labeling pipelines use to audit
+    * annotator (or metadata-vs-classifier) consistency; raw agreement
+    * flatters any skewed label distribution, kappa doesn't. The three
+    * sufficient statistics are exact int64 aggregates (n, agreements,
+    * Σ_k marginal_a(k)·marginal_b(k)); kappa = (n·agree − Σ)/(n² − Σ)
+    * derives from them in ONE fixed-order double expression, so both
+    * engines match bit-for-bit. n² − Σ = 0 (both raters constant and
+    * identical — chance agreement is total, kappa undefined) pins 0.
+    *
+    * Returns one row: (n, n_agree, sum_marg_prod, kappa_nano).
+    * Scale shape: one scan for the pair counts, two map-side-combined
+    * marginal aggregates joined on the (tiny) class domain, three
+    * 1-row collects — nothing grows past the class count.
+    */
+  def cohenKappa(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val pairs = df.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val head = pairs.agg(count(lit(1)).as("n"),
+      coalesce(sum(when(col("a") === col("b"), 1L).otherwise(0L)),
+        lit(0L)).as("ag")).head()
+    val (n, agree) = (head.getLong(0), head.getLong(1))
+    val margRow = pairs.groupBy("a").agg(count(lit(1)).as("ca"))
+      .join(pairs.groupBy("b").agg(count(lit(1)).as("cb"))
+        .withColumnRenamed("b", "a"), "a")
+      .agg(sum(col("ca") * col("cb"))).head()
+    val marg = if (margRow.isNullAt(0)) 0L else margRow.getLong(0)
+    pairs.unpersist()
+    val den = n * n - marg
+    val kappaNano =
+      if (den == 0L) 0L
+      else math.floor((n * agree - marg).toDouble / den.toDouble
+        * 1e9).toLong
+    import org.apache.spark.sql.types.{StructType, StructField, LongType}
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(n, agree, marg, kappaNano)),
+      StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("n_agree", LongType, nullable = false),
+        StructField("sum_marg_prod", LongType, nullable = false),
+        StructField("kappa_nano", LongType, nullable = false))))
+  }
 }

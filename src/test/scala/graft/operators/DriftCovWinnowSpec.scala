@@ -12,6 +12,28 @@ class DriftCovWinnowSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  // ── Cohen's kappa ──────────────────────────────────────────────
+
+  test("cohenKappa: hand-computed statistics and the degenerate pins") {
+    // raters: a = (x,x,y,y), b = (x,y,y,y): n=4, agree=3,
+    // marginals a: x=2,y=2; b: x=1,y=3 → Σ = 2·1 + 2·3 = 8
+    // kappa = (4·3 − 8)/(16 − 8) = 0.5
+    val df = Seq(("x", "x"), ("x", "y"), ("y", "y"), ("y", "y"))
+      .toDF("a", "b")
+    val out = Drift.cohenKappa(df, "a", "b")
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((4L, 3L, 8L, 500000000L)))
+    // both raters constant and identical: chance agreement is total,
+    // kappa undefined → pinned 0 (not 1, not NaN)
+    val const = Seq(("x", "x"), ("x", "x")).toDF("a", "b")
+    assert(Drift.cohenKappa(const, "a", "b")
+      .as[(Long, Long, Long, Long)].head() == ((2L, 2L, 4L, 0L)))
+    // empty input: all statistics 0, no NPE from null aggregates
+    assert(Drift.cohenKappa(Seq.empty[(String, String)].toDF("a", "b"),
+      "a", "b").as[(Long, Long, Long, Long)].head() ==
+      ((0L, 0L, 0L, 0L)))
+  }
+
   // ── winnowing ──────────────────────────────────────────────────
 
   test("winnowing: shared run of >= w+k-1 tokens guarantees a shared fp") {

@@ -10528,7 +10528,54 @@ object Queries {
              / CAST(n * n - sum_marg_prod AS DOUBLE)
              * 1000000000.0) AS BIGINT)
          END AS kappa_nano
-       FROM m, mm"""))
+       FROM m, mm""")),
+
+    // ── UNIGRAM KL DIVERGENCE between two sources (both directions —
+    //    KL is asymmetric), add-one smoothed over the union vocab.
+    //    q_keyness discipline: integer counts, per-term logs floored
+    //    onto the nano grid BEFORE the weighted int64 sum; the final
+    //    normalization is one IEEE floor-division (the sum can sit a
+    //    few ulps below 0 on coinciding slices, so no truncating int
+    //    div). The corpus-level domain-shift read before mixing. ──
+    QueryDef(
+      "q_kl_sources",
+      (s, dir) => operators.TextAnalysis.klUnigram(
+        t(s, dir, "documents"), "text", "source", "src0", "src1"),
+      Some("""WITH tk0 AS (SELECT source AS g,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+             AS tok
+         FROM documents WHERE source IN ('src0', 'src1')),
+         tk AS (SELECT g, tok FROM tk0 WHERE length(tok) > 0),
+         ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM tk
+                WHERE g = 'src0' GROUP BY 1),
+         cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS cb FROM tk
+                WHERE g = 'src1' GROUP BY 1),
+         j AS (SELECT coalesce(x.ca, 0) AS ca, coalesce(y.cb, 0) AS cb
+               FROM ca x FULL JOIN cb y ON x.tok = y.tok),
+         tot AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+             CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS v
+           FROM j),
+         terms AS (SELECT na, nb, v,
+             (ca + 1) * (CAST(floor(ln(CAST((ca + 1) * (nb + v)
+                   AS DOUBLE)) * 1000000000.0) AS BIGINT)
+               - CAST(floor(ln(CAST((cb + 1) * (na + v)
+                   AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS t_ab,
+             (cb + 1) * (CAST(floor(ln(CAST((cb + 1) * (na + v)
+                   AS DOUBLE)) * 1000000000.0) AS BIGINT)
+               - CAST(floor(ln(CAST((ca + 1) * (nb + v)
+                   AS DOUBLE)) * 1000000000.0) AS BIGINT)) AS t_ba
+           FROM j CROSS JOIN tot),
+         agg AS (SELECT max(na) AS n_a, max(nb) AS n_b, max(v) AS vocab,
+             CAST(sum(t_ab) AS BIGINT) AS s_ab,
+             CAST(sum(t_ba) AS BIGINT) AS s_ba
+           FROM terms)
+       SELECT n_a, n_b, vocab,
+         CAST(floor(CAST(s_ab AS DOUBLE)
+           / CAST(n_a + vocab AS DOUBLE)) AS BIGINT) AS kl_ab_nano,
+         CAST(floor(CAST(s_ba AS DOUBLE)
+           / CAST(n_b + vocab AS DOUBLE)) AS BIGINT) AS kl_ba_nano
+       FROM agg"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

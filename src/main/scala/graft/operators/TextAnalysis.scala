@@ -125,6 +125,67 @@ object TextAnalysis {
         .as("n_ipv4"),
       regexp_replace(col(textCol), emailRe, "<EMAIL>").as("redacted"))
 
+  /** UNIGRAM KL DIVERGENCE between two corpus slices — the
+    * distribution-shift number a data-mixing pipeline reads before
+    * blending sources (DSIR's importance weights are per-example;
+    * this is the corpus-level "how far apart are these domains",
+    * both directions since KL is asymmetric). Add-one smoothing over
+    * the union vocabulary keeps every log finite.
+    *
+    * Exactness (the q_keyness micro-grid discipline): counts stay
+    * integer through the full-outer vocab join; each term's two logs
+    * — ln((c_p+1)(N_q+V)) and ln((c_q+1)(N_p+V)), pure-integer
+    * arguments — floor onto the NANO grid BEFORE the weighted
+    * order-free int64 sum, so S = Σ(c_p+1)·(lnA−lnB) is engine-exact;
+    * kl_nano = ⌊S/(N_p+V)⌋ via one double floor-division (S can sit
+    * a few grid ulps below 0 when the slices coincide, so explicit
+    * IEEE floor, not truncating int div). Int64 headroom: |S| ≤
+    * (N+V)·1e9·ln-range — fine through ~10⁸-token slices; past that
+    * emit S and divide downstream.
+    *
+    * Returns one row: (n_a, n_b, vocab, kl_ab_nano, kl_ba_nano).
+    * Scale shape: one token-count aggregation per slice (map-side
+    * combined), a full-outer join on the vocab, one broadcast of the
+    * 1-row totals, one moment aggregate — nothing beyond vocab size
+    * after the scans.
+    */
+  def klUnigram(df: DataFrame, textCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    def lnGrid(x: Column): Column =
+      floor(log(x.cast("double")) * 1e9).cast("long")
+    val tk = df.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("g"),
+        explode(toks(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val ca = tk.filter(col("g") === a)
+      .groupBy("tok").agg(count(lit(1)).as("ca"))
+    val cb = tk.filter(col("g") === b)
+      .groupBy("tok").agg(count(lit(1)).as("cb"))
+    val j = ca.join(cb, Seq("tok"), "full")
+      .na.fill(0L, Seq("ca", "cb"))
+    val totals = j.agg(
+      coalesce(sum("ca"), lit(0L)).as("na"),
+      coalesce(sum("cb"), lit(0L)).as("nb"),
+      count(lit(1)).as("v"))
+    j.crossJoin(broadcast(totals))
+      .withColumn("t_ab", (col("ca") + 1L) *
+        (lnGrid((col("ca") + 1L) * (col("nb") + col("v"))) -
+          lnGrid((col("cb") + 1L) * (col("na") + col("v")))))
+      .withColumn("t_ba", (col("cb") + 1L) *
+        (lnGrid((col("cb") + 1L) * (col("na") + col("v"))) -
+          lnGrid((col("ca") + 1L) * (col("nb") + col("v")))))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        max("v").as("vocab"),
+        sum("t_ab").as("s_ab"), sum("t_ba").as("s_ba"))
+      .select(col("n_a"), col("n_b"), col("vocab"),
+        floor(col("s_ab").cast("double") /
+          (col("n_a") + col("vocab")).cast("double")).cast("long")
+          .as("kl_ab_nano"),
+        floor(col("s_ba").cast("double") /
+          (col("n_b") + col("vocab")).cast("double")).cast("long")
+          .as("kl_ba_nano"))
+  }
+
   /** PAYMENT-CARD PII detection with a real checksum: digit runs of
     * 13-19 are only flagged when they pass the Luhn check — the
     * validation step that separates card numbers from order ids and

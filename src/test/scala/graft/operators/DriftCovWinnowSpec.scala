@@ -34,6 +34,32 @@ class DriftCovWinnowSpec extends AnyFunSuite {
       ((0L, 0L, 0L, 0L)))
   }
 
+  // ── unigram KL ─────────────────────────────────────────────────
+
+  test("klUnigram: hand-computed smoothed KL on the nano grid, zero on identical slices") {
+    def lnG(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    // slice a: tokens {x:2, y:1}, Na=3; slice b: {x:1, y:3}, Nb=4; V=2
+    val docs = Seq(
+      (1L, "x x y", "a"), (2L, "x y y y", "b"),
+      (3L, "ignored", "c")) // third source: filtered out
+      .toDF("doc_id", "text", "source")
+    val sAb = 3L * (lnG(3 * 6) - lnG(2 * 5)) +
+      2L * (lnG(2 * 6) - lnG(4 * 5))
+    val sBa = 2L * (lnG(2 * 5) - lnG(3 * 6)) +
+      4L * (lnG(4 * 5) - lnG(2 * 6))
+    val out = TextAnalysis.klUnigram(docs, "text", "source", "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out == ((3L, 4L, 2L,
+      math.floor(sAb.toDouble / 5.0).toLong,
+      math.floor(sBa.toDouble / 6.0).toLong)))
+    // identical slices: every term's two logs coincide → S = 0 exactly
+    val same = Seq((1L, "x x y", "a"), (2L, "x x y", "b"))
+      .toDF("doc_id", "text", "source")
+    val z = TextAnalysis.klUnigram(same, "text", "source", "a", "b")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(z == ((3L, 3L, 2L, 0L, 0L)))
+  }
+
   // ── winnowing ──────────────────────────────────────────────────
 
   test("winnowing: shared run of >= w+k-1 tokens guarantees a shared fp") {

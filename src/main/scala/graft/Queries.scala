@@ -10575,7 +10575,47 @@ object Queries {
            / CAST(n_a + vocab AS DOUBLE)) AS BIGINT) AS kl_ab_nano,
          CAST(floor(CAST(s_ba AS DOUBLE)
            / CAST(n_b + vocab AS DOUBLE)) AS BIGINT) AS kl_ba_nano
-       FROM agg"""))
+       FROM agg""")),
+
+    // ── WEISFEILER–LEMAN color refinement (2 rounds) over the
+    //    co-purchase bipartite graph — the structural fingerprint
+    //    whose color histogram keys graph-shaped dedup the way
+    //    minhash keys text. Canonical hash = md5(own | sorted
+    //    neighbor colors), degree seeds — fully engine-replayable;
+    //    the oracle unrolls both rounds with ordered string_agg. ──
+    QueryDef(
+      "q_wl_colors",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("p"))
+          .distinct()
+        operators.Graph.wlColors(
+          pairs.select(col("c").as("src"), col("p").as("dst")),
+          "src", "dst", rounds = 2)
+      },
+      Some("""WITH pairs AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         e AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+           SELECT c AS a, p AS b FROM pairs
+           UNION ALL SELECT p, c FROM pairs)),
+         c0 AS (SELECT a AS id, CAST(count(*) AS VARCHAR) AS c
+                FROM e GROUP BY 1),
+         n1 AS (SELECT e.a AS id,
+                  string_agg(x.c, ',' ORDER BY x.c) AS nbs
+                FROM e JOIN c0 x ON x.id = e.b GROUP BY 1),
+         c1 AS (SELECT c0.id, md5(concat(c0.c, '|', n1.nbs)) AS c
+                FROM c0 JOIN n1 ON n1.id = c0.id),
+         n2 AS (SELECT e.a AS id,
+                  string_agg(x.c, ',' ORDER BY x.c) AS nbs
+                FROM e JOIN c1 x ON x.id = e.b GROUP BY 1),
+         c2 AS (SELECT c1.id, md5(concat(c1.c, '|', n2.nbs)) AS c
+                FROM c1 JOIN n2 ON n2.id = c1.id)
+       SELECT c AS color, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM c2 GROUP BY 1 ORDER BY color"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

@@ -427,4 +427,55 @@ object Graph {
       .unionAll(a.select(lit("auth").as("side"), col("id"),
         col("s").as("score")))
   }
+
+  /** WEISFEILER–LEMAN (1-WL) COLOR REFINEMENT over an undirected
+    * simple graph — the classic structural fingerprint: color₀ =
+    * degree, then each round recolors every node with a canonical
+    * hash of (own color | sorted multiset of neighbor colors).
+    * Isomorphic graphs produce identical color HISTOGRAMS, so the
+    * returned (color, n_nodes) rows are the dedup/drift key for
+    * graph-structured records (two scrapes of the same site cluster,
+    * two org charts, two citation neighborhoods) the same way minhash
+    * signatures key text. Everything is engine-replayable: the
+    * canonical form is `md5(own ‖ '|' ‖ join(sort(neighbors), ','))`
+    * over decimal-string colors, no RNG, no floats.
+    *
+    * Scale shape: [[pageRank]]'s round structure — per round one hash
+    * join of the persisted edge table with the current color table
+    * plus one sorted-list aggregation per node, checkpointed and
+    * freed via [[IterCheckpoint]]. Per-node work is bounded by
+    * degree; nothing quadratic. Rounds is small and fixed (1-WL
+    * stabilizes in ≤ diameter rounds; 2 suffices for fingerprints).
+    */
+  def wlColors(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val eu = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .distinct()
+    val e = eu.unionAll(eu.select(col("b").as("a"), col("a").as("b")))
+      .distinct().persist(lvl)
+    var colors = IterCheckpoint(e.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).cast("string").as("c")))
+    for (_ <- 1 to rounds) {
+      val nb = e
+        .join(colors.select(col("id").as("b"), col("c").as("cb")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(concat_ws(",", sort_array(collect_list(col("cb"))))
+          .as("nbs"))
+      // every node has ≥1 neighbor BY CONSTRUCTION (edge endpoints),
+      // so the inner join covers the full node set
+      val next = IterCheckpoint(colors.join(nb, "id")
+        .select(col("id"),
+          md5(concat(col("c"), lit("|"), col("nbs"))).as("c")))
+      IterCheckpoint.free(colors)
+      colors = next
+    }
+    val out = colors.groupBy("c")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("c").as("color"), col("n_nodes"))
+      .orderBy("color")
+    e.unpersist()
+    out
+  }
 }

@@ -332,6 +332,36 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 0L, 0L, "")))
   }
 
+  test("wlColors: hand-computed refinement, isomorphism invariance, degree separation") {
+    def md5s(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    // path 1-2-3 after one round: ends hash ("1" | "2"), middle
+    // hashes ("2" | "1,1") — two classes, sizes 2 and 1
+    val p3 = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val one = Graph.wlColors(p3, "s", "d", rounds = 1)
+      .as[(String, Long)].collect().toSeq.sortBy(_._1)
+    assert(one == Seq(md5s("1|2") -> 2L, md5s("2|1,1") -> 1L)
+      .sortBy(_._1))
+    // isomorphic graphs (a triangle and its relabeling) fingerprint
+    // identically
+    val triA = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val triB = Seq((10L, 20L), (20L, 30L), (30L, 10L)).toDF("s", "d")
+    val ha = Graph.wlColors(triA, "s", "d", 2)
+      .as[(String, Long)].collect().toSet
+    val hb = Graph.wlColors(triB, "s", "d", 2)
+      .as[(String, Long)].collect().toSet
+    assert(ha == hb)
+    // different structure separates: star S3 vs path P4 (same node
+    // and edge counts, different degree multisets)
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("s", "d")
+    val p4 = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    assert(Graph.wlColors(star, "s", "d", 2)
+      .as[(String, Long)].collect().toSet !=
+      Graph.wlColors(p4, "s", "d", 2)
+        .as[(String, Long)].collect().toSet)
+  }
+
   test("docEntropy: hand-computed nano entropies, repetitive docs rank first") {
     val docs = Seq(
       (1L, "a a a a"),   // one type: H = 0 exactly

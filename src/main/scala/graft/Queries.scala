@@ -10615,7 +10615,78 @@ object Queries {
          c2 AS (SELECT c1.id, md5(concat(c1.c, '|', n2.nbs)) AS c
                 FROM c1 JOIN n2 ON n2.id = c1.id)
        SELECT c AS color, CAST(count(*) AS BIGINT) AS n_nodes
-       FROM c2 GROUP BY 1 ORDER BY color"""))
+       FROM c2 GROUP BY 1 ORDER BY color""")),
+
+    // ── PERSONALIZED PAGERANK from the sparse trusted-customer seed
+    //    set (the q_bfs_depth seeds) over the co-purchase graph — the
+    //    TrustRank-style crawl/curation prior. Same exactness contract
+    //    as q_pagerank: ⌊rank/od·1e12⌋ integer contributions across
+    //    the shuffle, one fixed double expression order with the
+    //    COMPUTED (1.0−0.85) teleport coefficient; mass unreachable
+    //    from seeds stays exactly 0.0. Oracle unrolls 3 rounds. ──
+    QueryDef(
+      "q_ppr_seeds",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+        val seeds = t(s, dir, "customer")
+          .filter(pmod(col("c_custkey"), lit(97L)) === 0)
+          .select(col("c_custkey").as("id"))
+        operators.Graph.personalizedPageRank(edges, "src", "dst",
+          seeds, "id", iterations = 3)
+      },
+      Some("""WITH pairs AS MATERIALIZED (
+           SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS MATERIALIZED (SELECT c AS src, p AS dst FROM pairs
+           UNION ALL SELECT p, c FROM pairs),
+         nodes AS (SELECT src AS id FROM edges
+                   UNION SELECT dst FROM edges),
+         sd AS (SELECT DISTINCT c_custkey AS id FROM customer
+                WHERE c_custkey % 97 = 0),
+         sc AS (SELECT count(*) AS ns FROM sd),
+         base AS MATERIALIZED (SELECT n.id,
+             CASE WHEN s.id IS NOT NULL
+               THEN CAST(1.0 AS DOUBLE) / CAST(sc.ns AS DOUBLE)
+               ELSE CAST(0.0 AS DOUBLE) END AS tele
+           FROM nodes n CROSS JOIN sc LEFT JOIN sd s ON s.id = n.id),
+         deg AS (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od
+                 FROM edges GROUP BY 1),
+         r0 AS (SELECT id, tele AS rank FROM base),
+         c1 AS (SELECT e.dst AS id,
+             sum(CAST(floor(r.rank / d.od * 1e12) AS BIGINT)) AS s
+           FROM edges e JOIN r0 r ON r.id = e.src
+           JOIN deg d ON d.id = e.src GROUP BY 1),
+         r1 AS (SELECT b.id,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * b.tele
+               + CAST(0.85 AS DOUBLE) *
+                 (CAST(coalesce(s, 0) AS DOUBLE) / 1e12) AS rank
+           FROM base b LEFT JOIN c1 ON c1.id = b.id),
+         c2 AS (SELECT e.dst AS id,
+             sum(CAST(floor(r.rank / d.od * 1e12) AS BIGINT)) AS s
+           FROM edges e JOIN r1 r ON r.id = e.src
+           JOIN deg d ON d.id = e.src GROUP BY 1),
+         r2 AS (SELECT b.id,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * b.tele
+               + CAST(0.85 AS DOUBLE) *
+                 (CAST(coalesce(s, 0) AS DOUBLE) / 1e12) AS rank
+           FROM base b LEFT JOIN c2 ON c2.id = b.id),
+         c3 AS (SELECT e.dst AS id,
+             sum(CAST(floor(r.rank / d.od * 1e12) AS BIGINT)) AS s
+           FROM edges e JOIN r2 r ON r.id = e.src
+           JOIN deg d ON d.id = e.src GROUP BY 1),
+         r3 AS (SELECT b.id,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * b.tele
+               + CAST(0.85 AS DOUBLE) *
+                 (CAST(coalesce(s, 0) AS DOUBLE) / 1e12) AS rank
+           FROM base b LEFT JOIN c3 ON c3.id = b.id)
+       SELECT id, rank FROM r3"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

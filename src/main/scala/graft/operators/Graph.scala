@@ -73,6 +73,66 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED PAGERANK: [[pageRank]] with the teleport mass
+    * concentrated on a SEED SET instead of spread uniformly — the
+    * "how close is every page to my trusted roots" score
+    * (TrustRank-style crawl prioritization, seed-anchored curation
+    * priors, related-item expansion from a query set). rank₀ = 1/|S|
+    * on seeds and 0 elsewhere; each round redistributes d·(in-flow)
+    * plus (1−d)·(seed teleport). Same engine-exactness contract as
+    * [[pageRank]]: contributions cross the shuffle as ⌊rank/od·1e12⌋
+    * integers, the teleport term keeps one fixed double expression
+    * order, so both engines replay every bit.
+    *
+    * Scale shape: identical to [[pageRank]] — per round one hash join
+    * of the persisted edge table with the current rank vector and one
+    * map-side-combined sum; the only driver scalars are |S| (one
+    * count). Mass unreachable from the seeds stays exactly 0.0 and
+    * rides the node table, never a frontier blowup.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      iterations: Int, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, s"iterations must be positive, got $iterations")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(lvl)
+    val sd = seeds.select(col(seedCol).as("id")).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    // bounded driver collect: one scalar (the seed count)
+    val nSeeds = sd.count()
+    require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
+    val base = nodes
+      .join(sd.withColumn("__s", lit(1)), Seq("id"), "left")
+      .select(col("id"),
+        when(col("__s").isNotNull, lit(1.0 / nSeeds))
+          .otherwise(lit(0.0)).as("tele"))
+      .persist(lvl)
+    val outDeg = e.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).cast("double").as("od")).persist(lvl)
+    var ranks = IterCheckpoint(
+      base.select(col("id"), col("tele").as("rank")))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.join(outDeg, "id").select(col("id").as("src"),
+          floor(col("rank") / col("od") * lit(1e12)).as("c")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("c")).as("in_sum"))
+      val next = IterCheckpoint(base.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1.0 - damping) * col("tele") +
+            lit(damping) *
+              (coalesce(col("in_sum"), lit(0L)).cast(DoubleType) /
+                lit(1e12)))
+            .as("rank")))
+      IterCheckpoint.free(ranks)
+      ranks = next
+    }
+    e.unpersist(); base.unpersist(); outDeg.unpersist()
+    ranks
+  }
+
   /** Exact triangle count of the UNDIRECTED graph under `edges`
     * (direction and duplicates ignored), by degree-ordered wedge join —
     * each edge is oriented from its (degree, id)-smaller endpoint, so

@@ -332,6 +332,23 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 0L, 0L, "")))
   }
 
+  test("personalizedPageRank: seed mass, teleport locality, unreachable stays zero") {
+    // directed path 1→2→3 plus isolated edge 10→11; seed {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("s", "d")
+    val pr = Graph.personalizedPageRank(edges, "s", "d",
+        Seq(1L).toDF("id"), "id", iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    // hand-unroll on the 1e12 contribution grid: r0 = (1,0,0);
+    // r1 = (0.15, 0.85, 0); r2 = (0.15, 0.85·0.15, 0.85·0.85·grid)
+    val d = 1.0 - 0.85
+    assert(pr(1L) == d * 1.0)
+    assert(pr(2L) == 0.85 * (math.floor(d * 1e12) / 1e12))
+    val g1 = math.floor(1.0 * 1e12) / 1e12 // round-1 contrib of node 1
+    assert(pr(3L) == 0.85 * (math.floor(0.85 * g1 * 1e12) / 1e12))
+    // the component unreachable from the seed carries exactly 0.0
+    assert(pr(10L) == 0.0 && pr(11L) == 0.0)
+  }
+
   test("wlColors: hand-computed refinement, isomorphism invariance, degree separation") {
     def md5s(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))

@@ -10686,7 +10686,65 @@ object Queries {
                + CAST(0.85 AS DOUBLE) *
                  (CAST(coalesce(s, 0) AS DOUBLE) / 1e12) AS rank
            FROM base b LEFT JOIN c3 ON c3.id = b.id)
-       SELECT id, rank FROM r3"""))
+       SELECT id, rank FROM r3""")),
+
+    // ── LOCAL CLUSTERING COEFFICIENT per supplier on the sampled
+    //    co-supply graph (q_triangles' graph): 2T/(d(d−1)) on the
+    //    integer micro grid, triangles credited to all three corners
+    //    of the degree-ordered wedge join. The organic-community vs
+    //    hub-spam separator, per node. ──
+    QueryDef(
+      "q_local_clustering",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 10 === 0)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val eg = ps.as("a").join(ps.as("b"),
+            col("a.l_partkey") === col("b.l_partkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("sa"),
+            col("b.l_suppkey").as("sb"))
+          .distinct()
+        operators.Graph.localClustering(eg, "sa", "sb")
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+           FROM lineitem WHERE l_orderkey % 10 = 0),
+         eg AS (SELECT DISTINCT a.l_suppkey AS sa, b.l_suppkey AS sb
+                FROM ps a JOIN ps b
+                  ON a.l_partkey = b.l_partkey
+                  AND a.l_suppkey < b.l_suppkey),
+         und AS (SELECT DISTINCT least(sa, sb) AS x,
+                   greatest(sa, sb) AS y
+                 FROM eg WHERE sa <> sb),
+         deg AS (SELECT n, count(*) AS d
+                 FROM (SELECT x AS n FROM und
+                       UNION ALL SELECT y FROM und)
+                 GROUP BY 1),
+         o AS MATERIALIZED (SELECT
+               CASE WHEN (dx.d, und.x) < (dy.d, und.y)
+                    THEN und.x ELSE und.y END AS src,
+               CASE WHEN (dx.d, und.x) < (dy.d, und.y)
+                    THEN und.y ELSE und.x END AS dst,
+               CASE WHEN (dx.d, und.x) < (dy.d, und.y)
+                    THEN dy.d ELSE dx.d END AS dd
+             FROM und JOIN deg dx ON dx.n = und.x
+             JOIN deg dy ON dy.n = und.y),
+         tri AS (SELECT e1.src AS s, e1.dst AS v, e2.dst AS w
+                 FROM o e1 JOIN o e2
+                   ON e1.src = e2.src
+                   AND (e1.dd, e1.dst) < (e2.dd, e2.dst)
+                 JOIN o ce ON ce.src = e1.dst AND ce.dst = e2.dst),
+         pn AS (SELECT id, count(*) AS n_tri FROM (
+                  SELECT s AS id FROM tri
+                  UNION ALL SELECT v FROM tri
+                  UNION ALL SELECT w FROM tri)
+                GROUP BY 1)
+       SELECT deg.n AS id, CAST(deg.d AS BIGINT) AS deg,
+         CAST(coalesce(pn.n_tri, 0) AS BIGINT) AS n_tri,
+         2 * CAST(coalesce(pn.n_tri, 0) AS BIGINT) * 1000000
+           // (deg.d * (deg.d - 1)) AS lcc_micro
+       FROM deg LEFT JOIN pn ON pn.id = deg.n
+       WHERE deg.d >= 2 ORDER BY id"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

@@ -349,6 +349,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pr(10L) == 0.0 && pr(11L) == 0.0)
   }
 
+  test("localClustering: triangle corner credit and the degree-2 floor") {
+    // triangle {1,2,3} with pendant 3-4: T = 1 credited to all three
+    // corners; node 4 (degree 1) is omitted, node 3 divides by 3·2
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    val out = Graph.localClustering(edges, "a", "b")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, 1000000L),
+      (2L, 2L, 1L, 1000000L),
+      (3L, 3L, 1L, 333333L)))
+  }
+
   test("wlColors: hand-computed refinement, isomorphism invariance, degree separation") {
     def md5s(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))

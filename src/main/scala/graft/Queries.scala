@@ -10744,7 +10744,87 @@ object Queries {
          2 * CAST(coalesce(pn.n_tri, 0) AS BIGINT) * 1000000
            // (deg.d * (deg.d - 1)) AS lcc_micro
        FROM deg LEFT JOIN pn ON pn.id = deg.n
-       WHERE deg.d >= 2 ORDER BY id"""))
+       WHERE deg.d >= 2 ORDER BY id""")),
+
+    // ── VOCABULARY COVERAGE per language: the share of each slice's
+    //    tokens inside the corpus-frequency top-150 vocabulary — the
+    //    multilingual tokenizer audit (which languages does a
+    //    majority-corpus vocab underserve). Integer micro ratios. ──
+    QueryDef(
+      "q_vocab_coverage",
+      (s, dir) => operators.TextAnalysis.vocabCoverage(
+        t(s, dir, "documents"), "doc_id", "text", "lang",
+        vocabSize = 150),
+      Some("""WITH t AS (SELECT doc_id, lang,
+           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+         FROM documents),
+         tok AS (SELECT doc_id, toks[i] AS tok
+                 FROM (SELECT doc_id, toks,
+                         unnest(generate_series(1, len(toks))) AS i
+                       FROM t)),
+         vocab AS (SELECT tok FROM (
+             SELECT tok, count(*) AS c FROM tok GROUP BY tok
+             ORDER BY count(*) DESC, tok ASC LIMIT 150)),
+         enc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ids
+                 FROM tok JOIN vocab USING (tok) GROUP BY 1),
+         base AS (SELECT doc_id, lang,
+                    CAST(len(toks) AS BIGINT) AS n_toks
+                  FROM t),
+         ag AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_toks,
+             CAST(sum(coalesce(n_ids, 0)) AS BIGINT) AS n_ids
+           FROM base LEFT JOIN enc USING (doc_id) GROUP BY 1)
+       SELECT lang, n_docs, n_toks, n_ids,
+         n_ids * 1000000 // n_toks AS coverage_micro,
+         (n_toks - n_ids) * 1000000 // n_toks AS oov_micro
+       FROM ag ORDER BY lang""")),
+
+    // ── CODE-LIKENESS: prose-vs-source routing signals (symbol
+    //    density, indented-line share, reserved-word rate — integer
+    //    micro grids, one composite). Every 7th doc gets a code
+    //    snippet stamped on so both ends of the separator are
+    //    exercised; scan-local, zero shuffles. ──
+    QueryDef(
+      "q_code_likeness",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"),
+              lit("\ndef load():\n  return x()\nclass A:\n  import os")))
+            .otherwise(col("text")).as("text"))
+        operators.TextAnalysis.codeLikeness(docs, "doc_id", "text")
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN concat(text,
+             e'\ndef load():\n  return x()\nclass A:\n  import os')
+           ELSE text END AS text
+         FROM documents),
+         c AS (SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '\n')) + 1 AS BIGINT)
+             AS n_lines,
+           CAST(length(regexp_extract_all(text, '[{}()\[\];=<>]'))
+             AS BIGINT) AS n_sym,
+           CAST(length(regexp_extract_all(text,
+             '\b(def|class|return|import|function|const|void|static)\b'))
+             AS BIGINT) AS n_kw,
+           greatest(CAST(1 AS BIGINT), CAST(length(text) AS BIGINT))
+             AS chars,
+           greatest(CAST(1 AS BIGINT), CAST(len(regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '))
+             AS BIGINT)) AS toks,
+           CAST(length(regexp_extract_all(text, '(?m)^(?:  |\t)'))
+             AS BIGINT) AS n_indent
+         FROM aug),
+         m AS (SELECT doc_id, n_lines, n_sym, n_kw,
+             n_sym * 1000000 // chars AS sym_micro,
+             n_indent * 1000000 // n_lines AS indent_micro,
+             least(CAST(1000000 AS BIGINT),
+               n_kw * 1000000 // toks) AS kw_micro
+           FROM c)
+       SELECT doc_id, n_lines, n_sym, n_kw, sym_micro, indent_micro,
+         kw_micro,
+         (2 * sym_micro + indent_micro + kw_micro) // 4 AS
+           code_score_micro
+       FROM m ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

@@ -125,6 +125,78 @@ object TextAnalysis {
         .as("n_ipv4"),
       regexp_replace(col(textCol), emailRe, "<EMAIL>").as("redacted"))
 
+  /** VOCABULARY COVERAGE per language slice — for each language, the
+    * share of its whitespace tokens that land inside the
+    * frequency-ranked top-`vocabSize` corpus vocabulary
+    * ([[vocabEncode]]'s vocabulary): the multilingual-tokenizer audit
+    * that shows which slices a corpus-majority vocabulary underserves
+    * (high OOV ⇒ that language pays more unknown-token loss and more
+    * bytes per effective token). Integer micro ratios end to end.
+    *
+    * Returns (lang, n_docs, n_toks, n_ids, coverage_micro, oov_micro).
+    * Scale shape: [[vocabEncode]]'s bounded-vocab broadcast join plus
+    * one map-side-combined rollup per language — nothing beyond the
+    * vocab size after the scans.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, vocabSize: Int): DataFrame = {
+    val enc = vocabEncode(df, idCol, textCol, vocabSize)
+      .select(col(idCol), col("n_ids"))
+    val base = df.select(col(idCol), col(langCol).as("lang"),
+      size(toks(col(textCol))).cast("long").as("n_toks"))
+    base.join(enc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_ids"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_toks").as("n_toks"),
+        sum("n_ids").as("n_ids"))
+      .withColumn("coverage_micro",
+        expr("n_ids * 1000000L div n_toks"))
+      .withColumn("oov_micro",
+        expr("(n_toks - n_ids) * 1000000L div n_toks"))
+      .orderBy("lang")
+  }
+
+  /** CODE-LIKENESS detection — the "is this prose or source code"
+    * separator a curation pipeline runs before routing documents to
+    * text vs code sub-pipelines (mixing them poisons both: code spans
+    * wreck prose quality scores, prose wrecks code dedup). Three
+    * integer signals per row — symbol density (code punctuation per
+    * char), indented-line share, and reserved-word hits per token —
+    * each on the micro grid, averaged into one composite. All plain
+    * regex counts: scan-local, zero shuffles, engine-exact.
+    *
+    * Returns (id, n_lines, n_sym, n_kw, sym_micro, indent_micro,
+    * kw_micro, code_score_micro).
+    */
+  def codeLikeness(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t2 = col(textCol)
+    val nChars = greatest(lit(1L), length(t2).cast("long"))
+    val nSym = size(regexp_extract_all(t2,
+      lit("[{}()\\[\\];=<>]"), lit(0))).cast("long")
+    val nLines = (size(regexp_extract_all(t2, lit("\n"), lit(0)))
+      + 1).cast("long")
+    val nIndent = size(regexp_extract_all(t2,
+      lit("(?m)^(?:  |\\t)"), lit(0))).cast("long")
+    val nToks = greatest(lit(1L),
+      size(toks(t2)).cast("long"))
+    val nKw = size(regexp_extract_all(t2,
+      lit("\\b(def|class|return|import|function|const|void|static)\\b"),
+      lit(0))).cast("long")
+    df.select(col(idCol), nLines.as("n_lines"), nSym.as("n_sym"),
+        nKw.as("n_kw"), nChars.as("__chars"), nToks.as("__toks"),
+        nIndent.as("__indent"))
+      .withColumn("sym_micro", expr("n_sym * 1000000L div __chars"))
+      .withColumn("indent_micro",
+        expr("__indent * 1000000L div n_lines"))
+      .withColumn("kw_micro",
+        least(lit(1000000L), expr("n_kw * 1000000L div __toks")))
+      .withColumn("code_score_micro",
+        expr("(2L * sym_micro + indent_micro + kw_micro) div 4L"))
+      .drop("__chars", "__toks", "__indent")
+      .orderBy(col(idCol))
+  }
+
   /** UNIGRAM KL DIVERGENCE between two corpus slices — the
     * distribution-shift number a data-mixing pipeline reads before
     * blending sources (DSIR's importance weights are per-example;

@@ -392,6 +392,42 @@ class OperatorsSpec extends AnyFunSuite {
         .as[(String, Long)].collect().toSet)
   }
 
+  test("vocabCoverage: per-language OOV shares against the corpus-top vocab") {
+    // corpus counts: x:4, y:3, z:1 → top-2 vocab {x, y}.
+    // en: "x x y" (3 toks, 3 in-vocab) + "x y z" (3 toks, 2) → 5/6;
+    // de: "x y" → fully covered
+    val docs = Seq(
+      (1L, "x x y", "en"), (2L, "x y z", "en"), (3L, "x y", "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.vocabCoverage(docs, "doc_id", "text",
+        "lang", vocabSize = 2)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("de", 1L, 2L, 2L, 1000000L, 0L),
+      ("en", 2L, 6L, 5L, 833333L, 166666L)))
+  }
+
+  test("codeLikeness: code-stamped doc scores high, prose scores zero") {
+    val code = "def load():\n  return x()\nclass A:\n  import os"
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, code)).toDF("doc_id", "text")
+    val out = TextAnalysis.codeLikeness(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // prose: no symbols, no keywords, no indents
+    val prose = out(1L)
+    assert(prose.getLong(4) == 0L && prose.getLong(5) == 0L &&
+      prose.getLong(6) == 0L && prose.getLong(7) == 0L)
+    // code: 4 lines, 2 indented; symbol-class hits are the two ()
+    // pairs = 4; keywords def/return/class/import = 4 over 8 tokens
+    val c = out(2L)
+    assert(c.getLong(1) == 4L)                  // n_lines
+    assert(c.getLong(2) == 4L)                  // n_sym
+    assert(c.getLong(3) == 4L)                  // n_kw
+    assert(c.getLong(5) == 2L * 1000000L / 4L)  // indent_micro
+    assert(c.getLong(7) > prose.getLong(7))     // separator works
+  }
+
   test("docEntropy: hand-computed nano entropies, repetitive docs rank first") {
     val docs = Seq(
       (1L, "a a a a"),   // one type: H = 0 exactly

@@ -983,4 +983,36 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** CANONICALIZATION of duplicate clusters: given
+    * [[connectedComponents]] labels (id, comp) and the corpus, pick
+    * each cluster's keeper as its (longest text, smallest id) member —
+    * the "which copy do we keep" step that turns a dedup labeling
+    * into an actionable delete list. The tie-break is total, so the
+    * choice is deterministic in any engine. Returns (comp, n_members,
+    * rep_id, rep_len, n_redundant); Σ n_redundant is the dedup
+    * savings headline.
+    *
+    * Scale shape: one hash join of labels against the corpus's
+    * (id, length) projection, a per-component rank window (component
+    * sizes are near-dup cluster sizes — bounded in practice and
+    * skew-capped upstream by the pair miners), one rollup.
+    */
+  def clusterRepresentatives(labels: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = labels.select(col("id"), col("comp"))
+      .join(docs.select(col(idCol).as("id"),
+        length(col(textCol)).cast("long").as("len")), "id")
+    val w = Window.partitionBy("comp")
+      .orderBy(col("len").desc, col("id").asc)
+    val rep = j.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("comp"), col("id").as("rep_id"),
+        col("len").as("rep_len"))
+    j.groupBy("comp").agg(count(lit(1)).as("n_members"))
+      .join(rep, "comp")
+      .withColumn("n_redundant", col("n_members") - 1L)
+      .orderBy("comp")
+  }
 }

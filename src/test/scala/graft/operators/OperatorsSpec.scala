@@ -428,6 +428,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c.getLong(7) > prose.getLong(7))     // separator works
   }
 
+  test("clusterRepresentatives: longest-text keeper with total tie-break") {
+    val labels = Seq((10L, 1L), (11L, 1L), (12L, 1L), (20L, 20L),
+      (21L, 20L)).toDF("id", "comp")
+    val docs = Seq(
+      (10L, "short"), (11L, "the longest text"), (12L, "midsize"),
+      (20L, "same len"), (21L, "also len")) // tie → smaller id wins
+      .toDF("doc_id", "text")
+    val out = Dedup.clusterRepresentatives(labels, docs,
+        "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 3L, 11L, 16L, 2L),
+      (20L, 2L, 20L, 8L, 1L)))
+  }
+
   test("docEntropy: hand-computed nano entropies, repetitive docs rank first") {
     val docs = Seq(
       (1L, "a a a a"),   // one type: H = 0 exactly

@@ -10883,7 +10883,55 @@ object Queries {
        SELECT sz.comp AS comp, n_members, r.id AS rep_id,
          r.len AS rep_len, n_members - 1 AS n_redundant
        FROM sz JOIN r ON r.comp = sz.comp AND r.rn = 1
-       ORDER BY sz.comp"""))
+       ORDER BY sz.comp""")),
+
+    // ── IBAN PII with the real ISO 13616 mod-97 checksum (q_luhn_pii's
+    //    bank-account sibling): per-char fold with the base derived
+    //    from the value (letters ≥ 10 expand base-100). Engineered
+    //    valid/invalid twins every 9th doc; scan-local expressions. ──
+    QueryDef(
+      "q_iban_pii",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"),
+          when(col("doc_id") % 9 === 0,
+              concat(col("text"), lit(" GB82WEST12345698765432")))
+            .when(col("doc_id") % 9 === 4,
+              concat(col("text"), lit(" GB82WEST12345698765433")))
+            .otherwise(col("text")).as("text"))
+        operators.TextAnalysis.ibanScan(docs, "doc_id", "text")
+      },
+      Some("""WITH aug AS (SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0
+               THEN concat(text, ' GB82WEST12345698765432')
+             WHEN doc_id % 9 = 4
+               THEN concat(text, ' GB82WEST12345698765433')
+             ELSE text END AS text
+         FROM documents),
+         r AS (SELECT doc_id, regexp_extract_all(text,
+             '\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b') AS cands
+           FROM aug),
+         v AS (SELECT doc_id,
+             CAST(length(cands) AS BIGINT) AS n_candidates,
+             list_filter(cands, c -> list_reduce(
+               list_transform(range(1, length(c) + 1), i ->
+                 CASE WHEN ascii(substring(concat(substring(c, 5),
+                     substring(c, 1, 4)), i, 1)) BETWEEN 48 AND 57
+                   THEN CAST(ascii(substring(concat(substring(c, 5),
+                     substring(c, 1, 4)), i, 1)) - 48 AS BIGINT)
+                   ELSE CAST(ascii(substring(concat(substring(c, 5),
+                     substring(c, 1, 4)), i, 1)) - 55 AS BIGINT)
+                 END),
+               (a, x) -> (a * (CASE WHEN x > 9 THEN 100 ELSE 10 END)
+                 + x) % 97) = 1) AS valids
+           FROM r)
+       SELECT doc_id, n_candidates,
+         CAST(length(valids) AS BIGINT) AS n_valid,
+         CASE WHEN length(valids) > 0 THEN
+           concat(substring(valids[1], 1, 4),
+             repeat('*', length(valids[1]) - 8),
+             substring(valids[1], length(valids[1]) - 3, 4))
+         ELSE '' END AS first_valid_masked
+       FROM v ORDER BY doc_id"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

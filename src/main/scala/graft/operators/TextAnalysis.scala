@@ -197,6 +197,55 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** IBAN PII detection with the real MOD-97 checksum ([[luhnScan]]'s
+    * sibling for bank-account numbers): candidates are word-bounded
+    * `CC##…` runs of 15-34 chars, validated by ISO 13616 — move the
+    * first four chars to the end, expand letters to two digits
+    * (A=10…Z=35), and the resulting number must be ≡ 1 (mod 97). The
+    * big-number mod runs as a per-char fold with the base derived
+    * from the value (letters are always ≥ 10 and expand in base 100,
+    * digits ≤ 9 in base 10), so the whole check is one expression
+    * chain — scan-local, zero shuffles, exact integers. Emits (id,
+    * n_candidates, n_valid, first_valid_masked) keeping country+check
+    * and the last 4 — the audit-log convention.
+    */
+  def ibanScan(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val candRe = "\\\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\\\b"
+    val valids =
+      s"""filter(regexp_extract_all($textCol, '$candRe', 0), c ->
+        aggregate(
+          transform(sequence(1, length(c)),
+            i -> CASE WHEN ascii(substring(
+                concat(substring(c, 5), substring(c, 1, 4)), i, 1))
+                BETWEEN 48 AND 57
+              THEN CAST(ascii(substring(
+                concat(substring(c, 5), substring(c, 1, 4)), i, 1))
+                - 48 AS BIGINT)
+              ELSE CAST(ascii(substring(
+                concat(substring(c, 5), substring(c, 1, 4)), i, 1))
+                - 55 AS BIGINT) END),
+          0L, (acc, x) ->
+            (acc * (CASE WHEN x > 9L THEN 100L ELSE 10L END) + x)
+              % 97L) = 1)"""
+    df.select(col(idCol),
+        size(regexp_extract_all(col(textCol),
+          lit("\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"), lit(0)))
+          .cast("long").as("n_candidates"),
+        expr(valids).as("__valids"))
+      .withColumn("n_valid", size(col("__valids")).cast("long"))
+      .withColumn("first_valid_masked",
+        when(col("n_valid") > 0L,
+          concat(
+            expr("substring(element_at(__valids, 1), 1, 4)"),
+            expr("repeat('*', length(element_at(__valids, 1)) - 8)"),
+            expr("substring(element_at(__valids, 1)," +
+              " length(element_at(__valids, 1)) - 3, 4)")))
+          .otherwise(lit("")))
+      .drop("__valids")
+      .orderBy(col(idCol))
+  }
+
   /** UNIGRAM KL DIVERGENCE between two corpus slices — the
     * distribution-shift number a data-mixing pipeline reads before
     * blending sources (DSIR's importance weights are per-example;

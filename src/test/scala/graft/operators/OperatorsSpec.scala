@@ -443,6 +443,24 @@ class OperatorsSpec extends AnyFunSuite {
       (20L, 2L, 20L, 8L, 1L)))
   }
 
+  test("ibanScan: mod-97 checksum separates real IBANs from near-misses") {
+    val docs = Seq(
+      // GB82 WEST ... is the canonical valid example; +1 twin fails;
+      // DE89 3704 0044 0532 0130 00 is a second valid form
+      (1L, "send to GB82WEST12345698765432 today"),
+      (2L, "fake GB82WEST12345698765433 here"),
+      (3L, "sepa DE89370400440532013000 works"),
+      (4L, "no account numbers at all"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ibanScan(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 1L, 1L, "GB82**************5432"),
+      (2L, 1L, 0L, ""),
+      (3L, 1L, 1L, "DE89**************3000"),
+      (4L, 0L, 0L, "")))
+  }
+
   test("docEntropy: hand-computed nano entropies, repetitive docs rank first") {
     val docs = Seq(
       (1L, "a a a a"),   // one type: H = 0 exactly

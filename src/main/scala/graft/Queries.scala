@@ -10931,7 +10931,47 @@ object Queries {
              repeat('*', length(valids[1]) - 8),
              substring(valids[1], length(valids[1]) - 3, 4))
          ELSE '' END AS first_valid_masked
-       FROM v ORDER BY doc_id"""))
+       FROM v ORDER BY doc_id""")),
+
+    // ── CONDITIONAL BIGRAM ENTROPY per source — H(next|current) =
+    //    H(bigram) − H(unigram), the sequence-level templatedness
+    //    probe that catches boilerplate whose unigram diversity looks
+    //    healthy. docEntropy's integer-nano form per term, order-free
+    //    int sums, engine-exact. ──
+    QueryDef(
+      "q_cond_entropy",
+      (s, dir) => operators.TextAnalysis.condBigramEntropy(
+        t(s, dir, "documents"), "text", "source"),
+      Some("""WITH tk AS (SELECT source AS g,
+           list_filter(regexp_split_to_array(
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+             t -> length(t) > 0) AS ts
+         FROM documents),
+         unic AS (SELECT g, t, count(*) AS c FROM (
+             SELECT g, unnest(ts) AS t FROM tk) GROUP BY 1, 2),
+         uag AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE))
+               * 1000000000.0) AS BIGINT)) AS BIGINT) AS sclnc
+           FROM unic GROUP BY 1),
+         uh AS (SELECT g, n AS n_uni,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000000.0)
+               AS BIGINT) - sclnc // n AS h_uni_nano
+           FROM uag),
+         bic AS (SELECT g, t, count(*) AS c FROM (
+             SELECT g, unnest(list_transform(range(1, len(ts)),
+               i -> concat(ts[i], ' ', ts[i + 1]))) AS t
+             FROM tk) GROUP BY 1, 2),
+         bag AS (SELECT g, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE))
+               * 1000000000.0) AS BIGINT)) AS BIGINT) AS sclnc
+           FROM bic GROUP BY 1),
+         bh AS (SELECT g, n AS n_bi,
+             CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000000.0)
+               AS BIGINT) - sclnc // n AS h_bi_nano
+           FROM bag)
+       SELECT g AS source, n_uni, n_bi, h_uni_nano, h_bi_nano,
+         h_bi_nano - h_uni_nano AS cond_nano
+       FROM uh JOIN bh USING (g) ORDER BY source"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

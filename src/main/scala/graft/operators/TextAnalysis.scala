@@ -197,6 +197,55 @@ object TextAnalysis {
       .orderBy(col(idCol))
   }
 
+  /** CONDITIONAL BIGRAM ENTROPY per source — H(next token | current
+    * token) = H(bigram) − H(unigram), the sequence-level
+    * templatedness signal ([[docEntropy]]'s corpus sibling): a source
+    * whose next token is highly predictable from the current one is
+    * boilerplate/template spam even when its unigram diversity looks
+    * healthy. Both entropies use the [[docEntropy]] integer form
+    * H·1e9 ≈ ⌊ln N·1e9⌋ − (Σ c·⌊ln c·1e9⌋) div N — exact int64
+    * arithmetic, order-free sums, engine-replayable.
+    *
+    * Returns (source, n_uni, n_bi, h_uni_nano, h_bi_nano, cond_nano)
+    * ordered by source. Scale shape: two map-side-combined count
+    * aggregations (unigram, bigram) + per-source rollups — the
+    * q_keyness shape; nothing beyond vocab²-bounded group counts.
+    */
+  def condBigramEntropy(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    def hTerms(counted: DataFrame): DataFrame =
+      counted.groupBy("g")
+        .agg(sum("c").as("n"),
+          sum(col("c") *
+            floor(log(col("c").cast("double")) * 1e9).cast("long"))
+            .as("sclnc"))
+        .withColumn("h_nano",
+          floor(log(col("n").cast("double")) * 1e9).cast("long") -
+            expr("sclnc div n"))
+    val tk = df.select(col(groupCol).as("g"),
+      filter(toks(col(textCol)), t => length(t) > 0).as("ts"))
+    val uni = hTerms(tk
+      .select(col("g"), explode(col("ts")).as("t"))
+      .groupBy("g", "t").agg(count(lit(1)).as("c")))
+      .select(col("g"), col("n").as("n_uni"),
+        col("h_nano").as("h_uni_nano"))
+    val bi = hTerms(tk
+      .select(col("g"), explode(
+        zip_with(
+          slice(col("ts"), lit(1),
+            greatest(lit(0), size(col("ts")) - 1)),
+          slice(col("ts"), lit(2), size(col("ts"))),
+          (a, b) => concat(a, lit(" "), b))).as("t"))
+      .groupBy("g", "t").agg(count(lit(1)).as("c")))
+      .select(col("g"), col("n").as("n_bi"),
+        col("h_nano").as("h_bi_nano"))
+    uni.join(bi, "g")
+      .select(col("g").as("source"), col("n_uni"), col("n_bi"),
+        col("h_uni_nano"), col("h_bi_nano"),
+        (col("h_bi_nano") - col("h_uni_nano")).as("cond_nano"))
+      .orderBy("source")
+  }
+
   /** IBAN PII detection with the real MOD-97 checksum ([[luhnScan]]'s
     * sibling for bank-account numbers): candidates are word-bounded
     * `CC##…` runs of 15-34 chars, validated by ISO 13616 — move the

@@ -461,6 +461,19 @@ class OperatorsSpec extends AnyFunSuite {
       (4L, 0L, 0L, "")))
   }
 
+  test("condBigramEntropy: hand-computed H(next|current) on the nano grid") {
+    def lnG(x: Long): Long = math.floor(math.log(x.toDouble) * 1e9).toLong
+    val docs = Seq(
+      (1L, "x y x y", "a"),   // uni {x:2,y:2} N=4; bi {xy:2,yx:1} N=3
+      (2L, "w", "b"))         // single token: zero bigrams → no row
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.condBigramEntropy(docs, "text", "source")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    val hUni = lnG(4) - (4L * lnG(2)) / 4L
+    val hBi = lnG(3) - (2L * lnG(2) + 1L * lnG(1)) / 3L
+    assert(out == Seq(("a", 4L, 3L, hUni, hBi, hBi - hUni)))
+  }
+
   test("docEntropy: hand-computed nano entropies, repetitive docs rank first") {
     val docs = Seq(
       (1L, "a a a a"),   // one type: H = 0 exactly

@@ -3520,25 +3520,17 @@ object Queries {
     //    (lengths, counts, ids), so the argmax is engine-exact. ──
     QueryDef(
       "q_cluster_reps",
-      (s, dir) => {
-        val aug = twinChainCorpus(s, dir)
-        // the labels are the memoized build artifact ([[twinChainComponents]]);
-        // this query times the ACCOUNTING step over them
-        val comps = twinChainComponents(s, dir)
-        val lens = aug.select(col("doc_id").as("id"),
-          length(col("text")).cast("long").as("text_len"))
-        val sized = comps.join(lens, "id")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("comp")
-          .orderBy(col("text_len").desc, col("id").asc)
-        val reps = sized.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("comp"), col("id").as("keep_id"),
-            col("text_len").as("keep_len"))
-        val counts = sized.groupBy("comp")
-          .agg(count(lit(1)).as("n_members"))
-        reps.join(counts, "comp").orderBy("comp")
-      },
+      (s, dir) =>
+        // the labels are the memoized build artifact
+        // ([[twinChainComponents]]); this query times the ACCOUNTING
+        // step over them, routed through the shared operator (round
+        // 10 — same plan the inline version built)
+        operators.Dedup.clusterRepresentatives(
+            twinChainComponents(s, dir), twinChainCorpus(s, dir),
+            "doc_id", "text")
+          .select(col("comp"), col("rep_id").as("keep_id"),
+            col("rep_len").as("keep_len"), col("n_members"))
+          .orderBy("comp"),
       Some("""WITH RECURSIVE docs AS (
                 SELECT doc_id, text FROM documents
                 UNION ALL
@@ -10825,65 +10817,6 @@ object Queries {
          (2 * sym_micro + indent_micro + kw_micro) // 4 AS
            code_score_micro
        FROM m ORDER BY doc_id""")),
-
-    // ── CLUSTER CANONICALIZATION: per near-dup component, keep the
-    //    (longest text, smallest id) member — the "which copy do we
-    //    keep" delete-list step after dedup labeling. Amortizes the
-    //    memoized twin-chain components (the promised q_cluster_reps
-    //    companion to q_dedup_components' fresh build); total
-    //    tie-break ⇒ deterministic in any engine. ──
-    QueryDef(
-      "q_cluster_reps",
-      (s, dir) => operators.Dedup.clusterRepresentatives(
-        twinChainComponents(s, dir), twinChainCorpus(s, dir),
-        "doc_id", "text"),
-      Some("""WITH RECURSIVE docs AS (
-           SELECT doc_id, text FROM documents
-           UNION ALL
-           SELECT doc_id + 100000, text || ' zz' FROM documents
-           UNION ALL
-           SELECT doc_id + 200000, text || ' zz yy' FROM documents),
-         t AS (SELECT doc_id,
-           regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-           FROM docs),
-         sh AS (SELECT DISTINCT doc_id,
-                  array_to_string(toks[g:g+4], ' ') AS s
-                FROM (SELECT doc_id, toks,
-                        unnest(generate_series(1, len(toks) - 4)) AS g
-                      FROM t)),
-         sz0 AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-         prs AS (SELECT id_a, id_b FROM (
-                   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                     count(*) AS shared
-                   FROM sh a JOIN sh b
-                     ON a.s = b.s AND a.doc_id < b.doc_id
-                   GROUP BY 1, 2) p
-                 JOIN sz0 x ON x.doc_id = p.id_a
-                 JOIN sz0 y ON y.doc_id = p.id_b
-                 WHERE CAST(shared AS DOUBLE) /
-                   (x.n + y.n - shared) >= 0.5),
-         edges AS (SELECT id_a AS src, id_b AS dst FROM prs
-                   UNION
-                   SELECT id_b, id_a FROM prs),
-         verts AS (SELECT DISTINCT src AS id FROM edges),
-         reach(v, l) AS (
-           SELECT id, id FROM verts
-           UNION
-           SELECT e.dst, r.l FROM reach r
-             JOIN edges e ON e.src = r.v),
-         cc AS (SELECT v AS id, min(l) AS comp FROM reach GROUP BY v),
-         j AS (SELECT cc.comp, cc.id,
-                 CAST(length(d.text) AS BIGINT) AS len
-               FROM cc JOIN docs d ON d.doc_id = cc.id),
-         r AS (SELECT comp, id, len, row_number() OVER (
-                 PARTITION BY comp ORDER BY len DESC, id ASC) AS rn
-               FROM j),
-         sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS n_members
-                FROM j GROUP BY 1)
-       SELECT sz.comp AS comp, n_members, r.id AS rep_id,
-         r.len AS rep_len, n_members - 1 AS n_redundant
-       FROM sz JOIN r ON r.comp = sz.comp AND r.rn = 1
-       ORDER BY sz.comp""")),
 
     // ── IBAN PII with the real ISO 13616 mod-97 checksum (q_luhn_pii's
     //    bank-account sibling): per-char fold with the base derived

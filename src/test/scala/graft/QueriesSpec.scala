@@ -27,6 +27,17 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registry names are unique (byName silently last-wins on duplicates)") {
+    // a duplicated QueryDef name shadows the earlier definition in
+    // byName/oracles with no error — caught once in round 10
+    // (q_cluster_reps); this pins the invariant
+    val names = Queries.allDefs.map(_.name)
+    val dups = names.groupBy(identity).collect {
+      case (n, g) if g.size > 1 => n
+    }
+    assert(dups.isEmpty, s"duplicate registry names: $dups")
+  }
+
   test("every registered query runs non-empty on sf0.001") {
     val empties = Queries.allDefs.filter { d =>
       d.fn(spark, sf).limit(1).count() == 0

@@ -951,11 +951,20 @@ object BenchScale {
         f -> d
       }
       heavyCases.foreach { name =>
-        // drop dead shuffle/broadcast state from the main pass before
-        // timing: the exponent fit includes a t10 measured mid-suite,
-        // so the big legs must not additionally pay for the whole
-        // suite's accumulated garbage (see the periodicGC note on the
-        // session builder)
+        // ALL fit points are measured back-to-back in the SAME suite
+        // state: the main-phase t10 rides a lighter pollution regime
+        // than legs run after hundreds of queries (and after earlier
+        // heavy queries' 100× legs), and that regime gap lands
+        // entirely on the 10→30 step of the fit — the committed r10
+        // first run read q_knn_graph at exponent 1.64 from a 6×
+        // regime inflation (its isolated exponent is 0.76, and its
+        // own 30→100 slope in the same run was 1.02). So the 10×
+        // anchor is RE-MEASURED here, post-GC, immediately before the
+        // big legs; the mid-suite wall is still reported as
+        // t{factor}_suite_s for transparency.
+        System.gc()
+        val (tAnchor, _, _) = runOne(spark, name, big,
+          build = ScaledVariants.get(name).map(_(factor)))
         val legs = heavyDirs.map { case (f, d) =>
           System.gc()
           val (t, r, _) = runOne(spark, name, d,
@@ -965,7 +974,7 @@ object BenchScale {
         }
         val tN = timed(name)
         // least-squares slope of log t on log f over all legs
-        val pts = ((factor, tN) +: legs.map(l => (l._1, l._2)))
+        val pts = ((factor, tAnchor) +: legs.map(l => (l._1, l._2)))
           .map { case (f, t) =>
             (math.log(f.toDouble), math.log(math.max(t, 1e-3))) }
         val n = pts.length.toDouble
@@ -977,7 +986,8 @@ object BenchScale {
         if (!expOk) bad += 1
         val legJson = legs.map { case (f, t, r) =>
           s""""t${f}_s":${f"$t%.3f"},"rows$f":$r""" }.mkString(",")
-        emit(s"""{"query":"$name","t${factor}_s":${f"$tN%.3f"},""" +
+        emit(s"""{"query":"$name","t${factor}_s":${f"$tAnchor%.3f"},""" +
+          s""""t${factor}_suite_s":${f"$tN%.3f"},""" +
           legJson + "," +
           s""""fit_factors":${(factor +: legs.map(_._1))
             .mkString("[", ",", "]")},""" +

@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parse contract (round-10 verdict item 2): the per-round driver
+// keeps a 2000-char stdout tail of `sbt runMain graft.Bench` and tries
+// to parse the LAST line as JSON. Two sbt cosmetics broke that in
+// r9/r10: the logger's "[info] " prefix on run output, and the trailing
+// "[success] Total time" line. StdoutOutput passes the forked JVM's
+// stdout through raw (no prefix), and showSuccess drops the trailer —
+// so Bench's compact summary line is the literal last stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not the task graph —
+// exclude it from the unused-key lint that would otherwise warn per run
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -72,6 +72,12 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
 
   // ── databases ──
 
+  /** Physical data directory of a table — for the bench harness's scan
+    * profiling (reading the same files without the engine's ordered
+    * machinery); not part of the query surface.
+    */
+  def dataPath(td: TableDef): String = dataDir(td).toString
+
   def hasDatabase(db: String): Boolean = Files.isDirectory(dbPath(db))
 
   def createDatabase(db: String): Unit = {
@@ -319,6 +325,85 @@ final class Catalog(val spark: SparkSession, val warehouse: String) {
     val df = graft.plans.OrderedParquetScan.read(spark, metas, schema,
       physFilters, reverse, maxSplit)
     Some(physToLogical(td, df).drop(SeqCol))
+  }
+
+  /** Range-ordered LWW read of a DIRTY table — the SELECT fallback when
+    * [[readTableOrdered]] declines. One range exchange + in-partition
+    * sort on (PK incl. ns remainders, `__seq` desc) + an adjacent-run
+    * first-wins dedupe, instead of the previous two-shuffle shape (hash
+    * window for LWW, then a global sort for presentation order). After
+    * the sort, all versions of a key are adjacent with the newest
+    * first, so keeping each key-run's first row IS last-write-wins, and
+    * concatenated range partitions are already in global PK order
+    * (reverse order when `reverse`) — the same presentation contract as
+    * the clean path (reference query.go:158). At 100 TB this is the
+    * standard LSM merge-read: one shuffle of the log, however many
+    * appends have landed.
+    *
+    * `pre` is an optional PK predicate applied BEFORE the exchange —
+    * every version of a key shares its PK values, so PK predicates
+    * commute with per-key LWW dedupe, and filtering early keeps the
+    * shuffle sized to the selected range. The adjacent dedupe is a
+    * `mapPartitions` (the narrow-operator exception the design doc
+    * allows): no composition of declarative ops expresses "first row
+    * of each equal-key run" without re-introducing a hash exchange.
+    */
+  def readTableOrderedDirty(td: TableDef, reverse: Boolean,
+      pre: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val base0 = maskedData(td)
+    val base = pre.map(base0.filter).getOrElse(base0)
+    val keys = keyColsWithNs(td)
+    def dir(n: String) = if (reverse) col(n).desc else col(n).asc
+    val sortCols = keys.map(dir) :+ col(SeqCol).desc
+    // range partitioning pays a SAMPLING pass over the source to pick
+    // boundaries; when the whole log fits one scan split the sorted
+    // output is a single partition anyway, so a plain 1-partition
+    // exchange (no sampling) is strictly cheaper. The byte gate keeps
+    // this a small-table fast path — big logs take the sampled range
+    // exchange that scales.
+    val maxSplit = spark.conf.get("spark.sql.files.maxPartitionBytes",
+      (128L * 1024 * 1024).toString).takeWhile(_.isDigit).toLong
+    val logBytes = {
+      val d = dataDir(td)
+      if (!Files.isDirectory(d)) 0L
+      else withStream(Files.list(d))(_.map(p =>
+        try Files.size(p) catch { case _: Throwable => 0L }).sum)
+    }
+    val sorted =
+      if (logBytes <= maxSplit)
+        base.repartition(1).sortWithinPartitions(sortCols: _*)
+      else base.repartitionByRange(keys.map(dir): _*)
+        .sortWithinPartitions(sortCols: _*)
+    // adjacent-run first-wins dedupe at the InternalRow level: the
+    // external-Row encoder round trip costs more than the whole scan
+    // at this shape. Rows arrive as reused UnsafeRow buffers, so the
+    // previous key is copied out (UTF8String values materialized) for
+    // the comparison; emitted rows keep Spark's standard reused-buffer
+    // contract (downstream operators copy when they buffer).
+    val schema = sorted.schema
+    val keyIdx = keys.map(schema.fieldIndex).toArray
+    val keyTypes = keyIdx.map(schema(_).dataType)
+    val rdd = sorted.queryExecution.toRdd.mapPartitions { it =>
+      val nk = keyIdx.length
+      var prev: Array[Any] = null
+      it.filter { r =>
+        val cur = new Array[Any](nk)
+        var i = 0
+        var same = prev != null
+        while (i < nk) {
+          cur(i) = r.get(keyIdx(i), keyTypes(i)) match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => other
+          }
+          if (same && cur(i) != prev(i)) same = false
+          i += 1
+        }
+        if (!same) prev = cur
+        !same
+      }
+    }
+    org.apache.spark.sql.graftshim.GraftSqlShims
+      .internalDf(spark, rdd, schema).drop(SeqCol)
   }
 
   /** Rename the column of a pushed-down filter from logical to physical

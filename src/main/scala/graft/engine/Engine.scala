@@ -457,6 +457,10 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     var limit = 0
     var reverse = false
     s.limit.foreach { l =>
+      // reject rather than wrap: Long.toInt on |l| > Int.MaxValue
+      // would silently truncate the result set to an arbitrary count
+      if (l > Int.MaxValue || l < -Int.MaxValue.toLong)
+        throw OtError(s"LIMIT $l out of range")
       limit = l.toInt
       if (limit < 0) { limit = -limit; reverse = true }
     }
@@ -662,14 +666,16 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     // (or clean reads the ordered path declines) pay an explicit sort.
     val ordered = catalog.readTableOrdered(s.td, s.reverse,
       condsToSourceFilters(s.td, conds))
+    val pred = condsToPredicate(s.td, conds)
     // ns remainder columns ride along for predicates/sort; the final
-    // projection (logical columns only) drops them
-    var df = ordered.getOrElse(catalog.readTableKeepNs(s.td))
-    condsToPredicate(s.td, conds).foreach(p => df = df.filter(p))
-    if (ordered.isEmpty) {
-      val sortCols = catalog.keyColsWithNs(s.td).map(k =>
-        if (s.reverse) col(k).desc else col(k).asc)
-      df = df.orderBy(sortCols: _*)
+    // projection (logical columns only) drops them. Dirty tables take
+    // the fused single-shuffle LWW+order read (round-11: the previous
+    // window-then-global-sort fallback paid two exchanges — see
+    // Catalog.readTableOrderedDirty); the PK predicate moves inside it
+    // so parquet pushdown still prunes before the exchange.
+    var df = ordered match {
+      case Some(d) => pred.map(d.filter).getOrElse(d)
+      case None => catalog.readTableOrderedDirty(s.td, s.reverse, pred)
     }
     if (s.limit > 0) df = df.limit(s.limit)
     // projection incl. adj application (reference adj.go:142-202)
@@ -734,6 +740,8 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     s.limit match {
       case Some(l) if l < 0 =>
         throw OtError("Table functions support positive LIMIT only")
+      case Some(l) if l > Int.MaxValue => // same wrap hazard as SELECT
+        throw OtError(s"LIMIT $l out of range")
       case Some(l) => out.limit(l.toInt)
       case None => out
     }

@@ -52,12 +52,19 @@ object OrderedParquetScan {
         FilePartition(i, Array(toPartitionedFile(f)))
       }
       else pack(ordered, maxPartitionBytes)
-    // row-based reading (returning_batch=false): rows arrive in file
-    // order with no ColumnarBatch handling; the vectorized reader's
-    // throughput edge matters for wide analytic scans, not the ordered
-    // compat read this serves
+    // VECTORIZED reading where the schema supports it (round-11 scan
+    // profile: the row-based reader was the dominant component of the
+    // ordered-scan wall — decoding column-by-column into batches and
+    // flattening batch→row below is measurably faster than the
+    // record-at-a-time parquet-mr path, and row order is unchanged:
+    // batches arrive in file order and rowIterator preserves in-batch
+    // order). `spark.graft.orderedScan.vectorized=false` restores the
+    // row-based reader for A/B profiling.
+    val vectorized = spark.conf
+      .get("spark.graft.orderedScan.vectorized", "true").toBoolean &&
+      GraftSqlShims.parquetSupportsBatch(spark, schema)
     val readFn = GraftSqlShims.parquetReader(spark, schema, schema,
-      pushedFilters, Map("returning_batch" -> "false"),
+      pushedFilters, Map("returning_batch" -> vectorized.toString),
       GraftSqlShims.hadoopConf(spark))
     val scan = new FileScanRDD(spark, readFn, parts, schema)
     val rev = reverse

@@ -38,4 +38,12 @@ object GraftSqlShims {
 
   def hadoopConf(spark: SparkSession): Configuration =
     spark.sessionState.newHadoopConfWithOptions(Map.empty)
+
+  /** Whether the parquet reader can return ColumnarBatch for this
+    * schema (all-atomic columns + vectorized reader enabled) — the
+    * same gate FileSourceScanExec consults before requesting batches.
+    */
+  def parquetSupportsBatch(spark: SparkSession,
+      schema: StructType): Boolean =
+    new ParquetFileFormat().supportBatch(spark, schema)
 }

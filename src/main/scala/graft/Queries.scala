@@ -10572,9 +10572,12 @@ object Queries {
     // ── WEISFEILER–LEMAN color refinement (2 rounds) over the
     //    co-purchase bipartite graph — the structural fingerprint
     //    whose color histogram keys graph-shaped dedup the way
-    //    minhash keys text. Canonical hash = md5(own | sorted
-    //    neighbor colors), degree seeds — fully engine-replayable;
-    //    the oracle unrolls both rounds with ordered string_agg. ──
+    //    minhash keys text. Canonical hash = md5(own | two summed
+    //    hex52 lanes of the neighbor colors , degree) — the
+    //    ORDER-INVARIANT hub-safe combine (a node's aggregation state
+    //    is three longs at any degree), degree seeds, fully
+    //    engine-replayable; the oracle unrolls both rounds with the
+    //    identical hex52-lane sums. ──
     QueryDef(
       "q_wl_colors",
       (s, dir) => {
@@ -10588,7 +10591,7 @@ object Queries {
           pairs.select(col("c").as("src"), col("p").as("dst")),
           "src", "dst", rounds = 2)
       },
-      Some("""WITH pairs AS MATERIALIZED (
+      Some(s"""WITH pairs AS MATERIALIZED (
            SELECT DISTINCT o_custkey AS c, l_suppkey + 1000000 AS p
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          e AS MATERIALIZED (SELECT DISTINCT a, b FROM (
@@ -10597,14 +10600,30 @@ object Queries {
          c0 AS (SELECT a AS id, CAST(count(*) AS VARCHAR) AS c
                 FROM e GROUP BY 1),
          n1 AS (SELECT e.a AS id,
-                  string_agg(x.c, ',' ORDER BY x.c) AS nbs
+                  CAST(sum(${operators.Sketch.hex52Sql("md5(x.c)")}
+                    % 1000000000) AS BIGINT) AS l1,
+                  CAST(sum(${operators.Sketch
+                    .hex52Sql("md5(concat(x.c, '#2'))")}
+                    % 1000000000) AS BIGINT) AS l2,
+                  CAST(count(*) AS BIGINT) AS dg
                 FROM e JOIN c0 x ON x.id = e.b GROUP BY 1),
-         c1 AS (SELECT c0.id, md5(concat(c0.c, '|', n1.nbs)) AS c
+         c1 AS (SELECT c0.id, md5(concat(c0.c, '|',
+                  CAST(n1.l1 AS VARCHAR), ',',
+                  CAST(n1.l2 AS VARCHAR), ',',
+                  CAST(n1.dg AS VARCHAR))) AS c
                 FROM c0 JOIN n1 ON n1.id = c0.id),
          n2 AS (SELECT e.a AS id,
-                  string_agg(x.c, ',' ORDER BY x.c) AS nbs
+                  CAST(sum(${operators.Sketch.hex52Sql("md5(x.c)")}
+                    % 1000000000) AS BIGINT) AS l1,
+                  CAST(sum(${operators.Sketch
+                    .hex52Sql("md5(concat(x.c, '#2'))")}
+                    % 1000000000) AS BIGINT) AS l2,
+                  CAST(count(*) AS BIGINT) AS dg
                 FROM e JOIN c1 x ON x.id = e.b GROUP BY 1),
-         c2 AS (SELECT c1.id, md5(concat(c1.c, '|', n2.nbs)) AS c
+         c2 AS (SELECT c1.id, md5(concat(c1.c, '|',
+                  CAST(n2.l1 AS VARCHAR), ',',
+                  CAST(n2.l2 AS VARCHAR), ',',
+                  CAST(n2.dg AS VARCHAR))) AS c
                 FROM c1 JOIN n2 ON n2.id = c1.id)
        SELECT c AS color, CAST(count(*) AS BIGINT) AS n_nodes
        FROM c2 GROUP BY 1 ORDER BY color""")),

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Resample, TextAnalysis}
+import graft.operators.{Dedup, Resample, Sampling, TextAnalysis}
 
 /** Table-valued functions: the SQL-dialect gateway to the library's
   * pipeline operators. The reference's select grammar stops at one
@@ -107,6 +107,50 @@ object TableFns {
         val text = argStr("quality_score", a, 1)
         requireCol("quality_score", df, text)
         TextAnalysis.qualityScore(df, text)
+      }),
+    // near-duplicate CLUSTER LABELS: the minhash LSH pair mine plus
+    // the min-label connected-components fixpoint — the wire entry
+    // point for "which docs are copies of which" (round-10 verdict
+    // item 6: the first pipeline call a dedup user makes)
+    "dedup_components" -> FnDef(
+      "dedup_components('db.tbl', 'id_col', 'text_col', threshold)",
+      4 to 4,
+      (df, a) => {
+        val (id, text) = (argStr("dedup_components", a, 1),
+          argStr("dedup_components", a, 2))
+        requireCol("dedup_components", df, id)
+        requireCol("dedup_components", df, text)
+        val th = argNum("dedup_components", a, 3)
+        if (th <= 0.0 || th > 1.0)
+          throw OtError("dedup_components: threshold must be in (0, 1]")
+        val pairs = Dedup.minhashLSH(df, id, text, threshold = th)
+          .select("id_a", "id_b")
+        Dedup.connectedComponents(pairs, "id_a", "id_b").orderBy("id")
+      }),
+    // per-row PII counts + email-redacted text — the audit scan a
+    // curation pipeline runs before anything ships
+    "pii_scan" -> FnDef(
+      "pii_scan('db.tbl', 'id_col', 'text_col')",
+      3 to 3,
+      (df, a) => {
+        val (id, text) = (argStr("pii_scan", a, 1),
+          argStr("pii_scan", a, 2))
+        requireCol("pii_scan", df, id)
+        requireCol("pii_scan", df, text)
+        TextAnalysis.piiScan(df, id, text).orderBy(id)
+      }),
+    // deterministic hash sample: keep ~rate of rows, reproducibly,
+    // scan-local (no shuffle) — the "give me 1% of the table" call
+    "sample_hash" -> FnDef(
+      "sample_hash('db.tbl', 'id_col', rate)",
+      3 to 3,
+      (df, a) => {
+        val id = argStr("sample_hash", a, 1)
+        requireCol("sample_hash", df, id)
+        val rate = argNum("sample_hash", a, 2)
+        if (rate <= 0.0 || rate > 1.0)
+          throw OtError("sample_hash: rate must be in (0, 1]")
+        Sampling.hashSample(df, id, Sampling.rateToThreshold(rate))
       }),
     // OHLCV bars from a (key, time, value) event table; width in the
     // time column's own units (epoch micros for timestamp columns)

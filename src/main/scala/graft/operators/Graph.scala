@@ -549,20 +549,33 @@ object Graph {
   /** WEISFEILER–LEMAN (1-WL) COLOR REFINEMENT over an undirected
     * simple graph — the classic structural fingerprint: color₀ =
     * degree, then each round recolors every node with a canonical
-    * hash of (own color | sorted multiset of neighbor colors).
-    * Isomorphic graphs produce identical color HISTOGRAMS, so the
-    * returned (color, n_nodes) rows are the dedup/drift key for
+    * hash of (own color | neighbor-color multiset). Isomorphic graphs
+    * produce identical color HISTOGRAMS, so the returned
+    * (color, n_nodes) rows are the dedup/drift key for
     * graph-structured records (two scrapes of the same site cluster,
     * two org charts, two citation neighborhoods) the same way minhash
-    * signatures key text. Everything is engine-replayable: the
-    * canonical form is `md5(own ‖ '|' ‖ join(sort(neighbors), ','))`
-    * over decimal-string colors, no RNG, no floats.
+    * signatures key text.
+    *
+    * The multiset is combined ORDER-INVARIANTLY (round 11): two
+    * independent 52-bit md5-prefix hash lanes of each neighbor color,
+    * reduced mod 1e9 and SUMMED, plus the exact degree — so a node's
+    * aggregation state is three longs however large its degree (the
+    * previous `sort_array(collect_list(...))` string materialized one
+    * row of O(degree) bytes on a hub, and its sort blocked map-side
+    * partial aggregation). Sum-of-hashes is a multiset fingerprint,
+    * not a perfect encoding, but at two independent 30-bit lanes plus
+    * the exact count a colliding pair of distinct neighborhoods is
+    * ~2⁻⁶⁰ — the same fingerprint confidence minhash/simhash keys
+    * carry. Everything is engine-replayable: the lanes are the
+    * portable [[graft.functions.Hex52]] hash (= 13 md5 hex nibbles),
+    * no RNG, no floats, and sums of ≤1e9 values stay exact in BIGINT
+    * to degree 9e9.
     *
     * Scale shape: [[pageRank]]'s round structure — per round one hash
     * join of the persisted edge table with the current color table
-    * plus one sorted-list aggregation per node, checkpointed and
-    * freed via [[IterCheckpoint]]. Per-node work is bounded by
-    * degree; nothing quadratic. Rounds is small and fixed (1-WL
+    * plus one sum/count aggregation per node (map-side combinable),
+    * checkpointed and freed via [[IterCheckpoint]]. Per-node state is
+    * O(1); nothing quadratic. Rounds is small and fixed (1-WL
     * stabilizes in ≤ diameter rounds; 2 suffices for fingerprints).
     */
   def wlColors(edges: DataFrame, srcCol: String, dstCol: String,
@@ -573,19 +586,26 @@ object Graph {
       .distinct()
     val e = eu.unionAll(eu.select(col("b").as("a"), col("a").as("b")))
       .distinct().persist(lvl)
+    val lane = lit(1000000000L)
     var colors = IterCheckpoint(e.groupBy(col("a").as("id"))
       .agg(count(lit(1)).cast("string").as("c")))
     for (_ <- 1 to rounds) {
       val nb = e
         .join(colors.select(col("id").as("b"), col("c").as("cb")), "b")
         .groupBy(col("a").as("id"))
-        .agg(concat_ws(",", sort_array(collect_list(col("cb"))))
-          .as("nbs"))
+        .agg(
+          sum(pmod(graft.functions.Hex52(col("cb")), lane)).as("l1"),
+          sum(pmod(graft.functions.Hex52(
+            concat(col("cb"), lit("#2"))), lane)).as("l2"),
+          count(lit(1)).as("dg"))
       // every node has ≥1 neighbor BY CONSTRUCTION (edge endpoints),
       // so the inner join covers the full node set
       val next = IterCheckpoint(colors.join(nb, "id")
         .select(col("id"),
-          md5(concat(col("c"), lit("|"), col("nbs"))).as("c")))
+          md5(concat(col("c"), lit("|"),
+            col("l1").cast("string"), lit(","),
+            col("l2").cast("string"), lit(","),
+            col("dg").cast("string"))).as("c")))
       IterCheckpoint.free(colors)
       colors = next
     }

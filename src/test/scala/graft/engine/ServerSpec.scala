@@ -409,6 +409,76 @@ class ServerSpec extends AnyFunSuite {
     } finally cb.close()
   }
 
+  test("round-11 TVFs: dedup_components, pii_scan, sample_hash (JSON + BSON)") {
+    // the three pipeline entry points a wire user hits first
+    // (round-10 verdict item 6), through the same parse → resolve →
+    // library-plan route as the r10 set
+    client.execute("create database if not exists net")
+    client.execute("create table net.d2(doc_id int, body text, " +
+      "primary key(doc_id))")
+    val words = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val pid = client.prepare("insert into net.d2 values(?, ?)")
+    client.batchInsert(pid, Seq(
+      Seq(1, words),
+      Seq(2, words + " tokx"), // near-dup of doc 1
+      Seq(3, "reach me at bob@example.com or 555-123-4567 today")))
+    // dedup_components labels the near-dup pair with its min id; doc 3
+    // joins no pair so it carries no row (singletons are their own
+    // component implicitly)
+    val comp = client.execute(
+      "select * from dedup_components('net.d2', 'doc_id', 'body', 0.5)")
+    assert(comp.map(_.map(_.toString)) == Seq(Seq("1", "1"), Seq("2", "1")))
+    // pii_scan: counts + email-redacted text per row
+    val pii = client.execute(
+      "select * from pii_scan('net.d2', 'doc_id', 'body')")
+    assert(pii.length == 3)
+    val doc3 = pii.find(_.head.toString == "3").get
+    assert(doc3(1).toString == "1") // one email
+    assert(doc3(2).toString == "1") // one phone
+    assert(doc3(3).toString == "0" && doc3(4).toString == "0")
+    assert(doc3(5).toString.contains("<EMAIL>") &&
+      !doc3(5).toString.contains("bob@example.com"))
+    // sample_hash: rate 1.0 keeps everything; lower rates are
+    // deterministic (two calls, same rows) and nested (0.25 ⊆ 0.75)
+    assert(client.execute(
+      "select * from sample_hash('net.d2', 'doc_id', 1.0)").length == 3)
+    def ids(rate: String) = client.execute(
+      s"select * from sample_hash('net.d2', 'doc_id', $rate)")
+      .map(_.head.toString).toSet
+    assert(ids("0.25") == ids("0.25"))
+    assert(ids("0.25").subsetOf(ids("0.75")))
+    // argument validation keeps the closed-dialect error contract
+    assert(intercept[OtError](client.execute(
+      "select * from sample_hash('net.d2', 'doc_id', 1.5)")).msg ==
+      "sample_hash: rate must be in (0, 1]")
+    assert(intercept[OtError](client.execute(
+      "select * from pii_scan('net.d2', 'doc_id')")).msg ==
+      "Usage: pii_scan('db.tbl', 'id_col', 'text_col')")
+    // LIMIT wider than Int range is rejected, not wrapped (both the
+    // TVF path and plain SELECT)
+    assert(intercept[OtError](client.execute(
+      "select * from pii_scan('net.d2', 'doc_id', 'body') " +
+        "limit 9999999999")).msg == "LIMIT 9999999999 out of range")
+    assert(intercept[OtError](client.execute(
+      "select * from net.d2 limit 9999999999")).msg ==
+      "LIMIT 9999999999 out of range")
+    // BSON mode: the same calls through the default codec with an
+    // unqualified table ref against the used db
+    val cb = new NetClient("127.0.0.1", server.boundPort, protocol = "bson")
+    try {
+      cb.use("net")
+      val cbComp = cb.execute(
+        "select * from dedup_components('d2', 'doc_id', 'body', 0.5)")
+      assert(cbComp.map(_.map(_.toString)) ==
+        Seq(Seq("1", "1"), Seq("2", "1")))
+      val cbPii = cb.execute(
+        "select * from pii_scan('d2', 'doc_id', 'body') limit 1")
+      assert(cbPii.length == 1)
+      assert(cb.execute(
+        "select * from sample_hash('d2', 'doc_id', 1.0)").length == 3)
+    } finally cb.close()
+  }
+
   test("client reconnects after a server restart and replays used db") {
     val port = server.boundPort
     server.stop()

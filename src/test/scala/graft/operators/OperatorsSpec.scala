@@ -366,13 +366,21 @@ class OperatorsSpec extends AnyFunSuite {
     def md5s(s: String): String = java.security.MessageDigest
       .getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
-    // path 1-2-3 after one round: ends hash ("1" | "2"), middle
-    // hashes ("2" | "1,1") — two classes, sizes 2 and 1
+    // the order-invariant combine: two summed 52-bit md5-prefix lanes
+    // (mod 1e9) of the neighbor colors plus the degree (round 11 —
+    // hub-safe O(1) per-node state)
+    def lane(c: String): Long =
+      graft.functions.Hex52Impl.hash52(c.getBytes("UTF-8")) % 1000000000L
+    def recolor(own: String, nbrs: Seq[String]): String =
+      md5s(own + "|" + nbrs.map(lane).sum + "," +
+        nbrs.map(n => lane(n + "#2")).sum + "," + nbrs.length)
+    // path 1-2-3 after one round: ends hash ("1" | {"2"}), middle
+    // hashes ("2" | {"1","1"}) — two classes, sizes 2 and 1
     val p3 = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
     val one = Graph.wlColors(p3, "s", "d", rounds = 1)
       .as[(String, Long)].collect().toSeq.sortBy(_._1)
-    assert(one == Seq(md5s("1|2") -> 2L, md5s("2|1,1") -> 1L)
-      .sortBy(_._1))
+    assert(one == Seq(recolor("1", Seq("2")) -> 2L,
+      recolor("2", Seq("1", "1")) -> 1L).sortBy(_._1))
     // isomorphic graphs (a triangle and its relabeling) fingerprint
     // identically
     val triA = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")

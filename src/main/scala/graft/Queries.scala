@@ -10923,7 +10923,367 @@ object Queries {
            FROM bag)
        SELECT g AS source, n_uni, n_bi, h_uni_nano, h_bi_nano,
          h_bi_nano - h_uni_nano AS cond_nano
-       FROM uh JOIN bh USING (g) ORDER BY source"""))
+       FROM uh JOIN bh USING (g) ORDER BY source""")),
+
+    // ── SPEARMAN RANK CORRELATION between per-user activity and
+    //    spend — the monotone-association read Pearson misses; ranks
+    //    doubled to stay integer under average-rank ties, rho as the
+    //    q_corr_matrix one-expression double. ──
+    QueryDef(
+      "q_spearman",
+      (s, dir) => {
+        val perUser = t(s, dir, "events")
+          .select(col("user_id"),
+            floor(col("value") * 100).cast("long").as("iv"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_ev"), sum("iv").as("cents"))
+        operators.Drift.spearmanNano(perUser, "n_ev", "cents")
+      },
+      Some("""WITH a AS (SELECT user_id,
+           CAST(count(*) AS BIGINT) AS x,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS y
+         FROM events GROUP BY 1),
+         r AS (SELECT
+             2 * rank() OVER (ORDER BY x)
+               + count(*) OVER (PARTITION BY x) - 1 AS rx,
+             2 * rank() OVER (ORDER BY y)
+               + count(*) OVER (PARTITION BY y) - 1 AS ry
+           FROM a),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(ry * ry) AS BIGINT) AS syy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy
+           FROM r)
+       SELECT n,
+         CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+           THEN CAST(floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             * 1000000000.0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS rho_nano
+       FROM m""")),
+
+    // ── MANN–WHITNEY U between two sources' document lengths — the
+    //    distribution-free "is A stochastically longer than B" test
+    //    plus its common-language effect size; doubled average ranks
+    //    keep everything integer, one IEEE floor for the effect. ──
+    QueryDef(
+      "q_mannwhitney",
+      (s, dir) => operators.Drift.mannWhitneyNano(
+        t(s, dir, "documents"), "source", "n_chars", "src0", "src1"),
+      Some("""WITH b AS (SELECT source AS g, n_chars AS v
+           FROM documents WHERE source IN ('src0', 'src1')),
+         r AS (SELECT g,
+             2 * rank() OVER (ORDER BY v)
+               + count(*) OVER (PARTITION BY v) - 1 AS r2
+           FROM b),
+         m AS (SELECT
+             CAST(coalesce(sum(CASE WHEN g = 'src0' THEN 1 ELSE 0 END),
+               0) AS BIGINT) AS n_a,
+             CAST(coalesce(sum(CASE WHEN g = 'src1' THEN 1 ELSE 0 END),
+               0) AS BIGINT) AS n_b,
+             CAST(coalesce(sum(CASE WHEN g = 'src0' THEN r2 ELSE 0 END),
+               0) AS BIGINT) AS r2_a
+           FROM r)
+       SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a,
+         CASE WHEN n_a > 0 AND n_b > 0
+           THEN CAST(floor(CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+             / (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+             * 1000000000.0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS cles_nano
+       FROM m""")),
+
+    // ── GINI COEFFICIENT of per-user spend mass — the concentration
+    //    audit (how skewed is the corpus toward whale entities) in
+    //    its exact discrete form; all-int64 moments, one IEEE floor. ──
+    QueryDef(
+      "q_gini_spend",
+      (s, dir) => {
+        val perUser = t(s, dir, "events")
+          .select(col("user_id"),
+            floor(col("value") * 100).cast("long").as("iv"))
+          .groupBy("user_id").agg(sum("iv").as("cents"))
+        operators.Drift.giniNano(perUser, "user_id", "cents")
+      },
+      Some("""WITH a AS (SELECT user_id AS id,
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
+         FROM events GROUP BY 1),
+         r AS (SELECT v, row_number() OVER (ORDER BY v, id) AS rn
+           FROM a),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(v), 0) AS BIGINT) AS total,
+             CAST(coalesce(sum(rn * v), 0) AS BIGINT) AS s1
+           FROM r)
+       SELECT n, total,
+         CASE WHEN total > 0
+           THEN CAST(floor((2.0 * CAST(s1 AS DOUBLE)
+               - CAST(n + 1 AS DOUBLE) * CAST(total AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+             * 1000000000.0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS gini_nano
+       FROM m""")),
+
+    // ── MUTUAL INFORMATION between event type and spend quartile —
+    //    the feature-vs-label dependence summary chi² significance
+    //    and per-pair PMI don't give; quartiles by explicit integer
+    //    banding of the (iv, event_id) total order (engine-identical,
+    //    no ntile semantics bet), per-cell nano-floored logs before
+    //    the order-free int sum. ──
+    QueryDef(
+      "q_mutual_info",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 100).cast("long").as("iv"))
+        val n = e.count()
+        // distributed exact row numbers over the unique (iv, event_id)
+        // key — Ranks.globalRowNumber, not a single-task global window
+        val banded = operators.Ranks.globalRowNumber(e,
+            Seq("iv", "event_id"), "rn")
+          .withColumn("band", expr(s"(rn - 1L) * 4L div ${n}L"))
+        operators.Drift.mutualInfoNano(banded, "event_type", "band")
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+           CAST(floor(value * 100) AS BIGINT) AS iv FROM events),
+         b AS (SELECT event_type,
+             (row_number() OVER (ORDER BY iv, event_id) - 1) * 4
+               // (SELECT count(*) FROM e) AS band
+           FROM e),
+         c AS (SELECT event_type AS a, band AS bd,
+             CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2),
+         ma AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM c GROUP BY 1),
+         mb AS (SELECT bd, CAST(sum(c) AS BIGINT) AS cb FROM c GROUP BY 1),
+         tot AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_cells FROM c),
+         s AS (SELECT max(t.n) AS n, max(t.n_cells) AS n_cells,
+             CAST(coalesce(sum(c.c
+               * (CAST(floor(ln(CAST(c.c * t.n AS DOUBLE))
+                   * 1000000000.0) AS BIGINT)
+                 - CAST(floor(ln(CAST(ma.ca * mb.cb AS DOUBLE))
+                   * 1000000000.0) AS BIGINT))), 0) AS BIGINT) AS s
+           FROM c JOIN ma USING (a) JOIN mb USING (bd) CROSS JOIN tot t)
+       SELECT n, n_cells,
+         CASE WHEN n > 0
+           THEN CAST(floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+             AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS mi_nano
+       FROM s""")),
+
+    // ── WEIGHT OF EVIDENCE per spend quintile against the purchase
+    //    label — the credit-scoring-style bin diagnostic a feature
+    //    pipeline reads before target encoding: smoothed
+    //    ln(pos-share / neg-share) per bin. Same explicit integer
+    //    banding as q_mutual_info; woe as a difference of
+    //    nano-floored pure-integer logs (the q_kl_sources lanes). ──
+    QueryDef(
+      "q_woe_bins",
+      (s, dir) => {
+        val e = t(s, dir, "events")
+          .select(col("event_id"),
+            floor(col("value") * 100).cast("long").as("iv"),
+            when(col("event_type") === "purchase", 1L).otherwise(0L)
+              .as("y"))
+        val n = e.count()
+        def lnGrid(c: Column): Column =
+          floor(log(c.cast("double")) * 1e9).cast("long")
+        val bins = operators.Ranks.globalRowNumber(e,
+            Seq("iv", "event_id"), "rn")
+          .withColumn("bin", expr(s"(rn - 1L) * 5L div ${n}L"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_rows"),
+            coalesce(sum("y"), lit(0L)).as("n_pos"))
+          .withColumn("n_neg", col("n_rows") - col("n_pos"))
+        val tot = bins.agg(
+          coalesce(sum("n_pos"), lit(0L)).as("g_tot"),
+          coalesce(sum("n_neg"), lit(0L)).as("b_tot"))
+        bins.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n_rows"), col("n_pos"), col("n_neg"),
+            (lnGrid((col("n_pos") + 1L) * (col("b_tot") + 5L)) -
+              lnGrid((col("n_neg") + 1L) * (col("g_tot") + 5L)))
+              .as("woe_nano"))
+          .orderBy("bin")
+      },
+      Some("""WITH e AS (SELECT event_id,
+           CAST(floor(value * 100) AS BIGINT) AS iv,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+         FROM events),
+         bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(coalesce(sum(y), 0) AS BIGINT) AS n_pos
+           FROM (SELECT y,
+               (row_number() OVER (ORDER BY iv, event_id) - 1) * 5
+                 // (SELECT count(*) FROM e) AS bin
+             FROM e)
+           GROUP BY 1),
+         b2 AS (SELECT bin, n_rows, n_pos, n_rows - n_pos AS n_neg
+           FROM bins),
+         tot AS (SELECT CAST(coalesce(sum(n_pos), 0) AS BIGINT) AS g_tot,
+             CAST(coalesce(sum(n_neg), 0) AS BIGINT) AS b_tot
+           FROM b2)
+       SELECT bin, n_rows, n_pos, n_neg,
+         CAST(floor(ln(CAST((n_pos + 1) * (b_tot + 5) AS DOUBLE))
+           * 1000000000.0) AS BIGINT)
+         - CAST(floor(ln(CAST((n_neg + 1) * (g_tot + 5) AS DOUBLE))
+           * 1000000000.0) AS BIGINT) AS woe_nano
+       FROM b2 CROSS JOIN tot ORDER BY bin""")),
+
+    // ── PAIRWISE VOCABULARY JACCARD across sources — the symmetric
+    //    lexicon-overlap grid complementing q_kl_sources' asymmetric
+    //    divergence; exact distinct-token sets, one truncating nano
+    //    division on the non-negative domain. ──
+    QueryDef(
+      "q_vocab_jaccard",
+      (s, dir) => operators.TextAnalysis.vocabJaccard(
+        t(s, dir, "documents"), "text", "source"),
+      Some("""WITH vt AS (SELECT DISTINCT g, tok FROM (
+           SELECT source AS g, unnest(regexp_split_to_array(
+             lower(trim(text)), '\s+')) AS tok
+           FROM documents) WHERE length(tok) > 0),
+         sz AS (SELECT g, CAST(count(*) AS BIGINT) AS v
+           FROM vt GROUP BY 1),
+         inter AS (SELECT a.g AS ga, b.g AS gb,
+             CAST(count(*) AS BIGINT) AS n_inter
+           FROM vt a JOIN vt b ON a.tok = b.tok AND a.g < b.g
+           GROUP BY 1, 2),
+         p AS (SELECT sa.g AS ga, sb.g AS gb, sa.v AS v_a, sb.v AS v_b,
+             coalesce(n_inter, 0) AS n_inter
+           FROM sz sa JOIN sz sb ON sa.g < sb.g
+           LEFT JOIN inter ON inter.ga = sa.g AND inter.gb = sb.g)
+       SELECT ga AS src_a, gb AS src_b, v_a, v_b, n_inter,
+         n_inter * 1000000000 // (v_a + v_b - n_inter) AS jaccard_nano
+       FROM p ORDER BY src_a, src_b""")),
+
+    // ── HAPAX / lexical-richness profile per source — hapax share
+    //    and type–token ratio, the organic-vs-templated lexicon read;
+    //    all-integer counts and truncating nano divisions. ──
+    QueryDef(
+      "q_hapax_rate",
+      (s, dir) => operators.TextAnalysis.hapaxStats(
+        t(s, dir, "documents"), "text", "source"),
+      Some("""WITH tk AS (SELECT g, tok FROM (
+           SELECT source AS g, unnest(regexp_split_to_array(
+             lower(trim(text)), '\s+')) AS tok
+           FROM documents) WHERE length(tok) > 0),
+         c AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY 1, 2),
+         a AS (SELECT g, CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_hapax
+           FROM c GROUP BY 1)
+       SELECT g AS source, vocab, n_tokens, n_hapax,
+         n_hapax * 1000000000 // vocab AS hapax_nano,
+         vocab * 1000000000 // n_tokens AS ttr_nano
+       FROM a ORDER BY source""")),
+
+    // ── BURSTINESS of the head terms — variance-to-mean ratio of
+    //    per-doc counts (zeros included through the n scalar), the
+    //    Poisson-vs-topical read on the vocabulary head; VMR = Q/S −
+    //    S/n as two independent nano floors (the q_kl_sources
+    //    two-floor discipline). ──
+    QueryDef(
+      "q_burstiness",
+      (s, dir) => operators.TextAnalysis.burstiness(
+        t(s, dir, "documents"), "doc_id", "text", topK = 20),
+      Some("""WITH tk AS (SELECT doc_id, tok FROM (
+           SELECT doc_id, unnest(regexp_split_to_array(
+             lower(trim(text)), '\s+')) AS tok
+           FROM documents) WHERE length(tok) > 0),
+         pd AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY 1, 2),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         t AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS df_docs,
+             CAST(sum(c) AS BIGINT) AS s_count,
+             CAST(sum(c * c) AS BIGINT) AS q_count2
+           FROM pd GROUP BY 1)
+       SELECT token, df_docs, s_count, q_count2,
+         CAST(floor(CAST(q_count2 AS DOUBLE) / CAST(s_count AS DOUBLE)
+           * 1000000000.0) AS BIGINT)
+         - CAST(floor(CAST(s_count AS DOUBLE) / CAST(nd AS DOUBLE)
+           * 1000000000.0) AS BIGINT) AS vmr_nano
+       FROM t CROSS JOIN nn
+       ORDER BY s_count DESC, token ASC LIMIT 20""")),
+
+    // ── DETERMINISTIC K-FOLD ASSIGNMENT + fold-balance audit — the
+    //    cross-validation split as a pure hash of the id (stable
+    //    under reshuffles and re-runs, the q_sample_hash contract),
+    //    with the per-fold size/mass/coverage stats that catch a
+    //    skewed split before it costs a training run. ──
+    QueryDef(
+      "q_cv_folds",
+      (s, dir) => t(s, dir, "documents")
+        .select((graft.functions.Hex52(col("doc_id").cast("string"))
+            % 5L).as("fold"),
+          col("n_chars"), col("lang"), col("doc_id"))
+        .groupBy("fold")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          countDistinct("lang").as("n_langs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("fold"),
+      Some(s"""WITH f AS (SELECT
+           ${operators.Sketch.hex52Sql("md5(CAST(doc_id AS VARCHAR))")}
+             % 5 AS fold,
+           n_chars, lang, doc_id FROM documents)
+       SELECT fold, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         min(doc_id) AS min_id, max(doc_id) AS max_id
+       FROM f GROUP BY 1 ORDER BY fold""")),
+
+    // ── KATZ CENTRALITY over the co-purchase graph — walk-counting
+    //    influence without PageRank's out-degree dilution; 1/α = max
+    //    in-degree makes the series contractive by construction at
+    //    any scale, and the whole iteration is int64 on the micro
+    //    grid (oracle unrolls the 3 rounds). ──
+    QueryDef(
+      "q_katz_centrality",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .select(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("p"))
+          .distinct()
+        val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+          .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+        operators.Graph.katzCentrality(edges, "src", "dst", rounds = 3)
+          .orderBy("id")
+      },
+      Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c,
+           l_suppkey + 1000000 AS p
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         edges AS (SELECT c AS src, p AS dst FROM pairs
+           UNION ALL SELECT p, c FROM pairs),
+         nodes AS (SELECT src AS id FROM edges
+           UNION SELECT dst FROM edges),
+         den AS (SELECT greatest(max(d), 1) AS den FROM (
+           SELECT count(*) AS d FROM edges GROUP BY dst)),
+         x0 AS (SELECT id, CAST(1000000 AS BIGINT) AS x FROM nodes),
+         s1 AS (SELECT dst AS id, CAST(sum(x.x) AS BIGINT) AS s
+           FROM edges e JOIN x0 x ON x.id = e.src GROUP BY 1),
+         x1 AS (SELECT n.id,
+             CAST(1000000 + coalesce(s, 0) // den AS BIGINT) AS x
+           FROM nodes n CROSS JOIN den LEFT JOIN s1 ON s1.id = n.id),
+         s2 AS (SELECT dst AS id, CAST(sum(x.x) AS BIGINT) AS s
+           FROM edges e JOIN x1 x ON x.id = e.src GROUP BY 1),
+         x2 AS (SELECT n.id,
+             CAST(1000000 + coalesce(s, 0) // den AS BIGINT) AS x
+           FROM nodes n CROSS JOIN den LEFT JOIN s2 ON s2.id = n.id),
+         s3 AS (SELECT dst AS id, CAST(sum(x.x) AS BIGINT) AS s
+           FROM edges e JOIN x2 x ON x.id = e.src GROUP BY 1),
+         x3 AS (SELECT n.id,
+             CAST(1000000 + coalesce(s, 0) // den AS BIGINT) AS x
+           FROM nodes n CROSS JOIN den LEFT JOIN s3 ON s3.id = n.id)
+       SELECT id, x AS katz_micro FROM x3 ORDER BY id"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

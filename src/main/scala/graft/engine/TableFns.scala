@@ -2,7 +2,8 @@ package graft.engine
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Resample, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Drift, Graph, Resample, Sampling,
+  TextAnalysis}
 
 /** Table-valued functions: the SQL-dialect gateway to the library's
   * pipeline operators. The reference's select grammar stops at one
@@ -151,6 +152,54 @@ object TableFns {
         if (rate <= 0.0 || rate > 1.0)
           throw OtError("sample_hash: rate must be in (0, 1]")
         Sampling.hashSample(df, id, Sampling.rateToThreshold(rate))
+      }),
+    // per-slice lexicon profile: vocab, token mass, hapax share,
+    // type-token ratio — the organic-vs-templated corpus read
+    "hapax_stats" -> FnDef(
+      "hapax_stats('db.tbl', 'text_col', 'group_col')",
+      3 to 3,
+      (df, a) => {
+        val (text, grp) = (argStr("hapax_stats", a, 1),
+          argStr("hapax_stats", a, 2))
+        requireCol("hapax_stats", df, text)
+        requireCol("hapax_stats", df, grp)
+        TextAnalysis.hapaxStats(df, text, grp)
+      }),
+    // pairwise vocabulary-overlap grid between slices
+    "vocab_jaccard" -> FnDef(
+      "vocab_jaccard('db.tbl', 'text_col', 'group_col')",
+      3 to 3,
+      (df, a) => {
+        val (text, grp) = (argStr("vocab_jaccard", a, 1),
+          argStr("vocab_jaccard", a, 2))
+        requireCol("vocab_jaccard", df, text)
+        requireCol("vocab_jaccard", df, grp)
+        TextAnalysis.vocabJaccard(df, text, grp)
+      }),
+    // concentration audit of a mass column (spend per user, tokens
+    // per domain): one row (n, total, gini_nano)
+    "gini" -> FnDef(
+      "gini('db.tbl', 'id_col', 'value_col')",
+      3 to 3,
+      (df, a) => {
+        val (id, v) = (argStr("gini", a, 1), argStr("gini", a, 2))
+        requireCol("gini", df, id)
+        requireCol("gini", df, v)
+        Drift.giniNano(df, id, v)
+      }),
+    // walk-counting influence over an edge table, Δ_in-attenuated
+    "katz_centrality" -> FnDef(
+      "katz_centrality('db.tbl', 'src_col', 'dst_col', rounds)",
+      4 to 4,
+      (df, a) => {
+        val (src, dst) = (argStr("katz_centrality", a, 1),
+          argStr("katz_centrality", a, 2))
+        requireCol("katz_centrality", df, src)
+        requireCol("katz_centrality", df, dst)
+        val rounds = argInt("katz_centrality", a, 3)
+        if (rounds <= 0 || rounds > 16)
+          throw OtError("katz_centrality: rounds must be in 1..16")
+        Graph.katzCentrality(df, src, dst, rounds.toInt).orderBy("id")
       }),
     // OHLCV bars from a (key, time, value) event table; width in the
     // time column's own units (epoch micros for timestamp columns)

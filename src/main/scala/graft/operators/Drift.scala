@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift primitives shared by the batch drift queries
@@ -76,6 +76,169 @@ object Drift {
     * marginal aggregates joined on the (tiny) class domain, three
     * 1-row collects — nothing grows past the class count.
     */
+  /** SPEARMAN RANK CORRELATION between two numeric columns — the
+    * monotone-association read that Pearson misses when the relation
+    * is nonlinear (doc length vs quality, activity vs spend): rank
+    * both columns, Pearson on the ranks. Ties take the average rank,
+    * kept INTEGER by doubling: 2·avgrank = 2·minrank + ties − 1, so
+    * the five moment sums are exact int64 and rho is ONE fixed-order
+    * double expression both engines replay bit-for-bit (the
+    * q_corr_matrix discipline). Degenerate variance pins NULL→0 via
+    * the same vx>0 ∧ vy>0 guard. Returns one row (n, rho_nano).
+    *
+    * Scale shape: two [[Ranks.doubledRanks]] value histograms (the
+    * corpus is scanned once per axis, everything after is |distinct
+    * value| — no single-task global window anywhere), two hash joins
+    * back on the value, one map-side-combined moment aggregate. Int64
+    * headroom: Σ(2r)² ≈ 4n³ — exact to n ≈ 10⁶ entities; past that,
+    * pre-aggregate coarser or bucket the axes first.
+    */
+  def spearmanNano(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val base = df.select(col(xCol).cast("long").as("x"),
+      col(yCol).cast("long").as("y"))
+    val rx = Ranks.doubledRanks(base, "x")
+      .select(col("v").as("x"), col("r2").as("rx"))
+    val ry = Ranks.doubledRanks(base, "y")
+      .select(col("v").as("y"), col("r2").as("ry"))
+    val m = base.join(rx, "x").join(ry, "y")
+      .agg(count(lit(1)).as("n"),
+        sum("rx").as("sx"), sum(col("rx") * col("rx")).as("sxx"),
+        sum("ry").as("sy"), sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+    val nD = col("n").cast("double")
+    val vx = nD * col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double")
+    val vy = nD * col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double")
+    m.select(col("n"),
+      coalesce(when(vx > 0.0 && vy > 0.0,
+        floor((nD * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")) /
+          sqrt(vx * vy) * lit(1e9)).cast("long")), lit(0L))
+        .as("rho_nano"))
+  }
+
+  /** MANN–WHITNEY U between two slices of a numeric column — the
+    * rank-sum test statistic (distribution-free: is slice A
+    * stochastically longer/larger than slice B?), plus the
+    * common-language effect size U/(n_a·n_b) = P(a > b) + ½P(a = b),
+    * the probability read reviewers actually want. Ranks over the
+    * COMBINED order with doubled average ranks (exact ints under
+    * ties, as [[spearmanNano]]); 2U_a = 2R_a − n_a(n_a+1) stays
+    * integer; the effect size is one IEEE floor-division. Returns one
+    * row (n_a, n_b, u2_a, cles_nano).
+    *
+    * Scale shape: sufficient statistics live entirely on the VALUE
+    * HISTOGRAM — per distinct v, its multiplicity and its slice-a
+    * share; one [[Ranks.globalPrefix]] turns those into doubled ranks
+    * (2R_a = Σ_v ca(v)·r2(v)), then one moment aggregate. The corpus
+    * is scanned once; no per-row rank join, no single-task window.
+    */
+  def mannWhitneyNano(df: DataFrame, groupCol: String, valueCol: String,
+      a: String, b: String): DataFrame = {
+    val hist = df.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .groupBy("v")
+      .agg(count(lit(1)).as("c"),
+        coalesce(sum(when(col("g") === a, 1L).otherwise(0L)), lit(0L))
+          .as("ca"))
+    Ranks.globalPrefix(hist, Seq("v"), "c", "cum")
+      .withColumn("r2", lit(2L) * col("cum") - col("c") + 1L)
+      .agg(
+        coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+        coalesce(sum(col("c") - col("ca")), lit(0L)).as("n_b"),
+        coalesce(sum(col("ca") * col("r2")), lit(0L)).as("r2_a"))
+      .select(col("n_a"), col("n_b"),
+        (col("r2_a") - col("n_a") * (col("n_a") + 1L)).as("u2_a"))
+      .select(col("n_a"), col("n_b"), col("u2_a"),
+        coalesce(when(col("n_a") > 0L && col("n_b") > 0L,
+          floor(col("u2_a").cast("double") /
+            (lit(2.0) * col("n_a").cast("double") *
+              col("n_b").cast("double")) * lit(1e9)).cast("long")),
+          lit(0L)).as("cles_nano"))
+  }
+
+  /** GINI COEFFICIENT of a non-negative integer mass column — the
+    * concentration audit for corpus balance (token mass per domain,
+    * spend per user, docs per source): 0 = perfectly even, →1 = one
+    * entity holds everything. Exact discrete form over the ascending
+    * sort x₁..xₙ: G = (2·Σi·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ); equal values
+    * permute freely (equal x ⇒ identical contribution), so the
+    * statistic is order-canonical: a value of multiplicity c at
+    * minrank m contributes v·(c·m + c(c−1)/2) — which is why `idCol`
+    * only exists for the ORACLE's row_number determinism; the engine
+    * computes Σi·xᵢ from the value histogram without ever ordering
+    * rows. Numerator/denominator stay int64; the ratio is one IEEE
+    * floor to nano. Returns one row (n, total, gini_nano); zero total
+    * pins 0.
+    *
+    * Scale shape: one histogram aggregation + one
+    * [[Ranks.globalPrefix]] over |distinct v| rows + one moment
+    * aggregate — no single-task window, no per-row sort. Int64/double
+    * headroom: Σi·xᵢ ≤ n·total < 2⁵³ — holds to ~10⁶ entities × 10⁹
+    * mass.
+    */
+  def giniNano(df: DataFrame, idCol: String,
+      valueCol: String): DataFrame = {
+    require(df.columns.contains(idCol), s"no column $idCol")
+    val hist = df.select(col(valueCol).cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("c"))
+    val m = Ranks.globalPrefix(hist, Seq("v"), "c", "cum")
+      .select(col("v"), col("c"),
+        (col("v") * (col("c") * (col("cum") - col("c") + 1L) +
+          expr("c * (c - 1L) div 2"))).as("t"))
+      .agg(coalesce(sum("c"), lit(0L)).as("n"),
+        coalesce(sum(col("v") * col("c")), lit(0L)).as("total"),
+        coalesce(sum("t"), lit(0L)).as("s1"))
+    m.select(col("n"), col("total"),
+      coalesce(when(col("total") > 0L,
+        floor((lit(2.0) * col("s1").cast("double") -
+          (col("n") + 1L).cast("double") * col("total").cast("double")) /
+          (col("n").cast("double") * col("total").cast("double")) *
+          lit(1e9)).cast("long")), lit(0L)).as("gini_nano"))
+  }
+
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * feature-audit statistic (how much does knowing the slice tell
+    * you about the label?) that chi² significance and per-pair PMI
+    * don't summarize: MI = Σ_cells p(x,y)·ln(p(x,y)/(p(x)p(y))).
+    * Exactness (the q_keyness / klUnigram discipline): cell and
+    * marginal counts stay int64; each cell's ln(c_xy·n) and
+    * ln(c_x·c_y) floor onto the NANO grid BEFORE the weighted
+    * order-free int sum S = Σ c_xy·(lnA − lnB); mi_nano = ⌊S/n⌋ via
+    * one IEEE floor-division (cells can sit below 0 on the grid, so
+    * no truncating int div). Returns one row (n, n_cells, mi_nano).
+    *
+    * Scale shape: one pair-count aggregation (map-side combined) plus
+    * two marginal joins on the tiny class domains — nothing grows
+    * past |X|·|Y| cells after the scan.
+    */
+  def mutualInfoNano(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    def lnGrid(x: Column): Column =
+      floor(log(x.cast("double")) * 1e9).cast("long")
+    val pairs = df.select(col(aCol).as("a"), col(bCol).as("b"))
+    // cells appears four times in the DAG; like [[klUnigram]]'s vocab
+    // join it stays un-persisted — each branch is one map-side-combined
+    // aggregation over the |X|·|Y|-bounded cell table, not the corpus
+    val cells = pairs.groupBy("a", "b").agg(count(lit(1)).as("c"))
+    val ma = cells.groupBy("a").agg(sum("c").as("ca"))
+    val mb = cells.groupBy("b").agg(sum("c").as("cb"))
+    val tot = cells.agg(coalesce(sum("c"), lit(0L)).as("n"),
+      count(lit(1)).as("n_cells"))
+    cells.join(ma, "a").join(mb, "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("t", col("c") *
+        (lnGrid(col("c") * col("n")) - lnGrid(col("ca") * col("cb"))))
+      .agg(max("n").as("n"), max("n_cells").as("n_cells"),
+        coalesce(sum("t"), lit(0L)).as("s"))
+      .select(col("n"), col("n_cells"),
+        coalesce(when(col("n") > 0L,
+          floor(col("s").cast("double") / col("n").cast("double"))
+            .cast("long")), lit(0L)).as("mi_nano"))
+  }
+
   def cohenKappa(df: DataFrame, aCol: String,
       bCol: String): DataFrame = {
     val pairs = df.select(col(aCol).as("a"), col(bCol).as("b"))

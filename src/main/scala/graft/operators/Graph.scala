@@ -616,4 +616,56 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** KATZ CENTRALITY over a directed edge list — the influence score
+    * that counts ALL incoming walks with geometric attenuation, not
+    * just direct degree: x ← β + α·Aᵀx, `rounds` synchronous updates
+    * from x₀ = β. PageRank without the out-degree normalization — the
+    * right read when a node's endorsement should not be diluted by
+    * how many other nodes it also points at (citation prestige,
+    * follow graphs, co-purchase pull).
+    *
+    * ENGINE-EXACT by being integer end-to-end: β = 1e6 on the micro
+    * grid, and 1/α is taken as max in-degree Δ_in (≥ λ_max of Aᵀ, so
+    * the series is contractive BY CONSTRUCTION at any graph size —
+    * no tuning knob that diverges at scale); each round is
+    * x' = 1e6 + ⌊Σ_in x⌋ div Δ_in — all int64, truncation == floor on
+    * the non-negative domain, so any engine replaying the formula
+    * reproduces every bit. Bounded headroom: contraction keeps
+    * x ≤ (rounds+1)·1e6, so the in-sum stays < 2⁶³ to in-degrees of
+    * ~10¹². Returns (id, katz_micro).
+    *
+    * Scale shape: [[pageRank]]'s round structure exactly — the edge
+    * table persisted once, per round one hash join on the source id
+    * plus one map-side-combined sum on the destination,
+    * [[IterCheckpoint]]-disciplined state; one driver scalar (Δ_in).
+    */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().persist(lvl)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().persist(lvl)
+    // bounded driver collect: one scalar — the attenuation denominator
+    val denRow = e.groupBy("dst").agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head()
+    val den = if (denRow.isNullAt(0)) 1L else math.max(1L, denRow.getLong(0))
+    var x = IterCheckpoint(nodes.withColumn("x", lit(1000000L)))
+    for (_ <- 1 to rounds) {
+      val in = e
+        .join(x.select(col("id").as("src"), col("x").as("xs")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("xs")).as("s"))
+      val next = IterCheckpoint(nodes.join(in, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1000000L) +
+            expr(s"coalesce(s, 0L) div ${den}L")).as("x")))
+      IterCheckpoint.free(x)
+      x = next
+    }
+    e.unpersist(); nodes.unpersist()
+    x.select(col("id"), col("x").as("katz_micro"))
+  }
 }

@@ -1222,4 +1222,111 @@ object TextAnalysis {
       .orderBy(col("margin_nano").desc, col(idCol).asc)
       .limit(topN)
   }
+
+  /** HAPAX / lexical-richness profile per slice: vocabulary size,
+    * token mass, hapax legomena (terms occurring exactly once in the
+    * slice), hapax share of the vocabulary, and type–token ratio. A
+    * high hapax share marks organic long-tail text; templated or
+    * machine-generated slices collapse it — the cheap companion read
+    * to [[docEntropy]]. All-integer (counts + two non-negative
+    * truncating nano divisions, floor == div on this domain), so
+    * engine-exact. Emits one row per slice, ordered.
+    *
+    * Scale shape: one token-count aggregation per (slice, term) —
+    * map-side combined — then one per-slice rollup; nothing beyond
+    * vocab size after the scan.
+    */
+  def hapaxStats(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("g"),
+        explode(toks(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("g")
+      .agg(count(lit(1)).as("vocab"),
+        sum("c").as("n_tokens"),
+        coalesce(sum(when(col("c") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("n_hapax"))
+      .select(col("g").as(groupCol), col("vocab"), col("n_tokens"),
+        col("n_hapax"),
+        expr("n_hapax * 1000000000L div vocab").as("hapax_nano"),
+        expr("vocab * 1000000000L div n_tokens").as("ttr_nano"))
+      .orderBy(groupCol)
+  }
+
+  /** BURSTINESS of the corpus's head terms: variance-to-mean ratio of
+    * the per-document count of each top-K token (zeros over absent
+    * docs included). VMR ≈ 1 is Poisson scatter (function words);
+    * VMR ≫ 1 marks topical/bursty terms — and, inverted, template
+    * boilerplate whose head terms spread TOO evenly. Identity used:
+    * VMR = Q/S − S/n (Q = Σc², S = Σc, n = total docs) — each ratio
+    * floors onto the nano grid independently (the [[klUnigram]]
+    * two-floor discipline; int64 inputs < 2⁵³, exact in double), so
+    * vmr_nano = ⌊Q/S·1e9⌋ − ⌊S/n·1e9⌋ is engine-exact. Head-K cut is
+    * deterministic by (S desc, token asc). Emits
+    * (token, df_docs, s_count, q_count2, vmr_nano).
+    *
+    * Scale shape: one (doc, token) count aggregation (map-side
+    * combined), one per-token rollup, one TakeOrdered(K); the
+    * all-docs zero mass enters through the n scalar, never a densify
+    * join.
+    */
+  def burstiness(df: DataFrame, idCol: String, textCol: String,
+      topK: Int = 20): DataFrame = {
+    val nDocs = df.select(col(idCol)).count()
+    val perDoc = df.select(col(idCol).as("id"),
+        explode(toks(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+    perDoc.groupBy("tok")
+      .agg(count(lit(1)).as("df_docs"),
+        sum("c").as("s_count"),
+        sum(col("c") * col("c")).as("q_count2"))
+      .select(col("tok").as("token"), col("df_docs"), col("s_count"),
+        col("q_count2"),
+        (floor(col("q_count2").cast("double") /
+            col("s_count").cast("double") * lit(1e9)).cast("long") -
+          floor(col("s_count").cast("double") /
+            lit(nDocs.toDouble) * lit(1e9)).cast("long"))
+          .as("vmr_nano"))
+      .orderBy(col("s_count").desc, col("token").asc)
+      .limit(topK)
+  }
+
+  /** Pairwise VOCABULARY JACCARD between slices — the symmetric
+    * "how much do these domains share a lexicon" grid that the
+    * asymmetric [[klUnigram]] divergence complements: for every
+    * slice pair a < b, |Vₐ∩V_b| / |Vₐ∪V_b| over the distinct-token
+    * vocabularies. Counts are exact int64; the ratio is one
+    * non-negative truncating nano division (== floor). Emits
+    * (src_a, src_b, v_a, v_b, n_inter, jaccard_nano), ordered.
+    *
+    * Scale shape: one distinct (slice, token) projection, a
+    * self-join on the token restricted a < b for the intersection
+    * counts, per-slice vocab sizes joined in — the pair grid is
+    * |slices|² rows, never corpus-sized. Hot tokens fan out at most
+    * |slices| ways, so no skew blowup.
+    */
+  def vocabJaccard(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val vt = df.select(col(groupCol).as("g"),
+        explode(toks(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val sizes = vt.groupBy("g").agg(count(lit(1)).as("v"))
+    val inter = vt.select(col("g").as("ga"), col("tok"))
+      .join(vt.select(col("g").as("gb"), col("tok")), "tok")
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("n_inter"))
+    val pairs = sizes.select(col("g").as("ga"), col("v").as("v_a"))
+      .join(sizes.select(col("g").as("gb"), col("v").as("v_b")),
+        col("ga") < col("gb"))
+      .join(inter, Seq("ga", "gb"), "left")
+      .na.fill(0L, Seq("n_inter"))
+    pairs.select(col("ga").as("src_a"), col("gb").as("src_b"),
+        col("v_a"), col("v_b"), col("n_inter"),
+        expr("n_inter * 1000000000L div (v_a + v_b - n_inter)")
+          .as("jaccard_nano"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -479,6 +479,65 @@ class ServerSpec extends AnyFunSuite {
     } finally cb.close()
   }
 
+  test("round-11b TVFs: hapax_stats, vocab_jaccard, gini, katz_centrality") {
+    // the lexicon/concentration/graph additions through the same
+    // parse → resolve → library-plan route; hand-computed values
+    // matching RankStatsSpec's fixtures
+    client.execute("create database if not exists net")
+    client.execute("create table net.d3(doc_id int, body text, " +
+      "src text, primary key(doc_id))")
+    val pid = client.prepare("insert into net.d3 values(?, ?, ?)")
+    client.batchInsert(pid, Seq(
+      Seq(1, "a b a", "s1"), Seq(2, "b c", "s1"), Seq(3, "x", "s2")))
+    // hapax_stats: s1 counts a:2 b:2 c:1 → vocab 3, tokens 5, hapax 1
+    val hx = client.execute(
+      "select * from hapax_stats('net.d3', 'body', 'src')")
+    assert(hx.map(_.map(_.toString)) == Seq(
+      Seq("s1", "3", "5", "1", "333333333", "600000000"),
+      Seq("s2", "1", "1", "1", "1000000000", "1000000000")))
+    // vocab_jaccard: s1 {a,b,c} vs s2 {x} → disjoint
+    val vj = client.execute(
+      "select * from vocab_jaccard('net.d3', 'body', 'src')")
+    assert(vj.map(_.map(_.toString)) == Seq(
+      Seq("s1", "s2", "3", "1", "0", "0")))
+    // gini over an integer mass table: sorted (1,1,2) → 1/6
+    client.execute("create table net.m(id int, v bigint, " +
+      "primary key(id))")
+    val mp = client.prepare("insert into net.m values(?, ?)")
+    client.batchInsert(mp, Seq(
+      Seq[Any](1, 1L), Seq[Any](2, 1L), Seq[Any](3, 2L)))
+    assert(client.execute("select * from gini('net.m', 'id', 'v')")
+      .map(_.map(_.toString)) == Seq(Seq("3", "4", "166666666")))
+    // katz_centrality: the RankStatsSpec hand-unrolled 3-round graph
+    client.execute("create table net.e(s bigint, d bigint, " +
+      "primary key(s, d))")
+    val ep = client.prepare("insert into net.e values(?, ?)")
+    client.batchInsert(ep, Seq(
+      Seq[Any](1L, 2L), Seq[Any](3L, 2L), Seq[Any](2L, 3L)))
+    assert(client.execute(
+      "select * from katz_centrality('net.e', 's', 'd', 3)")
+      .map(_.map(_.toString)) == Seq(
+      Seq("1", "1000000"), Seq("2", "2500000"), Seq("3", "2125000")))
+    // closed-dialect argument contract
+    assert(intercept[OtError](client.execute(
+      "select * from katz_centrality('net.e', 's', 'd', 0)")).msg ==
+      "katz_centrality: rounds must be in 1..16")
+    assert(intercept[OtError](client.execute(
+      "select * from gini('net.m', 'id', 'nope')")).msg ==
+      "gini: no column nope in table")
+    // BSON mode: one of each family through the default codec
+    val cb = new NetClient("127.0.0.1", server.boundPort, protocol = "bson")
+    try {
+      cb.use("net")
+      assert(cb.execute("select * from gini('m', 'id', 'v')")
+        .map(_.map(_.toString)) == Seq(Seq("3", "4", "166666666")))
+      assert(cb.execute(
+        "select * from hapax_stats('d3', 'body', 'src') limit 1")
+        .map(_.map(_.toString)) == Seq(
+        Seq("s1", "3", "5", "1", "333333333", "600000000")))
+    } finally cb.close()
+  }
+
   test("client reconnects after a server restart and replays used db") {
     val port = server.boundPort
     server.stop()

@@ -11283,7 +11283,183 @@ object Queries {
          x3 AS (SELECT n.id,
              CAST(1000000 + coalesce(s, 0) // den AS BIGINT) AS x
            FROM nodes n CROSS JOIN den LEFT JOIN s3 ON s3.id = n.id)
-       SELECT id, x AS katz_micro FROM x3 ORDER BY id"""))
+       SELECT id, x AS katz_micro FROM x3 ORDER BY id""")),
+
+    // ── ADAMIC–ADAR link prediction over the co-supply graph —
+    //    q_link_predict's candidate set with the 1/ln(deg) hub
+    //    weighting that separates niche-hub introductions from
+    //    celebrity-hub noise; per-hub weight one IEEE floor, per-pair
+    //    score an exact int64 sum. ──
+    QueryDef(
+      "q_adamic_adar",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .filter(col("l_orderkey") % 50 === 0)
+          .select(col("l_partkey"), col("l_suppkey")).distinct()
+        val keep = ps.groupBy("l_partkey")
+          .agg(count(lit(1)).as("pd"))
+          .filter(col("pd") <= 128).select("l_partkey")
+        val psc = ps.join(keep, Seq("l_partkey"), "left_semi")
+        val eg = psc.as("a").join(psc.as("b"),
+            col("a.l_partkey") === col("b.l_partkey") &&
+              col("a.l_suppkey") < col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("x"),
+            col("b.l_suppkey").as("y"))
+          .distinct()
+        operators.Graph.adamicAdar(eg, "x", "y")
+          .orderBy(col("aa_nano").desc, col("a").asc, col("b").asc)
+          .limit(20)
+          .select("a", "b", "cn", "aa_nano")
+      },
+      Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
+           FROM lineitem WHERE l_orderkey % 50 = 0),
+         keep AS (SELECT l_partkey FROM ps GROUP BY 1
+           HAVING count(*) <= 128),
+         psc AS (SELECT ps.l_partkey, ps.l_suppkey
+           FROM ps JOIN keep USING (l_partkey)),
+         eg AS (SELECT DISTINCT a.l_suppkey AS x, b.l_suppkey AS y
+           FROM psc a JOIN psc b ON a.l_partkey = b.l_partkey
+             AND a.l_suppkey < b.l_suppkey),
+         e AS (SELECT x AS m, y AS v FROM eg
+           UNION ALL SELECT y, x FROM eg),
+         deg AS (SELECT m, CAST(count(*) AS BIGINT) AS d
+           FROM e GROUP BY 1),
+         ec AS (SELECT e.m, e.v,
+             CASE WHEN d >= 2 THEN CAST(floor(1000000000.0
+               / ln(CAST(d AS DOUBLE))) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END AS w
+           FROM e JOIN deg USING (m) WHERE d <= 128),
+         wg AS (SELECT e1.v AS a, e2.v AS b,
+             CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum(e1.w) AS BIGINT) AS aa_nano
+           FROM ec e1 JOIN ec e2
+             ON e1.m = e2.m AND e1.v < e2.v
+           GROUP BY 1, 2),
+         nolink AS (SELECT wg.* FROM wg
+           ANTI JOIN eg ON a = x AND b = y)
+       SELECT a, b, cn, aa_nano FROM nolink
+       ORDER BY aa_nano DESC, a ASC, b ASC LIMIT 20""")),
+
+    // ── LANGUAGE-ID CONFUSION: per-class precision/recall of the
+    //    stopword langid against the lang metadata — the per-class
+    //    breakdown q_kappa_langid's single chance-corrected number
+    //    cannot give (which language leaks into which). Integer
+    //    counts, truncating nano divisions on the non-negative
+    //    domain. ──
+    QueryDef(
+      "q_lang_confusion",
+      (s, dir) => {
+        val pred = operators.TextAnalysis.langId(
+          t(s, dir, "documents").select("doc_id", "text", "lang"),
+          "text")
+        val p = pred.select(col("lang"), col("lang_pred"))
+        val tr = p.groupBy("lang")
+          .agg(count(lit(1)).as("n_true"),
+            coalesce(sum(when(col("lang_pred") === col("lang"), 1L)
+              .otherwise(0L)), lit(0L)).as("n_correct"))
+        val pr = p.groupBy("lang_pred")
+          .agg(count(lit(1)).as("n_pred"))
+        tr.join(pr, tr("lang") === pr("lang_pred"), "left")
+          .select(col("lang"), col("n_true"), col("n_correct"),
+            coalesce(col("n_pred"), lit(0L)).as("n_pred"))
+          .select(col("lang"), col("n_true"), col("n_correct"),
+            col("n_pred"),
+            when(col("n_pred") > 0L,
+              expr("n_correct * 1000000000L div n_pred"))
+              .otherwise(0L).as("precision_nano"),
+            expr("n_correct * 1000000000L div n_true")
+              .as("recall_nano"))
+          .orderBy("lang")
+      },
+      Some(s"""WITH lp AS (
+           SELECT * FROM (${langIdOracleSqlFrom("documents")})),
+         p AS (SELECT d.lang, l.lang_pred
+           FROM documents d JOIN lp l ON l.doc_id = d.doc_id),
+         tr AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_true,
+             CAST(coalesce(sum(CASE WHEN lang_pred = lang
+               THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_correct
+           FROM p GROUP BY 1),
+         pr AS (SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_pred
+           FROM p GROUP BY 1)
+       SELECT lang, n_true, n_correct,
+         coalesce(n_pred, 0) AS n_pred,
+         CASE WHEN coalesce(n_pred, 0) > 0
+           THEN n_correct * 1000000000 // n_pred
+           ELSE CAST(0 AS BIGINT) END AS precision_nano,
+         n_correct * 1000000000 // n_true AS recall_nano
+       FROM tr LEFT JOIN pr ON pr.lang_pred = tr.lang
+       ORDER BY lang""")),
+
+    // ── WEIGHTED LABEL PROPAGATION communities over the co-purchase
+    //    graph (2 synchronous rounds, max-weight argmax, min-label
+    //    ties) — the near-linear community structure read; the final
+    //    label histogram is the corpus-concentration summary. Oracle
+    //    unrolls both rounds with the identical argmax. ──
+    QueryDef(
+      "q_lpa_communities",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        val pw = o.join(l, o("o_orderkey") === l("l_orderkey"))
+          .groupBy(col("o_custkey").as("c"),
+            (col("l_suppkey") + 1000000L).as("p"))
+          .agg(count(lit(1)).as("w"))
+        operators.Graph.labelPropagation(pw, "c", "p", "w", rounds = 2)
+      },
+      Some("""WITH pw AS (SELECT o_custkey AS c,
+           l_suppkey + 1000000 AS p, CAST(count(*) AS BIGINT) AS w
+           FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+           GROUP BY 1, 2),
+         e AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
+           SELECT c AS a, p AS b, w FROM pw
+           UNION ALL SELECT p, c, w FROM pw) GROUP BY 1, 2),
+         n0 AS (SELECT DISTINCT a AS id FROM e),
+         l0 AS (SELECT id, id AS lbl FROM n0),
+         s1 AS (SELECT e.a AS id, l.lbl AS nl,
+             CAST(sum(e.w) AS BIGINT) AS ws
+           FROM e JOIN l0 l ON l.id = e.b GROUP BY 1, 2),
+         l1 AS (SELECT id, nl AS lbl FROM (
+           SELECT id, nl, row_number() OVER (PARTITION BY id
+             ORDER BY ws DESC, nl ASC) AS rn FROM s1) WHERE rn = 1),
+         s2 AS (SELECT e.a AS id, l.lbl AS nl,
+             CAST(sum(e.w) AS BIGINT) AS ws
+           FROM e JOIN l1 l ON l.id = e.b GROUP BY 1, 2),
+         l2 AS (SELECT id, nl AS lbl FROM (
+           SELECT id, nl, row_number() OVER (PARTITION BY id
+             ORDER BY ws DESC, nl ASC) AS rn FROM s2) WHERE rn = 1)
+       SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+       FROM l2 GROUP BY 1 ORDER BY community""")),
+
+    // ── THEIL T INDEX of per-user spend — the inequality measure
+    //    that decomposes between/within groups (q_gini_spend's
+    //    companion); positive-mass log terms on the micro grid, one
+    //    IEEE floor for the normalization. ──
+    QueryDef(
+      "q_theil_index",
+      (s, dir) => {
+        val perUser = t(s, dir, "events")
+          .select(col("user_id"),
+            floor(col("value") * 100).cast("long").as("iv"))
+          .groupBy("user_id").agg(sum("iv").as("cents"))
+        operators.Drift.theilIndex(perUser, "cents")
+      },
+      Some("""WITH a AS (SELECT
+           CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS x
+         FROM events GROUP BY user_id),
+         tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(coalesce(sum(x), 0) AS BIGINT) AS total FROM a),
+         s AS (SELECT CAST(coalesce(sum(x
+             * (CAST(floor(ln(CAST(x * t.n AS DOUBLE)) * 1000000.0)
+                 AS BIGINT)
+               - CAST(floor(ln(CAST(t.total AS DOUBLE)) * 1000000.0)
+                 AS BIGINT))), 0) AS BIGINT) AS s
+           FROM a CROSS JOIN tot t WHERE x > 0)
+       SELECT n, total,
+         CASE WHEN total > 0
+           THEN CAST(floor(CAST(s AS DOUBLE) / CAST(total AS DOUBLE))
+             AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS theil_micro
+       FROM tot CROSS JOIN s"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

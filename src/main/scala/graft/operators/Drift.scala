@@ -199,6 +199,38 @@ object Drift {
           lit(1e9)).cast("long")), lit(0L)).as("gini_nano"))
   }
 
+  /** THEIL T INDEX of a non-negative integer mass column — the
+    * inequality read that, unlike [[giniNano]], DECOMPOSES: corpus
+    * inequality = between-group + within-group, so a mix planner can
+    * attribute concentration to domains vs documents. T =
+    * (1/X)·Σ x·ln(x·n/X) (0 = even, ln n = one entity holds all).
+    * Exactness (the klUnigram discipline, MICRO grid for headroom):
+    * each positive x contributes x·(⌊ln(x·n)·1e6⌋ − ⌊ln X·1e6⌋) to an
+    * order-free int64 sum; theil_micro = ⌊S/X⌋ via one IEEE floor.
+    * Zero-mass entities contribute 0 (the x·ln x limit) but count in
+    * n. Int64 headroom: |S| ≤ X·ln(n)·1e6 — fine through X ≈ 10¹¹.
+    * Returns one row (n, total, theil_micro); zero total pins 0.
+    *
+    * Scale shape: two scans of the (pre-aggregated) entity frame and
+    * two 1-row broadcasts — no window, no sort, no join by key.
+    */
+  def theilIndex(df: DataFrame, valueCol: String): DataFrame = {
+    def lnG6(x: Column): Column =
+      floor(log(x.cast("double")) * 1e6).cast("long")
+    val a = df.select(col(valueCol).cast("long").as("x"))
+    val tot = a.agg(count(lit(1)).as("n"),
+      coalesce(sum("x"), lit(0L)).as("total"))
+    val s = a.filter(col("x") > 0L).crossJoin(broadcast(tot))
+      .select((col("x") *
+        (lnG6(col("x") * col("n")) - lnG6(col("total")))).as("t"))
+      .agg(coalesce(sum("t"), lit(0L)).as("s"))
+    tot.crossJoin(broadcast(s))
+      .select(col("n"), col("total"),
+        coalesce(when(col("total") > 0L,
+          floor(col("s").cast("double") / col("total").cast("double"))
+            .cast("long")), lit(0L)).as("theil_micro"))
+  }
+
   /** MUTUAL INFORMATION between two categorical columns — the
     * feature-audit statistic (how much does knowing the slice tell
     * you about the label?) that chi² significance and per-pair PMI

@@ -317,6 +317,100 @@ object Graph {
       "left_anti")
   }
 
+  /** ADAMIC–ADAR link prediction — [[linkPredict]]'s candidate set
+    * with the weighting that made the score canonical: each common
+    * neighbor z counts 1/ln(deg z), so a pair introduced by a niche
+    * hub outranks one sharing only celebrity hubs (raw
+    * common-neighbor counts can't tell them apart). Per-hub weight is
+    * ⌊1e9/ln(deg z)⌋ — one fixed-order IEEE division + floor per
+    * DISTINCT HUB, guarded to degree ≥ 2 (a degree-1 hub closes no
+    * wedge; the guard keeps the expression total) — then an exact
+    * int64 sum per candidate pair, so any engine replaying the
+    * formula matches bit-for-bit. Returns (a, b, cn, aa_nano) for
+    * non-adjacent pairs.
+    *
+    * Scale shape: [[linkPredict]]'s exactly — the wedge join fans out
+    * only through hubs the `degCap` filter keeps (the deliberate
+    * celebrity-hub guard: O(cap²) pairs per hub), one aggregation,
+    * one anti join. The hub weight rides the wedge rows; no extra
+    * pass.
+    */
+  def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
+      degCap: Int = 128): DataFrame = {
+    val eg = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+      .distinct()
+    val e = eg.select(col("x").as("m"), col("y").as("v"))
+      .union(eg.select(col("y").as("m"), col("x").as("v")))
+    val deg = e.groupBy("m").agg(count(lit(1)).as("d"))
+    val ec = e.join(deg.filter(col("d") <= degCap), "m")
+      .withColumn("w", when(col("d") >= 2L,
+        floor(lit(1e9) / log(col("d").cast("double"))).cast("long"))
+        .otherwise(lit(0L)))
+    val wg = ec.as("e1").join(ec.as("e2"),
+        col("e1.m") === col("e2.m") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("a"), col("e2.v").as("b"),
+        col("e1.w").as("w"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("cn"), sum("w").as("aa_nano"))
+    wg.join(eg, col("a") === col("x") && col("b") === col("y"),
+      "left_anti")
+  }
+
+  /** WEIGHTED LABEL PROPAGATION (synchronous, `rounds` fixed rounds,
+    * labels start as node ids) — the near-linear community detector:
+    * each round every node adopts the label with the LARGEST total
+    * edge weight among its neighbors, ties to the smallest label —
+    * a deterministic argmax, so the whole run is engine-replayable
+    * (no RNG, no floats; weights and labels stay integers end to
+    * end). Fixed synchronous rounds sidestep the oscillation the
+    * asynchronous variant needs tie-shuffling for, and make the
+    * unrolled SQL replay exact. Returns the final label histogram
+    * (community, n_nodes) — the corpus-structure read (how many
+    * communities, how concentrated) that feeds mix planning.
+    *
+    * Scale shape: [[pageRank]]'s round structure — per round one hash
+    * join of the (persisted, symmetrized, weight-merged) edge table
+    * with the current label table, one (node, label) weight sum
+    * (map-side combinable), one per-node argmax window PARTITIONED BY
+    * the node id (never a global window), all
+    * [[IterCheckpoint]]-disciplined.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
+        col(weightCol).cast("long").as("w")))
+      .groupBy("a", "b").agg(sum("w").as("w"))
+      .persist(lvl)
+    val nodes = e.select(col("a").as("id")).distinct().persist(lvl)
+    var lab = IterCheckpoint(nodes.withColumn("lbl", col("id")))
+    for (_ <- 1 to rounds) {
+      val scores = e
+        .join(lab.select(col("id").as("b"), col("lbl").as("nl")), "b")
+        .groupBy(col("a").as("id"), col("nl"))
+        .agg(sum("w").as("ws"))
+      val pick = scores.withColumn("rn", row_number().over(
+          Window.partitionBy("id")
+            .orderBy(col("ws").desc, col("nl").asc)))
+        .filter(col("rn") === 1)
+        .select(col("id"), col("nl").as("lbl"))
+      // every node has ≥ 1 neighbor by construction, so the argmax
+      // covers the full node set
+      val next = IterCheckpoint(pick)
+      IterCheckpoint.free(lab)
+      lab = next
+    }
+    val out = lab.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("community")
+    e.unpersist(); nodes.unpersist()
+    out
+  }
+
   /** Newman MODULARITY of a node partition over an undirected edge
     * list — the "is this community assignment better than chance"
     * score (Q = Σ_c e_c/m − (deg_c/2m)², Q ≈ 0 for a random

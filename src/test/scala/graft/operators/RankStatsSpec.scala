@@ -117,6 +117,49 @@ class RankStatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].head() == ((4L, 4L, 0L)))
   }
 
+  // ── Theil index ────────────────────────────────────────────────
+
+  test("theilIndex: hand-computed micro-grid terms, even and zero mass pin 0") {
+    def ln6(x: Long): Long =
+      math.floor(math.log(x.toDouble) * 1e6).toLong
+    // x = (1, 1, 2), X = 4, n = 3:
+    // S = 2·(ln6(3) − ln6(4)) + 2·(ln6(6) − ln6(4))
+    val df = Seq(1L, 1L, 2L).toDF("v")
+    val s = 2L * (ln6(3) - ln6(4)) + 2L * (ln6(6) - ln6(4))
+    val expected = math.floor(s.toDouble / 4.0).toLong
+    assert(Drift.theilIndex(df, "v")
+      .as[(Long, Long, Long)].head() == ((3L, 4L, expected)))
+    assert(Drift.theilIndex(Seq(5L, 5L).toDF("v"), "v")
+      .as[(Long, Long, Long)].head() == ((2L, 10L, 0L)))
+    assert(Drift.theilIndex(Seq(0L, 0L).toDF("v"), "v")
+      .as[(Long, Long, Long)].head() == ((2L, 0L, 0L)))
+  }
+
+  // ── Adamic–Adar ────────────────────────────────────────────────
+
+  test("adamicAdar: 4-cycle candidates, hub weights 1/ln(deg) by hand") {
+    // square 1-2-3-4-1: non-edges (1,3) and (2,4), each with two
+    // degree-2 common neighbors → aa = 2·⌊1e9/ln 2⌋
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 4L), (4L, 3L))
+      .toDF("x", "y")
+    val w2 = math.floor(1e9 / math.log(2.0)).toLong
+    val out = Graph.adamicAdar(edges, "x", "y")
+      .orderBy("a", "b").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L, 2L, 2 * w2), (2L, 4L, 2L, 2 * w2)))
+  }
+
+  // ── label propagation ──────────────────────────────────────────
+
+  test("labelPropagation: two hand-tracked synchronous rounds with tie-break") {
+    // (1,2,w5) (1,3,w5) (2,3,w1) (3,4,w1): round 1 → (2,1,1,3),
+    // round 2 → (1,2,2,1): two communities of two
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 1L),
+      (3L, 4L, 1L)).toDF("s", "d", "w")
+    val out = Graph.labelPropagation(edges, "s", "d", "w", rounds = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 2L)))
+  }
+
   // ── Katz centrality ────────────────────────────────────────────
 
   test("katzCentrality: three hand-unrolled rounds, Δ_in attenuation") {

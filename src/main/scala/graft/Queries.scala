@@ -11459,7 +11459,103 @@ object Queries {
            THEN CAST(floor(CAST(s AS DOUBLE) / CAST(total AS DOUBLE))
              AS BIGINT)
            ELSE CAST(0 AS BIGINT) END AS theil_micro
-       FROM tot CROSS JOIN s"""))
+       FROM tot CROSS JOIN s""")),
+
+    // ── HEAD-TOKEN COVERAGE CURVE — what share of the corpus's token
+    //    mass the top-10/100/1000 tokens cover: the Zipf-head read
+    //    that sizes a stopword list, a cache, or a fast-path vocab.
+    //    Token ranks come from Ranks.globalRowNumber over the
+    //    (count desc, token) order — distributed, never a single-task
+    //    window; coverage shares are truncating nano divisions. ──
+    QueryDef(
+      "q_coverage_curve",
+      (s, dir) => {
+        val hist = t(s, dir, "documents")
+          .select(explode(operators.Dedup.tokens(col("text")))
+            .as("tok"))
+          .filter(length(col("tok")) > 0)
+          .groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .withColumn("negc", -col("cnt"))
+        operators.Ranks.globalRowNumber(hist, Seq("negc", "tok"), "rn")
+          .agg(count(lit(1)).as("vocab"),
+            coalesce(sum("cnt"), lit(0L)).as("total"),
+            coalesce(sum(when(col("rn") <= 10L, col("cnt"))
+              .otherwise(0L)), lit(0L)).as("top10"),
+            coalesce(sum(when(col("rn") <= 100L, col("cnt"))
+              .otherwise(0L)), lit(0L)).as("top100"),
+            coalesce(sum(when(col("rn") <= 1000L, col("cnt"))
+              .otherwise(0L)), lit(0L)).as("top1000"))
+          .select(col("vocab"), col("total"), col("top10"),
+            col("top100"), col("top1000"),
+            expr("top10 * 1000000000L div total").as("share10_nano"),
+            expr("top100 * 1000000000L div total").as("share100_nano"),
+            expr("top1000 * 1000000000L div total")
+              .as("share1000_nano"))
+      },
+      Some("""WITH tk AS (SELECT tok FROM (
+           SELECT unnest(regexp_split_to_array(lower(trim(text)),
+             '\s+')) AS tok
+           FROM documents) WHERE length(tok) > 0),
+         h AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+           FROM tk GROUP BY 1),
+         r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC,
+             tok ASC) AS rn FROM h),
+         m AS (SELECT CAST(count(*) AS BIGINT) AS vocab,
+             CAST(coalesce(sum(cnt), 0) AS BIGINT) AS total,
+             CAST(coalesce(sum(CASE WHEN rn <= 10 THEN cnt
+               ELSE 0 END), 0) AS BIGINT) AS top10,
+             CAST(coalesce(sum(CASE WHEN rn <= 100 THEN cnt
+               ELSE 0 END), 0) AS BIGINT) AS top100,
+             CAST(coalesce(sum(CASE WHEN rn <= 1000 THEN cnt
+               ELSE 0 END), 0) AS BIGINT) AS top1000
+           FROM r)
+       SELECT vocab, total, top10, top100, top1000,
+         top10 * 1000000000 // total AS share10_nano,
+         top100 * 1000000000 // total AS share100_nano,
+         top1000 * 1000000000 // total AS share1000_nano
+       FROM m""")),
+
+    // ── PER-USER BEHAVIORAL ENTROPY histogram — how mixed is each
+    //    user's event diet (0 = single-type bots, ln 5 = uniform),
+    //    bucketed into 0.2-nat bins: the engagement-diversity audit.
+    //    Per-user H on the docEntropy integer-nano form; the bin id
+    //    is one truncating division; output is bin-bounded. ──
+    QueryDef(
+      "q_user_entropy_hist",
+      (s, dir) => {
+        val cells = t(s, dir, "events")
+          .groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+        def lnG(x: Column): Column =
+          floor(log(x.cast("double")) * 1e9).cast("long")
+        val perUser = cells.groupBy("user_id")
+          .agg(sum("c").as("n"),
+            sum(col("c") * lnG(col("c"))).as("sclnc"))
+          .select(col("user_id"),
+            (lnG(col("n")) - expr("sclnc div n")).as("h_nano"))
+        perUser
+          .select(expr("h_nano div 200000000L").as("bin"),
+            col("h_nano"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n_users"),
+            min("h_nano").as("min_h_nano"),
+            max("h_nano").as("max_h_nano"))
+          .orderBy("bin")
+      },
+      Some("""WITH cells AS (SELECT user_id, event_type,
+           CAST(count(*) AS BIGINT) AS c
+         FROM events GROUP BY 1, 2),
+         pu AS (SELECT user_id,
+             CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000000.0)
+               AS BIGINT)
+             - CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE))
+                 * 1000000000.0) AS BIGINT)) AS BIGINT)
+               // CAST(sum(c) AS BIGINT) AS h_nano
+           FROM cells GROUP BY 1)
+       SELECT h_nano // 200000000 AS bin,
+         CAST(count(*) AS BIGINT) AS n_users,
+         min(h_nano) AS min_h_nano, max(h_nano) AS max_h_nano
+       FROM pu GROUP BY 1 ORDER BY bin"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

@@ -10948,7 +10948,7 @@ object Queries {
                + count(*) OVER (PARTITION BY x) - 1 AS rx,
              2 * rank() OVER (ORDER BY y)
                + count(*) OVER (PARTITION BY y) - 1 AS ry
-           FROM a),
+           FROM a WHERE x IS NOT NULL AND y IS NOT NULL),
          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(sum(rx) AS BIGINT) AS sx,
              CAST(sum(rx * rx) AS BIGINT) AS sxx,
@@ -10980,7 +10980,8 @@ object Queries {
       (s, dir) => operators.Drift.mannWhitneyNano(
         t(s, dir, "documents"), "source", "n_chars", "src0", "src1"),
       Some("""WITH b AS (SELECT source AS g, n_chars AS v
-           FROM documents WHERE source IN ('src0', 'src1')),
+           FROM documents WHERE source IN ('src0', 'src1')
+             AND n_chars IS NOT NULL),
          r AS (SELECT g,
              2 * rank() OVER (ORDER BY v)
                + count(*) OVER (PARTITION BY v) - 1 AS r2
@@ -11017,7 +11018,7 @@ object Queries {
            CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS v
          FROM events GROUP BY 1),
          r AS (SELECT v, row_number() OVER (ORDER BY v, id) AS rn
-           FROM a),
+           FROM a WHERE v IS NOT NULL),
          m AS (SELECT CAST(count(*) AS BIGINT) AS n,
              CAST(coalesce(sum(v), 0) AS BIGINT) AS total,
              CAST(coalesce(sum(rn * v), 0) AS BIGINT) AS s1
@@ -11243,23 +11244,27 @@ object Queries {
     //    influence without PageRank's out-degree dilution; 1/α = max
     //    in-degree makes the series contractive by construction at
     //    any scale, and the whole iteration is int64 on the micro
-    //    grid (oracle unrolls the 3 rounds). ──
+    //    grid (oracle unrolls the 3 rounds). Node ids use the
+    //    COLLISION-FREE parity encoding 2·custkey / 2·suppkey+1
+    //    (round-11 advice: an additive +1e6 offset collides once
+    //    custkey exceeds 1e6, i.e. SF ≥ ~7, silently merging customer
+    //    and supplier nodes). ──
     QueryDef(
       "q_katz_centrality",
       (s, dir) => {
         val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
         val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
         val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
-          .select(col("o_custkey").as("c"),
-            (col("l_suppkey") + 1000000L).as("p"))
+          .select((col("o_custkey") * 2L).as("c"),
+            (col("l_suppkey") * 2L + 1L).as("p"))
           .distinct()
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
         operators.Graph.katzCentrality(edges, "src", "dst", rounds = 3)
           .orderBy("id")
       },
-      Some("""WITH pairs AS (SELECT DISTINCT o_custkey AS c,
-           l_suppkey + 1000000 AS p
+      Some("""WITH pairs AS (SELECT DISTINCT o_custkey * 2 AS c,
+           l_suppkey * 2 + 1 AS p
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          edges AS (SELECT c AS src, p AS dst FROM pairs
            UNION ALL SELECT p, c FROM pairs),
@@ -11400,14 +11405,15 @@ object Queries {
       (s, dir) => {
         val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
         val l = t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        // collision-free parity node encoding, as q_katz_centrality
         val pw = o.join(l, o("o_orderkey") === l("l_orderkey"))
-          .groupBy(col("o_custkey").as("c"),
-            (col("l_suppkey") + 1000000L).as("p"))
+          .groupBy((col("o_custkey") * 2L).as("c"),
+            (col("l_suppkey") * 2L + 1L).as("p"))
           .agg(count(lit(1)).as("w"))
         operators.Graph.labelPropagation(pw, "c", "p", "w", rounds = 2)
       },
-      Some("""WITH pw AS (SELECT o_custkey AS c,
-           l_suppkey + 1000000 AS p, CAST(count(*) AS BIGINT) AS w
+      Some("""WITH pw AS (SELECT o_custkey * 2 AS c,
+           l_suppkey * 2 + 1 AS p, CAST(count(*) AS BIGINT) AS w
            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
            GROUP BY 1, 2),
          e AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM (
@@ -11555,7 +11561,91 @@ object Queries {
        SELECT h_nano // 200000000 AS bin,
          CAST(count(*) AS BIGINT) AS n_users,
          min(h_nano) AS min_h_nano, max(h_nano) AS max_h_nano
-       FROM pu GROUP BY 1 ORDER BY bin"""))
+       FROM pu GROUP BY 1 ORDER BY bin""")),
+
+    // ── UNIGRAM-LM (SentencePiece-style) TOKENIZER TRAINING — the
+    //    probabilistic peer of q_bpe_train (round-11 verdict item 4):
+    //    2 hard-EM Viterbi rounds over the ≤2-char piece inventory,
+    //    integer nano-grid costs (two pure-integer logs per piece),
+    //    deterministic (cost, pieces, segmentation) tie-break. The
+    //    oracle enumerates every segmentation per distinct word with
+    //    a recursive CTE and takes the same composite minimum —
+    //    feasible because it only ever runs at sf0.01 (the engine
+    //    side is the linear DP fold, not the enumeration). ──
+    QueryDef(
+      "q_unigram_lm",
+      (s, dir) => operators.TextAnalysis.unigramLmTrain(
+        t(s, dir, "documents"), "text", rounds = 2),
+      Some("""WITH RECURSIVE tk AS (
+  SELECT tok FROM (
+    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+    FROM documents)
+  WHERE length(tok) BETWEEN 1 AND 16),
+words AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS wc
+  FROM tk GROUP BY 1),
+pos AS (SELECT w, wc, unnest(range(1, length(w) + 1)) AS i FROM words),
+subs AS (SELECT w, wc, i, substring(w, i, 1) AS p1,
+    CASE WHEN i >= 2 THEN substring(w, i - 1, 2) END AS p2
+  FROM pos),
+c0 AS (SELECT p AS piece, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+    SELECT wc, p1 AS p FROM subs
+    UNION ALL SELECT wc, p2 FROM subs WHERE p2 IS NOT NULL)
+  GROUP BY 1),
+t0 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c0),
+pc0 AS (SELECT piece,
+    CAST(floor(ln(CAST(total AS DOUBLE)) * 1000000000.0) AS BIGINT)
+    - CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000000.0) AS BIGINT)
+      AS cost
+  FROM c0 CROSS JOIN t0),
+r1 AS (
+  SELECT w, wc, 0 AS i, CAST(0 AS BIGINT) AS cost, 0 AS np,
+    CAST('' AS VARCHAR) AS seg
+  FROM words
+  UNION ALL
+  SELECT s.w, s.wc, s.i + l.l, s.cost + pc.cost, s.np + 1,
+    CASE WHEN s.seg = '' THEN substring(s.w, s.i + 1, l.l)
+      ELSE s.seg || ' ' || substring(s.w, s.i + 1, l.l) END
+  FROM r1 s
+  JOIN (VALUES (1), (2)) l(l) ON s.i + l.l <= length(s.w)
+  JOIN pc0 pc ON pc.piece = substring(s.w, s.i + 1, l.l)),
+best1 AS (SELECT w, wc, seg FROM (
+    SELECT w, wc, seg,
+      row_number() OVER (PARTITION BY w ORDER BY cost, np, seg) AS rn
+    FROM r1 WHERE i = length(w)) WHERE rn = 1),
+c1 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+    SELECT wc, unnest(string_split(seg, ' ')) AS piece FROM best1)
+  GROUP BY 1),
+v1 AS (
+  SELECT c0.piece, greatest(coalesce(c1.cnt, 0), 1) AS cnt
+  FROM c0 LEFT JOIN c1 USING (piece) WHERE length(c0.piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM c1 WHERE length(piece) = 2),
+t1 AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v1),
+pc1 AS (SELECT piece,
+    CAST(floor(ln(CAST(total AS DOUBLE)) * 1000000000.0) AS BIGINT)
+    - CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000000.0) AS BIGINT)
+      AS cost
+  FROM v1 CROSS JOIN t1),
+r2 AS (
+  SELECT w, wc, 0 AS i, CAST(0 AS BIGINT) AS cost, 0 AS np,
+    CAST('' AS VARCHAR) AS seg
+  FROM words
+  UNION ALL
+  SELECT s.w, s.wc, s.i + l.l, s.cost + pc.cost, s.np + 1,
+    CASE WHEN s.seg = '' THEN substring(s.w, s.i + 1, l.l)
+      ELSE s.seg || ' ' || substring(s.w, s.i + 1, l.l) END
+  FROM r2 s
+  JOIN (VALUES (1), (2)) l(l) ON s.i + l.l <= length(s.w)
+  JOIN pc1 pc ON pc.piece = substring(s.w, s.i + 1, l.l)),
+best2 AS (SELECT w, wc, seg FROM (
+    SELECT w, wc, seg,
+      row_number() OVER (PARTITION BY w ORDER BY cost, np, seg) AS rn
+    FROM r2 WHERE i = length(w)) WHERE rn = 1),
+c2 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+    SELECT wc, unnest(string_split(seg, ' ')) AS piece FROM best2)
+  GROUP BY 1)
+SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, cnt
+FROM c2 ORDER BY cnt DESC, piece ASC LIMIT 200"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

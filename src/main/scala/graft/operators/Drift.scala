@@ -95,8 +95,15 @@ object Drift {
     */
   def spearmanNano(df: DataFrame, xCol: String,
       yCol: String): DataFrame = {
-    val base = df.select(col(xCol).cast("long").as("x"),
-      col(yCol).cast("long").as("y"))
+    // NULL rows carry no rank information and are excluded UP FRONT
+    // (round-11 advice: leaving them in the value histogram inflates
+    // every other value's cumulative rank while the join back then
+    // drops the null rows — ranks over the retained rows would no
+    // longer be 1..m; the oracle mirrors this filter)
+    val base = df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
     val rx = Ranks.doubledRanks(base, "x")
       .select(col("v").as("x"), col("r2").as("rx"))
     val ry = Ranks.doubledRanks(base, "y")
@@ -137,7 +144,9 @@ object Drift {
     */
   def mannWhitneyNano(df: DataFrame, groupCol: String, valueCol: String,
       a: String, b: String): DataFrame = {
-    val hist = df.filter(col(groupCol).isin(a, b))
+    // NULL measurements rank nowhere — excluded, as in [[spearmanNano]]
+    val hist = df.filter(col(groupCol).isin(a, b) &&
+        col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
       .groupBy("v")
       .agg(count(lit(1)).as("c"),
@@ -182,7 +191,10 @@ object Drift {
   def giniNano(df: DataFrame, idCol: String,
       valueCol: String): DataFrame = {
     require(df.columns.contains(idCol), s"no column $idCol")
-    val hist = df.select(col(valueCol).cast("long").as("v"))
+    // NULL masses hold no share of the distribution — excluded, as in
+    // [[spearmanNano]] (the oracle mirrors the filter)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("v"))
       .groupBy("v").agg(count(lit(1)).as("c"))
     val m = Ranks.globalPrefix(hist, Seq("v"), "c", "cum")
       .select(col("v"), col("c"),

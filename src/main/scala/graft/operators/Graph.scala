@@ -334,10 +334,20 @@ object Graph {
     * celebrity-hub guard: O(cap²) pairs per hub), one aggregation,
     * one anti join. The hub weight rides the wedge rows; no extra
     * pass.
+    *
+    * Edge-form contract (round-11 advice): the input is an UNDIRECTED
+    * edge list and is canonicalized internally — least/greatest +
+    * distinct — so reversed or bidirectional duplicates of the same
+    * edge collapse before degrees are counted, and self-loops are
+    * dropped (a self-loop closes no wedge and would otherwise double
+    * its endpoint's degree). Callers passing `aCol < bCol` canonical
+    * rows (the [[linkPredict]] convention) see identical results.
     */
   def adamicAdar(edges: DataFrame, aCol: String, bCol: String,
       degCap: Int = 128): DataFrame = {
-    val eg = edges.select(col(aCol).as("x"), col(bCol).as("y"))
+    val eg = edges.select(least(col(aCol), col(bCol)).as("x"),
+        greatest(col(aCol), col(bCol)).as("y"))
+      .filter(col("x") < col("y"))
       .distinct()
     val e = eg.select(col("x").as("m"), col("y").as("v"))
       .union(eg.select(col("y").as("m"), col("x").as("v")))

@@ -44,9 +44,14 @@ object Ranks {
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lpre", sum(col(cntCol).cast("long"))
         .over(Window.partitionBy("__pid").orderBy(sc: _*))))
-    // bounded driver collect: one running total per range partition
+    // bounded driver collect: one running total per range partition.
+    // The total is sum(cntCol) per partition — NOT max of the running
+    // sum, which only equals the total when every count is
+    // non-negative (round-11 advice: a negative count would silently
+    // corrupt every downstream offset under the max formulation; the
+    // sum is correct for any sign).
     val totals = local.groupBy("__pid")
-      .agg(max("__lpre").as("__tot"))
+      .agg(sum(col(cntCol).cast("long")).as("__tot"))
       .orderBy("__pid")
       .collect()
     var acc = 0L

@@ -1064,6 +1064,144 @@ object TextAnalysis {
       .limit(topN)
   }
 
+  /** UNIGRAM-LM (SentencePiece-style) tokenizer training — the
+    * tokenizer family peer of [[bpeTrain]] (Kudo 2018, "Subword
+    * Regularization": pieces carry independent probabilities and a
+    * word's tokenization is its best-scoring segmentation, where BPE
+    * replays merge history). Hard-EM with `rounds` fixed Viterbi
+    * rounds over the piece inventory of all length-1/length-2
+    * substrings:
+    *
+    *  - seed counts = substring occurrence counts over the word
+    *    histogram (the SentencePiece seed, restricted to the ≤2-char
+    *    inventory so the segmentation lattice is the two-way DP
+    *    below);
+    *  - E-step: Viterbi-segment every DISTINCT word under integer
+    *    piece costs cost(p) = ⌊ln(total)·1e9⌋ − ⌊ln(cnt_p)·1e9⌋ (two
+    *    pure-integer-argument logs on the nano grid, the q_kl_sources
+    *    lnGrid discipline — everything after the floors is exact
+    *    int64, so the best path is engine-replayable);
+    *  - M-step: re-count pieces over the best segmentations, word
+    *    counts as weights; single-char pieces never die (count floor
+    *    1, the SentencePiece keep-all-chars rule), 2-char pieces
+    *    survive only while used.
+    *
+    * Ties between equal-cost segmentations break deterministically on
+    * (cost, piece count, segmentation string) — a composite the DP
+    * can carry because appending the same piece preserves each
+    * component's order (two distinct segmentations of the same prefix
+    * are never string-prefixes of each other: same characters, so one
+    * being a prefix of the other forces equality). The oracle replays
+    * the identical rule by enumerating all segmentations per word
+    * (recursive CTE) and taking the same composite minimum.
+    *
+    * Returns the trained inventory: (piece, piece_len, cnt) — final
+    * Viterbi usage counts — top `topK` by (cnt desc, piece asc).
+    *
+    * Scale shape: the corpus is scanned ONCE (word histogram,
+    * map-side combined); every round after runs on the distinct-word
+    * table — a scan-local codegen'd fold per word (the [[bpeFit]]
+    * fold pattern; no join, no shuffle beyond the piece re-count,
+    * which is |vocab|-sized and map-side combined). Piece costs
+    * travel as a map LITERAL (≤ alphabet + alphabet² entries — the
+    * bounded codebook collect, same bound as [[vocabEncode]]'s
+    * vocabulary). Words longer than `maxWordLen` code points are
+    * dropped (documented cap: the DP cost is linear in word length,
+    * and 16+-char "words" in web text are URLs/hashes, not lexicon).
+    */
+  def unigramLmTrain(df: DataFrame, textCol: String, rounds: Int = 2,
+      maxWordLen: Int = 16, topK: Int = 200): DataFrame = {
+    require(rounds >= 1, s"rounds must be positive, got $rounds")
+    val spark = df.sparkSession
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val words = df.select(explode(toks(col(textCol))).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy("w").agg(count(lit(1)).as("wc"))
+      .persist(lvl)
+    // seed counts: every len-1/len-2 substring occurrence, weighted by
+    // the word's corpus count; bounded driver collect (≤ alphabet²)
+    val subs = words.select(col("w"), col("wc"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("wc"),
+        col("w").substr(col("i"), lit(1)).as("p1"),
+        when(col("i") >= 2, col("w").substr(col("i") - 1, lit(2)))
+          .as("p2"))
+    val c0: Map[String, Long] = subs
+      .select(col("wc"), col("p1").as("piece"))
+      .unionAll(subs.filter(col("p2").isNotNull)
+        .select(col("wc"), col("p2").as("piece")))
+      .groupBy("piece").agg(sum("wc").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (c0.isEmpty) {
+      words.unpersist()
+      return spark.range(0).select(lit("").as("piece"),
+        lit(0L).as("piece_len"), lit(0L).as("cnt"))
+    }
+    // code points, not UTF-16 units: substr counts characters in both
+    // engines, so piece-length classification must too
+    def cpLen(s: String): Int = s.codePointCount(0, s.length)
+    def lnGrid(x: Long): Long =
+      math.floor(math.log(x.toDouble) * 1e9).toLong
+    def costsOf(cnts: Map[String, Long]): Map[String, Long] = {
+      val lt = lnGrid(cnts.valuesIterator.sum)
+      cnts.map { case (p, c) => p -> (lt - lnGrid(c)) }
+    }
+    // Viterbi E-step + piece re-count M-step under the given costs:
+    // one fold per word carrying (state at i-2, state at i-1), each
+    // state = (cost, pieces, segmentation); candidate A consumes one
+    // char, candidate B two (guarded: i ≥ 2 and the 2-char piece
+    // still in the inventory — try_element_at null disables B via the
+    // IS NOT NULL conjunct, FALSE-short-circuiting the comparison)
+    def viterbiCounts(cost: Map[String, Long]): DataFrame = {
+      val ca = "acc.c1 + try_element_at(__cm, substring(w, i, 1))"
+      val na = "acc.n1 + CAST(1 AS BIGINT)"
+      val ga = "CASE WHEN acc.g1 = '' THEN substring(w, i, 1) " +
+        "ELSE concat(acc.g1, ' ', substring(w, i, 1)) END"
+      val cb = "CASE WHEN i >= 2 THEN " +
+        "acc.c2 + try_element_at(__cm, substring(w, i - 1, 2)) " +
+        "ELSE CAST(NULL AS BIGINT) END"
+      val nb = "acc.n2 + CAST(1 AS BIGINT)"
+      val gb = "CASE WHEN acc.g2 = '' THEN substring(w, i - 1, 2) " +
+        "ELSE concat(acc.g2, ' ', substring(w, i - 1, 2)) END"
+      val useB = s"($cb) IS NOT NULL AND (($cb) < ($ca) OR " +
+        s"(($cb) = ($ca) AND (($nb) < ($na) OR " +
+        s"(($nb) = ($na) AND ($gb) < ($ga)))))"
+      val fold =
+        s"""aggregate(
+           sequence(1, length(w)),
+           named_struct(
+             'c2', CAST(0 AS BIGINT), 'n2', CAST(0 AS BIGINT), 'g2', '',
+             'c1', CAST(0 AS BIGINT), 'n1', CAST(0 AS BIGINT), 'g1', ''),
+           (acc, i) -> named_struct(
+             'c2', acc.c1, 'n2', acc.n1, 'g2', acc.g1,
+             'c1', CASE WHEN $useB THEN $cb ELSE $ca END,
+             'n1', CASE WHEN $useB THEN $nb ELSE $na END,
+             'g1', CASE WHEN $useB THEN $gb ELSE $ga END),
+           acc -> acc.g1)"""
+      words.withColumn("__cm", typedLit(cost))
+        .withColumn("__seg", expr(fold))
+        .select(col("wc"), explode(split(col("__seg"), " ")).as("piece"))
+        .groupBy("piece").agg(sum("wc").as("cnt"))
+    }
+    var cnts = c0
+    var out: DataFrame = null
+    for (r <- 1 to rounds) {
+      val seg = viterbiCounts(costsOf(cnts))
+      if (r < rounds) {
+        val cr = seg.collect()
+          .map(x => x.getString(0) -> x.getLong(1)).toMap
+        cnts = c0.keysIterator.filter(cpLen(_) == 1)
+          .map(p => p -> math.max(cr.getOrElse(p, 0L), 1L)).toMap ++
+          cr.filter { case (p, _) => cpLen(p) == 2 }
+      } else out = seg
+    }
+    val res = out.select(col("piece"),
+        length(col("piece")).cast("long").as("piece_len"), col("cnt"))
+      .orderBy(col("cnt").desc, col("piece").asc).limit(topK)
+    words.unpersist()
+    res
+  }
+
   /** Nano-grid probe score of feature array column `x` under literal
     * weights — expression-only, codegen'd (shared by the probe
     * trainer and the label-noise miner).

@@ -187,6 +187,57 @@ func TestSessionGoldenReplay(t *testing.T) {
 	if !reflect.DeepEqual(ts, wantSchema) {
 		t.Fatalf("schema decoded %#v, want %#v", ts, wantSchema)
 	}
+	// ── TVF + chunked surface (round-11 verdict item 5) ──
+	if _, err := c.Execute("create table gold.docs(id int, txt text, " +
+		"primary key(id))"); err != nil { // t9
+		t.Fatal(err)
+	}
+	dpid, err := c.Prepare("insert into gold.docs values(?, ?)") // t10
+	if err != nil {
+		t.Fatal(err)
+	}
+	if dpid != 1 {
+		t.Fatalf("second prepared id drifted: %d", dpid)
+	}
+	w := ""
+	for i := 1; i <= 20; i++ {
+		if i > 1 {
+			w += " "
+		}
+		w += "w" + strconv.Itoa(i)
+	}
+	// BatchInsert reuses the t10 prepared id from the cache, so this
+	// emits exactly one run frame — in lockstep with the Scala script
+	err = c.BatchInsert("insert into gold.docs values(?, ?)", // t11
+		[][]interface{}{
+			{1, w},
+			{2, w + " wx"},
+			{3, "alpha beta gamma delta epsilon zeta eta theta"},
+		})
+	if err != nil {
+		t.Fatal(err)
+	}
+	// table-valued function with server-side WHERE + projection,
+	// threshold placeholder-bound (BSON double)
+	comp, err := c.Execute("select id from dedup_components"+
+		"('gold.docs', 'id', 'txt', ?) where comp = 1", 0.5) // t12
+	if err != nil {
+		t.Fatal(err)
+	}
+	wantComp := [][]interface{}{{int64(1)}, {int64(2)}}
+	if !reflect.DeepEqual(comp, wantComp) {
+		t.Fatalf("TVF select decoded %#v, want %#v", comp, wantComp)
+	}
+	// chunked "5"-protocol: 5-key request doc (canonical sorted keys)
+	// and a streamed 2-frame response for 3 rows in 2-row chunks
+	chunked, err := c.ExecuteChunked("select * from gold.t where sec>=?",
+		[]interface{}{1}, 2) // t13
+	if err != nil {
+		t.Fatal(err)
+	}
+	if len(chunked) != 3 {
+		t.Fatalf("chunked select decoded %d rows, want 3", len(chunked))
+	}
 	// surface any fake-server verification failure
 	if err := <-errs; err != nil {
 		t.Fatal(err)

@@ -35,13 +35,19 @@ object Ast {
   sealed trait Stmt
   final case class Select(cols: Option[Seq[SelectCol]], table: TableName,
       where: Seq[Condition], limit: Option[Long]) extends Stmt
-  /** `select * from fn(arg, ...)` — a table-valued function over an
-    * engine table (the extension surface; not in the reference's
-    * closed grammar, which stops at the adj select-function family,
-    * reference parser.go:12). Args may be `?` placeholders bound at
-    * run time like any prepared statement.
+  /** `select [cols|*] from fn(arg, ...) [where ...] [limit n]` — a
+    * table-valued function over an engine table (the extension
+    * surface; not in the reference's closed grammar, which stops at
+    * the adj select-function family, reference parser.go:12). Args
+    * may be `?` placeholders bound at run time like any prepared
+    * statement; `cols` (None = `*`) and `where` resolve against the
+    * FUNCTION'S OUTPUT schema at execute (round-11 verdict item 6 —
+    * a wire user filters/projects TVF results server-side instead of
+    * pulling the whole relation), where placeholders binding
+    * positionally AFTER the function-argument placeholders.
     */
   final case class SelectFn(fn: String, args: Seq[Value],
+      cols: Option[Seq[String]], where: Seq[Condition],
       limit: Option[Long]) extends Stmt
   final case class Insert(table: TableName, cols: Seq[String],
       values: Seq[Value]) extends Stmt

@@ -20,9 +20,21 @@ import java.nio.charset.StandardCharsets
 object Bson {
   // ── encode ──
 
+  /** Documents encode with keys in CANONICAL SORTED ORDER — the Go
+    * client's convention — so every frame is deterministic regardless
+    * of Scala Map iteration order. For the wire's ≤4-key request docs
+    * ("0".."3") insertion order already equals sorted order (Map1..4
+    * preserve insertion), so this changes no committed golden byte;
+    * what it adds is determinism for the 5-key chunked/cached forms
+    * ("0","1","2","3","5"), which Scala's HashMap would otherwise
+    * iterate in hash order and which the cross-SDK session goldens
+    * now pin (round-11 verdict item 5). Array elements are NOT
+    * sorted — their keys are positional indices ("0","1",...,"10")
+    * whose lexicographic order diverges from position past 9.
+    */
   def encode(doc: Map[String, Any]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(64)
-    writeDoc(out, doc.toSeq)
+    writeDoc(out, doc.toSeq.sortBy(_._1))
     out.toByteArray
   }
 
@@ -68,7 +80,8 @@ object Bson {
       writeDoc(out, s.zipWithIndex.map { case (x, i) => i.toString -> x })
     case m: Map[_, _] =>
       out.write(0x03); writeCString(out, name)
-      writeDoc(out, m.toSeq.map { case (k, x) => k.toString -> x })
+      writeDoc(out,
+        m.toSeq.map { case (k, x) => k.toString -> x }.sortBy(_._1))
     case other =>
       throw OtError(s"BSON: unsupported value ${other.getClass.getName}")
   }

@@ -704,18 +704,25 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
   }
 
   /** Table-valued function dispatch ([[TableFns]]): bind placeholders
-    * positionally, resolve the table-reference argument through the
-    * catalog under the caller's READ permission (the same at-resolve
-    * gate every SELECT passes), then hand the table's logical
-    * DataFrame to the library operator. LIMIT composes on top;
-    * the reverse `-N` form has no PK order to reverse here and is
-    * rejected.
+    * positionally (function args first, then WHERE values), resolve
+    * the table-reference argument through the catalog under the
+    * caller's READ permission (the same at-resolve gate every SELECT
+    * passes), then hand the table's logical DataFrame to the library
+    * operator. WHERE conjunctions and the column projection resolve
+    * against the FUNCTION'S OUTPUT schema with the SELECT resolver's
+    * strict error strings (round-11 verdict item 6: filter/project
+    * TVF results server-side instead of shipping the whole relation —
+    * the filter sits in the same Spark plan, so Catalyst pushes it
+    * into the operator's plan wherever semantics allow). LIMIT
+    * composes on top; the reverse `-N` form has no PK order to
+    * reverse here and is rejected.
     */
   private def executeTableFn(s: SelectFn, args: Seq[Any],
       user: Option[User]): DataFrame = {
     val fd = TableFns.registry.getOrElse(s.fn,
       throw OtError(s"Unknown table function ${s.fn}"))
-    checkArity(s.args.count(_ == Placeholder), args)
+    checkArity(s.args.count(_ == Placeholder) +
+      s.where.count(_.rhs == Placeholder), args)
     var ai = -1
     val bound: Seq[Any] = s.args.map {
       case Placeholder => ai += 1; args(ai)
@@ -736,7 +743,41 @@ final class Engine(val spark: SparkSession, val warehouse: String) {
     val td = tableSchema(tn)
     if (getPerm(td.dbName, td.tblName, user) == Perm.No)
       throw OtError("No permisssion")
-    val out = fd.apply(catalog.readTable(td), bound)
+    var out = fd.apply(catalog.readTable(td), bound)
+    val outCols = out.columns.toSet
+    // WHERE over the output schema: conjunction of the dialect's five
+    // operators; Boolean columns take `=` only (the SELECT rule)
+    for (c <- s.where) {
+      if (!outCols.contains(c.col))
+        throw OtError(s"Undefined column name ${c.col}")
+      if (out.schema(c.col).dataType ==
+          org.apache.spark.sql.types.BooleanType && c.op != "=")
+        throw OtError(s"Invalid operator (${c.op}) for \"${c.col}\" " +
+          "of type Boolean")
+      val rhs: Any = c.rhs match {
+        case Placeholder => ai += 1; args(ai)
+        case v => Value.raw(v)
+      }
+      val lhs = col(c.col)
+      out = out.filter(c.op match {
+        case "=" => lhs === lit(rhs)
+        case "<" => lhs < lit(rhs)
+        case "<=" => lhs <= lit(rhs)
+        case ">" => lhs > lit(rhs)
+        case ">=" => lhs >= lit(rhs)
+      })
+    }
+    // plain-column projection, duplicate/unknown checked like SELECT's
+    s.cols.foreach { cs =>
+      val seen = scala.collection.mutable.Set.empty[String]
+      cs.foreach { n =>
+        if (!outCols.contains(n))
+          throw OtError(s"Undefined column name $n")
+        if (!seen.add(n))
+          throw OtError(s"Duplicate column name $n")
+      }
+      out = out.select(cs.map(col): _*)
+    }
     s.limit match {
       case Some(l) if l < 0 =>
         throw OtError("Table functions support positive LIMIT only")

@@ -156,22 +156,27 @@ object Parser {
     c.expectKw("FROM")
     val first = c.ident()
     // table-valued function: `from fn(arg, ...)` — the operator
-    // extension surface. Kept as closed as the rest of the dialect:
-    // `*` projection only, no WHERE (filter in the function's own
-    // parameters), positive LIMIT only (checked at execute)
+    // extension surface. Projection is plain columns only (the adj
+    // select-function family applies to PK tables, not TVF output);
+    // WHERE conjunctions resolve against the function's output schema
+    // at execute; positive LIMIT only (checked at execute)
     if (c.atOp("(")) {
       c.expectOp("(")
-      if (cols.isDefined)
-        throw OtError("Table functions support * projection only")
+      val fnCols = cols.map(_.map { sc =>
+        if (sc.func.isDefined)
+          throw OtError(
+            "Table functions support plain column projection only")
+        sc.name
+      })
       val fnArgs = ArrayBuffer.empty[Value]
       if (!c.tryOp(")")) {
         do fnArgs += parseValue(c) while (c.tryOp(","))
         c.expectOp(")")
       }
-      if (c.atKw("WHERE"))
-        throw OtError("Table functions do not support WHERE")
+      val where = if (c.tryKw("WHERE")) parseWhere(c) else Nil
       val limit = parseLimit(c)
-      return SelectFn(first.toLowerCase, fnArgs.toSeq, limit)
+      return SelectFn(first.toLowerCase, fnArgs.toSeq, fnCols, where,
+        limit)
     }
     val tbl =
       if (c.tryOp(".")) TableName(Some(first), c.ident())

@@ -201,6 +201,20 @@ object TableFns {
           throw OtError("katz_centrality: rounds must be in 1..16")
         Graph.katzCentrality(df, src, dst, rounds.toInt).orderBy("id")
       }),
+    // unigram-LM (SentencePiece-style) tokenizer training: Viterbi
+    // hard-EM over the ≤2-char piece inventory, trained inventory
+    // back over the wire (round-12; TextAnalysis.unigramLmTrain)
+    "unigram_lm" -> FnDef(
+      "unigram_lm('db.tbl', 'text_col', rounds)",
+      3 to 3,
+      (df, a) => {
+        val text = argStr("unigram_lm", a, 1)
+        requireCol("unigram_lm", df, text)
+        val rounds = argInt("unigram_lm", a, 2)
+        if (rounds <= 0 || rounds > 8)
+          throw OtError("unigram_lm: rounds must be in 1..8")
+        TextAnalysis.unigramLmTrain(df, text, rounds.toInt)
+      }),
     // OHLCV bars from a (key, time, value) event table; width in the
     // time column's own units (epoch micros for timestamp columns)
     "resample_ohlcv" -> FnDef(

@@ -383,12 +383,18 @@ class ServerSpec extends AnyFunSuite {
     assert(intercept[OtError](client.execute(
       "select * from nope_fn('net.docs')")).msg ==
       "Unknown table function nope_fn")
+    // projection/WHERE resolve against the TVF's OUTPUT schema with
+    // the SELECT resolver's strict error strings (round-11 item 6)
     assert(intercept[OtError](client.execute(
-      "select doc_id from minhash_pairs('net.docs', 'doc_id', 'body', 0.5)"))
-      .msg == "Table functions support * projection only")
+      "select nope from minhash_pairs('net.docs', 'doc_id', 'body', 0.5)"))
+      .msg == "Undefined column name nope")
     assert(intercept[OtError](client.execute(
-      "select * from quality_score('net.docs', 'body') where doc_id=1"))
-      .msg == "Table functions do not support WHERE")
+      "select id_a, id_a from minhash_pairs" +
+        "('net.docs', 'doc_id', 'body', 0.5)"))
+      .msg == "Duplicate column name id_a")
+    assert(intercept[OtError](client.execute(
+      "select * from quality_score('net.docs', 'body') where nope=1"))
+      .msg == "Undefined column name nope")
     assert(intercept[OtError](client.execute(
       "select * from quality_score('net.docs', 'body') limit -1")).msg ==
       "Table functions support positive LIMIT only")
@@ -535,6 +541,78 @@ class ServerSpec extends AnyFunSuite {
         "select * from hapax_stats('d3', 'body', 'src') limit 1")
         .map(_.map(_.toString)) == Seq(
         Seq("s1", "3", "5", "1", "333333333", "600000000")))
+    } finally cb.close()
+  }
+
+  test("round-12: TVF WHERE + projection over the wire (JSON + BSON)") {
+    // round-11 verdict item 6: a wire user filters and projects a
+    // TVF's OUTPUT server-side — same strict resolver error strings
+    // as plain SELECT, placeholders in WHERE binding after the
+    // function-argument placeholders, LIMIT composing on top
+    client.execute("create database if not exists net")
+    client.execute("create table net.d4(doc_id int, body text, " +
+      "primary key(doc_id))")
+    val pid = client.prepare("insert into net.d4 values(?, ?)")
+    client.batchInsert(pid, Seq(
+      Seq(1, "plain text tok3 with no pii"),
+      Seq(2, "reach me at bob@example.com today tok3"),
+      Seq(3, "call 555-123-4567 or mail sue@example.com")))
+    // filter on an output column + project a subset, server-side
+    val hits = client.execute("select doc_id from pii_scan" +
+      "('net.d4', 'doc_id', 'body') where n_emails >= 1")
+    assert(hits.map(_.map(_.toString)) == Seq(Seq("2"), Seq("3")))
+    // conjunction over two output columns
+    val only = client.execute("select doc_id from pii_scan" +
+      "('net.d4', 'doc_id', 'body') where n_emails >= 1 and n_phones = 0")
+    assert(only.map(_.map(_.toString)) == Seq(Seq("2")))
+    // projection reorders and LIMIT composes after the filter
+    val proj = client.execute("select n_phones, doc_id from pii_scan" +
+      "('net.d4', 'doc_id', 'body') where n_emails >= 1 limit 1")
+    assert(proj.map(_.map(_.toString)) == Seq(Seq("0", "2")))
+    // WHERE placeholder alone, prepared and re-bound
+    val sid = client.prepare("select doc_id from pii_scan" +
+      "('net.d4', 'doc_id', 'body') where n_emails >= ?")
+    assert(client.executePrepared(sid, Seq(1))
+      .map(_.head.toString) == Seq("2", "3"))
+    assert(client.executePrepared(sid, Seq(2)).isEmpty)
+    // fn-arg placeholder THEN where placeholder, positional
+    val bid = client.prepare("select doc_id from bm25_scores" +
+      "('net.d4', 'doc_id', 'body', ?) where doc_id <= ?")
+    assert(client.executePrepared(bid, Seq("tok3", 1))
+      .map(_.head.toString) == Seq("1"))
+    assert(client.executePrepared(bid, Seq("tok3", 2))
+      .map(_.head.toString) == Seq("1", "2"))
+    // strict resolver contract on the output schema
+    assert(intercept[OtError](client.execute(
+      "select doc_id from pii_scan('net.d4', 'doc_id', 'body') " +
+        "where nope = 1")).msg == "Undefined column name nope")
+    assert(intercept[OtError](client.execute(
+      "select doc_id, doc_id from pii_scan" +
+        "('net.d4', 'doc_id', 'body')")).msg ==
+      "Duplicate column name doc_id")
+    assert(intercept[OtError](client.execute(
+      "select nope from pii_scan('net.d4', 'doc_id', 'body')")).msg ==
+      "Undefined column name nope")
+    // unigram_lm: the tokenizer trainer over the wire, with a WHERE
+    // on a column the projection then DROPS (filter-then-project)
+    val ug = client.execute("select piece, cnt from unigram_lm" +
+      "('net.d4', 'body', 2) where piece_len = 2 limit 3")
+    assert(ug.nonEmpty && ug.forall(_.head.toString.length == 2),
+      ug.toString)
+    assert(intercept[OtError](client.execute(
+      "select * from unigram_lm('net.d4', 'body', 0)")).msg ==
+      "unigram_lm: rounds must be in 1..8")
+    // BSON mode: the same filtered, projected TVF query
+    val cb = new NetClient("127.0.0.1", server.boundPort,
+      protocol = "bson")
+    try {
+      cb.use("net")
+      assert(cb.execute("select doc_id from pii_scan" +
+        "('d4', 'doc_id', 'body') where n_emails >= 1 and n_phones = 0")
+        .map(_.map(_.toString)) == Seq(Seq("2")))
+      assert(cb.execute("select redacted from pii_scan" +
+        "('d4', 'doc_id', 'body') where doc_id = 2").head.head
+        .toString.contains("<EMAIL>"))
     } finally cb.close()
   }
 

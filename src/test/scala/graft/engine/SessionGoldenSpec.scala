@@ -32,12 +32,16 @@ import scala.util.control.NonFatal
   * Determinism contract (why this CAN be byte-pinned): tickets count
   * from 1 per connection; prepared ids are per-connection list indices
   * (Server.scala `prepared`), so a fresh engine + fresh connection
-  * replays identically; request docs stay ≤ 4 keys ("0".."3" — Scala's
-  * Map1..Map4 preserve insertion order, which equals sorted order, the
-  * Go encoder's canonical order; the 5-key chunked/cached forms would
-  * encode in Scala HashMap order and are deliberately NOT in the
-  * script); BSON doubles/longs are bit-exact; no login, so no server
-  * randomness; idleTimeoutMs=0, so no heartbeat frames interleave.
+  * replays identically; [[Bson.encode]] writes document keys in
+  * CANONICAL SORTED ORDER (round-11 verdict item 5 — previously only
+  * the ≤4-key forms were deterministic via Map1..Map4 insertion
+  * order, which kept the 5-key chunked form out of the script; now
+  * the chunked "5"-protocol frames pin too, both the 5-key request
+  * and the multi-frame streamed response); BSON doubles/longs are
+  * bit-exact; no login, so no server randomness; idleTimeoutMs=0, so
+  * no heartbeat frames interleave. The TVF steps (t9-t12) pin the
+  * newer wire surface: a table-function call with server-side WHERE +
+  * projection, prepared and placeholder-bound.
   */
 object SessionGolden {
   val GoldenPath = "bindings/go/session_golden.jsonl"
@@ -118,6 +122,26 @@ object SessionGolden {
     val rows = c.execute("select * from gold.t where sec=?", Seq(1)) // t6
     c.listTables()                                                 // t7
     c.schema("t") // unqualified: the used db scopes it            // t8
+    // TVF surface: create a docs table, call a table function with
+    // server-side WHERE + projection, prepared + placeholder-bound
+    c.execute("create table gold.docs(id int, txt text, " +
+      "primary key(id))")                                          // t9
+    val dpid = c.prepare("insert into gold.docs values(?, ?)")     // t10
+    c.batchInsert(dpid, Seq(                                       // t11
+      Seq(1, (1 to 20).map(i => s"w$i").mkString(" ")),
+      Seq(2, (1 to 20).map(i => s"w$i").mkString(" ") + " wx"),
+      Seq(3, "alpha beta gamma delta epsilon zeta eta theta")))
+    val comp = c.execute("select id from dedup_components" +
+      "('gold.docs', 'id', 'txt', ?) where comp = 1",
+      Seq(0.5))                                                    // t12
+    require(comp == Seq(Seq(1), Seq(2)),
+      s"TVF select drifted: $comp")
+    // chunked "5"-protocol: 5-key request doc (canonical key order)
+    // + the streamed multi-frame response, 3 rows in 2-row chunks
+    val chunked = c.executeChunked("select * from gold.t where sec>=?",
+      Seq(1), chunkRows = 2)                                       // t13
+    require(chunked.length == 3,
+      s"chunked select drifted: $chunked")
     rows
   }
 

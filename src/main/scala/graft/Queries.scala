@@ -11645,7 +11645,137 @@ c2 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM (
     SELECT wc, unnest(string_split(seg, ' ')) AS piece FROM best2)
   GROUP BY 1)
 SELECT piece, CAST(length(piece) AS BIGINT) AS piece_len, cnt
-FROM c2 ORDER BY cnt DESC, piece ASC LIMIT 200"""))
+FROM c2 ORDER BY cnt DESC, piece ASC LIMIT 200""")),
+
+    // ── KRUSKAL–WALLIS H across sources' document lengths — the
+    //    k-group generalization of q_mannwhitney (same doubled-rank
+    //    machinery via Ranks.globalPrefix), per-group terms one IEEE
+    //    floor each before the exact int sum, plus the tie
+    //    correction's pure-int Σ(c³−c). ──
+    QueryDef(
+      "q_kruskal_wallis",
+      (s, dir) => operators.Drift.kruskalWallisNano(
+        t(s, dir, "documents"), "source", "n_chars"),
+      Some("""WITH b AS (SELECT source AS g, n_chars AS v
+           FROM documents
+           WHERE n_chars IS NOT NULL AND source IS NOT NULL),
+         r AS (SELECT g, 2 * rank() OVER (ORDER BY v)
+             + count(*) OVER (PARTITION BY v) - 1 AS r2 FROM b),
+         pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(r2) AS BIGINT) AS s2 FROM r GROUP BY 1),
+         tm AS (SELECT ng,
+             CAST(floor(CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)
+               / CAST(ng AS DOUBLE)) AS BIGINT) AS term FROM pg),
+         tie AS (SELECT CAST(coalesce(sum(c * c * c - c), 0) AS BIGINT)
+             AS tie_sum
+           FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM b
+             GROUP BY v)),
+         m AS (SELECT CAST(coalesce(sum(ng), 0) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(coalesce(sum(term), 0) AS BIGINT) AS s FROM tm)
+       SELECT n, n_groups, tie_sum,
+         CASE WHEN n > 1
+           THEN CAST(floor((3.0 * CAST(s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             * 1000000000.0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS h_nano,
+         CASE WHEN n > 1 AND 1.0 - CAST(tie_sum AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) > 0.0
+           THEN CAST(floor((3.0 * CAST(s AS DOUBLE)
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+               - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+             / (1.0 - CAST(tie_sum AS DOUBLE)
+               / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+             * 1000000000.0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS h_tie_nano
+       FROM m CROSS JOIN tie""")),
+
+    // ── JENSEN–SHANNON DIVERGENCE between two sources' unigram
+    //    distributions — q_kl_sources' symmetric, ln2-bounded
+    //    companion; the mixture ratio 2aB/(aB+bA) keeps both log
+    //    arguments pure-integer, so the term sums are exact int64 on
+    //    the nano grid (one double floor at the edge). ──
+    QueryDef(
+      "q_js_sources",
+      (s, dir) => operators.TextAnalysis.jsUnigram(
+        t(s, dir, "documents"), "text", "source", "src0", "src1"),
+      Some("""WITH tk0 AS (SELECT source AS g,
+           unnest(regexp_split_to_array(lower(trim(text)), '\s+'))
+             AS tok
+         FROM documents WHERE source IN ('src0', 'src1')),
+         tk AS (SELECT g, tok FROM tk0 WHERE length(tok) > 0),
+         ca AS (SELECT tok, CAST(count(*) AS BIGINT) AS ca FROM tk
+                WHERE g = 'src0' GROUP BY 1),
+         cb AS (SELECT tok, CAST(count(*) AS BIGINT) AS cb FROM tk
+                WHERE g = 'src1' GROUP BY 1),
+         j AS (SELECT coalesce(x.ca, 0) AS ca, coalesce(y.cb, 0) AS cb
+           FROM ca x FULL OUTER JOIN cb y USING (tok)),
+         tt AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS na,
+             CAST(coalesce(sum(cb), 0) AS BIGINT) AS nb,
+             CAST(count(*) AS BIGINT) AS v FROM j),
+         terms AS (SELECT
+             (ca + 1) * (CAST(floor(ln(CAST(2 * (ca + 1) * (nb + v)
+                 AS DOUBLE)) * 1000000000.0) AS BIGINT)
+               - CAST(floor(ln(CAST((ca + 1) * (nb + v)
+                 + (cb + 1) * (na + v) AS DOUBLE)) * 1000000000.0)
+                 AS BIGINT)) AS t_p,
+             (cb + 1) * (CAST(floor(ln(CAST(2 * (cb + 1) * (na + v)
+                 AS DOUBLE)) * 1000000000.0) AS BIGINT)
+               - CAST(floor(ln(CAST((ca + 1) * (nb + v)
+                 + (cb + 1) * (na + v) AS DOUBLE)) * 1000000000.0)
+                 AS BIGINT)) AS t_q,
+             na, nb, v
+           FROM j CROSS JOIN tt)
+       SELECT max(na) AS n_a, max(nb) AS n_b, max(v) AS vocab,
+         CAST(floor((CAST(sum(t_p) AS DOUBLE)
+             / CAST(max(na) + max(v) AS DOUBLE)
+           + CAST(sum(t_q) AS DOUBLE)
+             / CAST(max(nb) + max(v) AS DOUBLE)) / 2.0) AS BIGINT)
+           AS js_nano
+       FROM terms""")),
+
+    // ── CRAMÉR'S V between language and source — the [0,1]-bounded
+    //    association strength of two categorical columns (is lang
+    //    confounded with source?); χ² via the Σo²/e − n identity so
+    //    empty cells contribute exactly zero, per observed cell one
+    //    micro-grid IEEE floor before the int sum, one sqrt at the
+    //    edge. ──
+    QueryDef(
+      "q_cramers_v",
+      (s, dir) => operators.Drift.cramersVNano(
+        t(s, dir, "documents"), "lang", "source"),
+      Some("""WITH cells AS (SELECT lang AS a, source AS b,
+           CAST(count(*) AS BIGINT) AS o
+         FROM documents
+         WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+         ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells
+           GROUP BY 1),
+         cbx AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells
+           GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             CAST(count(DISTINCT a) AS BIGINT) AS r,
+             CAST(count(DISTINCT b) AS BIGINT) AS c FROM cells),
+         tx AS (SELECT n, r, c,
+             CAST(floor(CAST(o AS DOUBLE) * CAST(o AS DOUBLE)
+               * CAST(n AS DOUBLE)
+               / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS t
+           FROM cells JOIN ra USING (a) JOIN cbx USING (b)
+             CROSS JOIN tot),
+         m AS (SELECT n, r, c,
+             CAST(coalesce(sum(t), 0) AS BIGINT) - n * 1000000
+               AS chi2_micro
+           FROM tx GROUP BY 1, 2, 3)
+       SELECT n, r, c, chi2_micro,
+         CASE WHEN n > 0 AND least(r, c) > 1 AND chi2_micro > 0
+           THEN CAST(floor(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000.0
+             / (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)))
+             * 1000000000.0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS v_nano
+       FROM m"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

@@ -312,4 +312,117 @@ object Drift {
         StructField("sum_marg_prod", LongType, nullable = false),
         StructField("kappa_nano", LongType, nullable = false))))
   }
+
+  /** KRUSKAL–WALLIS H across k slices of a numeric column — the
+    * k-group generalization of [[mannWhitneyNano]] (distribution-free
+    * "do these sources draw from the same length/quality
+    * distribution?", the first test a corpus audit reaches for when
+    * there are more than two slices). Doubled average ranks keep the
+    * rank sums exact int64: with S2_g = Σ_g 2·avgrank,
+    * H = 3/(n(n+1)) · Σ_g S2_g²/n_g − 3(n+1); the tie correction
+    * divides by 1 − Σ_v(c³−c)/(n³−n).
+    *
+    * Exactness: per-group terms ⌊S2_g²/n_g⌋ are one fixed-order IEEE
+    * floor each (S2_g² leaves int64 near n ≈ 4·10⁴ rows, so the
+    * square runs in double — deterministic, both engines write the
+    * identical three-op expression), then an exact int64 sum; H and
+    * its tie-corrected form are one double floor each at the edge.
+    * The tie sum Σ(c³−c) stays pure int64. NULL measurements are
+    * excluded up front ([[spearmanNano]]'s rule; oracle mirrors).
+    * All-tied input (tie correction denominator 0) pins h_tie_nano 0.
+    *
+    * Returns one row: (n, n_groups, tie_sum, h_nano, h_tie_nano).
+    * Scale shape: one (group, value) count aggregation, one value
+    * histogram + [[Ranks.globalPrefix]] over |distinct v| rows, one
+    * per-group moment aggregate (k rows), one 1-row reduce — the
+    * corpus is scanned once, nothing downstream grows past
+    * |distinct v| + k.
+    */
+  def kruskalWallisNano(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val gv = df.filter(col(valueCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("cg"))
+    val hist = gv.groupBy("v").agg(sum("cg").as("c"))
+    val ranked = Ranks.globalPrefix(hist, Seq("v"), "c", "cum")
+      .withColumn("r2", lit(2L) * col("cum") - col("c") + 1L)
+    val perG = gv.join(ranked.select("v", "r2"), "v")
+      .groupBy("g")
+      .agg(sum("cg").as("ng"), sum(col("cg") * col("r2")).as("s2"))
+      .select(col("ng"),
+        floor(col("s2").cast("double") * col("s2").cast("double") /
+          col("ng").cast("double")).cast("long").as("term"))
+    val ties = ranked.agg(coalesce(
+      sum(col("c") * col("c") * col("c") - col("c")), lit(0L))
+      .as("tie_sum"))
+    val m = perG.agg(coalesce(sum("ng"), lit(0L)).as("n"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum("term"), lit(0L)).as("s"))
+      .crossJoin(broadcast(ties))
+    val nD = col("n").cast("double")
+    val hRaw = lit(3.0) * col("s").cast("double") /
+      (nD * (nD + 1.0)) - lit(3.0) * (nD + 1.0)
+    val tieDen = lit(1.0) - col("tie_sum").cast("double") /
+      (nD * nD * nD - nD)
+    m.select(col("n"), col("n_groups"), col("tie_sum"),
+      coalesce(when(col("n") > 1L,
+        floor(hRaw * 1e9).cast("long")), lit(0L)).as("h_nano"),
+      coalesce(when(col("n") > 1L && tieDen > 0.0,
+        floor(hRaw / tieDen * 1e9).cast("long")), lit(0L))
+        .as("h_tie_nano"))
+  }
+
+  /** CRAMÉR'S V between two categorical columns — the [0, 1]-bounded
+    * strength-of-association read the raw chi² statistic (which grows
+    * with n) and [[mutualInfoNano]] (which grows with entropy) don't
+    * give: V = √(χ²/(n·(min(r,c)−1))), comparable across tables of
+    * any size — the "is lang confounded with source" audit number.
+    *
+    * Exactness: the contingency cells, row/column marginals, n, r, c
+    * are exact int64. χ² uses the identity Σ(o−e)²/e = Σ o²/e − n,
+    * under which EMPTY cells contribute exactly zero — so the sum
+    * runs over observed cells only, with no r×c grid to materialize
+    * (the naive (o−e)²/e form silently drops the zero-cell mass).
+    * Each observed cell's o²·n/(r_a·c_b) floors onto the MICRO grid
+    * as one fixed-order IEEE expression (the products leave int64
+    * past n ≈ 10⁵, so they run in double — both engines write the
+    * same op sequence), then an exact int64 sum minus n·1e6; V is one
+    * double sqrt+floor at the edge. Degenerate tables (one row or one
+    * column class — min(r,c) = 1, association undefined) pin 0, as
+    * does a floor-error-negative χ² on an independent table.
+    *
+    * Returns one row: (n, r, c, chi2_micro, v_nano). Scale shape: one
+    * (a, b) cell count, two marginal aggregates joined back on the
+    * (tiny) class domains, a 1-row broadcast, one reduce — nothing
+    * grows past the observed-cell count after the scan.
+    */
+  def cramersVNano(df: DataFrame, aCol: String,
+      bCol: String): DataFrame = {
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy("a").agg(sum("o").as("ra"))
+    val cb = cells.groupBy("b").agg(sum("o").as("cb"))
+    val tot = cells.agg(coalesce(sum("o"), lit(0L)).as("n"),
+      countDistinct("a").as("r"), countDistinct("b").as("c"))
+    val terms = cells.join(ra, "a").join(cb, "b")
+      .crossJoin(broadcast(tot))
+      .select(col("n"), col("r"), col("c"),
+        floor(col("o").cast("double") * col("o").cast("double") *
+          col("n").cast("double") /
+          (col("ra").cast("double") * col("cb").cast("double")) * 1e6)
+          .cast("long").as("t"))
+    terms.groupBy("n", "r", "c")
+      .agg(coalesce(sum("t"), lit(0L)).as("s"))
+      .select(col("n"), col("r"), col("c"),
+        (col("s") - col("n") * 1000000L).as("chi2_micro"))
+      .select(col("n"), col("r"), col("c"), col("chi2_micro"),
+        coalesce(when(col("n") > 0L && least(col("r"), col("c")) > 1L &&
+            col("chi2_micro") > 0L,
+          floor(sqrt(col("chi2_micro").cast("double") / 1e6 /
+            (col("n").cast("double") *
+              (least(col("r"), col("c")) - 1L).cast("double"))) * 1e9)
+            .cast("long")), lit(0L)).as("v_nano"))
+  }
 }

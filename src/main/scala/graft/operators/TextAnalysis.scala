@@ -356,6 +356,68 @@ object TextAnalysis {
           .as("kl_ba_nano"))
   }
 
+  /** JENSEN–SHANNON DIVERGENCE between two sources' unigram
+    * distributions — the SYMMETRIC, bounded (≤ ln 2) companion of
+    * [[klUnigram]]'s two asymmetric lanes: the "how far apart are
+    * these domains" number that can't blow up when one slice has mass
+    * the other lacks, which makes it the one safe to threshold on in
+    * a mix-planning loop. Same add-one smoothing over the union
+    * vocabulary.
+    *
+    * Exactness: with p = a/A, q = b/B (a = c_p+1, A = N_p+V, b, B
+    * likewise — all integers), the mixture ratio p/m = 2aB/(aB+bA)
+    * has PURE-INTEGER numerator and denominator, so each term's two
+    * logs floor onto the nano grid with integer arguments (the
+    * [[klUnigram]] lnGrid discipline) before the order-free int64
+    * weighted sum; JS = (S_p/A + S_q/B)/2 is one fixed-order double
+    * floor at the very edge. Int64 headroom: |S| ≤ (N+V) · 1e9 ·
+    * max|ln(p/q)| — fine through ~10⁷-token slices (past that, emit
+    * S_p/S_q and divide downstream).
+    *
+    * Returns one row: (n_a, n_b, vocab, js_nano), 0 ≤ js_nano ≤
+    * ⌊ln 2 · 1e9⌋. Scale shape: [[klUnigram]]'s exactly — one token
+    * count per slice, a full-outer vocab join, a 1-row broadcast, one
+    * moment aggregate.
+    */
+  def jsUnigram(df: DataFrame, textCol: String, groupCol: String,
+      a: String, b: String): DataFrame = {
+    def lnGrid(x: Column): Column =
+      floor(log(x.cast("double")) * 1e9).cast("long")
+    val tk = df.filter(col(groupCol).isin(a, b))
+      .select(col(groupCol).as("g"),
+        explode(toks(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val ca = tk.filter(col("g") === a)
+      .groupBy("tok").agg(count(lit(1)).as("ca"))
+    val cb = tk.filter(col("g") === b)
+      .groupBy("tok").agg(count(lit(1)).as("cb"))
+    val j = ca.join(cb, Seq("tok"), "full")
+      .na.fill(0L, Seq("ca", "cb"))
+    val totals = j.agg(
+      coalesce(sum("ca"), lit(0L)).as("na"),
+      coalesce(sum("cb"), lit(0L)).as("nb"),
+      count(lit(1)).as("v"))
+    val aa = col("ca") + 1L            // smoothed numerator, slice a
+    val bb = col("cb") + 1L
+    val bigA = col("na") + col("v")    // smoothed denominator, slice a
+    val bigB = col("nb") + col("v")
+    j.crossJoin(broadcast(totals))
+      // p/m = 2aB/(aB+bA), q/m = 2bA/(aB+bA) — integer log args
+      .withColumn("t_p", aa *
+        (lnGrid(lit(2L) * aa * bigB) - lnGrid(aa * bigB + bb * bigA)))
+      .withColumn("t_q", bb *
+        (lnGrid(lit(2L) * bb * bigA) - lnGrid(aa * bigB + bb * bigA)))
+      .agg(max("na").as("n_a"), max("nb").as("n_b"),
+        max("v").as("vocab"),
+        sum("t_p").as("s_p"), sum("t_q").as("s_q"))
+      .select(col("n_a"), col("n_b"), col("vocab"),
+        floor((col("s_p").cast("double") /
+            (col("n_a") + col("vocab")).cast("double") +
+          col("s_q").cast("double") /
+            (col("n_b") + col("vocab")).cast("double")) / 2.0)
+          .cast("long").as("js_nano"))
+  }
+
   /** PAYMENT-CARD PII detection with a real checksum: digit runs of
     * 13-19 are only flagged when they pass the Luhn check — the
     * validation step that separates card numbers from order ids and

@@ -156,9 +156,10 @@ object Bench {
       (runs.map(_._1).min, runs.map(_._2).min, runs.map(_._3).min,
         runs.flatMap(_._4).toMap)
     }
-    val (streamS, streamRows) = {
+    val (streamS, streamRows, streamProfile) = {
       val runs = (0 until nRuns).map(_ => streamingLoop(spark, sfDir))
-      (runs.map(_._1).min, runs.head._2)
+      val best = runs.minBy(_._1)
+      (best._1, runs.head._2, best._3)
     }
     // second point on the BATCH-SIZE axis (round-7 verdict item 4): the
     // same corpus in ONE micro-batch. rate(1)/rate(4) measures how much
@@ -287,6 +288,31 @@ object Bench {
       s""""streaming_statestore_1batch_vs_batch_ingest":${
         ((streamRows / streamStateS) / (100000 / ingestS) * 1000).round / 1000.0
       },""" +
+      // per-micro-batch component decomposition (round-11 verdict
+      // item 3): mean per-trigger walls from StreamingQueryProgress
+      // on the winning 4-batch upsert run. add_batch_s is the sink
+      // work itself (the stamped append); everything else is the
+      // Spark-fixed micro-batch machinery — wal_commit_s +
+      // commit_offsets_s (two fsync'd checkpoint-log writes per
+      // trigger), latest_offset_s + get_batch_s (file-source listing),
+      // query_planning_s (per-batch incremental planning).
+      // per_batch_machinery_s = trigger_execution_s − add_batch_s is
+      // the named floor the amortized-rate gap reduces to.
+      s""""streaming_batch_profile":{"n_batches":${
+        streamProfile.getOrElse("nBatches", 0.0).toInt},""" + {
+        def g(k: String): Double =
+          (streamProfile.getOrElse(k, 0.0) * 1000).round / 1000.0
+        s""""add_batch_s":${g("addBatch")},""" +
+        s""""wal_commit_s":${g("walCommit")},""" +
+        s""""commit_offsets_s":${g("commitOffsets")},""" +
+        s""""latest_offset_s":${g("latestOffset")},""" +
+        s""""get_batch_s":${g("getBatch")},""" +
+        s""""query_planning_s":${g("queryPlanning")},""" +
+        s""""trigger_execution_s":${g("triggerExecution")},""" +
+        s""""per_batch_machinery_s":${
+          ((streamProfile.getOrElse("triggerExecution", 0.0) -
+            streamProfile.getOrElse("addBatch", 0.0)) * 1000).round / 1000.0}}"""
+      } + "," +
       // machine-readable ingest-policy marker (round-10 advice: the
       // r10 re-center changed what streaming_upsert_s measures; tooling
       // comparing rounds needs a field, not free text, to see that)
@@ -401,7 +427,8 @@ object Bench {
     * micro-batch machinery + source read + parquet write floor.
     */
   private[graft] def streamingLoop(spark: SparkSession, sfDir: String,
-      nBatches: Int = 4, variant: String = "upsert"): (Double, Long) = {
+      nBatches: Int = 4, variant: String = "upsert")
+      : (Double, Long, Map[String, Double]) = {
     val base = java.nio.file.Files.createTempDirectory("graft-bench-stream")
     val srcDir = s"$base/src"
     val outDir = s"$base/out"
@@ -463,6 +490,30 @@ object Bench {
             staged, outDir, Seq("event_id"), ckpt)
       }
       q.processAllAvailable()
+      // per-micro-batch component walls from Spark's own
+      // instrumentation (round-11 verdict item 3): each
+      // StreamingQueryProgress carries durationMs for the named
+      // stages of one trigger — addBatch (the sink work itself),
+      // walCommit + commitOffsets (the offset/commit checkpoint log),
+      // latestOffset + getBatch (file-source listing/planning of the
+      // batch's input), queryPlanning (per-batch incremental
+      // planning), triggerExecution (the whole trigger). Captured
+      // BEFORE stop() (stop clears nothing, but the query object does
+      // not outlive the loop); means are per executed trigger.
+      val prog = q.recentProgress.toSeq
+      val batchProfile: Map[String, Double] =
+        if (prog.isEmpty) Map.empty
+        else {
+          val comps = Seq("addBatch", "commitOffsets", "getBatch",
+            "latestOffset", "queryPlanning", "triggerExecution",
+            "walCommit")
+          val nb = prog.length.toDouble
+          comps.map { k =>
+            val tot = prog.map(p => Option(p.durationMs.get(k))
+              .map(_.toLong).getOrElse(0L)).sum
+            k -> (tot / 1000.0 / nb)
+          }.toMap + ("nBatches" -> nb)
+        }
       q.stop()
       val wall = (System.nanoTime() - t0) / 1e9
       if (variant == "upsert") {
@@ -471,7 +522,7 @@ object Bench {
           .count() // untimed sanity: the upsert log must hold every key
         require(got == n, s"streaming upsert lost rows: $got != $n")
       }
-      (wall, n)
+      (wall, n, batchProfile)
     } finally spark.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 

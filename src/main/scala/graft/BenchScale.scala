@@ -259,7 +259,12 @@ object BenchScale {
     // sessions: the tokenizer-merge trainer (driver-loop of corpus
     // aggregates — each merge round is one scan + one fold) and HITS
     // (6 half-rounds of edge join + keyed sum, the q_pagerank shape)
-    "q_bpe_train", "q_hits")
+    "q_bpe_train", "q_hits",
+    // round-11 verdict item 2: the new iterative graph family —
+    // PageRank-shaped but join-heavier (LPA's per-round argmax window
+    // is partitioned by node id; Katz rides a bipartite edge list
+    // ~2× the pagerank graph's) — admitted to the {10×,30×,100×} fit
+    "q_katz_centrality", "q_lpa_communities")
   private val HeavyFactor2 = 30L
 
   /** Smoke-side parameter scaling for queries whose blocking-cell
@@ -1136,11 +1141,30 @@ object BenchScale {
         val sxy = pts.map(p => p._1 * p._2).sum
         val sxx = pts.map(p => p._1 * p._1).sum
         val expo = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        // per-adjacent-leg slopes (round-11 verdict item 1): the
+        // global least-squares exponent can AVERAGE AWAY a convex
+        // profile — a 0.6-then-1.6 pair of leg slopes fits at ~1.1
+        // while the 30→100 tail is super-linear, which is exactly the
+        // regime that kills a 100× scale-up. Each adjacent pair gets
+        // its own log-log slope, emitted per leg, and the gate also
+        // requires the MAX leg slope < 1.5.
+        val rawPts = (factor, tAnchor) +: legs.map(l => (l._1, l._2))
+        val legSlopes = rawPts.sliding(2).collect {
+          case Seq((f1, t1), (f2, t2)) =>
+            val sl = (math.log(math.max(t2, 1e-3)) -
+              math.log(math.max(t1, 1e-3))) /
+              (math.log(f2.toDouble) - math.log(f1.toDouble))
+            (f1, f2, sl)
+        }.toSeq
+        val maxLegSlope =
+          if (legSlopes.isEmpty) 0.0 else legSlopes.map(_._3).max
         // a non-monotonic fit is REJECTED regardless of its slope —
         // exp_ok asserts "sound evidence of sub-1.5 growth", and
         // corrupted legs are not evidence in either direction
-        val expOk = expo < 1.5 && monotonic
+        val expOk = expo < 1.5 && maxLegSlope < 1.5 && monotonic
         if (!expOk) bad += 1
+        val slopeJson = legSlopes.map { case (f1, f2, sl) =>
+          s""""slope_${f1}_${f2}":${f"$sl%.3f"}""" }.mkString(",")
         val legJson = legs.map { case (f, t, r, _) =>
           s""""t${f}_s":${f"$t%.3f"},"rows$f":$r""" }.mkString(",")
         val headroomJson =
@@ -1154,6 +1178,8 @@ object BenchScale {
           s""""fit_factors":${(factor +: legs.map(_._1))
             .mkString("[", ",", "]")},""" +
           s""""monotonic":$monotonic,""" +
+          (if (slopeJson.isEmpty) "" else slopeJson + ",") +
+          s""""max_leg_slope":${f"$maxLegSlope%.3f"},""" +
           s""""growth_exponent":${f"$expo%.3f"},"exp_ok":$expOk""" +
           headroomJson + "}")
       }

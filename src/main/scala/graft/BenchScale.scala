@@ -230,7 +230,14 @@ object BenchScale {
     // scaled legs extend prefixLen ∝ log₂(factor) via ScaledVariants
     // (factor 1 = the registry query bit-for-bit); the engineered
     // twin pairs share any prefix, so output stays ∝ n and nonzero.
-    "q_triangles", "q_kcore", "q_editdist_pairs")
+    "q_triangles", "q_kcore", "q_editdist_pairs",
+    // round 12: the unigram-LM tokenizer trainer, EXPLICITLY admitted
+    // (round-11 verdict item 4 asks for a smoke row; its 0.6 s sf0.1
+    // wall sits under the 1.0 s auto-admit threshold because the
+    // synthetic vocabulary is small — the corpus scan is the linear
+    // part, everything after is |distinct-word|-bounded, which is the
+    // property the 10× row demonstrates)
+    "q_unigram_lm")
 
   // vector family (BENCH_r04 post-mortem: the poisoned artifact claimed
   // q_int8_topk at 249.8 s — a scale smoke over embeddings would have

@@ -11775,7 +11775,224 @@ FROM c2 ORDER BY cnt DESC, piece ASC LIMIT 200""")),
              / (CAST(n AS DOUBLE) * CAST(least(r, c) - 1 AS DOUBLE)))
              * 1000000000.0) AS BIGINT)
            ELSE CAST(0 AS BIGINT) END AS v_nano
-       FROM m"""))
+       FROM m""")),
+
+    // ── KENDALL'S TAU-B between document length and token count —
+    //    the concordance rank correlation on the bucketized joint
+    //    histogram; the engine folds C−D through a 2D prefix sum on
+    //    the dense 32×32 grid (never an O(cells²) pair join), the
+    //    oracle independently re-derives C and D by enumerating the
+    //    histogram-cell pairs — same integers from two formulations. ──
+    QueryDef(
+      "q_kendall_tau",
+      (s, dir) => operators.Drift.kendallTauNano(
+        t(s, dir, "documents")
+          // nulls must drop BEFORE bucketizing: least() in both
+          // engines IGNORES nulls, so least(null div 16, 31) would
+          // silently land in bucket 31 instead of filtering out
+          .filter(col("n_chars").isNotNull && col("text").isNotNull)
+          .select(expr("least(n_chars div 16, 31)").as("xb"),
+            expr("least(size(split(text, ' ')) div 4, 31)").as("yb")),
+        "xb", "yb", 32, 32),
+      Some("""WITH b AS (SELECT least(n_chars // 16, 31) AS x,
+           least((length(text) - length(replace(text, ' ', '')) + 1)
+             // 4, 31) AS y
+         FROM documents
+         WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+           FROM b GROUP BY 1, 2),
+         pr AS (SELECT
+             CAST(coalesce(sum(CASE WHEN (a.x < d.x AND a.y < d.y)
+                 OR (a.x > d.x AND a.y > d.y)
+               THEN a.c * d.c ELSE 0 END), 0) // 2 AS BIGINT) AS conc,
+             CAST(coalesce(sum(CASE WHEN (a.x < d.x AND a.y > d.y)
+                 OR (a.x > d.x AND a.y < d.y)
+               THEN a.c * d.c ELSE 0 END), 0) // 2 AS BIGINT) AS disc
+           FROM cells a, cells d),
+         mx AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(t * (t - 1) // 2), 0) AS BIGINT) AS n1
+           FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells
+             GROUP BY x)),
+         my AS (SELECT CAST(coalesce(sum(t * (t - 1) // 2), 0)
+             AS BIGINT) AS n2
+           FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells
+             GROUP BY y))
+       SELECT n, conc, disc, n1 AS tie_x_pairs, n2 AS tie_y_pairs,
+         CASE WHEN n * (n - 1) // 2 - n1 > 0
+             AND n * (n - 1) // 2 - n2 > 0
+           THEN CAST(floor(CAST(conc - disc AS DOUBLE)
+             / sqrt(CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+               * CAST(n * (n - 1) // 2 - n2 AS DOUBLE))
+             * 1000000000.0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS tau_b_nano
+       FROM pr, mx, my""")),
+
+    // ── ONE-WAY ANOVA F of spend cents across event types — the
+    //    parametric mean-separation read next to q_kruskal_wallis's
+    //    rank version; integer moments per group, each Sg²/ng floored
+    //    once to the unit grid before the exact int sums, F as the
+    //    single IEEE edge expression. ──
+    QueryDef(
+      "q_anova_f",
+      (s, dir) => operators.Drift.anovaFNano(
+        t(s, dir, "events")
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("iv")),
+        "event_type", "iv"),
+      Some("""WITH e AS (SELECT event_type AS g,
+           CAST(floor(value * 100) AS BIGINT) AS v
+         FROM events
+         WHERE event_type IS NOT NULL AND value IS NOT NULL),
+         pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(v) AS BIGINT) AS sg,
+             CAST(sum(v * v) AS BIGINT) AS qg FROM e GROUP BY 1),
+         tm AS (SELECT ng, qg, sg,
+             CAST(floor(CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)
+               / CAST(ng AS DOUBLE)) AS BIGINT) AS term FROM pg),
+         m AS (SELECT CAST(coalesce(sum(ng), 0) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_groups,
+             CAST(coalesce(sum(term), 0) AS BIGINT) AS s,
+             CAST(coalesce(sum(qg), 0) AS BIGINT) AS q,
+             CAST(coalesce(sum(sg), 0) AS BIGINT) AS tt FROM tm),
+         f AS (SELECT n, n_groups,
+             s - CAST(floor(CAST(tt AS DOUBLE) * CAST(tt AS DOUBLE)
+               / CAST(n AS DOUBLE)) AS BIGINT) AS ssb,
+             q - s AS ssw FROM m)
+       SELECT n, n_groups, ssb, ssw,
+         CASE WHEN n > n_groups AND n_groups > 1 AND ssw > 0
+           THEN CAST(floor((CAST(ssb AS DOUBLE)
+               / CAST(n_groups - 1 AS DOUBLE))
+             / (CAST(ssw AS DOUBLE) / CAST(n - n_groups AS DOUBLE))
+             * 1000000000.0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS f_nano
+       FROM f""")),
+
+    // ── WILCOXON SIGNED-RANK of per-user spend shift across the
+    //    mid-window split — the matched-pairs "did the same users
+    //    spend more in the second half" test (q_mannwhitney compares
+    //    two independent slices; this pairs each user with itself);
+    //    zero diffs dropped per the standard test, doubled ranks over
+    //    |d| via Ranks.globalPrefix, one IEEE floor for the
+    //    normalized location. ──
+    QueryDef(
+      "q_wilcoxon",
+      (s, dir) => operators.Drift.wilcoxonNano(
+        t(s, dir, "events")
+          .filter(col("value").isNotNull)
+          .groupBy("user_id")
+          .agg((coalesce(sum(when(
+              col("ts") >= lit(1705363200000000000L),
+              floor(col("value") * 100).cast("long")).otherwise(0L)),
+              lit(0L)) -
+            coalesce(sum(when(
+              col("ts") < lit(1705363200000000000L),
+              floor(col("value") * 100).cast("long")).otherwise(0L)),
+              lit(0L))).as("d")),
+        "d"),
+      Some("""WITH pu AS (SELECT user_id,
+           CAST(coalesce(sum(CASE
+               WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+               THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END), 0)
+             AS BIGINT)
+           - CAST(coalesce(sum(CASE
+               WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+               THEN CAST(floor(value * 100) AS BIGINT) ELSE 0 END), 0)
+             AS BIGINT) AS d
+         FROM events WHERE value IS NOT NULL GROUP BY 1),
+         nz AS (SELECT abs(d) AS v,
+             CASE WHEN d > 0 THEN 1 ELSE 0 END AS pos
+           FROM pu WHERE d <> 0),
+         h AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(pos) AS BIGINT) AS cpos FROM nz GROUP BY 1),
+         r AS (SELECT c, cpos,
+             2 * CAST(sum(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) - c + 1 AS r2 FROM h),
+         m AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,
+             CAST(coalesce(sum(cpos * r2), 0) AS BIGINT) AS w2_plus
+           FROM r)
+       SELECT n, w2_plus,
+         CASE WHEN n > 0
+           THEN CAST(floor(CAST(w2_plus AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+             * 1000000000.0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END AS w_frac_nano
+       FROM m""")),
+
+    // ── VOCABULARY RICHNESS per source — Chao1 (bias-corrected) and
+    //    Good–Turing unseen mass from the f1/f2 frequency-of-
+    //    frequencies profile, the "how much vocabulary is this source
+    //    still hiding" coverage read; pure integer truncating
+    //    divisions, no IEEE anywhere. ──
+    QueryDef(
+      "q_vocab_richness",
+      (s, dir) => operators.TextAnalysis.vocabRichness(
+        t(s, dir, "documents"), "text", "source"),
+      Some("""WITH tk AS (SELECT g, tok FROM (
+           SELECT source AS g, unnest(regexp_split_to_array(
+             lower(trim(text)), '\s+')) AS tok
+           FROM documents) WHERE length(tok) > 0),
+         c AS (SELECT g, tok, CAST(count(*) AS BIGINT) AS c
+           FROM tk GROUP BY 1, 2),
+         a AS (SELECT g, CAST(count(*) AS BIGINT) AS vocab,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS f1,
+             CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS f2
+           FROM c GROUP BY 1)
+       SELECT g AS source, vocab, n_tokens, f1, f2,
+         vocab * 1000 + (f1 * (f1 - 1) * 1000) // (2 * (f2 + 1))
+           AS chao1_milli,
+         f1 * 1000000000 // n_tokens AS p0_nano
+       FROM a ORDER BY source""")),
+
+    // ── BURROWS' DELTA between every source pair — the stylometric
+    //    register distance over the corpus's top-30 terms (mean
+    //    |z_a − z_b| of micro-grid relative frequencies); the means
+    //    cancel in the pairwise difference so absent cells are plain
+    //    rf = 0, each (pair, term) is one IEEE floor to nano before
+    //    the exact int sum, and the term codebook + per-term variance
+    //    stats are bounded driver collects re-entering as literals. ──
+    QueryDef(
+      "q_burrows_delta",
+      (s, dir) => operators.TextAnalysis.burrowsDelta(
+        t(s, dir, "documents"), "text", "source", topK = 30),
+      Some("""WITH tk AS (SELECT g, tok FROM (
+           SELECT source AS g, unnest(regexp_split_to_array(
+             lower(trim(text)), '\s+')) AS tok
+           FROM documents) WHERE length(tok) > 0),
+         ns AS (SELECT g, CAST(count(*) AS BIGINT) AS ntok
+           FROM tk GROUP BY 1),
+         sc AS (SELECT CAST(count(*) AS BIGINT) AS s FROM ns),
+         top AS (SELECT tok FROM (
+             SELECT tok, count(*) AS cnt FROM tk GROUP BY 1)
+           ORDER BY cnt DESC, tok ASC LIMIT 30),
+         cst AS (SELECT tk.g, tk.tok, CAST(count(*) AS BIGINT) AS c
+           FROM tk JOIN top ON tk.tok = top.tok GROUP BY 1, 2),
+         rfv AS (SELECT cst.g, cst.tok, c * 1000000 // ntok AS rf
+           FROM cst JOIN ns USING (g)),
+         ts AS (SELECT tok,
+             (SELECT s FROM sc) * CAST(sum(rf * rf) AS BIGINT)
+               - CAST(sum(rf) AS BIGINT) * CAST(sum(rf) AS BIGINT)
+               AS d
+           FROM rfv GROUP BY 1),
+         grid AS (SELECT ns.g, top.tok,
+             CAST(coalesce(rfv.rf, 0) AS BIGINT) AS rf
+           FROM ns CROSS JOIN top
+           LEFT JOIN rfv ON rfv.g = ns.g AND rfv.tok = top.tok),
+         pr AS (SELECT a.g AS src_a, b.g AS src_b,
+             CASE WHEN ts.d > 0 THEN CAST(floor(
+                 CAST((SELECT s FROM sc) * abs(a.rf - b.rf) AS DOUBLE)
+                 / sqrt(CAST(ts.d AS DOUBLE)) * 1000000000.0)
+               AS BIGINT)
+               ELSE 0 END AS dterm
+           FROM grid a JOIN grid b ON a.tok = b.tok AND a.g < b.g
+           JOIN ts ON ts.tok = a.tok)
+       SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_terms,
+         CAST(sum(dterm) AS BIGINT) AS sum_dz_nano,
+         CAST(sum(dterm) AS BIGINT) // 30 AS delta_nano
+       FROM pr GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   /** DuckDB replay of [[operators.Similarity.kCenterSample]] (k=8):

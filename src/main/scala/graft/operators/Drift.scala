@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift primitives shared by the batch drift queries
@@ -424,5 +425,174 @@ object Drift {
             (col("n").cast("double") *
               (least(col("r"), col("c")) - 1L).cast("double"))) * 1e9)
             .cast("long")), lit(0L)).as("v_nano"))
+  }
+
+  /** KENDALL'S TAU-B over a BUCKETIZED joint distribution — the
+    * concordance-based rank correlation peer of [[spearmanNano]]
+    * (tau reads P(concordant) − P(discordant); rho reads the linear
+    * fit of the ranks — reviewers want both because tau is the one
+    * with the clean probabilistic interpretation under heavy ties).
+    * `xCol`/`yCol` must already be integer bucket ids in
+    * [0, bx) × [0, by) — tau on bucketized data is GROUPED tau, the
+    * standard form for histogram-shaped corpus audits.
+    *
+    * The naive formulation enumerates all n² point pairs (or all k²
+    * histogram-cell pairs via an inequality join — a nested-loop
+    * plan). Neither survives scale. Instead the concordant/discordant
+    * counts come from a 2D PREFIX SUM on the dense bx×by grid, via
+    * the per-point identity
+    *
+    *   C − D = Σ_p (2·Lxy(p) + Txy(p) − Lx(p))
+    *
+    * where Lxy = #{x′<x ∧ y′<y}, Txy = #{x′<x ∧ y′=y}, Lx = #{x′<x}
+    * (each concordant pair is counted once at its dominant point:
+    * C = Σ_p Lxy; D = Σ_p (Lx − Lxy − Txy) because a strictly-left
+    * partner is concordant, discordant, or y-tied — nothing else).
+    * Lxy is two bounded-partition window passes on the grid (strict
+    * y-prefix within each x column, then strict x-prefix of those
+    * within each y row — ≤ max(bx, by) rows per task, never a global
+    * window); Lx is one [[Ranks.globalPrefix]] over the bx-row x
+    * marginal. Tie pairs n1/n2 come from the marginals; the
+    * denominator √((n0−n1)(n0−n2)) is the single IEEE expression at
+    * the edge.
+    *
+    * Scale shape: one map-side-combined aggregation over the corpus →
+    * ≤ bx·by cells; everything after is grid-sized (≤ 65 536 rows by
+    * the `require`). C, D stay exact int64 to n ≈ 3·10⁹ points
+    * (C ≤ n²/2 < 2⁶³). Returns one row (n, conc, disc, tie_x_pairs,
+    * tie_y_pairs, tau_b_nano); a denominator with no untied pairs
+    * pins tau_b_nano to 0.
+    */
+  def kendallTauNano(df: DataFrame, xCol: String, yCol: String,
+      bx: Int, by: Int): DataFrame = {
+    require(bx > 0 && by > 0 && bx.toLong * by <= 65536L,
+      s"bucket grid ${bx}x$by exceeds the 65536-cell bound")
+    val base = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("x"),
+        col(yCol).cast("long").as("y"))
+    val cells = base.groupBy("x", "y").agg(count(lit(1)).as("c"))
+    // dense grid from LITERAL bucket counts — no crossJoin of data-
+    // derived relations, so the registry's cartesian gate stays clean
+    val grid = df.sparkSession.range(bx.toLong * by)
+      .select(expr(s"id div $by").as("x"), expr(s"id % $by").as("y"))
+    val g = grid.join(cells, Seq("x", "y"), "left")
+      .select(col("x"), col("y"), coalesce(col("c"), lit(0L)).as("c"))
+    val wY = Window.partitionBy("x").orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wX = Window.partitionBy("y").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = g
+      .withColumn("cylt", coalesce(sum("c").over(wY), lit(0L)))
+      .withColumn("lxy", coalesce(sum("cylt").over(wX), lit(0L)))
+      .withColumn("txy", coalesce(sum("c").over(wX), lit(0L)))
+    val tx = g.groupBy("x").agg(sum("c").as("t"))
+    val ty = g.groupBy("y").agg(sum("c").as("t"))
+    val lx = Ranks.globalPrefix(tx, Seq("x"), "t", "cum")
+      .select(col("x"), (col("cum") - col("t")).as("lxv"))
+    val cd = pre.join(broadcast(lx), "x")
+      .agg(coalesce(sum(col("c") * col("lxy")), lit(0L)).as("conc"),
+        coalesce(sum(col("c") *
+          (col("lxv") - col("lxy") - col("txy"))), lit(0L)).as("disc"))
+    val tiex = tx.agg(coalesce(sum("t"), lit(0L)).as("n"),
+      coalesce(sum(expr("t * (t - 1) div 2")), lit(0L))
+        .as("tie_x_pairs"))
+    val tiey = ty.agg(coalesce(sum(expr("t * (t - 1) div 2")), lit(0L))
+      .as("tie_y_pairs"))
+    cd.crossJoin(broadcast(tiex)).crossJoin(broadcast(tiey))
+      .withColumn("dx", expr("n * (n - 1) div 2") - col("tie_x_pairs"))
+      .withColumn("dy", expr("n * (n - 1) div 2") - col("tie_y_pairs"))
+      .select(col("n"), col("conc"), col("disc"), col("tie_x_pairs"),
+        col("tie_y_pairs"),
+        coalesce(when(col("dx") > 0L && col("dy") > 0L,
+          floor((col("conc") - col("disc")).cast("double") /
+            sqrt(col("dx").cast("double") * col("dy").cast("double")) *
+            lit(1e9)).cast("long")), lit(0L)).as("tau_b_nano"))
+  }
+
+  /** ONE-WAY ANOVA F — the parametric peer of [[kruskalWallisNano]]
+    * (same question, "do the k groups share a mean", answered through
+    * variances instead of ranks; audits report both because F is the
+    * one with classical power under near-normal spend/length
+    * columns). Per-group integer moments (ng, Σv, Σv²) are one
+    * map-side-combined aggregation; each group's Sg²/ng lands as ONE
+    * fixed-order IEEE term floored to the UNIT grid before the exact
+    * int sum (the [[kruskalWallisNano]] discipline — order-free and
+    * engine-exact, off at most 1 per group from the real-valued sum,
+    * negligible against n-scaled squares). SSB = Σ⌊Sg²/ng⌋ − ⌊T²/n⌋,
+    * SSW = Σv² − Σ⌊Sg²/ng⌋; F is the single IEEE edge expression.
+    * Returns one row (n, n_groups, ssb, ssw, f_nano); degenerate
+    * inputs (k ≤ 1, n ≤ k, SSW ≤ 0) pin f_nano to 0.
+    *
+    * Scale shape: one aggregation over the corpus → k rows → one
+    * 1-row fold. Int64 headroom: Σv² ≤ n·max(v)² — exact to 10⁹ rows
+    * of ~3·10⁴-magnitude values; past that, pre-scale the column.
+    */
+  def anovaFNano(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val e = df.filter(col(groupCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+    val pg = e.groupBy("g").agg(count(lit(1)).as("ng"),
+      sum("v").as("sg"), sum(col("v") * col("v")).as("qg"))
+    val t = pg.select(col("ng"), col("qg"), col("sg"),
+      floor(col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double")).cast("long").as("term"))
+    t.agg(coalesce(sum("ng"), lit(0L)).as("n"),
+        count(lit(1)).as("n_groups"),
+        coalesce(sum("term"), lit(0L)).as("s"),
+        coalesce(sum("qg"), lit(0L)).as("q"),
+        coalesce(sum("sg"), lit(0L)).as("tt"))
+      .select(col("n"), col("n_groups"),
+        (col("s") - floor(col("tt").cast("double") *
+          col("tt").cast("double") / col("n").cast("double"))
+          .cast("long")).as("ssb"),
+        (col("q") - col("s")).as("ssw"))
+      .select(col("n"), col("n_groups"), col("ssb"), col("ssw"),
+        coalesce(when(col("n") > col("n_groups") &&
+            col("n_groups") > 1L && col("ssw") > 0L,
+          floor((col("ssb").cast("double") /
+              (col("n_groups") - 1L).cast("double")) /
+            (col("ssw").cast("double") /
+              (col("n") - col("n_groups")).cast("double")) *
+            lit(1e9)).cast("long")), lit(0L)).as("f_nano"))
+  }
+
+  /** WILCOXON SIGNED-RANK W⁺ over a PAIRED integer difference column
+    * — the matched-pairs member of the rank-test family
+    * ([[mannWhitneyNano]] compares two independent slices; this one
+    * asks "did the SAME entities shift", the before/after question of
+    * drift audits). Standard Wilcoxon discards zero differences; the
+    * survivors' |d| get doubled average ranks (exact ints under ties,
+    * the [[spearmanNano]] convention) and W⁺ sums the ranks of the
+    * positive side — reported doubled (`w2_plus` = 2·W⁺, exact), plus
+    * the normalized location read w_frac = W⁺ / (n(n+1)/2) ∈ [0, 1]
+    * (½ = symmetric shifts, 1 = every pair shifted up) as the one
+    * IEEE floor at the edge. Returns one row
+    * (n, w2_plus, w_frac_nano); n counts the NONZERO pairs.
+    *
+    * Scale shape, exactly [[mannWhitneyNano]]: sufficient statistics
+    * live on the |d| VALUE HISTOGRAM (per distinct |d|: multiplicity
+    * and positive share), one [[Ranks.globalPrefix]] turns those into
+    * doubled ranks, one moment aggregate folds them — the pair table
+    * is scanned once, no per-row rank join, no single-task window.
+    */
+  def wilcoxonNano(df: DataFrame, diffCol: String): DataFrame = {
+    val nz = df.filter(col(diffCol).isNotNull &&
+        col(diffCol).cast("long") =!= 0L)
+      .select(abs(col(diffCol).cast("long")).as("v"),
+        when(col(diffCol).cast("long") > 0L, 1L).otherwise(0L)
+          .as("pos"))
+    val h = nz.groupBy("v").agg(count(lit(1)).as("c"),
+      sum("pos").as("cpos"))
+    Ranks.globalPrefix(h, Seq("v"), "c", "cum")
+      .withColumn("r2", lit(2L) * col("cum") - col("c") + 1L)
+      .agg(coalesce(sum("c"), lit(0L)).as("n"),
+        coalesce(sum(col("cpos") * col("r2")), lit(0L)).as("w2_plus"))
+      .select(col("n"), col("w2_plus"),
+        coalesce(when(col("n") > 0L,
+          floor(col("w2_plus").cast("double") /
+            (col("n").cast("double") *
+              (col("n") + 1L).cast("double")) *
+            lit(1e9)).cast("long")), lit(0L)).as("w_frac_nano"))
   }
 }

@@ -1529,4 +1529,116 @@ object TextAnalysis {
           .as("jaccard_nano"))
       .orderBy("src_a", "src_b")
   }
+
+  /** VOCABULARY RICHNESS per group — Chao1 and Good–Turing from the
+    * frequency-of-frequencies profile: f1 (singletons) and f2
+    * (doubletons) are the sufficient statistics for "how much
+    * vocabulary has this source NOT shown yet", the coverage question
+    * behind corpus-size planning. Chao1's bias-corrected estimator
+    * V + f1(f1−1)/(2(f2+1)) (defined even at f2 = 0) lower-bounds the
+    * true vocabulary; Good–Turing's p0 = f1/N estimates the
+    * probability the NEXT token is an unseen type. Both land as pure
+    * integer truncating divisions on the milli/nano grids — no IEEE
+    * anywhere, so the oracle is trivially exact.
+    *
+    * Scale shape, exactly [[hapaxStats]]: one (group, token)
+    * map-side-combined histogram, one per-group fold — never a
+    * vocabulary collect.
+    */
+  def vocabRichness(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("g"),
+        explode(toks(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+    counts.groupBy("g")
+      .agg(count(lit(1)).as("vocab"),
+        sum("c").as("n_tokens"),
+        coalesce(sum(when(col("c") === 1L, 1L).otherwise(0L)), lit(0L))
+          .as("f1"),
+        coalesce(sum(when(col("c") === 2L, 1L).otherwise(0L)), lit(0L))
+          .as("f2"))
+      .select(col("g").as(groupCol), col("vocab"), col("n_tokens"),
+        col("f1"), col("f2"),
+        expr("vocab * 1000L + (f1 * (f1 - 1) * 1000L)" +
+          " div (2L * (f2 + 1L))").as("chao1_milli"),
+        expr("f1 * 1000000000L div n_tokens").as("p0_nano"))
+      .orderBy(groupCol)
+  }
+
+  /** BURROWS' DELTA between every pair of groups — the stylometric
+    * distance over the corpus's top-`topK` terms (per-term z-scores
+    * of relative frequency across groups, delta = mean |z_a − z_b|):
+    * the "same register or different" read that vocabulary overlap
+    * ([[vocabJaccard]]) misses because it ignores HOW OFTEN shared
+    * words are used. Relative frequencies live on the integer MICRO
+    * grid (c·10⁶ div n_tokens — exact both engines); the z-score
+    * denominator uses the population-variance identity
+    * D_t = S·Σrf² − (Σrf)², under which |z_a − z_b| =
+    * S·|rf_a − rf_b| / √D_t (the means cancel — absent (group, term)
+    * cells are plain rf = 0, no dense z materialization needed).
+    * Each (pair, term) lands as ONE IEEE floor to nano before the
+    * exact int sum over terms; delta divides by the literal `topK`.
+    *
+    * Scale shape: one exploded scan feeds the group sizes, the
+    * global term counts, and the per-(group, term) counts; the
+    * top-`topK` term list and the per-term D_t are BOUNDED driver
+    * collects (≤ topK rows — the codebook pattern), re-entering the
+    * plan as literals so the dense S×topK grid is an explode of a
+    * literal array, never a data-derived cross join. The pair join
+    * is S²·topK rows — bounded by the group-count dimension, the
+    * same shape as the pairwise output itself. Returns
+    * (src_a, src_b, n_terms, sum_dz_nano, delta_nano).
+    */
+  def burrowsDelta(df: DataFrame, textCol: String, groupCol: String,
+      topK: Int = 30): DataFrame = {
+    require(topK > 0 && topK <= 1000, s"topK $topK out of range")
+    val tk = df.select(col(groupCol).as("g"),
+        explode(toks(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val ns = tk.groupBy("g").agg(count(lit(1)).as("ntok"))
+    val nGroups = ns.count()
+    // top-topK corpus terms, (count desc, token asc) total order —
+    // a bounded TakeOrderedAndProject, collected as the codebook
+    val top = tk.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(topK)
+      .select("tok").collect().map(_.getString(0)).toSeq
+    val rfv = tk.filter(col("tok").isin(top: _*))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+      .join(broadcast(ns), "g")
+      .select(col("g"), col("tok"),
+        expr("c * 1000000L div ntok").as("rf"))
+    // per-term variance stat D_t = S·Σrf² − (Σrf)² — ≤ topK rows,
+    // collected and re-broadcast as a literal map
+    val dStat = rfv.groupBy("tok")
+      .agg(sum("rf").as("s1"), sum(col("rf") * col("rf")).as("s2"))
+      .select(col("tok"),
+        (lit(nGroups) * col("s2") - col("s1") * col("s1")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val termArr = array(top.map(lit): _*)
+    val dMap = if (top.isEmpty)
+      expr("map()").cast("map<string,bigint>")
+    else map(top.flatMap(t =>
+      Seq(lit(t), lit(dStat.getOrElse(t, 0L)))): _*)
+    val grid = ns.select(col("g"), explode(termArr).as("tok"))
+      .join(rfv, Seq("g", "tok"), "left")
+      .select(col("g"), col("tok"), coalesce(col("rf"), lit(0L))
+        .as("rf"))
+    val a = grid.select(col("g").as("src_a"), col("tok").as("toka"),
+      col("rf").as("rfa"))
+    val b = grid.select(col("g").as("src_b"), col("tok").as("tokb"),
+      col("rf").as("rfb"))
+    a.join(b, col("toka") === col("tokb") && col("src_a") < col("src_b"))
+      .withColumn("dval", element_at(dMap, col("toka")))
+      .withColumn("dterm", coalesce(when(col("dval") > 0L,
+        floor((lit(nGroups) * abs(col("rfa") - col("rfb")))
+          .cast("double") / sqrt(col("dval").cast("double")) *
+          lit(1e9)).cast("long")), lit(0L)))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_terms"), sum("dterm").as("sum_dz_nano"))
+      .select(col("src_a"), col("src_b"), col("n_terms"),
+        col("sum_dz_nano"),
+        expr(s"sum_dz_nano div ${topK}L").as("delta_nano"))
+      .orderBy("src_a", "src_b")
+  }
 }

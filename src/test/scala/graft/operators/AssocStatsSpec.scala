@@ -53,6 +53,61 @@ class AssocStatsSpec extends AnyFunSuite {
       .head().getAs[Long]("v_nano") == 0L)
   }
 
+  test("kendall tau-b: perfect concordance / reversal / tied grid") {
+    val up = Seq((0L, 0L), (1L, 1L), (2L, 2L), (3L, 3L))
+      .toDF("xb", "yb")
+    val ru = Drift.kendallTauNano(up, "xb", "yb", 4, 4).head()
+    assert(ru.getAs[Long]("n") == 4L)
+    assert(ru.getAs[Long]("conc") == 6L && ru.getAs[Long]("disc") == 0L)
+    assert(ru.getAs[Long]("tie_x_pairs") == 0L &&
+      ru.getAs[Long]("tie_y_pairs") == 0L)
+    assert(ru.getAs[Long]("tau_b_nano") == 1000000000L)
+    val down = Seq((0L, 3L), (1L, 2L), (2L, 1L), (3L, 0L))
+      .toDF("xb", "yb")
+    val rd = Drift.kendallTauNano(down, "xb", "yb", 4, 4).head()
+    assert(rd.getAs[Long]("conc") == 0L && rd.getAs[Long]("disc") == 6L)
+    assert(rd.getAs[Long]("tau_b_nano") == -1000000000L)
+    // 2×2 balanced grid: 1 concordant + 1 discordant + 4 tied pairs
+    val sq = Seq((0L, 0L), (0L, 1L), (1L, 0L), (1L, 1L))
+      .toDF("xb", "yb")
+    val rs = Drift.kendallTauNano(sq, "xb", "yb", 2, 2).head()
+    assert(rs.getAs[Long]("conc") == 1L && rs.getAs[Long]("disc") == 1L)
+    assert(rs.getAs[Long]("tie_x_pairs") == 2L &&
+      rs.getAs[Long]("tie_y_pairs") == 2L)
+    assert(rs.getAs[Long]("tau_b_nano") == 0L)
+  }
+
+  test("anova F: closed-form 2-group case; degenerate pins 0") {
+    // a = {1, 2}, b = {3, 5}: S = ⌊9/2⌋+⌊64/2⌋ = 36, G = ⌊121/4⌋ = 30
+    // → ssb = 6, ssw = 39−36 = 3, F = (6/1)/(3/2) = 4
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 5L))
+      .toDF("g", "v")
+    val r = Drift.anovaFNano(df, "g", "v").head()
+    assert(r.getAs[Long]("n") == 4L &&
+      r.getAs[Long]("n_groups") == 2L)
+    assert(r.getAs[Long]("ssb") == 6L && r.getAs[Long]("ssw") == 3L)
+    assert(r.getAs[Long]("f_nano") == 4000000000L)
+    val one = Seq(("a", 1L), ("a", 5L)).toDF("g", "v")
+    assert(Drift.anovaFNano(one, "g", "v")
+      .head().getAs[Long]("f_nano") == 0L)
+  }
+
+  test("wilcoxon signed-rank: zero diffs drop, ties average") {
+    // diffs {1, −2, 3, 0, null}: zeros and nulls drop → ranks 1,2,3,
+    // W⁺ = 1+3 → w2_plus = 2+6 = 8, frac = 8/12
+    val df = Seq(Some(1L), Some(-2L), Some(3L), Some(0L), None)
+      .toDF("d")
+    val r = Drift.wilcoxonNano(df, "d").head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(r.getAs[Long]("w2_plus") == 8L)
+    assert(r.getAs[Long]("w_frac_nano") == 666666666L)
+    // {+2, −2}: tied |d| → both get doubled avg rank 3 → frac = ½
+    val sym = Seq(2L, -2L).toDF("d")
+    val rs = Drift.wilcoxonNano(sym, "d").head()
+    assert(rs.getAs[Long]("w2_plus") == 3L)
+    assert(rs.getAs[Long]("w_frac_nano") == 500000000L)
+  }
+
   test("jensen-shannon: identical slices read 0, bounded by ln 2") {
     val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("g", "text")
     val r0 = TextAnalysis.jsUnigram(same, "text", "g", "a", "b").head()

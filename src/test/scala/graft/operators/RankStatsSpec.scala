@@ -207,4 +207,31 @@ class RankStatsSpec extends AnyFunSuite {
       ("s1", "s3", 2L, 1L, 0L, 0L),
       ("s2", "s3", 2L, 1L, 0L, 0L)))
   }
+
+  test("vocabRichness: Chao1 and Good-Turing from f1/f2") {
+    val docs = Seq((1L, "x x y", "s1"), (2L, "x y z", "s2"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.vocabRichness(docs, "text", "source")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // s1: x:2 y:1 → V=2 N=3 f1=1 f2=1; chao1 = 2 + 0/4, p0 = 1/3
+    // s2: all singletons → chao1 = 3 + 6/2 = 6, p0 = 1
+    assert(out == Seq(
+      ("s1", 2L, 3L, 1L, 1L, 2000L, 333333333L),
+      ("s2", 3L, 3L, 3L, 0L, 6000L, 1000000000L)))
+  }
+
+  test("burrowsDelta: mirrored frequencies, identical sources at 0") {
+    val docs = Seq((1L, "x x y", "a"), (2L, "x y y", "b"))
+      .toDF("doc_id", "text", "source")
+    val out = TextAnalysis.burrowsDelta(docs, "text", "source",
+      topK = 2).as[(String, String, Long, Long, Long)].collect().toSeq
+    // rf micro: a = (666666, 333333), b mirrored; D = 111110888889 =
+    // 333333² exactly → each term z-gap = 2·333333/333333 = 2
+    assert(out == Seq(("a", "b", 2L, 4000000000L, 2000000000L)))
+    val same = Seq((1L, "x y", "a"), (2L, "x y", "b"))
+      .toDF("doc_id", "text", "source")
+    val rs = TextAnalysis.burrowsDelta(same, "text", "source",
+      topK = 2).as[(String, String, Long, Long, Long)].collect().toSeq
+    assert(rs == Seq(("a", "b", 2L, 0L, 0L)))
+  }
 }

@@ -187,6 +187,39 @@ object TableFns {
         requireCol("gini", df, v)
         Drift.giniNano(df, id, v)
       }),
+    // one-way ANOVA F across a categorical column's groups — the
+    // parametric mean-separation audit (operators/Drift.scala)
+    "anova_f" -> FnDef(
+      "anova_f('db.tbl', 'group_col', 'value_col')",
+      3 to 3,
+      (df, a) => {
+        val (g, v) = (argStr("anova_f", a, 1), argStr("anova_f", a, 2))
+        requireCol("anova_f", df, g)
+        requireCol("anova_f", df, v)
+        Drift.anovaFNano(df, g, v)
+      }),
+    // Wilcoxon signed-rank over a paired difference column — the
+    // matched-pairs before/after shift test (operators/Drift.scala)
+    "wilcoxon" -> FnDef(
+      "wilcoxon('db.tbl', 'diff_col')",
+      2 to 2,
+      (df, a) => {
+        val d = argStr("wilcoxon", a, 1)
+        requireCol("wilcoxon", df, d)
+        Drift.wilcoxonNano(df, d)
+      }),
+    // Chao1 + Good–Turing vocabulary richness per group — the
+    // corpus-coverage planning read (operators/TextAnalysis.scala)
+    "vocab_richness" -> FnDef(
+      "vocab_richness('db.tbl', 'text_col', 'group_col')",
+      3 to 3,
+      (df, a) => {
+        val (t, g) = (argStr("vocab_richness", a, 1),
+          argStr("vocab_richness", a, 2))
+        requireCol("vocab_richness", df, t)
+        requireCol("vocab_richness", df, g)
+        TextAnalysis.vocabRichness(df, t, g)
+      }),
     // walk-counting influence over an edge table, Δ_in-attenuated
     "katz_centrality" -> FnDef(
       "katz_centrality('db.tbl', 'src_col', 'dst_col', rounds)",

@@ -544,6 +544,61 @@ class ServerSpec extends AnyFunSuite {
     } finally cb.close()
   }
 
+  test("round-12b TVFs: anova_f, wilcoxon, vocab_richness") {
+    // the statistics wave through the same parse → resolve →
+    // library-plan route; hand-computed values matching
+    // AssocStatsSpec / RankStatsSpec fixtures
+    client.execute("create database if not exists net")
+    client.execute("create table net.av(id int, g text, v bigint, " +
+      "primary key(id))")
+    val ap = client.prepare("insert into net.av values(?, ?, ?)")
+    client.batchInsert(ap, Seq(
+      Seq[Any](1, "a", 1L), Seq[Any](2, "a", 2L),
+      Seq[Any](3, "b", 3L), Seq[Any](4, "b", 5L)))
+    // a = {1,2}, b = {3,5} → ssb 6, ssw 3, F = 4
+    assert(client.execute(
+      "select * from anova_f('net.av', 'g', 'v')")
+      .map(_.map(_.toString)) ==
+      Seq(Seq("4", "2", "6", "3", "4000000000")))
+    client.execute("create table net.w(id int, d bigint, " +
+      "primary key(id))")
+    val wp = client.prepare("insert into net.w values(?, ?)")
+    client.batchInsert(wp, Seq(
+      Seq[Any](1, 1L), Seq[Any](2, -2L), Seq[Any](3, 3L),
+      Seq[Any](4, 0L)))
+    // diffs {1,−2,3}, zero drops → w2+ = 8, frac = 8/12
+    assert(client.execute("select * from wilcoxon('net.w', 'd')")
+      .map(_.map(_.toString)) == Seq(Seq("3", "8", "666666666")))
+    client.execute("create table net.d5(doc_id int, body text, " +
+      "src text, primary key(doc_id))")
+    val dp = client.prepare("insert into net.d5 values(?, ?, ?)")
+    client.batchInsert(dp, Seq(
+      Seq(1, "x x y", "s1"), Seq(2, "x y z", "s2")))
+    // s1: V=2 N=3 f1=1 f2=1 → chao1 2.0, p0 1/3; s2: all singletons
+    assert(client.execute(
+      "select * from vocab_richness('net.d5', 'body', 'src')")
+      .map(_.map(_.toString)) == Seq(
+      Seq("s1", "2", "3", "1", "1", "2000", "333333333"),
+      Seq("s2", "3", "3", "3", "0", "6000", "1000000000")))
+    // closed-dialect contract: usage + column errors
+    assert(intercept[OtError](client.execute(
+      "select * from anova_f('net.av', 'g')")).msg ==
+      "Usage: anova_f('db.tbl', 'group_col', 'value_col')")
+    assert(intercept[OtError](client.execute(
+      "select * from vocab_richness('net.d5', 'nope', 'src')")).msg ==
+      "vocab_richness: no column nope in table")
+    // BSON mode + server-side WHERE on the TVF output
+    val cb = new NetClient("127.0.0.1", server.boundPort, protocol = "bson")
+    try {
+      cb.use("net")
+      assert(cb.execute("select * from wilcoxon('w', 'd')")
+        .map(_.map(_.toString)) == Seq(Seq("3", "8", "666666666")))
+      assert(cb.execute("select src, vocab from " +
+        "vocab_richness('d5', 'body', 'src') where f1 >= 3")
+        .map(_.map(_.toString)) == Seq(Seq("s2", "3")))
+    } finally cb.close()
+  }
+
   test("round-12: TVF WHERE + projection over the wire (JSON + BSON)") {
     // round-11 verdict item 6: a wire user filters and projects a
     // TVF's OUTPUT server-side — same strict resolver error strings

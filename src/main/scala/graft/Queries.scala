@@ -3999,7 +3999,8 @@ object Queries {
         val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
           .select(col("o_custkey").as("c"),
             (col("l_suppkey") + 1000000L).as("p"))
-          .distinct()
+          // (no .distinct() here: the graph operator dedups its edge
+          //  input anyway — r12 removed the redundant second exchange)
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
         operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
@@ -10186,7 +10187,8 @@ object Queries {
         val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
           .select(col("o_custkey").as("c"),
             (col("l_suppkey") + 1000000L).as("p"))
-          .distinct()
+          // (no .distinct() here: the graph operator dedups its edge
+          //  input anyway — r12 removed the redundant second exchange)
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
         val seeds = t(s, dir, "customer")
@@ -10586,7 +10588,8 @@ object Queries {
         val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
           .select(col("o_custkey").as("c"),
             (col("l_suppkey") + 1000000L).as("p"))
-          .distinct()
+          // (no .distinct() here: the graph operator dedups its edge
+          //  input anyway — r12 removed the redundant second exchange)
         operators.Graph.wlColors(
           pairs.select(col("c").as("src"), col("p").as("dst")),
           "src", "dst", rounds = 2)
@@ -10643,7 +10646,8 @@ object Queries {
         val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
           .select(col("o_custkey").as("c"),
             (col("l_suppkey") + 1000000L).as("p"))
-          .distinct()
+          // (no .distinct() here: the graph operator dedups its edge
+          //  input anyway — r12 removed the redundant second exchange)
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
         val seeds = t(s, dir, "customer")
@@ -11257,7 +11261,8 @@ object Queries {
         val pairs = o.join(l, o("o_orderkey") === l("l_orderkey"))
           .select((col("o_custkey") * 2L).as("c"),
             (col("l_suppkey") * 2L + 1L).as("p"))
-          .distinct()
+          // (no .distinct() here: the graph operator dedups its edge
+          //  input anyway — r12 removed the redundant second exchange)
         val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
           .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
         operators.Graph.katzCentrality(edges, "src", "dst", rounds = 3)

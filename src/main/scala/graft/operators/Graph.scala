@@ -29,48 +29,65 @@ object Graph {
     * ranks then order nodes identically to the redistributing form on
     * connected graphs, which is what rank is for.
     *
-    * Scale shape: `edges` and `outDeg` are computed once and reused
-    * every round (persisted); a round is edges⋈ranks on the source id
-    * (both sides hash-partitioned on it) followed by a map-side-
-    * combined sum on the destination — the classic message-passing
-    * round as two exchanges. Round state is RELIABLY checkpointed and
-    * superseded rounds freed eagerly via [[IterCheckpoint]] (survives
-    * executor loss; localCheckpoint blocks would not).
-    * Rounds are O(diameter)-free: `iterations` is fixed, so total work
-    * is iterations × one edge shuffle regardless of graph shape.
+    * Scale shape (re-tuned in the r12 optimization round, guide §2.4):
+    * the edge table is persisted PRE-PARTITIONED ON ITS PER-ROUND JOIN
+    * KEY (`repartition(src)` before the dedup — hash(src) clusters
+    * (src, dst) too, so the distinct itself runs on that one exchange),
+    * so no round ever re-shuffles the edges: measured before the
+    * change, every round paid one full-edge Exchange because the
+    * persisted (src, dst)-hash layout did not satisfy the join's src
+    * distribution. Node set and out-degree come from ONE aggregation
+    * pass (union of endpoint projections, sum of per-src 1s) instead
+    * of separate distinct + groupBy passes, and `od` RIDES THE RANK
+    * STATE through every checkpoint, removing the per-round
+    * ranks⋈outDeg join entirely. A round is therefore: one
+    * co-partitioned edges⋈ranks join on src, one map-side-combined
+    * sum on the destination, one co-partitioned outer merge — the
+    * message-passing minimum. Round state is RELIABLY checkpointed
+    * (partitioning preserved) and superseded rounds freed eagerly via
+    * [[IterCheckpoint]] (survives executor loss; localCheckpoint
+    * blocks would not). Rounds are O(diameter)-free: `iterations` is
+    * fixed, so total work is iterations × one message shuffle
+    * regardless of graph shape.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int, damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
       .distinct().persist(lvl)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist(lvl)
+    // nodes + out-degree in ONE pass; od = 0.0 marks sink-only nodes
+    // (they never match e.src, exactly like the inner ranks⋈outDeg
+    // join they replace). count→double and sum-of-1s→double agree
+    // bit-for-bit, so every contribution c is unchanged.
+    val nodesOd = e.select(col("src").as("id"), lit(1L).as("__o"))
+      .unionAll(e.select(col("dst").as("id"), lit(0L).as("__o")))
+      .groupBy("id").agg(sum(col("__o")).cast("double").as("od"))
+      .persist(lvl)
     // bounded driver collect: one scalar (node count feeds the teleport
     // constant — the PQ-sample/vocab-top-K pattern)
-    val n = nodes.count()
-    val outDeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).cast("double").as("od")).persist(lvl)
-    var ranks = IterCheckpoint(nodes.withColumn("rank", lit(1.0 / n)))
+    val n = nodesOd.count()
+    var ranks = IterCheckpoint(
+      nodesOd.select(col("id"), lit(1.0 / n).as("rank"), col("od")))
     for (_ <- 1 to iterations) {
       val contrib = e
-        .join(ranks.join(outDeg, "id").select(col("id").as("src"),
+        .join(ranks.filter(col("od") > 0).select(col("id").as("src"),
           floor(col("rank") / col("od") * lit(1e12)).as("c")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("in_sum"))
-      val next = IterCheckpoint(nodes.join(contrib, Seq("id"), "left")
+      val next = IterCheckpoint(nodesOd.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) *
               (coalesce(col("in_sum"), lit(0L)).cast(DoubleType) /
                 lit(1e12)))
-            .as("rank")))
+            .as("rank"), col("od")))
       IterCheckpoint.free(ranks)
       ranks = next
     }
-    e.unpersist(); nodes.unpersist(); outDeg.unpersist()
-    ranks
+    e.unpersist(); nodesOd.unpersist()
+    ranks.select(col("id"), col("rank"))
   }
 
   /** PERSONALIZED PAGERANK: [[pageRank]] with the teleport mass
@@ -84,11 +101,14 @@ object Graph {
     * integers, the teleport term keeps one fixed double expression
     * order, so both engines replay every bit.
     *
-    * Scale shape: identical to [[pageRank]] — per round one hash join
-    * of the persisted edge table with the current rank vector and one
-    * map-side-combined sum; the only driver scalars are |S| (one
-    * count). Mass unreachable from the seeds stays exactly 0.0 and
-    * rides the node table, never a frontier blowup.
+    * Scale shape: identical to [[pageRank]] (and re-tuned with it in
+    * r12): edges persisted pre-partitioned on src so no round
+    * re-shuffles them, node set + out-degree from one aggregation
+    * pass, `od` and `tele` riding the persisted base/state so a round
+    * is join + map-side-combined sum + co-partitioned outer merge; the
+    * only driver scalars are |S| (one count). Mass unreachable from
+    * the seeds stays exactly 0.0 and rides the node table, never a
+    * frontier blowup.
     */
   def personalizedPageRank(edges: DataFrame, srcCol: String,
       dstCol: String, seeds: DataFrame, seedCol: String,
@@ -96,26 +116,28 @@ object Graph {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
       .distinct().persist(lvl)
     val sd = seeds.select(col(seedCol).as("id")).distinct()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct()
+    // nodes + out-degree in one pass (the pageRank trick); od = 0.0
+    // for sink-only nodes, which never match e.src
+    val nodesOd = e.select(col("src").as("id"), lit(1L).as("__o"))
+      .unionAll(e.select(col("dst").as("id"), lit(0L).as("__o")))
+      .groupBy("id").agg(sum(col("__o")).cast("double").as("od"))
     // bounded driver collect: one scalar (the seed count)
     val nSeeds = sd.count()
     require(nSeeds > 0, "personalizedPageRank needs a non-empty seed set")
-    val base = nodes
+    val base = nodesOd
       .join(sd.withColumn("__s", lit(1)), Seq("id"), "left")
       .select(col("id"),
         when(col("__s").isNotNull, lit(1.0 / nSeeds))
-          .otherwise(lit(0.0)).as("tele"))
+          .otherwise(lit(0.0)).as("tele"), col("od"))
       .persist(lvl)
-    val outDeg = e.groupBy(col("src").as("id"))
-      .agg(count(lit(1)).cast("double").as("od")).persist(lvl)
     var ranks = IterCheckpoint(
-      base.select(col("id"), col("tele").as("rank")))
+      base.select(col("id"), col("tele").as("rank"), col("od")))
     for (_ <- 1 to iterations) {
       val contrib = e
-        .join(ranks.join(outDeg, "id").select(col("id").as("src"),
+        .join(ranks.filter(col("od") > 0).select(col("id").as("src"),
           floor(col("rank") / col("od") * lit(1e12)).as("c")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("in_sum"))
@@ -125,12 +147,12 @@ object Graph {
             lit(damping) *
               (coalesce(col("in_sum"), lit(0L)).cast(DoubleType) /
                 lit(1e12)))
-            .as("rank")))
+            .as("rank"), col("od")))
       IterCheckpoint.free(ranks)
       ranks = next
     }
-    e.unpersist(); base.unpersist(); outDeg.unpersist()
-    ranks
+    e.unpersist(); base.unpersist()
+    ranks.select(col("id"), col("rank"))
   }
 
   /** Exact triangle count of the UNDIRECTED graph under `edges`
@@ -267,6 +289,12 @@ object Graph {
   def kcorePeel(edges: DataFrame, srcCol: String, dstCol: String,
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k,rounds >= 1, got $k,$rounds")
+    // NOT pre-partitioned (unlike the persisted-edge operators, r12):
+    // a checkpoint's LogicalRDD comes back with UnknownPartitioning
+    // under AQE, so a seed repartition would help only round 1 while
+    // paying a full extra edge exchange — measured slower. Each round
+    // already runs on one post-partial-agg degree exchange plus
+    // broadcast-able semi joins.
     var e = IterCheckpoint(
       edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     for (_ <- 1 to rounds) {
@@ -378,22 +406,28 @@ object Graph {
     * (community, n_nodes) — the corpus-structure read (how many
     * communities, how concentrated) that feeds mix planning.
     *
-    * Scale shape: [[pageRank]]'s round structure — per round one hash
-    * join of the (persisted, symmetrized, weight-merged) edge table
-    * with the current label table, one (node, label) weight sum
-    * (map-side combinable), one per-node argmax window PARTITIONED BY
-    * the node id (never a global window), all
+    * Scale shape (re-tuned in r12, guide §2.4): [[pageRank]]'s round
+    * structure — the symmetrized, weight-merged edge table is persisted
+    * PRE-PARTITIONED ON ITS PER-ROUND JOIN KEY (`repartition(b)` feeds
+    * the (a, b) weight merge, which hash(b) already clusters, so the
+    * merge runs on that one exchange and no round re-shuffles the
+    * edges); per round one hash join with the current label table, one
+    * (node, label) weight sum (map-side combinable), then the per-node
+    * argmax as a SECOND AGGREGATION — max(struct(ws, −nl)) is
+    * map-side-combinable and shuffles at most one row per node per
+    * partition, where the previous row_number window re-shuffled and
+    * sorted every (node, label) score row. All
     * [[IterCheckpoint]]-disciplined.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be positive, got $rounds")
-    import org.apache.spark.sql.expressions.Window
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
         col(weightCol).cast("long").as("w"))
       .unionAll(edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
         col(weightCol).cast("long").as("w")))
+      .repartition(col("b"))
       .groupBy("a", "b").agg(sum("w").as("w"))
       .persist(lvl)
     val nodes = e.select(col("a").as("id")).distinct().persist(lvl)
@@ -403,11 +437,13 @@ object Graph {
         .join(lab.select(col("id").as("b"), col("lbl").as("nl")), "b")
         .groupBy(col("a").as("id"), col("nl"))
         .agg(sum("w").as("ws"))
-      val pick = scores.withColumn("rn", row_number().over(
-          Window.partitionBy("id")
-            .orderBy(col("ws").desc, col("nl").asc)))
-        .filter(col("rn") === 1)
-        .select(col("id"), col("nl").as("lbl"))
+      // deterministic argmax (ws desc, nl asc) as one aggregate:
+      // lexicographic max of (ws, −nl) picks exactly the row the old
+      // row_number window picked (labels are node ids ≥ 0, so the
+      // negation is overflow-free)
+      val pick = scores.groupBy(col("id"))
+        .agg(max(struct(col("ws"), (-col("nl")).as("mnl"))).as("m"))
+        .select(col("id"), (-col("m.mnl")).as("lbl"))
       // every node has ≥ 1 neighbor by construction, so the argmax
       // covers the full node set
       val next = IterCheckpoint(pick)
@@ -551,7 +587,10 @@ object Graph {
       seeds: DataFrame, seedCol: String, maxDepth: Int): DataFrame = {
     require(maxDepth >= 1, s"maxDepth must be positive, got $maxDepth")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // pre-partitioned on the per-round join key (r12 re-tune): the
+    // dedup runs on the same exchange, no round re-shuffles the edges
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
       .distinct().persist(lvl)
     var dist = IterCheckpoint(seeds.select(col(seedCol).as("id"))
       .distinct().withColumn("dist", lit(0L)))
@@ -601,8 +640,18 @@ object Graph {
       iterations: Int): DataFrame = {
     require(iterations >= 1, s"iterations must be positive, got $iterations")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // TWO persisted copies of the deduped edge list, one per half-round
+    // join key (r12 re-tune, guide §2.4): the half-rounds alternate
+    // between joining on src and on dst, and a single layout forced a
+    // full edge re-shuffle every half-round. eD derives from eS with
+    // one extra exchange paid once; 2·|E| cache is the standard
+    // vertex-program trade (GraphX mirrors the same bytes).
+    val eS = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
       .distinct().persist(lvl)
+    val eD = eS.repartition(col("dst")).persist(lvl)
+    def eFor(inCol: String): DataFrame =
+      if (inCol == "src") eS else eD
     // every hub has out-edges and every auth has in-edges BY
     // CONSTRUCTION (they are edge endpoints), and each half-round's
     // input score table always covers its full side — so the raw
@@ -617,7 +666,8 @@ object Graph {
     def half(scores: DataFrame, inCol: String,
         outCol: String): (DataFrame, DataFrame) = {
       val raw = IterCheckpoint(
-        e.join(scores.select(col("id").as(inCol), col("s")), inCol)
+        eFor(inCol)
+          .join(scores.select(col("id").as(inCol), col("s")), inCol)
           .groupBy(col(outCol).as("id")).agg(sum("s").as("s")))
       // bounded driver collect: one scalar (the ∞-norm). max over an
       // empty score table (empty edge list) is null — pin 0, which
@@ -627,7 +677,8 @@ object Graph {
       (raw,
         raw.select(col("id"), expr(s"s div ${mx / 1000000L + 1L}L").as("s")))
     }
-    var hBase = IterCheckpoint(e.select(col("src").as("id")).distinct()
+    // distinct over hash(src)-partitioned eS: no extra exchange
+    var hBase = IterCheckpoint(eS.select(col("src").as("id")).distinct()
       .withColumn("s", lit(1000000L)))
     var h = hBase
     var aBase: DataFrame = null
@@ -644,7 +695,7 @@ object Graph {
     // the final rounds' checkpoint files back the returned frames
     // lazily; they are released with the session temp dir (bounded:
     // two half-rounds)
-    e.unpersist()
+    eS.unpersist(); eD.unpersist()
     h.select(lit("hub").as("side"), col("id"), col("s").as("score"))
       .unionAll(a.select(lit("auth").as("side"), col("id"),
         col("s").as("score")))
@@ -686,9 +737,13 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be positive, got $rounds")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // r12 re-tune: the pre-symmetrize distinct was redundant (the
+    // post-union distinct subsumes it — one exchange saved), and the
+    // surviving dedup runs on the per-round join key's partitioning
+    // (hash(b) clusters (a, b)), so no round re-shuffles the edges
     val eu = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .distinct()
     val e = eu.unionAll(eu.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("b"))
       .distinct().persist(lvl)
     val lane = lit(1000000000L)
     var colors = IterCheckpoint(e.groupBy(col("a").as("id"))
@@ -748,14 +803,24 @@ object Graph {
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds must be positive, got $rounds")
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // pre-partitioned on the per-round join key (the r12 pageRank
+    // re-tune): hash(src) clusters (src, dst), so the dedup runs on
+    // this one exchange and no round re-shuffles the edges
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .repartition(col("src"))
       .distinct().persist(lvl)
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id"))).distinct().persist(lvl)
+    // node set + in-degree in ONE aggregation pass (the pageRank
+    // trick, flipped to dst): Δ_in = max over nodes of the in-edge
+    // count — identical to max over dst groups (src-only nodes add
+    // zeros, which can never win the max of positive counts)
+    val nodesDeg = e.select(col("src").as("id"), lit(0L).as("__i"))
+      .unionAll(e.select(col("dst").as("id"), lit(1L).as("__i")))
+      .groupBy("id").agg(sum(col("__i")).as("ind"))
+      .persist(lvl)
     // bounded driver collect: one scalar — the attenuation denominator
-    val denRow = e.groupBy("dst").agg(count(lit(1)).as("d"))
-      .agg(max(col("d"))).head()
+    val denRow = nodesDeg.agg(max(col("ind"))).head()
     val den = if (denRow.isNullAt(0)) 1L else math.max(1L, denRow.getLong(0))
+    val nodes = nodesDeg.select(col("id"))
     var x = IterCheckpoint(nodes.withColumn("x", lit(1000000L)))
     for (_ <- 1 to rounds) {
       val in = e
@@ -769,7 +834,7 @@ object Graph {
       IterCheckpoint.free(x)
       x = next
     }
-    e.unpersist(); nodes.unpersist()
+    e.unpersist(); nodesDeg.unpersist()
     x.select(col("id"), col("x").as("katz_micro"))
   }
 }

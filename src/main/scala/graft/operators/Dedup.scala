@@ -618,11 +618,22 @@ object Dedup {
     // the candidate volume with it; shingle space is large enough that
     // unrelated documents share ~nothing. The __toks bind matters
     // (Dedup.scala shingleArray rule: bound column, NOT the expression).
-    val toks = docs
+    val toks0 = docs
       .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"), explode(
         if (ngram <= 1) col("__toks")
         else shingleArray(col("__toks"), ngram)).as("tok"))
+    // r12: wide shingles compress to a 16-byte two-lane xxhash64
+    // struct before the distinct and the five downstream shuffles
+    // (the tfCosineJoin fingerprint rationale — set cardinalities,
+    // candidates and verified jaccard are unchanged for any
+    // collision-free fingerprint, and the ranking tie-break is just
+    // another valid total order for the prefix theorem)
+    val toks = (if (ngram >= 3)
+        toks0.select(col("id"), struct(
+          xxhash64(col("tok")).as("h1"),
+          xxhash64(col("tok"), lit(1)).as("h2")).as("tok"))
+      else toks0)
       .distinct().persist(lvl)
     val freq = toks.groupBy("tok").agg(count(lit(1)).as("f"))
     val w = org.apache.spark.sql.expressions.Window
@@ -832,15 +843,26 @@ object Dedup {
       .select(col("id"), explode(
         if (ngram <= 1) col("__toks")
         else shingleArray(col("__toks"), ngram)).as("tok"))
-    // wide shingles are md5-compressed IMMEDIATELY (the dupSpans
-    // discipline): a 5-gram string is ~50-60 bytes and rides through
-    // five shuffles + two persists here, vs 32 hex chars for its
-    // fingerprint; grouping/joining on the fingerprint leaves tf/df/
-    // dot/cosine identical (128-bit collisions are beyond-astronomical
-    // at any corpus size, and an oracle replays md5() portably).
+    // wide shingles are fingerprint-compressed IMMEDIATELY (the
+    // dupSpans discipline): a 5-gram string is ~50-60 bytes and rides
+    // through five shuffles + two persists here. r12: the fingerprint
+    // is now TWO independent xxhash64 lanes in a 16-byte struct (was a
+    // 32-char md5 hex string) — half the shuffle bytes again, integer
+    // comparisons instead of string ones, and no per-row hex
+    // allocation (guide §2.3 "narrower types"). Grouping/joining on
+    // any collision-free fingerprint leaves tf/df/dot/cosine identical
+    // (two independent 64-bit lanes ≈ 128 bits — collisions
+    // beyond-astronomical at any corpus size), and the fingerprint
+    // never reaches the output, so the oracle's md5-keyed replay
+    // groups identically. The prefix ranking's (df, tok) tie-break
+    // changes with the representation, but ANY consistent total order
+    // satisfies the prefix theorem — the candidate set stays a
+    // verified superset and no surviving row can change.
     // Unigrams stay raw — they are SHORTER than the fingerprint.
     val el = if (ngram >= 3)
-      el0.select(col("id"), md5(col("tok")).as("tok"))
+      el0.select(col("id"), struct(
+        xxhash64(col("tok")).as("h1"),
+        xxhash64(col("tok"), lit(1)).as("h2")).as("tok"))
     else el0
     // (id, tok, tf) feeds the ranking, the probe side and both
     // verification joins: persist

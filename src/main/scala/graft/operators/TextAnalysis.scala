@@ -1031,8 +1031,18 @@ object TextAnalysis {
     * with the ORIGINAL token count carried as n0 — and the per-round
     * merge table).
     */
+  /** `trackTotals=false` ([[bpeEncode]]) skips the per-round
+    * toks-after count actions — the encoder never reads them, and each
+    * was a full extra scan of the round's token lists. The LAST
+    * round's fold is returned LAZY (not checkpointed) in both modes:
+    * its single consumer (the trainer's final total, or the encoder's
+    * final top-N) executes it exactly once on top of the previous
+    * round's checkpoint, saving one full write+read of every token
+    * list (r12 optimization round, guide §1.2 "don't compute things
+    * you throw away").
+    */
   private def bpeFit(df: DataFrame, idCol: String, textCol: String,
-      merges: Int)
+      merges: Int, trackTotals: Boolean = true)
       : (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     // each round runs TWO actions (argmax pair, token total) and the
     // next round's fold — over a LAZY chain those re-execute every
@@ -1065,22 +1075,35 @@ object TextAnalysis {
       // '+'-joined merge product can never equal `a` within a round,
       // so a just-merged pair never chains). The "" sentinel keeps
       // element_at in-bounds on the empty accumulator under ANSI.
-      val next = IterCheckpoint(
-        cur.select(col("id"), col("n0"), aggregate(col("toks"),
-          array().cast("array<string>"),
-          (acc, x) => when(
-            element_at(concat(array(lit("")), acc), size(acc) + 1)
-              === lit(a) && (x === lit(b)),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
-            .otherwise(concat(acc, array(x)))).as("toks")))
-      IterCheckpoint.free(cur)
-      cur = next
-      val toksAfter = cur.agg(sum(size(col("toks"))).as("t"))
-        .head().getLong(0)
-      out += ((r, a, b, c, toksAfter))
+      val folded = cur.select(col("id"), col("n0"), aggregate(col("toks"),
+        array().cast("array<string>"),
+        (acc, x) => when(
+          element_at(concat(array(lit("")), acc), size(acc) + 1)
+            === lit(a) && (x === lit(b)),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(m))))
+          .otherwise(concat(acc, array(x)))).as("toks"))
+      if (r < merges) {
+        // later rounds take 2+ actions over this state (argmax, fold,
+        // optional total) — checkpoint so each executes once
+        val next = IterCheckpoint(folded)
+        IterCheckpoint.free(cur)
+        cur = next
+      } else {
+        // last round: exactly ONE downstream action consumes the fold
+        // (the total below, or the encoder's top-N), so leave it lazy
+        // over the previous round's checkpoint — one full token-list
+        // write+read saved. That superseded checkpoint intentionally
+        // stays alive to back it (released with the session temp dir).
+        cur = folded
+      }
+      if (trackTotals) {
+        val toksAfter = cur.agg(sum(size(col("toks"))).as("t"))
+          .head().getLong(0)
+        out += ((r, a, b, c, toksAfter))
+      }
     }
-    // the final round's checkpoint files back the returned frame
-    // lazily; they are released with the session temp dir
+    // the final round's backing checkpoint files are released with the
+    // session temp dir
     (cur, out.toSeq)
   }
 
@@ -1117,7 +1140,10 @@ object TextAnalysis {
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: Int = 3, topN: Int = 50): DataFrame = {
-    val (cur, _) = bpeFit(df, idCol, textCol, merges)
+    // trackTotals=false: the merge table's toks-after column is unused
+    // here, and each total was a full extra scan of the token lists
+    val (cur, _) = bpeFit(df, idCol, textCol, merges,
+      trackTotals = false)
     cur.select(col("id").as(idCol), col("n0").as("toks_before"),
         size(col("toks")).cast("long").as("toks_after"))
       .withColumn("compression_micro",

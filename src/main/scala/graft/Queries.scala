@@ -6466,20 +6466,32 @@ object Queries {
     QueryDef(
       "q_org_chain",
       (s, dir) => {
+        // r12 re-tune (guide §1.2): the level count is ⌊log₂ maxKey⌋+2
+        // — ONE max() job replaces the per-round count() actions that
+        // each replayed the whole since-last-checkpoint lineage; cents
+        // is persisted (it joins every level), and each level's
+        // `stepped` is persisted so its three consumers (fin branch,
+        // next level, the final action) share one materialization.
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val cents = t(s, dir, "customer")
           .select(col("c_custkey").as("node"),
             floor(col("c_acctbal") * 100).cast("long").as("cents"))
+          .persist(lvl)
+        val maxId = cents.agg(max(col("node"))).head().getLong(0)
+        // node k>0 emits at level ⌊log₂ k⌋+2 (one extra join visits the
+        // root-0 manager row); node 0 at level 1
+        val rounds =
+          if (maxId <= 0L) 1
+          else 64 - java.lang.Long.numberOfLeadingZeros(maxId) + 1
         var active = cents.select(col("node").as("id"),
           col("node").as("cur"), lit(0L).as("depth"), lit(0L).as("acc"))
         var done: DataFrame = null
-        var rounds = 0
-        var n = active.count()
-        while (n > 0) {
-          rounds += 1
+        for (r <- 1 to rounds) {
           val stepped = active
             .join(cents, active("cur") === cents("node"))
             .select(col("id"), col("cur"), col("depth"),
               (col("acc") + col("cents")).as("acc"))
+            .persist(lvl)
           val fin = stepped.filter(col("cur") === 0L)
             .select(col("id"), col("depth"), col("acc").as("chain_cents"))
           done = if (done == null) fin else done.union(fin)
@@ -6487,8 +6499,7 @@ object Queries {
             .select(col("id"), expr("cur div 2").as("cur"),
               (col("depth") + 1L).as("depth"), col("acc"))
           active =
-            if (rounds % 6 == 0) operators.IterCheckpoint(next) else next
-          n = active.count()
+            if (r % 6 == 0) operators.IterCheckpoint(next) else next
         }
         done.orderBy("id")
       },

@@ -28,7 +28,12 @@ object TextAnalysis {
     */
   def langId(df: DataFrame, textCol: String,
       outCol: String = "lang_pred"): DataFrame = {
-    val t = toks(col(textCol))
+    // BIND the token array (the Dedup.shingleArray rule): inlining
+    // `toks(...)` into every per-language struct re-ran the
+    // normalize-regex + split once PER LANGUAGE per row (5× here) —
+    // with ≥2 references to a non-cheap column, CollapseProject keeps
+    // the producing projection separate and the tokenize runs once
+    val t = col("__lt")
     val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val hits = size(array_intersect(t, array(words.map(lit): _*)))
       struct(hits.as("hits"), lit(lang).as("lang"))
@@ -36,8 +41,11 @@ object TextAnalysis {
     // argmax by (hits, lang) struct ordering; ties → lexicographically
     // greatest lang among equals, deterministic
     val best = greatest(scored: _*)
-    df.withColumn(outCol,
-      when(best.getField("hits") > 0, best.getField("lang")).otherwise("und"))
+    df.withColumn("__lt", toks(col(textCol)))
+      .withColumn(outCol,
+        when(best.getField("hits") > 0, best.getField("lang"))
+          .otherwise("und"))
+      .drop("__lt")
   }
 
   /** Quality metrics + a composite score in [0,1]. Integer counts ⇒

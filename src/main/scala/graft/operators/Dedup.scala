@@ -71,8 +71,20 @@ object Dedup {
       textCol: String, n: Int, maxDocFreq: Long): DataFrame = {
     // materialize the tokenization once: the inverted index is read three
     // times (sizes + both sides of the pair join); recomputing the regex
-    // tokenize + shingle explode per use dominates otherwise
+    // tokenize + shingle explode per use dominates otherwise.
+    // r12: shingle strings (~10·n bytes) compress to a 16-byte two-lane
+    // xxhash64 struct BEFORE the persist and the pair join (the
+    // tfCosineJoin fingerprint rationale — shared counts, sizes and
+    // every surviving row are unchanged for any collision-free
+    // fingerprint; nothing downstream reads the shingle value). NOT
+    // pre-partitioned on the shingle: the self-join's two sides share
+    // one ReusedExchange anyway, while hash(shingle) layout would
+    // scatter each doc's rows across every partition and destroy the
+    // sizes aggregation's map-side collapse (measured slower).
     val sh = shingles(df, idCol, textCol, n)
+      .select(col("id"), struct(
+        xxhash64(col("shingle")).as("h1"),
+        xxhash64(col("shingle"), lit(1)).as("h2")).as("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val filtered = if (maxDocFreq <= 0) sh else {
       val freq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -403,14 +415,25 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // persisted pre-partitioned on the per-round join key (r12 re-tune,
+    // the pageRank rationale): hash(dst) clusters (src, dst) too, so
+    // the dedup runs on this one exchange and no round re-shuffles the
+    // edge table
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .repartition(col("dst"))
       .distinct()
       .persist(lvl)
+    // state carries a per-row changed flag so convergence is ONE sum
+    // over the freshly checkpointed round (r12: the previous
+    // `changed` was a second full join of two label checkpoints per
+    // round); chg ⇔ the new comp strictly decreased ⇔ min_nbr < comp
+    // (null-safe: a node with no in-neighbors keeps its comp)
     var labels = IterCheckpoint(
       edges.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id")))
+        .withColumn("comp", col("id"))
+        .withColumn("__chg", lit(0L)))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -422,9 +445,11 @@ object Dedup {
       val next = IterCheckpoint(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("min_nbr"), col("comp")))
-            .as("comp")))
-      val changed = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev")).count()
+            .as("comp"),
+          when(col("min_nbr") < col("comp"), lit(1L)).otherwise(lit(0L))
+            .as("__chg")))
+      val changedRow = next.agg(sum(col("__chg"))).head()
+      val changed = if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
       // free the superseded round NOW — `next` is already eagerly
       // materialized into its own checkpoint files and `changed` is
       // counted, so nothing references the old labels; without this
@@ -439,7 +464,13 @@ object Dedup {
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds " +
         "(cluster diameter exceeds the bound — raise maxIter)")
-    labels
+    // drop the flag column via one final small checkpoint so the
+    // returned labels stay a DIRECT reliable checkpoint (file-backed
+    // handle — the OperatorsSpec executor-loss guarantee and the
+    // ccMemo reuse contract), then free the flagged round state
+    val out = IterCheckpoint(labels.select(col("id"), col("comp")))
+    IterCheckpoint.free(labels)
+    out
   }
 
   /** Merge NEW near-dup pairs into an EXISTING component labeling

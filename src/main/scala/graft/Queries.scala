@@ -8783,11 +8783,18 @@ object Queries {
       "q_split_overlap_audit",
       (s, dir) => {
         val corpus = twinChainCorpus(s, dir)
+        // r12: the 8-gram text never leaves the equality join — carry
+        // the 16-byte two-lane fingerprint instead of the ~80-byte
+        // string through the distinct and the self-join (the
+        // sharedShingleCounts rationale)
         val sh = corpus
           .withColumn("__toks", operators.Dedup.tokens(col("text")))
           .select(col("doc_id"),
             explode(operators.Dedup.shingleArray(col("__toks"), 8))
-              .as("s8"))
+              .as("s8raw"))
+          .select(col("doc_id"), struct(
+            xxhash64(col("s8raw")).as("h1"),
+            xxhash64(col("s8raw"), lit(1)).as("h2")).as("s8"))
           .distinct()
         val pairs = sh.as("a").join(sh.as("b"),
             col("a.s8") === col("b.s8") &&

@@ -159,7 +159,14 @@ object Dedup {
         .as(s"mh$s"))
     val mh = sh.groupBy("id").agg(mhAggs.head, mhAggs.tail: _*)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
+    // the pair join only tests shingle EQUALITY — ship the 16-byte
+    // two-lane fingerprint across its (reused) exchange instead of the
+    // raw shingle string (r12; the hex52 signature aggs above keep the
+    // raw string: their VALUES are oracle-replayed)
+    val shFp = sh.select(col("id"), struct(
+      xxhash64(col("shingle")).as("h1"),
+      xxhash64(col("shingle"), lit(1)).as("h2")).as("shingle"))
+    val pairs = shFp.as("a").join(shFp.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
@@ -238,9 +245,16 @@ object Dedup {
   private def verifyJaccard(candIds: DataFrame, sh: DataFrame,
       threshold: Double): DataFrame = {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // r12: the verification joins test shingle EQUALITY only — ship the
+    // 16-byte two-lane fingerprint through their exchanges instead of
+    // the raw shingle string (the sharedShingleCounts rationale; the
+    // raw strings stay in the caller's cache for the signature path)
+    val fp = sh.select(col("id"), struct(
+      xxhash64(col("shingle")).as("h1"),
+      xxhash64(col("shingle"), lit(1)).as("h2")).as("shingle"))
     candIds
-      .join(sh.toDF("id_a", "shingle"), "id_a")
-      .join(sh.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
+      .join(fp.toDF("id_a", "shingle"), "id_a")
+      .join(fp.toDF("id_b", "shingle"), Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
       .join(sizes.toDF("id_a", "n_a"), "id_a")
       .join(sizes.toDF("id_b", "n_b"), "id_b")
@@ -351,9 +365,15 @@ object Dedup {
     val oldSh = spark.read.parquet(path + "/shingles")
     val oldSizes = oldSh.groupBy("id").agg(count(lit(1)).as("n_old"))
     val newSizes = newSh.groupBy("id").agg(count(lit(1)).as("n_new"))
+    // r12: fingerprint the shingle keys post-read (the verifyJaccard
+    // rationale) — the verification joins carry 16-byte structs, not
+    // raw strings; the on-disk index format is unchanged
+    def fp(df: DataFrame): DataFrame = df.select(col("id"), struct(
+      xxhash64(col("shingle")).as("h1"),
+      xxhash64(col("shingle"), lit(1)).as("h2")).as("shingle"))
     candIds
-      .join(newSh.toDF("id_new", "shingle"), "id_new")
-      .join(oldSh.toDF("id_old", "shingle"), Seq("id_old", "shingle"))
+      .join(fp(newSh).toDF("id_new", "shingle"), "id_new")
+      .join(fp(oldSh).toDF("id_old", "shingle"), Seq("id_old", "shingle"))
       .groupBy("id_new", "id_old").agg(count(lit(1)).as("shared"))
       .join(newSizes.toDF("id_new", "n_new"), "id_new")
       .join(oldSizes.toDF("id_old", "n_old"), "id_old")

@@ -254,9 +254,12 @@ object Graph {
         col("e2.dst").as("w"))
       .join(oriented.select(col("src").as("v"), col("dst").as("w")),
         Seq("v", "w"))
-    val perNode = tri.select(col("s").as("id"))
-      .unionAll(tri.select(col("v").as("id")))
-      .unionAll(tri.select(col("w").as("id")))
+    // ONE pass crediting all three corners (r12): the previous 3-way
+    // unionAll of projections re-executed the whole wedge+closure join
+    // once per branch — explode is the same multiset of ids from a
+    // single execution
+    val perNode = tri
+      .select(explode(array(col("s"), col("v"), col("w"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
     deg.filter(col("d") >= 2)
       .select(col("n").as("id"), col("d").as("deg"))

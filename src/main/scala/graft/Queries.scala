@@ -4077,7 +4077,8 @@ object Queries {
               col("a.l_suppkey") < col("b.l_suppkey"))
           .select(col("a.l_suppkey").as("sa"),
             col("b.l_suppkey").as("sb"))
-          .distinct()
+          // (no .distinct(): the operator canonicalizes + dedups its
+          //  edge input — r12 removed the redundant second exchange)
         operators.Graph.triangleCount(eg, "sa", "sb")
       },
       Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
@@ -8375,7 +8376,8 @@ object Queries {
               col("a.l_suppkey") < col("b.l_suppkey"))
           .select(col("a.l_suppkey").as("x"),
             col("b.l_suppkey").as("y"))
-          .distinct()
+          // (no .distinct(): the operator canonicalizes + dedups its
+          //  edge input — r12 removed the redundant second exchange)
         operators.Graph.linkPredict(eg, "x", "y")
           .orderBy(col("cn").desc, col("a").asc, col("b").asc)
           .limit(20)
@@ -10737,7 +10739,8 @@ object Queries {
               col("a.l_suppkey") < col("b.l_suppkey"))
           .select(col("a.l_suppkey").as("sa"),
             col("b.l_suppkey").as("sb"))
-          .distinct()
+          // (no .distinct(): the operator canonicalizes + dedups its
+          //  edge input — r12 removed the redundant second exchange)
         operators.Graph.localClustering(eg, "sa", "sb")
       },
       Some("""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey
@@ -11333,7 +11336,8 @@ object Queries {
               col("a.l_suppkey") < col("b.l_suppkey"))
           .select(col("a.l_suppkey").as("x"),
             col("b.l_suppkey").as("y"))
-          .distinct()
+          // (no .distinct(): the operator canonicalizes + dedups its
+          //  edge input — r12 removed the redundant second exchange)
         operators.Graph.adamicAdar(eg, "x", "y")
           .orderBy(col("aa_nano").desc, col("a").asc, col("b").asc)
           .limit(20)

@@ -289,7 +289,12 @@ class PipelineSpec extends AnyFunSuite {
     Similarity.int8Quantize(wide, "vec_id", "embedding")
       .selectExpr("sum(qvec[0])").collect()
     val secs = (System.nanoTime() - t0) / 1e9
-    assert(secs < 30.0, s"dim-2048 quantize took $secs s — quadratic?")
+    // 90 s, not 30: the linear form is sub-second alone but this suite
+    // runs in parallel with the whole test universe on a sandbox whose
+    // disk intermittently throttles (measured 44 s under full-suite
+    // contention with the plan gate above GREEN); the quadratic form
+    // is ~40G lambda ops = many MINUTES, so the separation holds
+    assert(secs < 90.0, s"dim-2048 quantize took $secs s — quadratic?")
   }
 
   test("mrl top-k: full-candidate run equals exact top-k; coarse pass keeps self") {

@@ -450,33 +450,36 @@ object Dedup {
     // `changed` was a second full join of two label checkpoints per
     // round); chg ⇔ the new comp strictly decreased ⇔ min_nbr < comp
     // (null-safe: a node with no in-neighbors keeps its comp)
-    var labels = IterCheckpoint(
+    // eager cache-backed round state (r13, [[IterState]]): the label
+    // table is read twice per round (neighbor-min input and merge
+    // input) and the loop takes a per-round convergence action, so
+    // rounds are materialized into a partitioning-preserving cache —
+    // the convergence sum doubles as the cache-population job, one job
+    // per round where checkpoint+sum was two, and no round re-shuffles
+    // or re-broadcasts the label vector at sort-merge scale. Reliable
+    // checkpoints land on the IterState anchor cadence.
+    val st = new IterState(
       edges.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id"))
-        .withColumn("__chg", lit(0L)))
+        .withColumn("__chg", lit(0L)), eager = true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val labels = st.frame
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"),
           col("comp").as("nbr_comp")), "dst")
         .groupBy("src").agg(min(col("nbr_comp")).as("min_nbr"))
         .select(col("src").as("id"), col("min_nbr"))
-      val next = IterCheckpoint(labels.join(nbrMin, Seq("id"), "left")
+      val changed = st.advanceWith(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("min_nbr"), col("comp")))
             .as("comp"),
           when(col("min_nbr") < col("comp"), lit(1L)).otherwise(lit(0L))
-            .as("__chg")))
-      val changedRow = next.agg(sum(col("__chg"))).head()
-      val changed = if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
-      // free the superseded round NOW — `next` is already eagerly
-      // materialized into its own checkpoint files and `changed` is
-      // counted, so nothing references the old labels; without this
-      // the files accrue until the driver GCs the old Dataset, which
-      // in a long session (bench, streaming) is effectively never
-      IterCheckpoint.free(labels)
-      labels = next
+            .as("__chg"))) { next =>
+        val changedRow = next.agg(sum(col("__chg"))).head()
+        if (changedRow.isNullAt(0)) 0L else changedRow.getLong(0)
+      }
       converged = changed == 0
       iter += 1
     }
@@ -488,8 +491,8 @@ object Dedup {
     // returned labels stay a DIRECT reliable checkpoint (file-backed
     // handle — the OperatorsSpec executor-loss guarantee and the
     // ccMemo reuse contract), then free the flagged round state
-    val out = IterCheckpoint(labels.select(col("id"), col("comp")))
-    IterCheckpoint.free(labels)
+    val out = IterCheckpoint(st.frame.select(col("id"), col("comp")))
+    st.release()
     out
   }
 

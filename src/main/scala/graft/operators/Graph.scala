@@ -68,24 +68,30 @@ object Graph {
     // bounded driver collect: one scalar (node count feeds the teleport
     // constant — the PQ-sample/vocab-top-K pattern)
     val n = nodesOd.count()
-    var ranks = IterCheckpoint(
+    // round state managed by [[IterState]] (r13): rounds chain LAZILY
+    // between reliable anchors, so the state keeps the hash(id)
+    // partitioning its merge produced — no exchange on either input of
+    // the round joins at sort-merge scale, and no per-round checkpoint
+    // file write+read (the state is referenced once per round, so the
+    // final action executes the whole inter-anchor chain as one job)
+    val st = new IterState(
       nodesOd.select(col("id"), lit(1.0 / n).as("rank"), col("od")))
     for (_ <- 1 to iterations) {
+      val ranks = st.frame
       val contrib = e
         .join(ranks.filter(col("od") > 0).select(col("id").as("src"),
           floor(col("rank") / col("od") * lit(1e12)).as("c")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("in_sum"))
-      val next = IterCheckpoint(nodesOd.join(contrib, Seq("id"), "left")
+      st.advance(nodesOd.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) *
               (coalesce(col("in_sum"), lit(0L)).cast(DoubleType) /
                 lit(1e12)))
             .as("rank"), col("od")))
-      IterCheckpoint.free(ranks)
-      ranks = next
     }
+    val ranks = st.finish()
     e.unpersist(); nodesOd.unpersist()
     ranks.select(col("id"), col("rank"))
   }
@@ -133,24 +139,26 @@ object Graph {
         when(col("__s").isNotNull, lit(1.0 / nSeeds))
           .otherwise(lit(0.0)).as("tele"), col("od"))
       .persist(lvl)
-    var ranks = IterCheckpoint(
+    // lazy-chained round state with anchor-cadence checkpoints (r13,
+    // [[IterState]]): the pageRank rationale, exactly
+    val st = new IterState(
       base.select(col("id"), col("tele").as("rank"), col("od")))
     for (_ <- 1 to iterations) {
+      val ranks = st.frame
       val contrib = e
         .join(ranks.filter(col("od") > 0).select(col("id").as("src"),
           floor(col("rank") / col("od") * lit(1e12)).as("c")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("c")).as("in_sum"))
-      val next = IterCheckpoint(base.join(contrib, Seq("id"), "left")
+      st.advance(base.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(1.0 - damping) * col("tele") +
             lit(damping) *
               (coalesce(col("in_sum"), lit(0L)).cast(DoubleType) /
                 lit(1e12)))
             .as("rank"), col("od")))
-      IterCheckpoint.free(ranks)
-      ranks = next
     }
+    val ranks = st.finish()
     e.unpersist(); base.unpersist()
     ranks.select(col("id"), col("rank"))
   }
@@ -297,23 +305,28 @@ object Graph {
     // under AQE, so a seed repartition would help only round 1 while
     // paying a full extra edge exchange — measured slower. Each round
     // already runs on one post-partial-agg degree exchange plus
-    // broadcast-able semi joins.
-    var e = IterCheckpoint(
-      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    // broadcast-able semi joins. r13: the round state (the shrinking
+    // edge list, referenced three times per round) is a materialized
+    // CACHE instead of checkpoint files — same lineage cut, no file
+    // write+read per round, anchor-cadence reliable checkpoints via
+    // [[IterState]].
+    val st = new IterState(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")),
+      eager = true)
     for (_ <- 1 to rounds) {
+      val e = st.frame
       val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select("src")
-      val next = IterCheckpoint(
+      st.advance(
         e.join(keep, Seq("src"), "left_semi")
           .join(keep.withColumnRenamed("src", "dst"), Seq("dst"),
             "left_semi"))
-      IterCheckpoint.free(e)
-      e = next
     }
-    val out = e.groupBy(col("src").as("node"))
+    val out = st.finish().groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("degree"))
-    // the final round's checkpoint files back `out` lazily; they are
-    // released with the session temp dir (bounded: one round's edges)
+    // the final round's cache (or anchor files) backs `out` lazily;
+    // bench/verify sessions clear caches per query (bounded: one
+    // round's edges)
     out
   }
 
@@ -433,30 +446,35 @@ object Graph {
       .repartition(col("b"))
       .groupBy("a", "b").agg(sum("w").as("w"))
       .persist(lvl)
-    val nodes = e.select(col("a").as("id")).distinct().persist(lvl)
-    var lab = IterCheckpoint(nodes.withColumn("lbl", col("id")))
+    // the node set feeds only the label init and is consumed once —
+    // no persist needed (r13: a single-use cache is pure write cost)
+    val nodes = e.select(col("a").as("id")).distinct()
+    // lazy-chained round state with anchor-cadence checkpoints (r13,
+    // [[IterState]]): the label table is referenced once per round, so
+    // the chain executes as one job and keeps the argmax aggregation's
+    // hash(id) partitioning into the next round's merge
+    val st = new IterState(nodes.withColumn("lbl", col("id")))
     for (_ <- 1 to rounds) {
       val scores = e
-        .join(lab.select(col("id").as("b"), col("lbl").as("nl")), "b")
+        .join(st.frame.select(col("id").as("b"), col("lbl").as("nl")),
+          "b")
         .groupBy(col("a").as("id"), col("nl"))
         .agg(sum("w").as("ws"))
       // deterministic argmax (ws desc, nl asc) as one aggregate:
       // lexicographic max of (ws, −nl) picks exactly the row the old
       // row_number window picked (labels are node ids ≥ 0, so the
       // negation is overflow-free)
-      val pick = scores.groupBy(col("id"))
-        .agg(max(struct(col("ws"), (-col("nl")).as("mnl"))).as("m"))
-        .select(col("id"), (-col("m.mnl")).as("lbl"))
       // every node has ≥ 1 neighbor by construction, so the argmax
       // covers the full node set
-      val next = IterCheckpoint(pick)
-      IterCheckpoint.free(lab)
-      lab = next
+      st.advance(scores.groupBy(col("id"))
+        .agg(max(struct(col("ws"), (-col("nl")).as("mnl"))).as("m"))
+        .select(col("id"), (-col("m.mnl")).as("lbl")))
     }
+    val lab = st.finish()
     val out = lab.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("community")
-    e.unpersist(); nodes.unpersist()
+    e.unpersist()
     out
   }
 
@@ -595,10 +613,14 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .repartition(col("src"))
       .distinct().persist(lvl)
-    var dist = IterCheckpoint(seeds.select(col(seedCol).as("id"))
-      .distinct().withColumn("dist", lit(0L)))
-    // lazy projection over the dist checkpoint — no extra state
-    var frontier = dist
+    // eager cache-backed round state (r13, [[IterState]]): each round
+    // reads its state TWICE (the merge input and the frontier filter),
+    // so rounds are materialized into a partitioning-preserving cache
+    // instead of per-round checkpoint files
+    val st = new IterState(seeds.select(col(seedCol).as("id"))
+      .distinct().withColumn("dist", lit(0L)), eager = true)
+    // lazy projection over the dist cache — no extra state
+    var frontier = st.frame
     for (r <- 1 to maxDepth) {
       // everything the frontier reaches is at distance exactly r (all
       // frontier rows carry dist r-1), so no per-candidate min needed
@@ -607,14 +629,13 @@ object Graph {
         .withColumn("nd", lit(r.toLong))
       // least() skips nulls, so a side missing from the full join
       // simply yields the other side's distance
-      val next = IterCheckpoint(dist.join(reach, Seq("id"), "full_outer")
+      st.advance(st.frame.join(reach, Seq("id"), "full_outer")
         .select(col("id"), least(col("dist"), col("nd")).as("dist")))
-      IterCheckpoint.free(dist)
-      dist = next
       // dist==r ⇔ newly settled this round: every earlier-settled
       // node has dist ≤ r-1, and least() never increases a distance
-      frontier = next.filter(col("dist") === lit(r.toLong))
+      frontier = st.frame.filter(col("dist") === lit(r.toLong))
     }
+    val dist = st.finish()
     e.unpersist()
     dist
   }
@@ -655,49 +676,64 @@ object Graph {
     val eD = eS.repartition(col("dst")).persist(lvl)
     def eFor(inCol: String): DataFrame =
       if (inCol == "src") eS else eD
-    // every hub has out-edges and every auth has in-edges BY
-    // CONSTRUCTION (they are edge endpoints), and each half-round's
-    // input score table always covers its full side — so the raw
-    // in-edge sums already cover every node and no all-nodes outer
-    // join is needed. The raw sums are CHECKPOINTED BEFORE the ∞-norm
-    // max() is collected, so the join lineage executes once (taking
-    // max on the lazy plan would run the whole join twice); the
-    // renorm itself stays a lazy projection over the checkpoint.
-    // returns (checkpointed raw sums, lazy renormed projection) — the
-    // base handle is what [[IterCheckpoint.free]] needs (free on a
-    // projection is a no-op)
+    // cache-backed half-round state with anchor-cadence reliable
+    // checkpoints (r13, the [[IterState]] rationale hand-rolled for
+    // the interleaved hub/auth pair): the raw sums persist with their
+    // aggregation's hash(id) partitioning — no half-round re-shuffles
+    // or re-broadcasts the score vector at sort-merge scale — and the
+    // ∞-norm max doubles as the cache-population job, one job per
+    // half-round where checkpoint+max was two. Every ckptEvery-th
+    // half-round still lands a reliable checkpoint (bounded failure
+    // recompute; superseded anchors freed eagerly).
+    val ckptEvery: Int = math.max(1,
+      edges.sparkSession.conf.getOption("spark.graft.iter.ckptEvery")
+        .map(_.trim.toInt).getOrElse(8))
+    var sinceAnchor = 0
+    var anchor: DataFrame = null
+    def stage(df: DataFrame): DataFrame =
+      if (sinceAnchor + 1 >= ckptEvery) {
+        val c = IterCheckpoint(df)
+        if (anchor != null) IterCheckpoint.free(anchor)
+        anchor = c; sinceAnchor = 0; c
+      } else { sinceAnchor += 1; df.persist(lvl) }
+    // returns (materialized raw sums, lazy renormed projection) — the
+    // base handle is what the superseded-round unpersist needs
+    // (unpersist on a projection or an anchor is a no-op; anchor files
+    // live until the next anchor supersedes them)
     def half(scores: DataFrame, inCol: String,
         outCol: String): (DataFrame, DataFrame) = {
-      val raw = IterCheckpoint(
+      val raw = stage(
         eFor(inCol)
           .join(scores.select(col("id").as(inCol), col("s")), inCol)
           .groupBy(col(outCol).as("id")).agg(sum("s").as("s")))
-      // bounded driver collect: one scalar (the ∞-norm). max over an
-      // empty score table (empty edge list) is null — pin 0, which
-      // makes the renorm divisor 1 and keeps every frame empty
+      // bounded driver collect: one scalar (the ∞-norm) — also the
+      // action that populates the cache. max over an empty score
+      // table (empty edge list) is null — pin 0, which makes the
+      // renorm divisor 1 and keeps every frame empty
       val mxRow = raw.agg(max("s")).head()
       val mx = if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)
       (raw,
         raw.select(col("id"), expr(s"s div ${mx / 1000000L + 1L}L").as("s")))
     }
-    // distinct over hash(src)-partitioned eS: no extra exchange
-    var hBase = IterCheckpoint(eS.select(col("src").as("id")).distinct()
-      .withColumn("s", lit(1000000L)))
+    // distinct over hash(src)-partitioned eS: no extra exchange; the
+    // first half-round's action populates this init cache
+    var hBase = eS.select(col("src").as("id")).distinct()
+      .withColumn("s", lit(1000000L)).persist(lvl)
     var h = hBase
     var aBase: DataFrame = null
     var a: DataFrame = null
     for (_ <- 1 to iterations) {
       val (ab, av) = half(h, "src", "dst")
       // ab is materialized, so the previous half-rounds' bases are dead
-      IterCheckpoint.free(hBase)
-      if (aBase != null) IterCheckpoint.free(aBase)
+      hBase.unpersist()
+      if (aBase != null) aBase.unpersist()
       aBase = ab; a = av
       val (hb, hv) = half(a, "dst", "src")
       hBase = hb; h = hv
     }
-    // the final rounds' checkpoint files back the returned frames
-    // lazily; they are released with the session temp dir (bounded:
-    // two half-rounds)
+    // the final rounds' caches (or anchor files) back the returned
+    // frames lazily; bench/verify sessions clear caches per query
+    // (bounded: two half-rounds)
     eS.unpersist(); eD.unpersist()
     h.select(lit("hub").as("side"), col("id"), col("s").as("score"))
       .unionAll(a.select(lit("auth").as("side"), col("id"),
@@ -749,9 +785,14 @@ object Graph {
       .repartition(col("b"))
       .distinct().persist(lvl)
     val lane = lit(1000000000L)
-    var colors = IterCheckpoint(e.groupBy(col("a").as("id"))
-      .agg(count(lit(1)).cast("string").as("c")))
+    // eager cache-backed round state (r13, [[IterState]]): each round
+    // reads its color table TWICE (the neighbor join and the recolor
+    // join), so rounds are materialized into a partitioning-preserving
+    // cache instead of per-round checkpoint files
+    val st = new IterState(e.groupBy(col("a").as("id"))
+      .agg(count(lit(1)).cast("string").as("c")), eager = true)
     for (_ <- 1 to rounds) {
+      val colors = st.frame
       val nb = e
         .join(colors.select(col("id").as("b"), col("c").as("cb")), "b")
         .groupBy(col("a").as("id"))
@@ -762,16 +803,14 @@ object Graph {
           count(lit(1)).as("dg"))
       // every node has ≥1 neighbor BY CONSTRUCTION (edge endpoints),
       // so the inner join covers the full node set
-      val next = IterCheckpoint(colors.join(nb, "id")
+      st.advance(colors.join(nb, "id")
         .select(col("id"),
           md5(concat(col("c"), lit("|"),
             col("l1").cast("string"), lit(","),
             col("l2").cast("string"), lit(","),
             col("dg").cast("string"))).as("c")))
-      IterCheckpoint.free(colors)
-      colors = next
     }
-    val out = colors.groupBy("c")
+    val out = st.finish().groupBy("c")
       .agg(count(lit(1)).as("n_nodes"))
       .select(col("c").as("color"), col("n_nodes"))
       .orderBy("color")
@@ -824,19 +863,21 @@ object Graph {
     val denRow = nodesDeg.agg(max(col("ind"))).head()
     val den = if (denRow.isNullAt(0)) 1L else math.max(1L, denRow.getLong(0))
     val nodes = nodesDeg.select(col("id"))
-    var x = IterCheckpoint(nodes.withColumn("x", lit(1000000L)))
+    // lazy-chained round state with anchor-cadence checkpoints (r13,
+    // [[IterState]]): the pageRank rationale, exactly
+    val st = new IterState(nodes.withColumn("x", lit(1000000L)))
     for (_ <- 1 to rounds) {
       val in = e
-        .join(x.select(col("id").as("src"), col("x").as("xs")), "src")
+        .join(st.frame.select(col("id").as("src"), col("x").as("xs")),
+          "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("xs")).as("s"))
-      val next = IterCheckpoint(nodes.join(in, Seq("id"), "left")
+      st.advance(nodes.join(in, Seq("id"), "left")
         .select(col("id"),
           (lit(1000000L) +
             expr(s"coalesce(s, 0L) div ${den}L")).as("x")))
-      IterCheckpoint.free(x)
-      x = next
     }
+    val x = st.finish()
     e.unpersist(); nodesDeg.unpersist()
     x.select(col("id"), col("x").as("katz_micro"))
   }
